@@ -1,0 +1,457 @@
+"""Window-like per-series transforms (SURVEY.md §2.2.6):
+derivative/difference/increase/cumulativeSum/elapsed, moving averages,
+the recursive EMA family, state tracking, histograms, 2-col stats.
+
+All closed-form transforms are Spark window functions over
+``partitionBy(series).orderBy(time)`` — one shuffle on the series key,
+then whole-stage codegen. Only the genuinely recursive family
+(EMA/double/triple EMA, Holt-Winters, KAMA, RSI's smoothed variant)
+drops to ``applyInPandas`` per series — Arrow-batched, parallel across
+series, which is the natural unit of parallelism for these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+
+def _series_window(by: Sequence[str], order: str):
+    return W.partitionBy(*by).orderBy(order)
+
+
+def derivative(
+    df: DataFrame,
+    unit_seconds: float = 1.0,
+    non_negative: bool = False,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "derivative",
+) -> DataFrame:
+    """Flux ``derivative(unit:, nonNegative:)`` / InfluxQL DERIVATIVE.
+
+    (v − v_prev) / Δt × unit per series; first row per series drops
+    (no predecessor). ``nonNegative`` nulls out negative rates
+    (counter-reset handling).
+    """
+    w = _series_window(by, time_ns)
+    dv = F.col(value) - F.lag(value).over(w)
+    dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9 / unit_seconds)
+    d = dv / dt
+    if non_negative:
+        d = F.when(d >= 0, d)
+    return (
+        df.withColumn("_has_prev", F.lag(time_ns).over(w).isNotNull())
+        .withColumn(alias, d)
+        .filter(F.col("_has_prev"))  # first row per series has no derivative
+        .drop("_has_prev")
+    )
+
+
+def difference(
+    df: DataFrame,
+    non_negative: bool = False,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "difference",
+) -> DataFrame:
+    """Flux ``difference()``: v − v_prev per series."""
+    w = _series_window(by, time_ns)
+    d = F.col(value) - F.lag(value).over(w)
+    if non_negative:
+        d = F.when(d >= 0, d)
+    return df.withColumn(alias, d)
+
+
+def increase(
+    df: DataFrame,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "increase",
+) -> DataFrame:
+    """Flux ``increase()``: running sum of non-negative deltas.
+
+    Counter resets (delta < 0) contribute the new value itself.
+    """
+    w = _series_window(by, time_ns)
+    delta = F.col(value) - F.lag(value).over(w)
+    contrib = F.when(delta.isNull(), F.lit(0.0)).when(delta < 0, F.col(value)).otherwise(delta)
+    run = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(contrib).over(run))
+
+
+def cumulative_sum(
+    df: DataFrame,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "cumulative_sum",
+) -> DataFrame:
+    """Flux ``cumulativeSum()``."""
+    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def elapsed(
+    df: DataFrame,
+    unit_seconds: float = 1.0,
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "elapsed",
+) -> DataFrame:
+    """Flux ``elapsed(unit:)``: Δt between consecutive rows, in units."""
+    w = _series_window(by, time_ns)
+    dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9 * unit_seconds)
+    return df.withColumn(alias, F.floor(dt).cast("long"))
+
+
+def moving_average(
+    df: DataFrame,
+    n: int,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "moving_average",
+) -> DataFrame:
+    """Flux ``movingAverage(n:)``: mean of the last n rows per series.
+
+    Flux emits output only once n values are available; we compute for
+    all rows and flag completeness so callers can filter.
+    """
+    w = _series_window(by, time_ns).rowsBetween(-(n - 1), 0)
+    return (
+        df.withColumn(alias, F.avg(value).over(w))
+        .withColumn("_ma_n", F.count(value).over(w))
+        .filter(F.col("_ma_n") == n)
+        .drop("_ma_n")
+    )
+
+
+def timed_moving_average(
+    df: DataFrame,
+    period_seconds: int,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "timed_moving_average",
+) -> DataFrame:
+    """Flux ``timedMovingAverage(every:, period:)`` — time-range window.
+
+    rangeBetween over epoch-ns: mean of rows within the trailing period.
+    """
+    w = (
+        W.partitionBy(*by)
+        .orderBy(time_ns)
+        .rangeBetween(-(period_seconds * 10**9 - 1), 0)
+    )
+    return df.withColumn(alias, F.avg(value).over(w))
+
+
+# ---------------------------------------------------------------- recursive
+
+def _per_series_pandas(df, by, time_ns, out_field, out_type, fn):
+    """Shared applyInPandas scaffold for recursive per-series transforms."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_field, out_type, True)]
+    )
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_ns).reset_index(drop=True)
+        pdf[out_field] = fn(pdf)
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(_apply, schema=schema)
+
+
+def exponential_moving_average(
+    df: DataFrame,
+    n: int,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "ema",
+) -> DataFrame:
+    """Flux ``exponentialMovingAverage(n:)``.
+
+    EMA_t = v_t·k + EMA_{t−1}·(1−k), k = 2/(n+1); seeded with the SMA of
+    the first n points (InfluxDB semantics). Recursive → applyInPandas
+    per series (pandas ewm after SMA seed).
+    """
+    def _ema(pdf: pd.DataFrame) -> pd.Series:
+        v = pdf[value].astype(float)
+        if len(v) < n:
+            return pd.Series([None] * len(v), dtype="float64")
+        k = 2.0 / (n + 1)
+        out = pd.Series([None] * len(v), dtype="float64")
+        seed = v.iloc[:n].mean()
+        out.iloc[n - 1] = seed
+        prev = seed
+        for i in range(n, len(v)):
+            prev = v.iloc[i] * k + prev * (1 - k)
+            out.iloc[i] = prev
+        return out
+
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema)
+
+
+def double_ema(df, n, value="f_float", by=("measurement", "field"),
+               time_ns="time_ns", alias="dema"):
+    """Flux ``doubleEMA(n:)`` = 2·EMA_N − EMA of EMA_N."""
+    e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
+    e1f = e1.filter(F.col("_e1").isNotNull())
+    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
+    return (
+        e2.withColumn(alias, 2 * F.col("_e1") - F.col("_e2"))
+        .filter(F.col(alias).isNotNull())
+        .drop("_e1", "_e2")
+    )
+
+
+def triple_ema(df, n, value="f_float", by=("measurement", "field"),
+               time_ns="time_ns", alias="tema"):
+    """Flux ``tripleEMA(n:)`` = 3·EMA1 − 3·EMA2 + EMA3."""
+    e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
+    e1f = e1.filter(F.col("_e1").isNotNull())
+    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
+    e2f = e2.filter(F.col("_e2").isNotNull())
+    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3")
+    return (
+        e3.withColumn(alias, 3 * F.col("_e1") - 3 * F.col("_e2") + F.col("_e3"))
+        .filter(F.col(alias).isNotNull())
+        .drop("_e1", "_e2", "_e3")
+    )
+
+
+def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
+                            time_ns="time_ns", alias="rsi"):
+    """Flux ``relativeStrengthIndex(n:)`` (Wilder smoothing — recursive)."""
+    def _rsi(pdf: pd.DataFrame) -> pd.Series:
+        v = pdf[value].astype(float)
+        delta = v.diff()
+        up = delta.clip(lower=0.0)
+        down = (-delta).clip(lower=0.0)
+        avg_up = up.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
+        avg_down = down.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
+        rs = avg_up / avg_down
+        return 100 - 100 / (1 + rs)
+
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi)
+
+
+def kaufmans_er(df, n, value="f_float", by=("measurement", "field"),
+                time_ns="time_ns", alias="ker"):
+    """Flux ``kaufmansER(n:)``: |v_t − v_{t−n}| / Σ|v_i − v_{i−1}|.
+
+    Closed-form over windows — no pandas needed.
+    """
+    w = _series_window(by, time_ns)
+    wn = _series_window(by, time_ns).rowsBetween(-(n - 1), 0)
+    change = F.abs(F.col(value) - F.lag(value, n).over(w))
+    vol_step = F.abs(F.col(value) - F.lag(value, 1).over(w))
+    df2 = df.withColumn("_vs", vol_step)
+    volatility = F.sum("_vs").over(wn)
+    return (
+        df2.withColumn(alias, change / volatility)
+        .filter(F.col(alias).isNotNull())
+        .drop("_vs")
+    )
+
+
+def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
+                 time_ns="time_ns", alias="kama"):
+    """Flux ``kaufmansAMA(n:)`` — recursive adaptive MA."""
+    def _kama(pdf: pd.DataFrame) -> pd.Series:
+        v = pdf[value].astype(float).to_numpy()
+        out = [None] * len(v)
+        if len(v) <= n:
+            return pd.Series(out, dtype="float64")
+        fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
+        prev = v[n - 1]
+        out[n - 1] = prev
+        for i in range(n, len(v)):
+            change = abs(v[i] - v[i - n])
+            vol = sum(abs(v[j] - v[j - 1]) for j in range(i - n + 1, i + 1))
+            er = change / vol if vol != 0 else 0.0
+            sc = (er * (fast - slow) + slow) ** 2
+            prev = prev + sc * (v[i] - prev)
+            out[i] = prev
+        return pd.Series(out, dtype="float64")
+
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama)
+
+
+def chande_momentum_oscillator(df, n, value="f_float", by=("measurement", "field"),
+                               time_ns="time_ns", alias="cmo"):
+    """Flux ``chandeMomentumOscillator(n:)`` = 100·(Σup − Σdown)/(Σup + Σdown)."""
+    w = _series_window(by, time_ns)
+    wn = _series_window(by, time_ns).rowsBetween(-(n - 1), 0)
+    delta = F.col(value) - F.lag(value).over(w)
+    df2 = (
+        df.withColumn("_up", F.when(delta > 0, delta).otherwise(F.lit(0.0)))
+        .withColumn("_dn", F.when(delta < 0, -delta).otherwise(F.lit(0.0)))
+        .withColumn("_cnt", F.when(delta.isNotNull(), 1).otherwise(0))
+    )
+    su, sd = F.sum("_up").over(wn), F.sum("_dn").over(wn)
+    nvalid = F.sum("_cnt").over(wn)
+    return (
+        df2.withColumn(alias, F.when(nvalid >= n, 100 * (su - sd) / (su + sd)))
+        .filter(F.col(alias).isNotNull())
+        .drop("_up", "_dn", "_cnt")
+    )
+
+
+def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
+                 by=("measurement", "field"), time_ns="time_ns"):
+    """Flux/InfluxQL ``holtWinters(n:, interval:)`` — forecast n points.
+
+    Pure-pandas double/triple exponential smoothing fitted per series
+    (no statsmodels dependency); emits n forecast rows per series.
+    """
+    out_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType, True) for c in by]
+        + [T.StructField("time_ns", T.LongType()), T.StructField("hw", T.DoubleType())]
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_ns)
+        v = pdf[value].astype(float).to_numpy()
+        keys = {c: pdf[c].iloc[0] for c in by}
+        if len(v) < 2:
+            return pd.DataFrame(columns=[*by, "time_ns", "hw"])
+        alpha = beta = 0.5
+        level, trend = v[0], v[1] - v[0]
+        for x in v[1:]:
+            prev = level
+            level = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        t0 = int(pdf[time_ns].iloc[-1])
+        step = int(interval_seconds * 1e9)
+        rows = [
+            {**keys, "time_ns": t0 + (i + 1) * step, "hw": level + (i + 1) * trend}
+            for i in range(n)
+        ]
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*by).applyInPandas(_hw, schema=out_schema)
+
+
+# ---------------------------------------------------------------- state
+
+def state_count(
+    df: DataFrame,
+    predicate,
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "state_count",
+) -> DataFrame:
+    """Flux ``stateCount(fn:)``: consecutive rows matching → 1,2,3...;
+    non-matching rows emit −1.
+
+    Gaps-and-islands: run id = running count of non-matching rows; the
+    in-run index is a row_number within (series, run id).
+    """
+    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    df2 = df.withColumn("_m", F.when(predicate, 1).otherwise(0))
+    df2 = df2.withColumn("_run", F.sum(1 - F.col("_m")).over(w))
+    wrun = W.partitionBy(*by, "_run").orderBy(time_ns)
+    cnt = F.sum("_m").over(wrun.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        df2.withColumn(alias, F.when(F.col("_m") == 1, cnt).otherwise(F.lit(-1)))
+        .drop("_m", "_run")
+    )
+
+
+def state_duration(
+    df: DataFrame,
+    predicate,
+    unit_seconds: float = 1.0,
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "state_duration",
+) -> DataFrame:
+    """Flux ``stateDuration(fn:)``: seconds since the state began;
+    first matching row = 0; non-matching → −1."""
+    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    df2 = df.withColumn("_m", F.when(predicate, 1).otherwise(0))
+    df2 = df2.withColumn("_run", F.sum(1 - F.col("_m")).over(w))
+    wrun = W.partitionBy(*by, "_run").orderBy(time_ns).rowsBetween(W.unboundedPreceding, 0)
+    start_t = F.min(F.when(F.col("_m") == 1, F.col(time_ns))).over(wrun)
+    dur = ((F.col(time_ns) - start_t) / F.lit(1e9 * unit_seconds)).cast("long")
+    return (
+        df2.withColumn(alias, F.when(F.col("_m") == 1, dur).otherwise(F.lit(-1)))
+        .drop("_m", "_run")
+    )
+
+
+# ---------------------------------------------------------------- histogram
+
+def histogram(
+    df: DataFrame,
+    bins: Sequence[float],
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    upper_bound_col: str = "le",
+    count_col: str = "count",
+) -> DataFrame:
+    """Flux ``histogram(bins:)``: **cumulative** counts per upper bound.
+
+    Bucket assignment is a small broadcast range join (bins are a
+    handful of literals), counts aggregate per series, then a running
+    sum over the ordered bounds makes them cumulative.
+    """
+    spark = df.sparkSession
+    bounds = spark.createDataFrame([(float(b),) for b in sorted(bins)], f"{upper_bound_col} double")
+    joined = df.join(F.broadcast(bounds), F.col(value) <= F.col(upper_bound_col), "inner")
+    counts = joined.groupBy(*by, upper_bound_col).agg(F.count(F.lit(1)).alias(count_col))
+    # ensure every bound appears (zero rows for empty buckets)
+    series = df.select(*by).distinct()
+    spine = series.crossJoin(F.broadcast(bounds))
+    return (
+        spine.join(counts, on=[*by, upper_bound_col], how="left")
+        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+    )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    quantile: float,
+    by: Sequence[str] = ("measurement", "field"),
+    upper_bound_col: str = "le",
+    count_col: str = "count",
+    alias: str = "value",
+) -> DataFrame:
+    """Flux ``histogramQuantile(quantile:)`` — linear interpolation within
+    the bucket containing the target rank (cumulative-histogram input)."""
+    w = W.partitionBy(*by).orderBy(upper_bound_col)
+    total = F.max(count_col).over(W.partitionBy(*by))
+    target = F.lit(quantile) * total
+    prev_count = F.coalesce(F.lag(count_col).over(w), F.lit(0))
+    prev_le = F.coalesce(F.lag(upper_bound_col).over(w), F.lit(0.0))
+    in_bucket = (F.col(count_col) >= target) & (prev_count < target)
+    est = prev_le + (F.col(upper_bound_col) - prev_le) * (
+        (target - prev_count) / (F.col(count_col) - prev_count)
+    )
+    return (
+        df.withColumn("_hit", in_bucket)
+        .filter(F.col("_hit"))
+        .withColumn(alias, est)
+        .select(*by, alias)
+    )
+
+
+# ---------------------------------------------------------------- 2-col stats
+
+def covariance(df, col_a, col_b, by=(), alias="covariance"):
+    """Flux ``covariance(columns:)`` (sample covariance)."""
+    return df.groupBy(*by).agg(F.covar_samp(col_a, col_b).alias(alias))
+
+
+def pearsonr(df, col_a, col_b, by=(), alias="pearsonr"):
+    """Flux ``pearsonr()`` — Pearson correlation."""
+    return df.groupBy(*by).agg(F.corr(col_a, col_b).alias(alias))

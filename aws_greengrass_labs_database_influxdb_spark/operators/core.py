@@ -1,0 +1,121 @@
+"""Projection / filter / column operators (SURVEY.md §2.2.2).
+
+Flux semantics per public InfluxDB 2.0/Flux docs for the engine the
+reference pins (``influxdb:2.0.9``, ``/root/reference/recipe.yaml:110``).
+All operators are thin declarative wrappers — Catalyst handles pushdown
+(``filter``/``keep`` reach the parquet scan as PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def range_time(
+    df: DataFrame,
+    start=None,
+    stop=None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Flux ``range(start, stop)``: half-open ``[start, stop)`` filter.
+
+    Mandatory first step of every Flux query; maps to a partition-prunable
+    time predicate. Accepts timestamps/strings/epoch-ns ints.
+    """
+    out = df
+    c = F.col(time_col)
+    if start is not None:
+        out = out.filter(c >= F.lit(start))
+    if stop is not None:
+        out = out.filter(c < F.lit(stop))
+    return out
+
+
+def filter_expr(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """Flux ``filter(fn:)`` — row predicate, pushed down by Catalyst."""
+    return df.filter(predicate)
+
+
+def map_columns(df: DataFrame, **exprs: Column) -> DataFrame:
+    """Flux ``map(fn:)`` — computed/rewritten columns."""
+    return df.withColumns(dict(exprs))
+
+
+def keep(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Flux ``keep(columns:)`` — projection to the listed columns."""
+    present = [c for c in columns if c in df.columns]
+    return df.select(*present)
+
+
+def drop(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Flux ``drop(columns:)``."""
+    return df.drop(*[c for c in columns if c in df.columns])
+
+
+def rename(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """Flux ``rename(columns: {old: new})``."""
+    return df.withColumnsRenamed(columns)
+
+
+def set_constant(df: DataFrame, key: str, value) -> DataFrame:
+    """Flux ``set(key:, value:)`` — constant string column."""
+    return df.withColumn(key, F.lit(value))
+
+
+def duplicate(df: DataFrame, column: str, as_: str) -> DataFrame:
+    """Flux ``duplicate(column:, as:)``."""
+    return df.withColumn(as_, F.col(column))
+
+
+def time_shift(df: DataFrame, duration: str, time_col: str = "time") -> DataFrame:
+    """Flux ``timeShift(duration:)`` — shift the time column.
+
+    ``duration`` is a SQL interval string, e.g. ``'1 hour'``.
+    """
+    return df.withColumn(time_col, F.col(time_col) + F.expr(f"INTERVAL {duration}"))
+
+
+def truncate_time(df: DataFrame, unit: str, time_col: str = "time") -> DataFrame:
+    """Flux ``truncateTimeColumn(unit:)`` — floor timestamps to unit."""
+    return df.withColumn(time_col, F.date_trunc(unit, F.col(time_col)))
+
+
+def pivot(
+    df: DataFrame,
+    row_key: Sequence[str],
+    column_key: str,
+    value_column: str,
+    values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Flux ``pivot(rowKey, columnKey, valueColumn)``.
+
+    ``values`` (the distinct column-key values) should be passed when
+    known: it removes the extra distinct-collect job Spark otherwise
+    runs — significant at 100 TB.
+    """
+    gb = df.groupBy(*row_key)
+    pv = gb.pivot(column_key, list(values)) if values else gb.pivot(column_key)
+    return pv.agg(F.first(value_column))
+
+
+def fields_as_cols(df: DataFrame, tag_cols: Sequence[str] = ()) -> DataFrame:
+    """``schema.fieldsAsCols()`` — wide view of the tall points schema.
+
+    One row per (measurement, tags, time); one column per field key.
+    Numeric slots coalesce into a double value (InfluxDB numeric fields);
+    string/bool fields pivot separately in a full implementation.
+    """
+    value = F.coalesce(
+        F.col("f_float"),
+        F.col("f_int").cast("double"),
+        F.col("f_uint").cast("double"),
+    )
+    keys = ["measurement", *tag_cols, "time", "time_ns"]
+    return (
+        df.withColumn("_v", value)
+        .groupBy(*keys)
+        .pivot("field")
+        .agg(F.first("_v"))
+    )

@@ -1,0 +1,156 @@
+"""Selector operators (SURVEY.md §2.2.5).
+
+InfluxDB selectors return the *original row(s)* — not just the value.
+Tie rules (public InfluxDB docs): ``min``/``max`` pick the row with the
+earliest ``_time`` among equal values; ``first``/``last`` pick by time
+with (series-internal) stable order. We implement them with
+``min_by``/``max_by`` over composite structs, which Spark executes as a
+single map-side-combinable aggregate — no window shuffle-and-sort, and
+no second pass. ``top``/``bottom`` use per-series ``row_number`` (these
+genuinely need a per-series sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _keep_row(df: DataFrame, by: Sequence[str], order, alias: str) -> DataFrame:
+    """Return one original row per group: min_by over the given order struct."""
+    others = [c for c in df.columns]
+    row = F.struct(*[F.col(c) for c in others])
+    agg = F.min_by(row, order).alias("_row")
+    out = df.groupBy(*by).agg(agg)
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def first(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
+    """Flux ``first()``: the row with minimum time per series."""
+    return _keep_row(df, by, F.col(time_ns), "first")
+
+
+def last(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
+    """Flux ``last()``: the row with maximum time per series."""
+    return _keep_row(df, by, -F.col(time_ns), "last")
+
+
+def min_selector(
+    df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
+) -> DataFrame:
+    """InfluxQL MIN: row with smallest value; ties → earliest time."""
+    return _keep_row(df, by, F.struct(F.col(value), F.col(time_ns)), "min")
+
+
+def max_selector(
+    df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
+) -> DataFrame:
+    """InfluxQL MAX: row with largest value; ties → earliest time."""
+    return _keep_row(df, by, F.struct(-F.col(value), F.col(time_ns)), "max")
+
+
+def top(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    value: str = "f_float",
+    time_ns: str = "time_ns",
+) -> DataFrame:
+    """Flux ``top(n:)``: n rows with largest value per series."""
+    w = W.partitionBy(*by).orderBy(F.desc(value), F.asc(time_ns))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def bottom(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    value: str = "f_float",
+    time_ns: str = "time_ns",
+) -> DataFrame:
+    """Flux ``bottom(n:)``: n rows with smallest value per series."""
+    w = W.partitionBy(*by).orderBy(F.asc(value), F.asc(time_ns))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def sample(df: DataFrame, n: int, by: Sequence[str], seed: int = 42) -> DataFrame:
+    """InfluxQL SAMPLE: random n rows per series (seeded for tests)."""
+    w = W.partitionBy(*by).orderBy(F.rand(seed))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def unique(df: DataFrame, column: str, by: Sequence[str] = ()) -> DataFrame:
+    """Flux ``unique(column:)``: rows whose value occurs exactly once."""
+    w = W.partitionBy(*by, column)
+    return (
+        df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+
+
+def distinct_rows(df: DataFrame, column: str, by: Sequence[str] = ()) -> DataFrame:
+    """Flux ``distinct(column:)``: distinct values per group key."""
+    return df.select(*by, column).distinct()
+
+
+def _ranked_series(
+    df: DataFrame, n: int, series: Sequence[str], agg, desc: bool
+) -> DataFrame:
+    """highest*/lowest*: rank whole series by an aggregate, keep top n.
+
+    Two-phase: per-series aggregate (small — one row per series), global
+    rank over that *aggregated* frame (cheap), then a broadcast semi-join
+    back to the full data. The big table shuffles once at most.
+    """
+    per_series = df.groupBy(*series).agg(agg.alias("_rank_v"))
+    order = F.desc("_rank_v") if desc else F.asc("_rank_v")
+    keep = (
+        per_series.withColumn("_rn", F.row_number().over(W.orderBy(order, *series)))
+        .filter(F.col("_rn") <= n)
+        .select(*series)
+    )
+    return df.join(F.broadcast(keep), on=list(series), how="left_semi")
+
+
+def highest_max(df, n, series, value="f_float"):
+    """Flux ``highestMax(n:)``: keep the n series with the largest max."""
+    return _ranked_series(df, n, series, F.max(value), desc=True)
+
+
+def highest_average(df, n, series, value="f_float"):
+    """Flux ``highestAverage(n:)``."""
+    return _ranked_series(df, n, series, F.avg(value), desc=True)
+
+
+def highest_current(df, n, series, value="f_float", time_ns="time_ns"):
+    """Flux ``highestCurrent(n:)``: rank series by their latest value."""
+    return _ranked_series(df, n, series, F.max_by(value, time_ns), desc=True)
+
+
+def lowest_min(df, n, series, value="f_float"):
+    """Flux ``lowestMin(n:)``."""
+    return _ranked_series(df, n, series, F.min(value), desc=False)
+
+
+def lowest_average(df, n, series, value="f_float"):
+    """Flux ``lowestAverage(n:)``."""
+    return _ranked_series(df, n, series, F.avg(value), desc=False)
+
+
+def lowest_current(df, n, series, value="f_float", time_ns="time_ns"):
+    """Flux ``lowestCurrent(n:)``."""
+    return _ranked_series(df, n, series, F.max_by(value, time_ns), desc=False)

@@ -1,0 +1,77 @@
+"""Sort / limit operators (SURVEY.md §2.2.7).
+
+Flux ``limit``/``tail`` are **per table (series)** — NOT a global
+``df.limit``. Implemented with row_number over the series window; a
+global sort is never required (and never induced) for them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def sort(df: DataFrame, columns: Sequence[str], desc: bool = False) -> DataFrame:
+    """Flux ``sort(columns:, desc:)``.
+
+    Note: a global orderBy implies a range-partitioned shuffle; for
+    per-series presentation order prefer
+    ``repartition(series).sortWithinPartitions(...)`` which this uses
+    when the caller passes series columns first.
+    """
+    cols = [F.desc(c) if desc else F.asc(c) for c in columns]
+    return df.orderBy(*cols)
+
+
+def limit(
+    df: DataFrame,
+    n: int,
+    offset: int = 0,
+    by: Sequence[str] = (),
+    order: str = "time_ns",
+    desc: bool = False,
+) -> DataFrame:
+    """Flux ``limit(n:, offset:)``: first n rows per series (by time)."""
+    ob = F.desc(order) if desc else F.asc(order)
+    if not by:
+        w = W.orderBy(ob)
+    else:
+        w = W.partitionBy(*by).orderBy(ob)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
+        .drop("_rn")
+    )
+
+
+def tail(
+    df: DataFrame,
+    n: int,
+    offset: int = 0,
+    by: Sequence[str] = (),
+    order: str = "time_ns",
+) -> DataFrame:
+    """Flux ``tail(n:)``: last n rows per series."""
+    return limit(df, n, offset, by, order, desc=True)
+
+
+def slimit(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    soffset: int = 0,
+) -> DataFrame:
+    """InfluxQL ``SLIMIT``/``SOFFSET``: limit the number of *series*.
+
+    Series are ordered by their key; the kept set is small → broadcast
+    semi-join back, so the big side never fully shuffles.
+    """
+    keys = (
+        df.select(*series)
+        .distinct()
+        .withColumn("_sn", F.row_number().over(W.orderBy(*[F.asc(c) for c in series])))
+        .filter((F.col("_sn") > soffset) & (F.col("_sn") <= soffset + n))
+        .select(*series)
+    )
+    return df.join(F.broadcast(keys), on=list(series), how="left_semi")

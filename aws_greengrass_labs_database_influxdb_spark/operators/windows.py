@@ -1,0 +1,239 @@
+"""Time windows: window / aggregateWindow / fill / interpolate
+(SURVEY.md §2.2.6 — the heart of the engine).
+
+Two window mechanisms, picked by semantics:
+
+- **Tumbling** windows use integer ns arithmetic
+  (``time_ns div every * every``) — exact, epoch-aligned identically to
+  DuckDB's ``time_bucket``, whole-stage-codegen'd, and groupable without
+  struct columns. At 100 TB this is a plain hash aggregate with map-side
+  partials.
+- **Sliding** (period > every) uses ``F.window(time, period, slide)``
+  which explodes rows into their overlapping windows JVM-side.
+
+``createEmpty: true`` (and InfluxQL ``GROUP BY time() fill(...)``) needs
+rows for windows with no data — impossible from groupBy alone. We build
+a **window spine**: ``F.sequence`` over the aligned ns range, exploded,
+cross-joined with the (small) distinct series set, then left-joined with
+the aggregated data. The spine is tiny (windows × series) relative to
+the raw data, so the join broadcasts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .aggregates import AGG_FNS
+
+NS = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9,
+      "h": 3600 * 10**9, "d": 86400 * 10**9, "w": 7 * 86400 * 10**9}
+
+
+def duration_ns(d: int | str) -> int:
+    """Parse a Flux-style duration ('1m', '30s', '1h30m') to ns."""
+    if isinstance(d, int):
+        return d
+    total, num = 0, ""
+    i = 0
+    while i < len(d):
+        c = d[i]
+        if c.isdigit():
+            num += c
+            i += 1
+            continue
+        # unit may be 2 chars (ns, us, ms)
+        unit = d[i : i + 2] if d[i : i + 2] in NS else c
+        total += int(num) * NS[unit]
+        num = ""
+        i += len(unit)
+    return total
+
+
+def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Column:
+    """Epoch-aligned window start (ns) for a tumbling window."""
+    shifted = time_ns - F.lit(offset_ns)
+    return (F.floor(shifted / F.lit(every_ns)) * F.lit(every_ns) + F.lit(offset_ns)).cast("long")
+
+
+def window(
+    df: DataFrame,
+    every: str | int,
+    period: str | int | None = None,
+    offset: str | int = 0,
+    time_ns: str = "time_ns",
+    time_col: str = "time",
+) -> DataFrame:
+    """Flux ``window(every:, period:, offset:)`` — assign window bounds.
+
+    Adds ``_start_ns``/``_stop_ns`` (and µs ``_start``/``_stop``) to each
+    row. Tumbling path (period == every) is pure column arithmetic;
+    sliding uses Spark's native window explode.
+    """
+    every_n = duration_ns(every)
+    offset_n = duration_ns(offset) if offset else 0
+    period_n = duration_ns(period) if period is not None else every_n
+    if period_n == every_n:
+        start = window_start_ns(F.col(time_ns), every_n, offset_n)
+        out = df.withColumn("_start_ns", start).withColumn(
+            "_stop_ns", start + F.lit(every_n)
+        )
+    else:
+        secs = lambda n: f"{n // 10**9} seconds"  # noqa: E731
+        win = F.window(F.col(time_col), secs(period_n), secs(every_n),
+                       secs(offset_n) if offset_n else None)
+        out = (
+            df.withColumn("_w", win)
+            .withColumn("_start_ns", F.unix_micros("_w.start") * 1000)
+            .withColumn("_stop_ns", F.unix_micros("_w.end") * 1000)
+            .drop("_w")
+        )
+    return (
+        out.withColumn("_start", F.timestamp_micros((F.col("_start_ns") / 1000).cast("long")))
+        .withColumn("_stop", F.timestamp_micros((F.col("_stop_ns") / 1000).cast("long")))
+    )
+
+
+def window_spine(
+    df: DataFrame,
+    start,
+    stop,
+    every: str | int,
+    by: Sequence[str] = (),
+    offset: str | int = 0,
+) -> DataFrame:
+    """All (series × window) rows covering [start, stop) — for createEmpty.
+
+    ``start``/``stop`` are epoch-ns ints. Returns columns: by... ,
+    ``_start_ns``, ``_stop_ns``. Distinct series is an aggregate of the
+    data (small); the sequence explode happens once per series.
+    """
+    every_n = duration_ns(every)
+    offset_n = duration_ns(offset) if offset else 0
+    first_w = (start - offset_n) // every_n * every_n + offset_n
+    seq = F.sequence(F.lit(first_w), F.lit(stop - 1), F.lit(every_n))
+    if by:
+        series = df.select(*by).distinct()
+        spine = series.withColumn("_start_ns", F.explode(seq))
+    else:
+        spine = df.sparkSession.range(1).select(F.explode(seq).alias("_start_ns"))
+    return spine.withColumn("_stop_ns", F.col("_start_ns") + F.lit(every_n))
+
+
+def aggregate_window(
+    df: DataFrame,
+    every: str | int,
+    fn: str,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    create_empty: bool = False,
+    range_start=None,
+    range_stop=None,
+    time_src: str = "_stop",
+    offset: str | int = 0,
+    alias: str | None = None,
+    time_ns: str = "time_ns",
+) -> DataFrame:
+    """Flux ``aggregateWindow(every:, fn:, createEmpty:, timeSrc:)``.
+
+    Window + aggregate per series; optionally emit empty windows as null
+    rows (requires range_start/range_stop, epoch ns). The result's
+    ``time``/``time_ns`` is the window ``_stop`` by default (Flux
+    default ``timeSrc: "_stop"``).
+    """
+    every_n = duration_ns(every)
+    offset_n = duration_ns(offset) if offset else 0
+    out_alias = alias or fn
+    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
+    agg = AGG_FNS[fn](F.col(value)).alias(out_alias)
+    grouped = (
+        df.withColumn("_start_ns", start_col)
+        .groupBy(*by, "_start_ns")
+        .agg(agg)
+        .withColumn("_stop_ns", F.col("_start_ns") + F.lit(every_n))
+    )
+    if create_empty:
+        assert range_start is not None and range_stop is not None, (
+            "createEmpty needs explicit range bounds"
+        )
+        spine = window_spine(df, range_start, range_stop, every_n, by, offset_n)
+        grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+    src = "_stop_ns" if time_src == "_stop" else "_start_ns"
+    return (
+        grouped.withColumn("time_ns", F.col(src))
+        .withColumn("time", F.timestamp_micros((F.col(src) / 1000).cast("long")))
+    )
+
+
+def fill(
+    df: DataFrame,
+    column: str,
+    value=None,
+    use_previous: bool = False,
+    by: Sequence[str] = (),
+    order: str = "time_ns",
+) -> DataFrame:
+    """Flux ``fill(value:)`` / ``fill(usePrevious:)``; InfluxQL
+    ``fill(0)`` / ``fill(previous)``.
+
+    ``usePrevious`` is a per-series forward-fill:
+    ``last(ignorenulls) over (partition by series order by time)``.
+    """
+    if use_previous:
+        w = W.partitionBy(*by).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+        filled = F.last(F.col(column), ignorenulls=True).over(w)
+    else:
+        filled = F.coalesce(F.col(column), F.lit(value))
+    return df.withColumn(column, filled)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    every: str | int,
+    value: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    range_start=None,
+    range_stop=None,
+    time_ns: str = "time_ns",
+) -> DataFrame:
+    """Flux ``interpolate.linear(every:)`` — resample onto an every-grid,
+    linearly interpolating between surrounding real points.
+
+    Union (grid ∪ data) per series, bracket each grid row with the
+    previous/next real observation via unbounded window fills, then a
+    closed-form lerp. Two window passes over data+spine, no UDFs.
+    """
+    every_n = duration_ns(every)
+    if range_start is None or range_stop is None:
+        bounds = df.agg(F.min(time_ns), F.max(time_ns)).first()
+        range_start = range_start if range_start is not None else bounds[0]
+        range_stop = range_stop if range_stop is not None else bounds[1] + 1
+    spine = window_spine(df, range_start, range_stop, every_n, by).select(
+        *by, F.col("_start_ns").alias(time_ns), F.lit(1).alias("_grid")
+    )
+    data = df.select(*by, time_ns, value).withColumn("_grid", F.lit(0))
+    unioned = data.unionByName(spine.withColumn(value, F.lit(None).cast("double")),
+                               allowMissingColumns=True)
+
+    wp = W.partitionBy(*by).orderBy(time_ns).rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy(*by).orderBy(time_ns).rowsBetween(0, W.unboundedFollowing)
+    v, t = F.col(value), F.col(time_ns)
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    next_t = F.first(obs_t, ignorenulls=True).over(wn)
+    lerp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        )
+    )
+    return (
+        unioned.withColumn(value, lerp)
+        .filter(F.col("_grid") == 1)
+        .filter(F.col(value).isNotNull())
+        .drop("_grid")
+        .withColumn("time", F.timestamp_micros((F.col(time_ns) / 1000).cast("long")))
+    )
