@@ -19,8 +19,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
-def _series_window(by: Sequence[str], order: str):
-    return W.partitionBy(*by).orderBy(order)
+def _orderlist(order) -> list[str]:
+    return [order] if isinstance(order, str) else list(order)
+
+
+def _series_window(by: Sequence[str], order):
+    return W.partitionBy(*by).orderBy(*_orderlist(order))
 
 
 def derivative(
@@ -31,14 +35,16 @@ def derivative(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "derivative",
+    order=None,
 ) -> DataFrame:
     """Flux ``derivative(unit:, nonNegative:)`` / InfluxQL DERIVATIVE.
 
     (v − v_prev) / Δt × unit per series; first row per series drops
     (no predecessor). ``nonNegative`` nulls out negative rates
-    (counter-reset handling).
+    (counter-reset handling). ``order`` (default: time) may add
+    tie-break columns for a total order.
     """
-    w = _series_window(by, time_ns)
+    w = _series_window(by, order or time_ns)
     dv = F.col(value) - F.lag(value).over(w)
     dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9 / unit_seconds)
     d = dv / dt
@@ -59,9 +65,10 @@ def difference(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "difference",
+    order=None,
 ) -> DataFrame:
     """Flux ``difference()``: v − v_prev per series."""
-    w = _series_window(by, time_ns)
+    w = _series_window(by, order or time_ns)
     d = F.col(value) - F.lag(value).over(w)
     if non_negative:
         d = F.when(d >= 0, d)
@@ -74,15 +81,16 @@ def increase(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "increase",
+    order=None,
 ) -> DataFrame:
     """Flux ``increase()``: running sum of non-negative deltas.
 
     Counter resets (delta < 0) contribute the new value itself.
     """
-    w = _series_window(by, time_ns)
+    w = _series_window(by, order or time_ns)
     delta = F.col(value) - F.lag(value).over(w)
     contrib = F.when(delta.isNull(), F.lit(0.0)).when(delta < 0, F.col(value)).otherwise(delta)
-    run = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    run = _series_window(by, order or time_ns).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(contrib).over(run))
 
 
@@ -92,9 +100,10 @@ def cumulative_sum(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "cumulative_sum",
+    order=None,
 ) -> DataFrame:
     """Flux ``cumulativeSum()``."""
-    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    w = _series_window(by, order or time_ns).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(value).over(w))
 
 
@@ -104,9 +113,10 @@ def elapsed(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "elapsed",
+    order=None,
 ) -> DataFrame:
     """Flux ``elapsed(unit:)``: Δt between consecutive rows, in units."""
-    w = _series_window(by, time_ns)
+    w = _series_window(by, order or time_ns)
     dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9 * unit_seconds)
     return df.withColumn(alias, F.floor(dt).cast("long"))
 
@@ -118,13 +128,14 @@ def moving_average(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "moving_average",
+    order=None,
 ) -> DataFrame:
     """Flux ``movingAverage(n:)``: mean of the last n rows per series.
 
     Flux emits output only once n values are available; we compute for
     all rows and flag completeness so callers can filter.
     """
-    w = _series_window(by, time_ns).rowsBetween(-(n - 1), 0)
+    w = _series_window(by, order or time_ns).rowsBetween(-(n - 1), 0)
     return (
         df.withColumn(alias, F.avg(value).over(w))
         .withColumn("_ma_n", F.count(value).over(w))
@@ -349,6 +360,7 @@ def state_count(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "state_count",
+    order=None,
 ) -> DataFrame:
     """Flux ``stateCount(fn:)``: consecutive rows matching → 1,2,3...;
     non-matching rows emit −1.
@@ -356,10 +368,10 @@ def state_count(
     Gaps-and-islands: run id = running count of non-matching rows; the
     in-run index is a row_number within (series, run id).
     """
-    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    w = _series_window(by, order or time_ns).rowsBetween(W.unboundedPreceding, 0)
     df2 = df.withColumn("_m", F.when(predicate, 1).otherwise(0))
     df2 = df2.withColumn("_run", F.sum(1 - F.col("_m")).over(w))
-    wrun = W.partitionBy(*by, "_run").orderBy(time_ns)
+    wrun = W.partitionBy(*by, "_run").orderBy(*_orderlist(order or time_ns))
     cnt = F.sum("_m").over(wrun.rowsBetween(W.unboundedPreceding, 0))
     return (
         df2.withColumn(alias, F.when(F.col("_m") == 1, cnt).otherwise(F.lit(-1)))
@@ -374,13 +386,14 @@ def state_duration(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "state_duration",
+    order=None,
 ) -> DataFrame:
     """Flux ``stateDuration(fn:)``: seconds since the state began;
     first matching row = 0; non-matching → −1."""
-    w = _series_window(by, time_ns).rowsBetween(W.unboundedPreceding, 0)
+    w = _series_window(by, order or time_ns).rowsBetween(W.unboundedPreceding, 0)
     df2 = df.withColumn("_m", F.when(predicate, 1).otherwise(0))
     df2 = df2.withColumn("_run", F.sum(1 - F.col("_m")).over(w))
-    wrun = W.partitionBy(*by, "_run").orderBy(time_ns).rowsBetween(W.unboundedPreceding, 0)
+    wrun = W.partitionBy(*by, "_run").orderBy(*_orderlist(order or time_ns)).rowsBetween(W.unboundedPreceding, 0)
     start_t = F.min(F.when(F.col("_m") == 1, F.col(time_ns))).over(wrun)
     dur = ((F.col(time_ns) - start_t) / F.lit(1e9 * unit_seconds)).cast("long")
     return (

@@ -26,28 +26,34 @@ def _keep_row(df: DataFrame, by: Sequence[str], order, alias: str) -> DataFrame:
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in others])
 
 
+def _tiebreak(df: DataFrame, seq: str = "ingest_seq") -> list:
+    """Deterministic final tie-break when an ingest sequence exists."""
+    return [F.col(seq)] if seq in df.columns else []
+
+
 def first(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
     """Flux ``first()``: the row with minimum time per series."""
-    return _keep_row(df, by, F.col(time_ns), "first")
+    return _keep_row(df, by, F.struct(F.col(time_ns), *_tiebreak(df)), "first")
 
 
 def last(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
     """Flux ``last()``: the row with maximum time per series."""
-    return _keep_row(df, by, -F.col(time_ns), "last")
+    tb = [-c for c in _tiebreak(df)]
+    return _keep_row(df, by, F.struct(-F.col(time_ns), *tb), "last")
 
 
 def min_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MIN: row with smallest value; ties → earliest time."""
-    return _keep_row(df, by, F.struct(F.col(value), F.col(time_ns)), "min")
+    return _keep_row(df, by, F.struct(F.col(value), F.col(time_ns), *_tiebreak(df)), "min")
 
 
 def max_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MAX: row with largest value; ties → earliest time."""
-    return _keep_row(df, by, F.struct(-F.col(value), F.col(time_ns)), "max")
+    return _keep_row(df, by, F.struct(-F.col(value), F.col(time_ns), *_tiebreak(df)), "max")
 
 
 def top(
@@ -58,7 +64,7 @@ def top(
     time_ns: str = "time_ns",
 ) -> DataFrame:
     """Flux ``top(n:)``: n rows with largest value per series."""
-    w = W.partitionBy(*by).orderBy(F.desc(value), F.asc(time_ns))
+    w = W.partitionBy(*by).orderBy(F.desc(value), F.asc(time_ns), *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
@@ -74,7 +80,7 @@ def bottom(
     time_ns: str = "time_ns",
 ) -> DataFrame:
     """Flux ``bottom(n:)``: n rows with smallest value per series."""
-    w = W.partitionBy(*by).orderBy(F.asc(value), F.asc(time_ns))
+    w = W.partitionBy(*by).orderBy(F.asc(value), F.asc(time_ns), *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)

@@ -29,15 +29,19 @@ def limit(
     n: int,
     offset: int = 0,
     by: Sequence[str] = (),
-    order: str = "time_ns",
+    order="time_ns",
     desc: bool = False,
 ) -> DataFrame:
-    """Flux ``limit(n:, offset:)``: first n rows per series (by time)."""
-    ob = F.desc(order) if desc else F.asc(order)
+    """Flux ``limit(n:, offset:)``: first n rows per series (by time).
+
+    ``order`` may be a column name or a list (time + tie-breaks).
+    """
+    cols = [order] if isinstance(order, str) else list(order)
+    ob = [F.desc(c) if desc else F.asc(c) for c in cols]
     if not by:
-        w = W.orderBy(ob)
+        w = W.orderBy(*ob)
     else:
-        w = W.partitionBy(*by).orderBy(ob)
+        w = W.partitionBy(*by).orderBy(*ob)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
@@ -50,7 +54,7 @@ def tail(
     n: int,
     offset: int = 0,
     by: Sequence[str] = (),
-    order: str = "time_ns",
+    order="time_ns",
 ) -> DataFrame:
     """Flux ``tail(n:)``: last n rows per series."""
     return limit(df, n, offset, by, order, desc=True)

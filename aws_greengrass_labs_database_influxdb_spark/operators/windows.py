@@ -52,9 +52,13 @@ def duration_ns(d: int | str) -> int:
 
 
 def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Column:
-    """Epoch-aligned window start (ns) for a tumbling window."""
+    """Epoch-aligned window start (ns) for a tumbling window.
+
+    Integer arithmetic only: ``floor(x/const)`` in doubles is lossy at
+    epoch-ns magnitude (~2^60; double ulp there is 256 ns).
+    """
     shifted = time_ns - F.lit(offset_ns)
-    return (F.floor(shifted / F.lit(every_ns)) * F.lit(every_ns) + F.lit(offset_ns)).cast("long")
+    return (shifted - shifted % F.lit(every_ns) + F.lit(offset_ns)).cast("long")
 
 
 def window(

@@ -37,10 +37,12 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags").
     """
     ev = load_table(spark, sf_dir, "events")
-    time_ns = (F.floor(F.col("ts") / 1000) * 1000).cast("long")  # µs-truncate (see module doc)
+    # µs-truncate with *integer* arithmetic — double division of epoch-ns
+    # (~1.7e18) loses precision (ulp=256 ns) and silently shifts values.
+    time_ns = (F.col("ts") - F.col("ts") % 1000).cast("long")
     return ev.select(
         F.lit("events").alias("measurement"),
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).alias("time"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
         time_ns.alias("time_ns"),
         F.col("event_type"),
         F.col("user_id"),
