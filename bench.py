@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + a cheap collect of the
+aggregate) so the measured time includes the whole plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the telemetry-dashboard family + relational joins + the
+# training-data extension surface. Keep this list in sync with the
+# heaviest representative operators, not every suite entry.
+HEADLINE = [
+    "ts_agg_window_mean",
+    "ts_agg_window_create_empty",
+    "ts_derivative",
+    "ts_cumulative_sum",
+    "ts_top3",
+    "ts_spread_stats",
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "ext_dedup_exact",
+    "ext_text_stats",
+]
+
+
+def main() -> None:
+    from aws_greengrass_labs_database_influxdb_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("bench_") and n not in HEADLINE
+    ]
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session bootstrap.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
