@@ -89,7 +89,9 @@ def increase(
     """
     w = _series_window(by, order or time_ns)
     delta = F.col(value) - F.lag(value).over(w)
-    contrib = F.when(delta.isNull(), F.lit(0.0)).when(delta < 0, F.col(value)).otherwise(delta)
+    # integer 0 literal: keeps decimal inputs decimal (a 0.0 double would
+    # coerce the whole branch to double and lose exact arithmetic)
+    contrib = F.when(delta.isNull(), F.lit(0)).when(delta < 0, F.col(value)).otherwise(delta)
     run = _series_window(by, order or time_ns).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(alias, F.sum(contrib).over(run))
 

@@ -88,16 +88,18 @@ def pivot(
     column_key: str,
     value_column: str,
     values: Sequence[str] | None = None,
+    agg: Column | None = None,
 ) -> DataFrame:
     """Flux ``pivot(rowKey, columnKey, valueColumn)``.
 
     ``values`` (the distinct column-key values) should be passed when
     known: it removes the extra distinct-collect job Spark otherwise
-    runs — significant at 100 TB.
+    runs — significant at 100 TB. ``agg`` overrides the per-cell
+    aggregate (Flux uses last-on-conflict; default here ``first``).
     """
     gb = df.groupBy(*row_key)
     pv = gb.pivot(column_key, list(values)) if values else gb.pivot(column_key)
-    return pv.agg(F.first(value_column))
+    return pv.agg(agg if agg is not None else F.first(value_column))
 
 
 def fields_as_cols(df: DataFrame, tag_cols: Sequence[str] = ()) -> DataFrame:

@@ -407,3 +407,397 @@ def ts_mode(spark, sf_dir):
     """mode() — most frequent (rounded) value; ties → smallest."""
     p = _pts(spark, sf_dir).withColumn("_vr", F.round("f_float").cast("long"))
     return ops.mode_value(p, "_vr", by=["event_type"])
+
+
+# --------------------------------------------------------------- fills etc.
+
+@q(
+    "ts_fill_previous",
+    f"""
+    WITH grid AS (
+      SELECT g AS wstart
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g)),
+    et AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+             {DEC_SUM} AS s
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT et.event_type, grid.wstart, agg.s
+      FROM et CROSS JOIN grid
+      LEFT JOIN agg ON agg.event_type = et.event_type AND agg.wstart = grid.wstart)
+    SELECT event_type, epoch_ms(wstart) AS w_ms,
+           last_value(s IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY wstart
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM j
+    """,
+)
+def ts_fill_previous(spark, sf_dir):
+    """InfluxQL ``GROUP BY time(1h) fill(previous)``: window spine +
+    per-series forward fill."""
+    p = _pts(spark, sf_dir)
+    w = ops.window(p, HOUR_NS)
+    agg = w.groupBy("event_type", "_start_ns").agg(
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("filled_sum")
+    )
+    spine = ops.window_spine(p, RANGE_START_NS, RANGE_STOP_NS, HOUR_NS, by=["event_type"])
+    j = spine.join(agg, on=["event_type", "_start_ns"], how="left")
+    filled = ops.fill(j, "filled_sum", use_previous=True, by=["event_type"], order="_start_ns")
+    return filled.select("event_type", _w_ms().alias("w_ms"), "filled_sum")
+
+
+@q(
+    "ts_interpolate_linear",
+    f"""
+    WITH grid AS (
+      SELECT epoch_us(g) * 1000 AS tns, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g)),
+    et AS (SELECT DISTINCT event_type FROM events),
+    g2 AS (SELECT et.event_type, grid.* FROM et CROSS JOIN grid),
+    d AS (SELECT event_type, {SQL_TNS} AS tns, value AS v, 0 AS is_grid FROM events),
+    u AS (SELECT * FROM g2 UNION ALL SELECT * FROM d),
+    f AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN tns END IGNORE NULLS) OVER wp AS prev_t,
+        first_value(v IGNORE NULLS) OVER wn AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN tns END IGNORE NULLS) OVER wn AS next_t
+      FROM u
+      WINDOW wp AS (PARTITION BY event_type ORDER BY tns, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY tns, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, tns // 1000000 AS t_ms,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * (tns - prev_t) / (next_t - prev_t)
+           END AS iv
+    FROM f WHERE is_grid = 1 AND (v IS NOT NULL OR (prev_v IS NOT NULL AND next_v IS NOT NULL))
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """interpolate.linear(every:1h) — grid resample with lerp.
+
+    Subtle parity detail: a real point can coincide with a grid
+    timestamp; both sides order (tns, is_grid) so the fill sees the
+    real value first.
+    """
+    p = _pts(spark, sf_dir)
+    i = ops.interpolate_linear(
+        p, HOUR_NS, value="f_float", by=["event_type"],
+        range_start=RANGE_START_NS, range_stop=RANGE_STOP_NS,
+    )
+    return i.select(
+        "event_type", F.expr("time_ns div 1000000").alias("t_ms"), F.col("f_float").alias("iv")
+    )
+
+
+@q(
+    "ts_increase",
+    f"""
+    WITH d AS (
+      SELECT event_id, event_type, ts,
+             cast(value as decimal(12,2)) AS v,
+             cast(value as decimal(12,2)) - lag(cast(value as decimal(12,2)))
+               OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}) AS delta
+      FROM events)
+    SELECT event_id, event_type,
+           cast(sum(CASE WHEN delta IS NULL THEN 0 WHEN delta < 0 THEN v ELSE delta END)
+             OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS inc
+    FROM d
+    """,
+)
+def ts_increase(spark, sf_dir):
+    """increase(): monotone counter accumulation with reset handling,
+    decimal-exact."""
+    p = _pts(spark, sf_dir).withColumn("_vdec", F.col("f_float").cast("decimal(12,2)"))
+    i = ops.increase(p, value="_vdec", by=["event_type"], order=ORDER, alias="inc")
+    return i.select(
+        F.col("ingest_seq").alias("event_id"),
+        "event_type",
+        F.col("inc").cast("double").alias("inc"),
+    )
+
+
+@q(
+    "ts_integral",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             cast(round(value * 100) as bigint) AS wv,
+             lag(cast(round(value * 100) as bigint)) OVER w AS pwv,
+             {SQL_TNS} - lag({SQL_TNS}) OVER w AS dt_ns
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER}))
+    SELECT event_type,
+           cast(cast(sum((wv + pwv) * dt_ns) as double) / 2e11 as double) AS integral_s
+    FROM d WHERE pwv IS NOT NULL GROUP BY 1
+    """,
+)
+def ts_integral(spark, sf_dir):
+    """integral(unit:1s): trapezoid sum — exact via integer area terms
+    (value×100 as bigint × Δns), one final double division."""
+    p = _pts(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("time_ns", "ingest_seq")
+    wv = F.round(F.col("f_float") * 100).cast("long")
+    d = (
+        p.withColumn("_wv", wv)
+        .withColumn("_pwv", F.lag("_wv").over(w))
+        .withColumn("_dt", F.col("time_ns") - F.lag("time_ns").over(w))
+    )
+    area = (F.col("_wv") + F.col("_pwv")) * F.col("_dt")
+    return (
+        d.filter(F.col("_pwv").isNotNull())
+        .groupBy("event_type")
+        .agg((F.sum(area.cast("decimal(38,0)")).cast("double") / F.lit(2e11)).cast("double").alias("integral_s"))
+    )
+
+
+@q(
+    "ts_timed_moving_average",
+    f"""
+    SELECT event_id, event_type,
+           cast(sum(cast(value as decimal(12,2))) OVER wr as double)
+             / count(*) OVER wr AS tma
+    FROM events
+    WINDOW wr AS (PARTITION BY event_type ORDER BY {SQL_TNS}
+                  RANGE BETWEEN 86399999999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_timed_moving_average(spark, sf_dir):
+    """timedMovingAverage(period: 1d): trailing time-range window mean.
+
+    RANGE frame over epoch-ns — Spark and DuckDB agree because peer
+    rows (same tns) aggregate together in RANGE mode.
+    """
+    from pyspark.sql import Window as W
+
+    p = _pts(spark, sf_dir)
+    wr = (
+        W.partitionBy("event_type")
+        .orderBy("time_ns")
+        .rangeBetween(-(86400 * 10**9 - 1), 0)
+    )
+    return p.select(
+        F.col("ingest_seq").alias("event_id"),
+        "event_type",
+        (
+            F.sum(F.col("f_float").cast("decimal(12,2)")).over(wr).cast("double")
+            / F.count(F.lit(1)).over(wr)
+        ).alias("tma"),
+    )
+
+
+@q(
+    "ts_state_duration",
+    f"""
+    WITH b AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END m
+      FROM events),
+    r AS (
+      SELECT *, sum(1 - m) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run
+      FROM b),
+    s AS (
+      SELECT *, min(CASE WHEN m = 1 THEN epoch_us(ts) * 1000 END) OVER (
+               PARTITION BY event_type, run ORDER BY {SQL_ORDER}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_t
+      FROM r)
+    SELECT event_id, event_type,
+           CASE WHEN m = 1
+                THEN cast(floor((epoch_us(ts) * 1000 - start_t) / 1e9) as bigint)
+                ELSE -1 END AS state_duration_s
+    FROM s
+    """,
+)
+def ts_state_duration(spark, sf_dir):
+    """stateDuration(fn: value > 100, unit: 1s)."""
+    p = _pts(spark, sf_dir)
+    s = ops.state_duration(
+        p, F.col("f_float") > 100, unit_seconds=1.0, by=["event_type"], order=ORDER,
+        alias="state_duration_s",
+    )
+    return s.select(
+        F.col("ingest_seq").alias("event_id"),
+        "event_type",
+        F.col("state_duration_s").cast("long").alias("state_duration_s"),
+    )
+
+
+# ----------------------------------------------------------- distinct & sets
+
+@q(
+    "ts_unique",
+    """
+    SELECT event_id, event_type, vr FROM (
+      SELECT event_id, event_type, cast(round(value) as bigint) AS vr,
+             count(*) OVER (PARTITION BY event_type, cast(round(value) as bigint)) AS n
+      FROM events) WHERE n = 1
+    """,
+)
+def ts_unique(spark, sf_dir):
+    """unique(column:): rows whose (rounded) value occurs exactly once
+    within the series."""
+    p = _pts(spark, sf_dir).withColumn("vr", F.round("f_float").cast("long"))
+    u = ops.unique(p, "vr", by=["event_type"])
+    return u.select(F.col("ingest_seq").alias("event_id"), "event_type", "vr")
+
+
+@q(
+    "ts_distinct",
+    """
+    SELECT DISTINCT event_type, cast(round(value) as bigint) AS vr FROM events
+    """,
+)
+def ts_distinct(spark, sf_dir):
+    """distinct(column:) per group key."""
+    p = _pts(spark, sf_dir).withColumn("vr", F.round("f_float").cast("long"))
+    return ops.distinct_rows(p, "vr", by=["event_type"])
+
+
+@q(
+    "ts_tail",
+    f"""
+    SELECT event_type, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn <= 4
+    """,
+)
+def ts_tail(spark, sf_dir):
+    """tail(n:4): last n rows per series."""
+    p = _pts(spark, sf_dir)
+    t = ops.tail(p, 4, by=["event_type"], order=ORDER)
+    return t.select(
+        "event_type", F.col("ingest_seq").alias("event_id"), F.col("f_float").alias("value")
+    )
+
+
+@q(
+    "ts_slimit",
+    """
+    SELECT event_type, count(*) AS n, cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+    FROM events
+    WHERE event_type IN (SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+                         ORDER BY event_type LIMIT 3)
+    GROUP BY 1
+    """,
+)
+def ts_slimit(spark, sf_dir):
+    """InfluxQL SLIMIT 3: keep the first 3 series, then aggregate."""
+    p = _pts(spark, sf_dir)
+    s = ops.slimit(p, 3, series=["event_type"])
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "ts_pivot",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           cast(sum(CASE WHEN event_type = 'click' THEN cast(value as decimal(12,2)) END) as double) AS click,
+           cast(sum(CASE WHEN event_type = 'error' THEN cast(value as decimal(12,2)) END) as double) AS error,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN cast(value as decimal(12,2)) END) as double) AS purchase,
+           cast(sum(CASE WHEN event_type = 'signup' THEN cast(value as decimal(12,2)) END) as double) AS signup,
+           cast(sum(CASE WHEN event_type = 'view' THEN cast(value as decimal(12,2)) END) as double) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def ts_pivot(spark, sf_dir):
+    """pivot(rowKey:[day], columnKey:event_type, valueColumn:sum) — with
+    the value list passed explicitly (skips Spark's distinct pre-scan)."""
+    p = _pts(spark, sf_dir)
+    day = F.date_trunc("day", F.col("time")).alias("day")
+    base = p.select(day, "event_type", F.col("f_float").cast("decimal(12,2)").alias("v"))
+    return ops.pivot(
+        base, row_key=["day"], column_key="event_type", value_column="v",
+        values=["click", "error", "purchase", "signup", "view"],
+        agg=F.sum("v").cast("double"),
+    )
+
+
+@q(
+    "ts_union",
+    """
+    WITH u AS (
+      SELECT event_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, value FROM events WHERE value > 150)
+    SELECT count(*) AS n, cast(sum(cast(value as decimal(12,2))) as double) AS sum_value FROM u
+    """,
+)
+def ts_union(spark, sf_dir):
+    """union(tables:): concatenation (UNION ALL semantics in Flux)."""
+    p = _pts(spark, sf_dir)
+    a = p.filter(F.col("event_type") == "click").select(F.col("ingest_seq").alias("event_id"), "f_float")
+    b = p.filter(F.col("f_float") > 150).select(F.col("ingest_seq").alias("event_id"), "f_float")
+    u = a.unionByName(b)
+    return u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "ts_join_hourly",
+    f"""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, {DEC_SUM} AS click_sum, count(*) AS click_n
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    e AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, {DEC_SUM} AS error_sum, count(*) AS error_n
+      FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT epoch_ms(c.h) AS h_ms, click_sum, click_n, error_sum, error_n
+    FROM c JOIN e ON c.h = e.h
+    """,
+)
+def ts_join_hourly(spark, sf_dir):
+    """join(tables:{a,b}, on:["_time"]): inner equi-join of two series'
+    hourly aggregates on the time column (the canonical Flux join)."""
+    p = _pts(spark, sf_dir)
+    w = ops.window(p, HOUR_NS)
+
+    def hourly(et, prefix):
+        return (
+            w.filter(F.col("event_type") == et)
+            .groupBy("_start_ns")
+            .agg(
+                F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias(f"{prefix}_sum"),
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+            )
+        )
+
+    j = hourly("click", "click").join(hourly("error", "error"), on="_start_ns", how="inner")
+    return j.select(_w_ms().alias("h_ms"), "click_sum", "click_n", "error_sum", "error_n")
+
+
+@q(
+    "ts_window_sliding",
+    f"""
+    WITH grid AS (
+      SELECT g AS wstart
+      FROM generate_series(TIMESTAMP '2023-12-31 23:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g))
+    SELECT event_type, epoch_ms(wstart) AS w_ms, count(*) AS n,
+           {DEC_SUM} AS sum_value
+    FROM grid JOIN events
+      ON ts >= wstart AND ts < wstart + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def ts_window_sliding(spark, sf_dir):
+    """window(every:1h, period:2h): overlapping windows — each row lands
+    in 2 windows (Spark explodes them JVM-side via F.window)."""
+    p = _pts(spark, sf_dir)
+    w = ops.window(p, every="1h", period="2h")
+    return w.groupBy("event_type", "_start_ns").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    ).select("event_type", _w_ms().alias("w_ms"), "n", "sum_value")
