@@ -442,19 +442,24 @@ def histogram_quantile(
     alias: str = "value",
 ) -> DataFrame:
     """Flux ``histogramQuantile(quantile:)`` — linear interpolation within
-    the bucket containing the target rank (cumulative-histogram input)."""
+    the bucket containing the target rank (cumulative-histogram input).
+
+    Window columns are materialized *before* the bucket filter — a
+    window expression evaluated after a filter would recompute over the
+    surviving rows only.
+    """
     w = W.partitionBy(*by).orderBy(upper_bound_col)
-    total = F.max(count_col).over(W.partitionBy(*by))
-    target = F.lit(quantile) * total
-    prev_count = F.coalesce(F.lag(count_col).over(w), F.lit(0))
-    prev_le = F.coalesce(F.lag(upper_bound_col).over(w), F.lit(0.0))
-    in_bucket = (F.col(count_col) >= target) & (prev_count < target)
-    est = prev_le + (F.col(upper_bound_col) - prev_le) * (
-        (target - prev_count) / (F.col(count_col) - prev_count)
+    staged = (
+        df.withColumn("_total", F.max(count_col).over(W.partitionBy(*by)))
+        .withColumn("_prev_c", F.coalesce(F.lag(count_col).over(w), F.lit(0)))
+        .withColumn("_prev_le", F.coalesce(F.lag(upper_bound_col).over(w), F.lit(0.0)))
+    )
+    target = F.lit(quantile) * F.col("_total")
+    est = F.col("_prev_le") + (F.col(upper_bound_col) - F.col("_prev_le")) * (
+        (target - F.col("_prev_c")) / (F.col(count_col) - F.col("_prev_c"))
     )
     return (
-        df.withColumn("_hit", in_bucket)
-        .filter(F.col("_hit"))
+        staged.filter((F.col(count_col) >= target) & (F.col("_prev_c") < target))
         .withColumn(alias, est)
         .select(*by, alias)
     )

@@ -801,3 +801,405 @@ def ts_window_sliding(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     ).select("event_type", _w_ms().alias("w_ms"), "n", "sum_value")
+
+
+# ------------------------------------------------------------ 2-col stats
+
+@q(
+    "ts_covariance_corr",
+    """
+    WITH w AS (
+      SELECT event_type,
+             cast(round(value * 100) as bigint) AS wv,
+             user_id AS u
+      FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             cast(sum(wv) as bigint) AS sx, cast(sum(u) as bigint) AS sy,
+             cast(sum(wv * u) as bigint) AS sxy,
+             cast(sum(wv * wv) as bigint) AS sxx, cast(sum(u * u) as bigint) AS syy
+      FROM w GROUP BY 1)
+    SELECT event_type, n,
+           (sxy / 100.0 - (sx / 100.0) * sy / n) / (n - 1) AS covariance,
+           (n * (sxy / 100.0) - (sx / 100.0) * sy) /
+             (sqrt(n * (sxx / 1e4) - (sx / 100.0) * (sx / 100.0)) * sqrt((n * syy - sy * sy) * 1.0))
+             AS pearson_r
+    FROM s
+    """,
+)
+def ts_covariance_corr(spark, sf_dir):
+    """covariance()/pearsonr() — computed from exact integer moment sums
+    so both engines produce bit-identical doubles (built-in covar/corr
+    use different accumulation algorithms across engines)."""
+    p = _pts(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("f_float") * 100).cast("long").alias("wv"),
+        F.col("user_id").alias("u"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wv").alias("sx"),
+        F.sum("u").alias("sy"),
+        F.sum(F.col("wv") * F.col("u")).alias("sxy"),
+        F.sum(F.col("wv") * F.col("wv")).alias("sxx"),
+        F.sum(F.col("u") * F.col("u")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+    return s.select(
+        "event_type",
+        "n",
+        ((sxy / 100.0 - (sx / 100.0) * sy / n) / (n - 1)).alias("covariance"),
+        (
+            (n * (sxy / 100.0) - (sx / 100.0) * sy)
+            / (
+                F.sqrt(n * (sxx / 1e4) - (sx / 100.0) * (sx / 100.0))
+                * F.sqrt((n * syy - sy * sy) * 1.0)
+            )
+        ).alias("pearson_r"),
+    )
+
+
+# ------------------------------------------------------ scalar fn packages
+
+@q(
+    "ts_scalar_functions",
+    """
+    SELECT event_id,
+           abs(value - 100) AS m_abs,
+           cast(ceil(value) as bigint) AS m_ceil,
+           cast(floor(value) as bigint) AS m_floor,
+           sqrt(value) AS m_sqrt,
+           round(exp(value / 200), 9) AS m_exp,
+           round(ln(value + 1), 9) AS m_log,
+           round(pow(value, 2), 6) AS m_pow,
+           upper(event_type) AS s_upper,
+           substring(event_type, 1, 3) AS s_substr,
+           length(event_type) AS s_len,
+           contains(event_type, 'ck') AS s_contains,
+           starts_with(event_type, 'cl') AS s_prefix,
+           replace(event_type, 'c', 'C') AS s_replace,
+           regexp_extract(props, '"k": (\\d+)', 1) AS r_extract,
+           cast(year(ts) as bigint) AS d_year,
+           cast(month(ts) as bigint) AS d_month,
+           cast(hour(ts) as bigint) AS d_hour,
+           cast(minute(ts) as bigint) AS d_minute,
+           cast(dayofmonth(ts) as bigint) AS d_dom,
+           cast(dayofweek(ts) as bigint) AS d_dow_sun0,
+           cast(trunc(value) as bigint) AS c_int,
+           cast(value as varchar) AS c_str,
+           CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS cond_level,
+           cast(json_extract_string(props, '$.k') as bigint) AS j_k
+    FROM events
+    """,
+)
+def ts_scalar_functions(spark, sf_dir):
+    """The Flux stdlib scalar surface (math./strings./regexp./date./
+    conversion/json/conditional) mapped to pyspark.sql.functions.
+
+    Transcendentals (exp/ln) round(9): both engines call correctly-
+    rounded libm but are not bit-guaranteed; everything else is exact.
+    Day-of-week uses Sunday=0 on both sides (Spark's dayofweek is
+    Sunday=1 → shifted).
+    """
+    ev = _pts(spark, sf_dir)
+    return ev.select(
+        F.col("ingest_seq").alias("event_id"),
+        F.abs(F.col("f_float") - 100).alias("m_abs"),
+        F.ceil("f_float").cast("long").alias("m_ceil"),
+        F.floor("f_float").cast("long").alias("m_floor"),
+        F.sqrt("f_float").alias("m_sqrt"),
+        F.round(F.exp(F.col("f_float") / 200), 9).alias("m_exp"),
+        F.round(F.log(F.col("f_float") + 1), 9).alias("m_log"),
+        F.round(F.pow("f_float", 2), 6).alias("m_pow"),
+        F.upper("event_type").alias("s_upper"),
+        F.substring("event_type", 1, 3).alias("s_substr"),
+        F.length("event_type").cast("long").alias("s_len"),
+        F.col("event_type").contains("ck").alias("s_contains"),
+        F.col("event_type").startswith("cl").alias("s_prefix"),
+        F.replace(F.col("event_type"), F.lit("c"), F.lit("C")).alias("s_replace"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("r_extract"),
+        F.year("time").cast("long").alias("d_year"),
+        F.month("time").cast("long").alias("d_month"),
+        F.hour("time").cast("long").alias("d_hour"),
+        F.minute("time").cast("long").alias("d_minute"),
+        F.dayofmonth("time").cast("long").alias("d_dom"),
+        (F.dayofweek("time") - 1).cast("long").alias("d_dow_sun0"),
+        F.col("f_float").cast("int").cast("long").alias("c_int"),
+        F.col("f_float").cast("string").alias("c_str"),
+        F.when(F.col("f_float") > 100, "high").otherwise("low").alias("cond_level"),
+        F.get_json_object("props", "$.k").cast("long").alias("j_k"),
+    )
+
+
+@q(
+    "ts_column_ops",
+    """
+    SELECT event_id AS point_id,
+           epoch_ms(date_trunc('minute', ts)) AS t_min_ms,
+           epoch_ms(ts + INTERVAL 30 MINUTE) AS t_shift_ms,
+           'greengrass' AS origin,
+           value AS value_copy,
+           value
+    FROM events WHERE event_type <> 'view'
+    """,
+)
+def ts_column_ops(spark, sf_dir):
+    """Column operators: rename / truncateTimeColumn / timeShift / set /
+    duplicate / keep / filter — one pipeline."""
+    p = _pts(spark, sf_dir)
+    p = ops.filter_expr(p, F.col("event_type") != "view")
+    p = ops.rename(p, {"ingest_seq": "point_id"})
+    p = ops.duplicate(p, "f_float", "value_copy")
+    p = ops.set_constant(p, "origin", "greengrass")
+    trunc = ops.truncate_time(p.withColumn("t_min", F.col("time")), "minute", time_col="t_min")
+    shifted = ops.time_shift(trunc.withColumn("t_shift", F.col("time")), "30 MINUTE", time_col="t_shift")
+    kept = ops.keep(
+        shifted, ["point_id", "t_min", "t_shift", "origin", "value_copy", "f_float"]
+    )
+    return kept.select(
+        "point_id",
+        F.unix_millis("t_min").alias("t_min_ms"),
+        F.unix_millis("t_shift").alias("t_shift_ms"),
+        "origin",
+        "value_copy",
+        F.col("f_float").alias("value"),
+    )
+
+
+# ------------------------------------------------------------ series ranks
+
+@q(
+    "ts_highest_average",
+    """
+    WITH per AS (
+      SELECT user_id, cast(sum(cast(value as decimal(12,2))) as double) / count(*) AS avg_v
+      FROM events GROUP BY 1),
+    keep AS (
+      SELECT user_id FROM per ORDER BY avg_v DESC, user_id ASC LIMIT 3)
+    SELECT e.user_id, count(*) AS n,
+           cast(sum(cast(e.value as decimal(12,2))) as double) AS sum_value
+    FROM events e JOIN keep k ON e.user_id = k.user_id
+    GROUP BY 1
+    """,
+)
+def ts_highest_average(spark, sf_dir):
+    """highestAverage(n:3): rank whole series (user_id) by mean, keep the
+    top 3 series' rows (broadcast semi-join back), then aggregate."""
+    p = _pts(spark, sf_dir).withColumn(
+        "_avg_exact",
+        F.col("f_float").cast("decimal(12,2)"),
+    )
+    # deterministic rank: decimal-exact mean via sum/cast/count
+    from pyspark.sql import Window as W
+
+    per = p.groupBy("user_id").agg(
+        (F.sum("_avg_exact").cast("double") / F.count(F.lit(1))).alias("avg_v")
+    )
+    keep = (
+        per.withColumn("_rn", F.row_number().over(W.orderBy(F.desc("avg_v"), F.asc("user_id"))))
+        .filter(F.col("_rn") <= 3)
+        .select("user_id")
+    )
+    kept = p.join(F.broadcast(keep), "user_id", "left_semi")
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ------------------------------------------------------------- histograms
+
+@q(
+    "ts_histogram",
+    """
+    WITH bounds AS (SELECT unnest([50.0, 100.0, 150.0, 200.0, 1e9]) AS le),
+    et AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT e.event_type, b.le, count(ev.value) AS cnt
+      FROM et e CROSS JOIN bounds b
+      LEFT JOIN events ev ON ev.event_type = e.event_type AND ev.value <= b.le
+      GROUP BY 1, 2)
+    SELECT event_type, le, cnt AS count FROM c
+    """,
+)
+def ts_histogram(spark, sf_dir):
+    """histogram(bins:): cumulative counts per upper bound per series."""
+    p = _pts(spark, sf_dir)
+    h = ops.histogram(p, [50.0, 100.0, 150.0, 200.0, 1e9], by=["event_type"])
+    return h.select("event_type", "le", F.col("count").cast("long").alias("count"))
+
+
+@q(
+    "ts_histogram_quantile",
+    """
+    WITH bounds AS (SELECT unnest([50.0, 100.0, 150.0, 200.0, 1e9]) AS le),
+    et AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT e.event_type, b.le, count(ev.value) AS cnt
+      FROM et e CROSS JOIN bounds b
+      LEFT JOIN events ev ON ev.event_type = e.event_type AND ev.value <= b.le
+      GROUP BY 1, 2),
+    x AS (
+      SELECT event_type, le, cnt,
+             max(cnt) OVER (PARTITION BY event_type) AS total,
+             coalesce(lag(cnt) OVER (PARTITION BY event_type ORDER BY le), 0) AS prev_cnt,
+             coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le), 0.0) AS prev_le
+      FROM c)
+    SELECT event_type,
+           round(prev_le + (le - prev_le) * ((0.9 * total - prev_cnt) / (cnt - prev_cnt)), 9) AS value
+    FROM x WHERE cnt >= 0.9 * total AND prev_cnt < 0.9 * total
+    """,
+)
+def ts_histogram_quantile(spark, sf_dir):
+    """histogramQuantile(0.9) over the cumulative histogram."""
+    p = _pts(spark, sf_dir)
+    h = ops.histogram(p, [50.0, 100.0, 150.0, 200.0, 1e9], by=["event_type"])
+    hq = ops.histogram_quantile(h, 0.9, by=["event_type"])
+    # round(9): the lerp is one fused-multiply-add away from the oracle
+    return hq.withColumn("value", F.round("value", 9))
+
+
+# ----------------------------------------------------- technical indicators
+
+@q(
+    "ts_kaufmans_er",
+    f"""
+    WITH d AS (
+      SELECT event_id, event_type,
+             abs(value - lag(value, 10) OVER w) AS change,
+             abs(value - lag(value, 1) OVER w) AS vs
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})),
+    v AS (
+      SELECT event_id, event_type, change,
+             sum(vs) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol,
+             count(vs) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS nvs
+      FROM d)
+    SELECT event_id, event_type, round(change / vol, 9) AS ker
+    FROM v WHERE change IS NOT NULL AND vol IS NOT NULL
+    """,
+)
+def ts_kaufmans_er(spark, sf_dir):
+    """kaufmansER(n:10): |Δ_n| / Σ|Δ_1| over the trailing n rows.
+
+    round(9): the 10-term float sum is not associativity-safe across
+    engines at full precision.
+    """
+    p = _pts(spark, sf_dir)
+    k = ops.kaufmans_er(p, 10, by=["event_type"], time_ns=ORDER)
+    return k.select(
+        F.col("ingest_seq").alias("event_id"),
+        "event_type",
+        F.round("ker", 9).alias("ker"),
+    )
+
+
+@q(
+    "ts_chande_momentum",
+    f"""
+    WITH d AS (
+      SELECT event_id, event_type,
+             cast(value as decimal(12,2)) - lag(cast(value as decimal(12,2))) OVER w AS delta
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})),
+    s AS (
+      SELECT event_id, event_type,
+             sum(CASE WHEN delta > 0 THEN delta ELSE cast(0 as decimal(12,2)) END)
+               OVER wn AS su,
+             sum(CASE WHEN delta < 0 THEN -delta ELSE cast(0 as decimal(12,2)) END)
+               OVER wn AS sd,
+             sum(CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END) OVER wn AS nvalid
+      FROM d
+      WINDOW wn AS (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_id, event_type,
+           100.0 * cast(su - sd as double) / cast(su + sd as double) AS cmo
+    FROM s WHERE nvalid >= 10
+    """,
+)
+def ts_chande_momentum(spark, sf_dir):
+    """chandeMomentumOscillator(n:10) — decimal-exact up/down sums."""
+    from pyspark.sql import Window as W
+
+    p = _pts(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("time_ns", "ingest_seq")
+    wn = W.partitionBy("event_type").orderBy("ingest_seq").rowsBetween(-9, 0)
+    delta = F.col("_vdec") - F.lag("_vdec").over(w)
+    zero = F.lit(0).cast("decimal(12,2)")
+    d = (
+        p.withColumn("_vdec", F.col("f_float").cast("decimal(12,2)"))
+        .withColumn("_delta", delta)
+        .withColumn("_up", F.when(F.col("_delta") > 0, F.col("_delta")).otherwise(zero))
+        .withColumn("_dn", F.when(F.col("_delta") < 0, -F.col("_delta")).otherwise(zero))
+        .withColumn("_cnt", F.when(F.col("_delta").isNotNull(), 1).otherwise(0))
+    )
+    su, sd = F.sum("_up").over(wn), F.sum("_dn").over(wn)
+    nvalid = F.sum("_cnt").over(wn)
+    return (
+        d.withColumn("cmo", 100.0 * (su - sd).cast("double") / (su + sd).cast("double"))
+        .withColumn("_nv", nvalid)
+        .filter(F.col("_nv") >= 10)
+        .select(F.col("ingest_seq").alias("event_id"), "event_type", "cmo")
+    )
+
+
+# -------------------------------------------- recursive family (rows-only)
+
+@q("ts_ema")
+def ts_ema(spark, sf_dir):
+    """exponentialMovingAverage(n:10) — recursive, applyInPandas per
+    series. No SQL oracle (recursion); driver records rows-only."""
+    p = _pts(spark, sf_dir)
+    e = ops.exponential_moving_average(p, 10, by=["event_type"])
+    return e.filter(F.col("ema").isNotNull()).select(
+        F.col("ingest_seq").alias("event_id"), "event_type", F.round("ema", 6).alias("ema")
+    )
+
+
+@q("ts_double_ema")
+def ts_double_ema(spark, sf_dir):
+    """doubleEMA(n:10) = 2·EMA − EMA(EMA)."""
+    p = _pts(spark, sf_dir)
+    e = ops.double_ema(p, 10, by=["event_type"])
+    return e.select(
+        F.col("ingest_seq").alias("event_id"), "event_type", F.round("dema", 6).alias("dema")
+    )
+
+
+@q("ts_rsi")
+def ts_rsi(spark, sf_dir):
+    """relativeStrengthIndex(n:14) — Wilder smoothing (recursive)."""
+    p = _pts(spark, sf_dir)
+    r = ops.relative_strength_index(p, 14, by=["event_type"])
+    return r.filter(F.col("rsi").isNotNull()).select(
+        F.col("ingest_seq").alias("event_id"), "event_type", F.round("rsi", 6).alias("rsi")
+    )
+
+
+@q("ts_kama")
+def ts_kama(spark, sf_dir):
+    """kaufmansAMA(n:10) — recursive adaptive moving average."""
+    p = _pts(spark, sf_dir)
+    k = ops.kaufmans_ama(p, 10, by=["event_type"])
+    return k.filter(F.col("kama").isNotNull()).select(
+        F.col("ingest_seq").alias("event_id"), "event_type", F.round("kama", 6).alias("kama")
+    )
+
+
+@q("ts_holt_winters")
+def ts_holt_winters(spark, sf_dir):
+    """holtWinters(n:6, interval:1h): 6 forecast points per series."""
+    p = _pts(spark, sf_dir)
+    h = ops.holt_winters(p, 6, 3600, by=["event_type"])
+    return h.select(
+        "event_type", F.expr("time_ns div 1000000").alias("t_ms"), F.round("hw", 6).alias("hw")
+    )
+
+
+@q("ts_sample")
+def ts_sample(spark, sf_dir):
+    """sample(n:10) per series — seeded random selection (rows-only:
+    RNG streams are engine-specific)."""
+    p = _pts(spark, sf_dir)
+    s = ops.sample(p, 10, by=["event_type"], seed=42)
+    return s.select(F.col("ingest_seq").alias("event_id"), "event_type")
