@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each choice):
+
+- **exact**: md5(normalized) + hash groupBy — one shuffle keyed by a
+  16-byte hash; map-side combine collapses duplicates early.
+- **n-gram Jaccard**: shingle-explode → self-join on shingle →
+  count-per-pair. The join is keyed on the shingle hash; frequent
+  shingles are the skew risk, so `max_shingle_freq` drops stop-shingles
+  (standard trick; exactness for rare-shingle pairs is unaffected).
+- **MinHash+LSH**: signatures via k seeded hash slots computed in ONE
+  pass over exploded shingles (`min(xxhash64(shingle, seed_i))`), then
+  banding; only same-band docs join. This bounds the candidate set —
+  the all-pairs join never materializes.
+- **SimHash**: 64 per-bit weighted sums aggregated JVM-side in one
+  groupBy pass; near-dup = signatures at Hamming distance ≤ d via
+  band-rotation join.
+
+All hashing is Spark-side (xxhash64/md5 — deterministic, versioned);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _normalized(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(_normalized(text), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5(normalized text) → (hash, count, keeper)."""
+    h = df.select(
+        F.col(id_col), F.md5(_normalized(F.col(text_col))).alias("text_hash")
+    )
+    return h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_doc_id")
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, word-n-gram shingle) rows, all JVM-side."""
+    base = df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
+    ngrams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks), {n}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    return base.select("_id", F.explode(ngrams).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|) with integer counts — exact
+    and engine-independent. ``max_shingle_freq`` drops shingles shared
+    by more than that many docs (skew guard at scale).
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_id").alias("a"), "shingle")
+    b = sh.select(F.col("_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"_id": "a", "_sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"_id": "b", "_sz": "sz_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "common", "sz_a", "sz_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: num_hashes seeded xxhash64 minima per doc.
+
+    One explode + one groupBy with ``num_hashes`` min() aggregates —
+    a single shuffle, all JVM-side.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of their MinHash sig.
+
+    rows_per_band = num_hashes/bands. Candidates estimate Jaccard via
+    matching signature slots (est = matches/num_hashes). At scale the
+    band join replaces the quadratic all-pairs comparison.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(mh_cols[b * rpb + r]) for r in range(rpb)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, *mh_cols, F.explode(band_structs).alias("_b")).select(
+        id_col, *mh_cols, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols], "band", "bh"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols], "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", *[F.col(f"a_mh_{i}") for i in range(num_hashes)],
+                *[F.col(f"b_mh_{i}") for i in range(num_hashes)])
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return cand.select(
+        "a", "b", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hash bits vote ±1 weighted by token frequency; the signature
+    packs the sign of each bit-sum. Computed as ``bits`` conditional-sum
+    aggregates in one groupBy — a single pass, no Python.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Block on (max_hamming+1) signature bands — by pigeonhole, any pair
+    within the distance shares at least one exact band, so the join is
+    band-keyed, not all-pairs.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sig = simhash(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bh"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(bands).alias("_b")).select(
+        id_col, "simhash", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    )
+    left = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

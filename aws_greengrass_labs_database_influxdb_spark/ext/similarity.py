@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k; the correctness
+  baseline. The dot product is a JVM-side ``zip_with`` + left-fold
+  ``aggregate`` (no Python, no UDF); top-k is a per-query
+  ``row_number`` window, so only k rows per query survive the shuffle.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH.
+  Hyperplane signs come from seeded ``xxhash64(vec_id-free index,
+  dim)`` pseudo-projections, so signatures are deterministic without
+  shipping a projection matrix. Queries only compare against
+  same-bucket candidates (multi-probe over ``n_tables`` tables),
+  turning O(N·Q) into O(candidates).
+- :func:`embedding_near_dup_pairs` — near-dup by cosine ≥ threshold
+  over LSH buckets.
+
+At 100 TB the corpus side is the big table: both entry points keep it
+shuffle-keyed by bucket/query id and never collect embeddings to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """cos(a, b) = a·b / (‖a‖·‖b‖), computed in double."""
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (excluding self-matches).
+
+    ``queries`` is expected to be small (it broadcasts); the corpus
+    streams through the crossJoin without materializing on the driver.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine_similarity_col(F.col("_qvec"), F.col(vec_col))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cosine", 6)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("match_id"),
+                F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )
+
+
+def _lsh_signature(vec_col: Column, dims: int, planes: int, seed: int) -> Column:
+    """Random-hyperplane signature: sign pattern of ``planes``
+    pseudo-projections.
+
+    Plane p's weight for dimension d is a deterministic pseudo-random
+    ±1/±3 derived from xxhash64(d, p, seed) — generated JVM-side per
+    row without a broadcast matrix. Good enough bucketing for LSH
+    (angles preserved in expectation), fully reproducible.
+    """
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda x, d: x.cast("double")
+                * (
+                    (F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(7)) - F.lit(3))
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 64,
+    planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: compare only within matching LSH
+    buckets across ``n_tables`` independent tables.
+
+    Recall improves with n_tables; cost is the bucket-join fan-out
+    instead of the full cross product.
+    """
+    def with_sigs(df, ident):
+        out = df.select(F.col(id_col).alias(ident), F.col(vec_col).alias(f"_v_{ident}"))
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _lsh_signature(F.col(f"_v_{ident}"), dims, planes, seed=t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return out.select(ident, f"_v_{ident}", F.explode(sigs).alias("_s")).select(
+            ident, f"_v_{ident}", F.col("_s.table").alias("table"), F.col("_s.bucket").alias("bucket")
+        )
+
+    c = with_sigs(corpus, "match_id")
+    qs = with_sigs(queries, query_id_col)
+    cand = (
+        c.join(qs, ["table", "bucket"])
+        .filter(F.col("match_id") != F.col(query_id_col))
+        .select(query_id_col, "match_id", f"_v_{query_id_col}", "_v_match_id")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        cosine_similarity_col(F.col(f"_v_{query_id_col}"), F.col("_v_match_id")),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc(F.round("cosine", 6)), F.asc("match_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "match_id", F.round("cosine", 6).alias("cosine"),
+                F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 8,
+    n_tables: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    ``exact=True`` does the full O(N²) pair scan (oracle/baseline);
+    default goes through LSH buckets (the 100 TB path).
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        def sigs(d, ident, vname):
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _lsh_signature(F.col(vname), dims, planes, seed=t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+            return d.select(ident, vname, F.explode(arr).alias("_s")).select(
+                ident, vname, F.col("_s.table").alias("table"), F.col("_s.bucket").alias("bucket")
+            )
+
+        cand = (
+            sigs(a, "a", "_va")
+            .join(sigs(b, "b", "_vb"), ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "_va", "_vb")
+            .distinct()
+        )
+    out = cand.withColumn(
+        "cosine", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
+    )
+    return out.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

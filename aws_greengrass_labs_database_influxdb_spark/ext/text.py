@@ -1,0 +1,117 @@
+"""Text analysis operators: language ID, quality scoring, token
+statistics, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd) — deliberately no
+Python in the hot path so these run at corpus scale. The heuristics are
+simple and deterministic: what matters for the pipeline is stable,
+engine-independent scoring, not linguistic accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language marker lexicons (n-gram heuristic stand-in). The
+# marker hit-count per language is the score; argmax (ties → language
+# name order) is the prediction.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "los", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+
+
+def _marker_hits(text: Column, markers: list[str]) -> Column:
+    toks = _tokens(text)
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+
+
+def language_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Marker-lexicon language ID: count distinct marker words per
+    language, argmax (ties broken by language code order)."""
+    scores = [
+        F.struct(_marker_hits(F.col(text_col), m).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    # max_by over (hits, reverse-lang): array_max picks lexicographically
+    # largest struct = highest hits, then latest lang — invert lang for
+    # deterministic earliest-code ties via sort+last? Keep explicit:
+    best = F.reverse(F.array_sort(F.array(*scores)))[0]
+    return df.withColumn(alias, best["lang"]).withColumn(f"{alias}_hits", best["hits"])
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (⌈chars/4⌉ per token, the standard rough tokens-per-byte heuristic)."""
+    toks = _tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "n_subwords",
+            F.aggregate(
+                toks, F.lit(0).cast("long"),
+                lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+            ),
+        )
+        .withColumn("avg_token_len", F.length(F.col(text_col)) / F.size(toks))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality heuristics → [0, 1] score.
+
+    Components (all rational arithmetic — exact):
+    - length_ok: 100 ≤ chars ≤ 20000
+    - alpha_ratio: alphabetic+space chars / chars
+    - stop_ratio: 'the|and|of|to' hits per token, capped at 0.2, scaled
+    - repeat_penalty: distinct tokens / tokens
+    """
+    text = F.col(text_col)
+    chars = F.length(text)
+    toks = _tokens(text)
+    ntok = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to"))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / ntok
+    length_ok = F.when((chars >= 100) & (chars <= 20000), 1.0).otherwise(0.0)
+    alpha_ratio = alpha / chars
+    stop_ratio = F.least(stop_hits / ntok / 0.2, F.lit(1.0))
+    score = (length_ok + alpha_ratio + stop_ratio + distinct_ratio) / 4
+    return (
+        df.withColumn("n_chars_m", chars.cast("long"))
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprints: full-text md5 + a winnowing-style selection
+    of k-gram hashes (min xxhash64 of word 5-grams per document window).
+
+    The "rolling hash" is the word-5-gram xxhash64 stream; we keep the
+    4 minima as the fingerprint set (robust to small edits, join-able).
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(_toks), 5) - 4), "
+        "i -> xxhash64(concat_ws(' ', slice(_toks, i, 5))))"
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("fingerprint_md5", F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))))
+        .withColumn("_grams", grams)
+        .withColumn("fingerprint_mins", F.slice(F.array_sort("_grams"), 1, 4))
+        .drop("_toks", "_grams")
+    )

@@ -59,3 +59,226 @@ def ext_text_stats(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
     )
+
+
+@q(
+    "ext_dedup_ngram_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks), 3) - 2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+        FROM t)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pair AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b, common, sa.n AS sz_a, sb.n AS sz_b,
+           common / (sa.n + sb.n - common) AS jaccard
+    FROM pair JOIN sz sa ON pair.a = sa.doc_id JOIN sz sb ON pair.b = sb.doc_id
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def ext_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (exact set arithmetic — integer
+    counts, so cross-engine equality is trivial)."""
+    from ..ext.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@q(
+    "ext_text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, l.lang_code,
+             len(list_intersect(toks, l.markers)) AS hits
+      FROM t CROSS JOIN (
+        SELECT * FROM (VALUES
+          ('de', ['der','die','das','und','nicht','ist']),
+          ('en', ['the','and','of','to','is','a']),
+          ('es', ['el','la','los','que','y','es']),
+          ('fr', ['le','la','les','et','est','que']),
+          ('zh', ['de5','shi4','le5','zai4','he2','you3'])
+        ) AS l(lang_code, markers)) l),
+    best AS (
+      SELECT doc_id, lang, lang_code AS lang_pred, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_code DESC) rn
+      FROM scored)
+    SELECT doc_id, lang, lang_pred, cast(hits as int) AS lang_pred_hits
+    FROM best WHERE rn = 1
+    """,
+)
+def ext_text_langid(spark, sf_dir):
+    """Language-ID heuristic: marker-lexicon hit argmax per doc (ties →
+    last language code — matched on both sides)."""
+    from ..ext.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    out = language_id(d)
+    return out.select("doc_id", "lang", "lang_pred", F.col("lang_pred_hits").cast("int"))
+
+
+@q(
+    "ext_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS chars,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha
+      FROM documents),
+    c AS (
+      SELECT doc_id, chars,
+             CASE WHEN chars >= 100 AND chars <= 20000 THEN 1.0 ELSE 0.0 END AS length_ok,
+             alpha / chars AS alpha_ratio,
+             least(len(list_filter(toks, x -> x IN ('the','and','of','to'))) / len(toks) / 0.2, 1.0) AS stop_ratio,
+             len(list_distinct(toks)) / len(toks) AS distinct_ratio
+      FROM t)
+    SELECT doc_id, cast(chars as bigint) AS n_chars_m, alpha_ratio, stop_ratio, distinct_ratio,
+           (length_ok + alpha_ratio + stop_ratio + distinct_ratio) / 4 AS quality
+    FROM c
+    """,
+)
+def ext_text_quality(spark, sf_dir):
+    """Quality scoring: length/alpha/stopword/repetition components,
+    rational arithmetic (exact cross-engine)."""
+    from ..ext.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_score(d)
+    return out.select(
+        "doc_id", "n_chars_m", "alpha_ratio", "stop_ratio", "distinct_ratio", "quality"
+    )
+
+
+@q(
+    "ext_token_subwords",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             length(text) AS chars
+      FROM documents)
+    SELECT doc_id,
+           cast(len(toks) as bigint) AS n_tokens,
+           cast(list_sum(list_transform(toks, t -> cast(ceil(length(t) / 4.0) as bigint))) as bigint) AS n_subwords,
+           chars / len(toks) AS avg_token_len
+    FROM t
+    """,
+)
+def ext_token_subwords(spark, sf_dir):
+    """Token counting + BPE-ish subword estimate (⌈len/4⌉ per token)."""
+    from ..ext.text import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_stats(d).select("doc_id", "n_tokens", "n_subwords", "avg_token_len")
+
+
+@q(
+    "ext_similarity_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    prod AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             unnest(q.embedding)::double AS x, unnest(c.embedding)::double AS y
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id),
+    dots AS (
+      SELECT query_id, match_id, sum(x * y) AS dot,
+             sum(x * x) AS qq, sum(y * y) AS cc
+      FROM prod GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, match_id,
+             round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cosine
+      FROM dots),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, match_id, cosine, cast(rank as int) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ext_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 query vectors — the exact-ANN
+    baseline (zip_with/aggregate dot products, JVM-side)."""
+    from ..ext.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "ext_embedding_near_dup",
+    """
+    WITH prod AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             unnest(a.embedding)::double AS x, unnest(b.embedding)::double AS y
+      FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id),
+    dots AS (
+      SELECT a, b, sum(x * y) AS dot, sum(x * x) AS aa, sum(y * y) AS bb
+      FROM prod GROUP BY 1, 2)
+    SELECT a, b, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+    FROM dots WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4
+    """,
+)
+def ext_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs at test scale;
+    the LSH-bucketed variant is the production path — see
+    ext_embedding_near_dup_lsh)."""
+    from ..ext.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, exact=True)
+
+
+@q("ext_embedding_near_dup_lsh")
+def ext_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (the 100 TB path; approximate — rows-only
+    check, recall asserted against the exact variant in unit tests)."""
+    from ..ext.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, exact=False)
+
+
+@q("ext_dedup_minhash_lsh")
+def ext_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs with signature-estimated Jaccard
+    (hash-dependent → rows-only; precision/recall asserted vs the exact
+    n-gram Jaccard in unit tests)."""
+    from ..ext.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8)
+
+
+@q("ext_dedup_simhash")
+def ext_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance ≤ 3 (hash-dependent →
+    rows-only)."""
+    from ..ext.dedup import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+@q("ext_doc_fingerprint")
+def ext_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprints (md5 + 5-gram xxhash minima;
+    xxhash64 is Spark-specific → rows-only)."""
+    from ..ext.text import document_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    out = document_fingerprint(d)
+    return out.select("doc_id", "fingerprint_md5", F.to_json("fingerprint_mins").alias("fp_mins"))
