@@ -1,0 +1,216 @@
+"""Bucket store: the engine's managed table layout with LWW upsert and
+retention — the Spark re-expression of InfluxDB's bucket/TSM/retention
+behavior (SURVEY.md §1.1, §4.2).
+
+Layout:  ``{root}/{org}/{bucket}/data/`` parquet, partitioned by
+``(measurement, day)`` where ``day = time_ns div 86 400e9`` — so
+``range(start, stop)`` prunes partitions and per-measurement scans
+touch one subtree. ``series_key`` (serialized sorted tags) is stored
+as a plain string column: groupable, orderable, min/max-stat friendly
+(MapType is none of those).
+
+Last-write-wins: InfluxDB upserts a point on (series, time, field) —
+``to()`` semantics. Appends are cheap (no read-modify-write at ingest);
+LWW resolves at read (window dedup on ingest_seq) and is made durable
+by :meth:`BucketStore.compact`, which rewrites partitions keeping the
+max-ingest_seq row — the classic log-structured merge split, which is
+what scales to 100 TB of appends.
+
+Retention: dropping whole day-partitions older than the bucket's
+retention period — a metadata/file operation, no data rewrite
+(InfluxDB drops expired shard groups the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from ..schema import POINTS_SCHEMA, series_key
+
+DAY_NS = 86_400 * 10**9
+
+
+@dataclass
+class BucketMeta:
+    org: str
+    name: str
+    retention_ns: int | None = None  # None = infinite
+    id: str = ""
+    created_ns: int = field(default_factory=lambda: time.time_ns())
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+
+class BucketStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ---------------------------------------------------------------- admin
+
+    def _meta_path(self, org: str, name: str) -> Path:
+        return self.root / org / name / "bucket.json"
+
+    def create_bucket(
+        self, org: str, name: str, retention_ns: int | None = None
+    ) -> BucketMeta:
+        meta = BucketMeta(org=org, name=name, retention_ns=retention_ns)
+        meta.id = f"{abs(hash((org, name))) & 0xFFFFFFFFFFFFFFFF:016x}"
+        p = self._meta_path(org, name)
+        if p.exists():  # idempotent re-open (reference A6)
+            return self.get_bucket(org, name)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(meta.to_json())
+        return meta
+
+    def get_bucket(self, org: str, name: str) -> BucketMeta:
+        data = json.loads(self._meta_path(org, name).read_text())
+        return BucketMeta(**data)
+
+    def list_buckets(self, org: str) -> list[BucketMeta]:
+        org_dir = self.root / org
+        if not org_dir.exists():
+            return []
+        return [
+            self.get_bucket(org, d.name)
+            for d in sorted(org_dir.iterdir())
+            if (d / "bucket.json").exists()
+        ]
+
+    def _data_dir(self, org: str, name: str) -> Path:
+        return self.root / org / name / "data"
+
+    # ---------------------------------------------------------------- write
+
+    def write_points(self, org: str, name: str, points: DataFrame) -> None:
+        """Append points (canonical schema). Adds ``series_key`` and the
+        ``day`` partition column; never rewrites existing data."""
+        df = points
+        if "series_key" not in df.columns:
+            df = series_key(df)
+        if "ingest_seq" not in df.columns or df.schema["ingest_seq"].nullable:
+            df = df.withColumn(
+                "ingest_seq",
+                F.coalesce(F.col("ingest_seq"), F.monotonically_increasing_id()),
+            )
+        df = df.withColumn("day", F.expr(f"time_ns div {DAY_NS}"))
+        (
+            df.write.mode("append")
+            .partitionBy("measurement", "day")
+            .parquet(str(self._data_dir(org, name)))
+        )
+
+    # ----------------------------------------------------------------- read
+
+    def read_points(self, org: str, name: str, lww: bool = True) -> DataFrame:
+        """Scan the bucket; ``lww=True`` resolves upserts (latest
+        ingest_seq per (series_key, time_ns)) with a window dedup.
+
+        After :meth:`compact`, partitions are already unique per key and
+        the window collapses to a no-op pass (still correct for any
+        fresh appends since the compaction).
+        """
+        df = self.spark.read.schema(
+            self._stored_schema()
+        ).parquet(str(self._data_dir(org, name)))
+        if not lww:
+            return df
+        w = W.partitionBy("measurement", "series_key", "time_ns").orderBy(
+            F.desc("ingest_seq")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    @staticmethod
+    def _stored_schema():
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            POINTS_SCHEMA.fields
+            + [
+                T.StructField("series_key", T.StringType(), True),
+                T.StructField("day", T.LongType(), True),
+            ]
+        )
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, org: str, name: str) -> None:
+        """Rewrite the bucket with LWW applied — makes upserts durable
+        and restores scan speed after heavy overwrite traffic."""
+        data = self._data_dir(org, name)
+        resolved = self.read_points(org, name, lww=True)
+        tmp = data.with_name("data_compacting")
+        (
+            resolved.write.mode("overwrite")
+            .partitionBy("measurement", "day")
+            .parquet(str(tmp))
+        )
+        shutil.rmtree(data)
+        tmp.rename(data)
+
+    def enforce_retention(self, org: str, name: str, now_ns: int | None = None) -> int:
+        """Drop day-partitions entirely older than the retention period.
+        Returns the number of dropped partitions (file-level op, no
+        rewrite — the shard-group-expiry equivalent)."""
+        meta = self.get_bucket(org, name)
+        if not meta.retention_ns:
+            return 0
+        now_ns = now_ns if now_ns is not None else time.time_ns()
+        cutoff_day = (now_ns - meta.retention_ns) // DAY_NS
+        dropped = 0
+        data = self._data_dir(org, name)
+        for mdir in data.glob("measurement=*"):
+            for ddir in mdir.glob("day=*"):
+                day = int(ddir.name.split("=")[1])
+                if day < cutoff_day:
+                    shutil.rmtree(ddir)
+                    dropped += 1
+        return dropped
+
+    def delete_predicate(
+        self,
+        org: str,
+        name: str,
+        start_ns: int,
+        stop_ns: int,
+        predicate=None,
+    ) -> None:
+        """``POST /api/v2/delete`` equivalent: remove points in
+        [start, stop) matching the tag predicate — an anti-filter
+        rewrite of only the affected day partitions."""
+        data = self._data_dir(org, name)
+        lo_day, hi_day = start_ns // DAY_NS, (stop_ns - 1) // DAY_NS
+        df = self.spark.read.schema(self._stored_schema()).parquet(str(data))
+        affected = df.filter((F.col("day") >= lo_day) & (F.col("day") <= hi_day))
+        doomed = (F.col("time_ns") >= start_ns) & (F.col("time_ns") < stop_ns)
+        if predicate is not None:
+            doomed = doomed & predicate
+        kept = affected.filter(~doomed)
+        tmp = data.with_name("data_delete_tmp")
+        kept.write.mode("overwrite").partitionBy("measurement", "day").parquet(str(tmp))
+        # swap in rewritten partitions for the affected day range only
+        for mdir in data.glob("measurement=*"):
+            for ddir in mdir.glob("day=*"):
+                day = int(ddir.name.split("=")[1])
+                if lo_day <= day <= hi_day:
+                    shutil.rmtree(ddir)
+        for mdir in tmp.glob("measurement=*"):
+            for ddir in mdir.glob("day=*"):
+                target = data / mdir.name / ddir.name
+                target.parent.mkdir(parents=True, exist_ok=True)
+                if target.exists():
+                    shutil.rmtree(target)
+                ddir.rename(target)
+        shutil.rmtree(tmp)
