@@ -1,0 +1,5 @@
+"""Streaming layer: continuous line-protocol ingest, scheduled
+downsampling tasks, threshold checks (SURVEY.md §2.2.9)."""
+
+from .ingest import stream_lineprotocol_ingest  # noqa: F401
+from .tasks import DownsampleTask, ThresholdCheck  # noqa: F401

@@ -1,0 +1,58 @@
+"""Continuous line-protocol ingest.
+
+The reference's write path is a telemetry relay POSTing line protocol
+continuously (``/root/reference/README.md:292-297``). Spark-first that
+is: ``readStream`` over an arrival directory (or any text-shaped
+source — socket/Kafka swap in transparently), the same distributed
+parser used for batch (``mapInPandas``), and a ``foreachBatch`` append
+into the bucket store.
+
+Late/out-of-order data: InfluxDB accepts ANY timestamp and upserts by
+(series, time, field). So the raw-point sink must never drop late rows
+— no watermark here; watermarks belong to downstream streaming
+aggregations (tasks.py), where they bound state, not acceptance.
+
+Idempotence under retries: ``foreachBatch`` can re-deliver a batch.
+``ingest_seq`` is derived from ``(batch_id, row-in-batch)`` so a replay
+writes identical rows and LWW dedup collapses them — convergent state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.bucket import BucketStore
+from ..sources.lineprotocol import lines_df_to_points
+
+
+def stream_lineprotocol_ingest(
+    spark: SparkSession,
+    input_path: str,
+    store: BucketStore,
+    org: str,
+    bucket: str,
+    checkpoint: str,
+    precision: str = "ns",
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Start the ingest stream: text files of line protocol → points →
+    bucket store. Returns the StreamingQuery (caller awaits/stops)."""
+    lines = spark.readStream.text(input_path)
+
+    def _sink(batch_df, batch_id: int):
+        pts = lines_df_to_points(batch_df, precision=precision)
+        # deterministic per-batch sequence → replay-idempotent appends
+        pts = pts.withColumn(
+            "ingest_seq",
+            (F.lit(batch_id) * F.lit(1 << 40)) + F.monotonically_increasing_id() % F.lit(1 << 40),
+        )
+        store.write_points(org, bucket, pts)
+
+    writer = lines.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,142 @@
+"""Streaming tests (SURVEY.md §5.2(5)): ingest convergence under
+out-of-order/replayed batches, downsampling task vs batch recompute,
+threshold check notifications."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_greengrass_labs_database_influxdb_spark.sources.bucket import BucketStore
+from aws_greengrass_labs_database_influxdb_spark.streaming import (
+    DownsampleTask,
+    ThresholdCheck,
+    stream_lineprotocol_ingest,
+)
+from aws_greengrass_labs_database_influxdb_spark.control.broker import Broker
+
+T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z
+MIN_NS = 60 * 10**9
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = BucketStore(spark, str(tmp_path / "store"))
+    s.create_bucket("o", "b")
+    return s
+
+
+def _run_ingest(spark, store, in_dir, ckpt):
+    q = stream_lineprotocol_ingest(
+        spark, str(in_dir), store, "o", "b", checkpoint=str(ckpt)
+    )
+    q.awaitTermination(120)
+
+
+def test_ingest_end_to_end_and_out_of_order_convergence(spark, store, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    # batch 1: two series, 5 minutes of data
+    (in_dir / "a.txt").write_text(
+        "\n".join(
+            f"SystemMetrics,host=h{j} CpuUsage={10 * j + i}.0 {T0 + i * MIN_NS}"
+            for j in (1, 2)
+            for i in range(5)
+        )
+    )
+    _run_ingest(spark, store, in_dir, ckpt)
+    assert store.read_points("o", "b").count() == 10
+
+    # batch 2 arrives LATE and out-of-order: rewrites an old timestamp and
+    # adds an even older one — both must be accepted (no watermark drop)
+    (in_dir / "b.txt").write_text(
+        f"SystemMetrics,host=h1 CpuUsage=99.0 {T0}\n"
+        f"SystemMetrics,host=h1 CpuUsage=5.0 {T0 - 3600 * 10**9}\n"
+    )
+    _run_ingest(spark, store, in_dir, ckpt)
+    pts = store.read_points("o", "b")
+    assert pts.count() == 11  # 10 + 1 new (1 overwrite)
+    assert (
+        pts.filter((F.col("time_ns") == T0) & (F.col("series_key").contains("h1")))
+        .first()
+        .f_float
+        == 99.0
+    )
+
+
+def test_downsample_task_matches_batch_recompute(spark, store, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text(
+        "\n".join(
+            f"m,host=h1 v={i}.0 {T0 + i * MIN_NS}" for i in range(180)  # 3 hours
+        )
+    )
+    _run_ingest(spark, store, in_dir, tmp_path / "ckpt1")
+
+    task = DownsampleTask(
+        spark,
+        store,
+        "o",
+        "b",
+        target_path=str(tmp_path / "downsampled"),
+        checkpoint=str(tmp_path / "ckpt2"),
+        every="1 hour",
+        fn="mean",
+        watermark="1 minute",
+    )
+    q = task.start(available_now=True)
+    q.awaitTermination(180)
+    # second run advances the watermark past the closed windows and
+    # flushes them (streaming restarts resume from the checkpoint)
+    q2 = task.start(available_now=True)
+    q2.awaitTermination(180)
+
+    ds = spark.read.parquet(str(tmp_path / "downsampled"))
+    batch = (
+        store.read_points("o", "b")
+        .groupBy(F.window("time", "1 hour").alias("w"))
+        .agg(F.avg("f_float").alias("mean"))
+        .select(F.col("w.start").alias("w_start"), "mean")
+    )
+    got = {(r.w_start, round(r.mean, 9)) for r in ds.select("w_start", "mean").collect()}
+    want = {(r.w_start, round(r.mean, 9)) for r in batch.collect()}
+    # the watermark holds back the final (open) window — finalized ones match
+    assert got.issubset(want)
+    assert len(got) >= 2
+
+
+def test_threshold_check_publishes_statuses(spark, store, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text(
+        "\n".join(f"m,host=h1 v=10.0 {T0 + i * MIN_NS}" for i in range(60))
+        + "\n"
+        + "\n".join(f"m,host=h2 v=90.0 {T0 + i * MIN_NS}" for i in range(60))
+    )
+    _run_ingest(spark, store, in_dir, tmp_path / "ckpt1")
+
+    broker = Broker()
+    got = []
+    broker.subscribe("greengrass/monitor/status", lambda t, m: got.append(m))
+    chk = ThresholdCheck(
+        spark,
+        store,
+        "o",
+        "b",
+        checkpoint=str(tmp_path / "ckpt3"),
+        broker=broker,
+        warn=50.0,
+        crit=95.0,
+    )
+    q = chk.start()
+    q.awaitTermination(180)
+
+    levels = {(m["series_key"], m["level"]) for m in got}
+    assert ("host=h1|v", "ok") in {(k.split("|")[1] + "|" + k.split("|")[2], lvl) for k, lvl in levels} or any(
+        "h1" in k and lvl == "ok" for k, lvl in levels
+    )
+    assert any("h2" in k and lvl == "warn" for k, lvl in levels)
