@@ -1,0 +1,296 @@
+"""InfluxQL subset frontend.
+
+Covers the dashboard-query core of InfluxQL 1.x (the language the
+provisioned engine serves on ``/query`` via DBRP — semantics per public
+InfluxQL docs):
+
+    SELECT <fn>(<field>) [AS <alias>] [, ...] | <field list>
+    FROM <measurement>
+    [WHERE <time predicates> [AND <tag> = '<value>' ...] [AND <field> <op> <num>]]
+    [GROUP BY time(<interval>)[, <tag> ...]] [fill(null|none|0|<num>|previous)]
+    [ORDER BY time [ASC|DESC]]
+    [LIMIT <n>] [OFFSET <n>] [SLIMIT <n>]
+
+Aggregates: count sum mean median mode stddev spread min max first last
+Selectors MIN/MAX/FIRST/LAST keep InfluxDB selector semantics (the
+row's timestamp). GROUP BY time windows align to the epoch; ``fill``
+controls empty windows (requires an explicit WHERE time range, like
+InfluxDB itself).
+
+The parser is a small regex/recursive-descent over this grammar; the
+compiled plan is pure DataFrame composition (one groupBy per query +
+the window-spine join for fill).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import aggregates as agg_ops
+from ..operators import selectors as sel_ops
+from ..operators import sortlimit as sl_ops
+from ..operators.windows import duration_ns, window_spine, window_start_ns
+
+
+class InfluxQLError(ValueError):
+    pass
+
+
+_DURATION_RX = re.compile(r"^(\d+)(ns|u|µ|ms|s|m|h|d|w)$")
+_AGGS = {
+    "count": "count", "sum": "sum", "mean": "mean", "median": "median",
+    "mode": "mode", "stddev": "stddev", "spread": "spread",
+}
+_SELECTORS = {"min", "max", "first", "last"}
+
+
+@dataclass
+class InfluxQLQuery:
+    fields: list[tuple[str | None, str, str]]  # (fn, field, alias)
+    measurement: str
+    time_start_ns: int | None = None
+    time_stop_ns: int | None = None
+    tag_filters: list[tuple[str, str, str]] = field(default_factory=list)
+    field_filters: list[tuple[str, str, float]] = field(default_factory=list)
+    group_time_ns: int | None = None
+    group_tags: list[str] = field(default_factory=list)
+    fill: str | float | None = None
+    order_desc: bool = False
+    limit: int | None = None
+    offset: int = 0
+    slimit: int | None = None
+
+
+def _parse_duration(tok: str) -> int:
+    m = _DURATION_RX.match(tok)
+    if not m:
+        raise InfluxQLError(f"bad duration {tok!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    unit = {"u": "us", "µ": "us"}.get(unit, unit)
+    return n * duration_ns(f"1{unit}")
+
+
+_TIME_RX = re.compile(
+    r"time\s*(>=|<=|>|<)\s*(?:'([^']+)'|(\d+)(ns|u|µ|ms|s)?)", re.IGNORECASE
+)
+_TAG_RX = re.compile(r"\"?(\w+)\"?\s*(=|!=)\s*'([^']*)'")
+_FIELD_RX = re.compile(r"\"?(\w+)\"?\s*(>=|<=|>|<|=|!=)\s*(-?\d+(?:\.\d+)?)$")
+
+
+def _ts_to_ns(lit: str) -> int:
+    import datetime as dt
+
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            d = dt.datetime.strptime(lit, fmt).replace(tzinfo=dt.timezone.utc)
+            return int(d.timestamp()) * 10**9
+        except ValueError:
+            continue
+    raise InfluxQLError(f"bad time literal {lit!r}")
+
+
+def parse_influxql(q: str) -> InfluxQLQuery:
+    text = q.strip().rstrip(";")
+    m = re.match(
+        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+\"?(?P<meas>[\w.\-]+)\"?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+        r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+        r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
+        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?$",
+        text,
+    )
+    if not m:
+        raise InfluxQLError(f"cannot parse: {q!r}")
+    out = InfluxQLQuery(fields=[], measurement=m.group("meas"))
+
+    # SELECT list
+    for part in re.split(r",(?![^()]*\))", m.group("sel")):
+        part = part.strip()
+        fm = re.match(r"(?i)^(\w+)\s*\(\s*\"?(\w+|\*)\"?\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
+        if fm:
+            fn = fm.group(1).lower()
+            if fn not in _AGGS and fn not in _SELECTORS:
+                raise InfluxQLError(f"unsupported function {fn!r}")
+            out.fields.append((fn, fm.group(2), fm.group(3) or fn))
+        else:
+            cm = re.match(r'^"?([\w*]+)"?(?:\s+AS\s+"?(\w+)"?)?$', part)
+            if not cm:
+                raise InfluxQLError(f"bad select expression {part!r}")
+            out.fields.append((None, cm.group(1), cm.group(2) or cm.group(1)))
+
+    # WHERE
+    where = m.group("where") or ""
+    for cond in re.split(r"(?i)\s+AND\s+", where) if where else []:
+        cond = cond.strip()
+        if not cond:
+            continue
+        tm = _TIME_RX.match(cond)
+        if tm:
+            op = tm.group(1)
+            if tm.group(2):
+                ns = _ts_to_ns(tm.group(2))
+            else:
+                mult = {"ns": 1, "u": 10**3, "µ": 10**3, "ms": 10**6, "s": 10**9}[
+                    tm.group(4) or "ns"
+                ]
+                ns = int(tm.group(3)) * mult
+            if op in (">=", ">"):
+                out.time_start_ns = ns + (1 if op == ">" else 0)
+            else:
+                out.time_stop_ns = ns + (1 if op == "<=" else 0)
+            continue
+        fm2 = _FIELD_RX.match(cond)
+        if fm2 and fm2.group(2) in (">=", "<=", ">", "<"):
+            out.field_filters.append((fm2.group(1), fm2.group(2), float(fm2.group(3))))
+            continue
+        gm = _TAG_RX.match(cond)
+        if gm:
+            out.tag_filters.append((gm.group(1), gm.group(2), gm.group(3)))
+            continue
+        raise InfluxQLError(f"cannot parse WHERE clause {cond!r}")
+
+    # GROUP BY — fill() rides on the clause without a comma, so extract
+    # it from the raw text first, then parse the remaining tokens.
+    group = m.group("group") or ""
+    fill_m = re.search(
+        r"(?i)fill\s*\(\s*(null|none|previous|linear|-?\d+(?:\.\d+)?)\s*\)", group
+    )
+    if fill_m:
+        v = fill_m.group(1).lower()
+        out.fill = float(v) if re.match(r"^-?\d", v) else v
+        group = group[: fill_m.start()] + group[fill_m.end():]
+    for g in re.split(r",(?![^()]*\))", group) if group.strip() else []:
+        g = g.strip()
+        if not g:
+            continue
+        tg = re.match(r"(?i)^time\s*\(\s*(\w+)\s*\)$", g)
+        if tg:
+            out.group_time_ns = _parse_duration(tg.group(1))
+            continue
+        out.group_tags.append(g.strip('"'))
+
+    out.order_desc = (m.group("ord") or "").upper() == "DESC"
+    out.limit = int(m.group("limit")) if m.group("limit") else None
+    out.offset = int(m.group("offset") or 0)
+    out.slimit = int(m.group("slimit")) if m.group("slimit") else None
+    return out
+
+
+def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Compile + run an InfluxQL query against a canonical points DF.
+
+    ``tag_cols`` names promoted tag columns available for GROUP BY /
+    WHERE (a tags-map fallback covers the rest).
+    """
+    ast = parse_influxql(query)
+    df = points.filter(F.col("measurement") == ast.measurement)
+
+    if ast.time_start_ns is not None:
+        df = df.filter(F.col("time_ns") >= ast.time_start_ns)
+    if ast.time_stop_ns is not None:
+        df = df.filter(F.col("time_ns") < ast.time_stop_ns)
+
+    def tag_col(name):
+        if name in df.columns:
+            return F.col(name)
+        return F.col("tags")[name]
+
+    for name, op, val in ast.tag_filters:
+        c = tag_col(name)
+        df = df.filter(c == val if op == "=" else c != val)
+    for name, op, val in ast.field_filters:
+        c = F.col("f_float") if name not in df.columns else F.col(name)
+        cmpmap = {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val}
+        df = df.filter(cmpmap[op])
+
+    by = list(ast.group_tags)
+    has_agg = any(fn for fn, _, _ in ast.fields)
+
+    if not has_agg:
+        sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
+        for _, fld, alias in ast.fields:
+            src = "f_float" if fld in ("*", "value") else fld
+            sel.append(F.col(src).alias(alias))
+        out = df.select(*sel)
+        if ast.limit is not None:
+            out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+        return out
+
+    # aggregate / selector path
+    if ast.group_time_ns:
+        df = df.withColumn("_ws", window_start_ns(F.col("time_ns"), ast.group_time_ns))
+        keys = [*by, "_ws"]
+    else:
+        keys = by
+
+    aggs = []
+    for fn, fld, alias in ast.fields:
+        col = F.col("f_float")
+        if fn in _AGGS:
+            if fn == "spread":
+                aggs.append((F.max(col) - F.min(col)).alias(alias))
+            elif fn == "mode":
+                aggs.append(F.mode(col).alias(alias))
+            else:
+                aggs.append(agg_ops.AGG_FNS[fn](col).alias(alias))
+        elif fn in ("min", "max"):
+            # selector semantics: extreme value, ties → earliest time ⇒
+            # always min_by over (±value, time)
+            order = F.struct(col if fn == "min" else -col, F.col("time_ns"))
+            aggs.append(F.min_by(col, order).alias(alias))
+        elif fn in ("first", "last"):
+            pick = F.min_by if fn == "first" else F.max_by
+            aggs.append(pick(col, F.col("time_ns")).alias(alias))
+    out = df.groupBy(*keys).agg(*aggs)
+
+    if ast.group_time_ns and ast.fill not in (None, "none"):
+        if ast.time_start_ns is None or ast.time_stop_ns is None:
+            raise InfluxQLError("fill() needs an explicit WHERE time range")
+        spine = window_spine(
+            df, ast.time_start_ns, ast.time_stop_ns, ast.group_time_ns, by=by
+        ).withColumnRenamed("_start_ns", "_ws").drop("_stop_ns")
+        out = spine.join(out, on=keys, how="left")
+        value_cols = [a for _, _, a in ast.fields]
+        if isinstance(ast.fill, float):
+            for c in value_cols:
+                out = out.withColumn(c, F.coalesce(F.col(c), F.lit(ast.fill)))
+        elif ast.fill == "previous":
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*by).orderBy("_ws").rowsBetween(W.unboundedPreceding, 0)
+            for c in value_cols:
+                out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        # "null" → the spine join already produced null rows
+        elif ast.fill == "linear":
+            from pyspark.sql import Window as W
+
+            for c in value_cols:
+                wp = W.partitionBy(*by).orderBy("_ws").rowsBetween(W.unboundedPreceding, 0)
+                wn = W.partitionBy(*by).orderBy("_ws").rowsBetween(0, W.unboundedFollowing)
+                v, t = F.col(c), F.col("_ws")
+                obs_t = F.when(v.isNotNull(), t)
+                pv = F.last(v, ignorenulls=True).over(wp)
+                pt = F.last(obs_t, ignorenulls=True).over(wp)
+                nv = F.first(v, ignorenulls=True).over(wn)
+                nt = F.first(obs_t, ignorenulls=True).over(wn)
+                lerp = F.when(v.isNotNull(), v).otherwise(
+                    F.when(pv.isNotNull() & nv.isNotNull(),
+                           pv + (nv - pv) * (t - pt) / (nt - pt))
+                )
+                out = out.withColumn(c, lerp)
+
+    if ast.group_time_ns:
+        out = out.withColumn("time", F.timestamp_micros(F.expr("_ws div 1000"))).drop("_ws")
+
+    if ast.order_desc:
+        out = out.orderBy(F.desc("time"))
+    if ast.slimit is not None and by:
+        out = sl_ops.slimit(out, ast.slimit, series=by)
+    if ast.limit is not None:
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+    return out

@@ -1,0 +1,222 @@
+"""Fluent pipeline builder with Flux group-key semantics.
+
+A Flux query is a pipe of table-stream transforms; the subtle part
+(SURVEY.md §7 hard-part 3) is the **group key**: ``group()``,
+``window()`` mutate it, aggregates collapse per it, and per-series
+operators (limit, sort, derivative...) implicitly operate *within* it.
+A naive Spark translation silently computes globals.
+
+:class:`Pipeline` wraps a DataFrame + the current group key and routes
+every operator through the library with ``by=self.group_key`` — so a
+pipe reads like Flux and executes like idiomatic Spark. The IR is just
+(DataFrame, group_key, time column names); Catalyst owns everything
+downstream — ``.df`` hands back the declarative plan at any point.
+
+Example::
+
+    from_points(points, group_key=["measurement", "field"])
+        .range(start, stop)
+        .filter(F.col("event_type") == "click")
+        .group(["event_type"])
+        .aggregate_window("1h", "mean")
+        .fill(0.0, column="mean")
+        .df
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import operators as ops
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    df_: DataFrame
+    group_key: tuple[str, ...] = ()
+    time_col: str = "time"
+    time_ns_col: str = "time_ns"
+    order: tuple[str, ...] = ("time_ns",)
+
+    # ------------------------------------------------------------- plumbing
+
+    @property
+    def df(self) -> DataFrame:
+        return self.df_
+
+    def _with(self, df: DataFrame, **changes) -> "Pipeline":
+        return replace(self, df_=df, **changes)
+
+    def explain(self, mode: str = "formatted") -> "Pipeline":
+        self.df_.explain(mode)
+        return self
+
+    # -------------------------------------------------------- source shaping
+
+    def range(self, start=None, stop=None) -> "Pipeline":
+        return self._with(ops.range_time(self.df_, start, stop, self.time_col))
+
+    def filter(self, predicate: Column | str) -> "Pipeline":
+        return self._with(self.df_.filter(predicate))
+
+    def map(self, **exprs: Column) -> "Pipeline":
+        return self._with(self.df_.withColumns(dict(exprs)))
+
+    def keep(self, columns: Sequence[str]) -> "Pipeline":
+        kept = ops.keep(self.df_, list(columns))
+        return self._with(kept, group_key=tuple(c for c in self.group_key if c in kept.columns))
+
+    def drop(self, columns: Sequence[str]) -> "Pipeline":
+        return self._with(
+            ops.drop(self.df_, list(columns)),
+            group_key=tuple(c for c in self.group_key if c not in columns),
+        )
+
+    def rename(self, columns: dict[str, str]) -> "Pipeline":
+        return self._with(
+            ops.rename(self.df_, columns),
+            group_key=tuple(columns.get(c, c) for c in self.group_key),
+        )
+
+    # ------------------------------------------------------------- grouping
+
+    def group(self, columns: Sequence[str] = (), mode: str = "by") -> "Pipeline":
+        """Flux ``group(columns:, mode: by/except)`` — set the group key.
+
+        No data movement happens here: the key re-binds which columns
+        later operators partition by (the shuffle happens inside those
+        operators, once, on the right key).
+        """
+        if mode == "by":
+            key = tuple(columns)
+        elif mode == "except":
+            key = tuple(c for c in self.df_.columns if c not in columns)
+        else:
+            raise ValueError("mode must be 'by' or 'except'")
+        return replace(self, group_key=key)
+
+    def window(self, every, period=None, offset=0) -> "Pipeline":
+        """Flux ``window()``: adds ``_start``/``_stop`` to the group key."""
+        w = ops.window(self.df_, every, period, offset, self.time_ns_col, self.time_col)
+        return self._with(w, group_key=(*self.group_key, "_start_ns"))
+
+    # ----------------------------------------------------------- aggregates
+
+    def aggregate(self, fn: str, column: str = "f_float", alias: str | None = None) -> "Pipeline":
+        out = ops.aggregate(self.df_, fn, column, by=self.group_key, alias=alias)
+        return self._with(out)
+
+    def aggregate_window(
+        self, every, fn: str, column: str = "f_float", create_empty: bool = False,
+        range_start=None, range_stop=None, alias: str | None = None,
+    ) -> "Pipeline":
+        out = ops.aggregate_window(
+            self.df_, every, fn, column, by=self.group_key,
+            create_empty=create_empty, range_start=range_start, range_stop=range_stop,
+            alias=alias, time_ns=self.time_ns_col,
+        )
+        return self._with(out)
+
+    # ------------------------------------------------------------ selectors
+
+    def first(self) -> "Pipeline":
+        return self._with(ops.first(self.df_, self.group_key, self.time_ns_col))
+
+    def last(self) -> "Pipeline":
+        return self._with(ops.last(self.df_, self.group_key, self.time_ns_col))
+
+    def min(self, column: str = "f_float") -> "Pipeline":
+        return self._with(ops.min_selector(self.df_, self.group_key, column, self.time_ns_col))
+
+    def max(self, column: str = "f_float") -> "Pipeline":
+        return self._with(ops.max_selector(self.df_, self.group_key, column, self.time_ns_col))
+
+    def top(self, n: int, column: str = "f_float") -> "Pipeline":
+        return self._with(ops.top(self.df_, n, self.group_key, column, self.time_ns_col))
+
+    def bottom(self, n: int, column: str = "f_float") -> "Pipeline":
+        return self._with(ops.bottom(self.df_, n, self.group_key, column, self.time_ns_col))
+
+    # ------------------------------------------------------------ transforms
+
+    def derivative(self, unit_seconds: float = 1.0, non_negative: bool = False,
+                   column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.derivative(self.df_, unit_seconds, non_negative, column,
+                           self.group_key, self.time_ns_col, order=list(self.order))
+        )
+
+    def difference(self, non_negative: bool = False, column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.difference(self.df_, non_negative, column, self.group_key,
+                           order=list(self.order))
+        )
+
+    def cumulative_sum(self, column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.cumulative_sum(self.df_, column, self.group_key, order=list(self.order))
+        )
+
+    def moving_average(self, n: int, column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.moving_average(self.df_, n, column, self.group_key, order=list(self.order))
+        )
+
+    def exponential_moving_average(self, n: int, column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.exponential_moving_average(self.df_, n, column, self.group_key, self.time_ns_col)
+        )
+
+    def fill(self, value=None, use_previous: bool = False, column: str = "f_float") -> "Pipeline":
+        return self._with(
+            ops.fill(self.df_, column, value, use_previous, self.group_key,
+                     order=self.order[0])
+        )
+
+    # ------------------------------------------------------------ sort/limit
+
+    def sort(self, columns: Sequence[str], desc: bool = False) -> "Pipeline":
+        return self._with(ops.sort(self.df_, list(columns), desc))
+
+    def limit(self, n: int, offset: int = 0) -> "Pipeline":
+        return self._with(
+            ops.limit(self.df_, n, offset, self.group_key, order=list(self.order))
+        )
+
+    def tail(self, n: int) -> "Pipeline":
+        return self._with(ops.tail(self.df_, n, 0, self.group_key, order=list(self.order)))
+
+    # -------------------------------------------------------------- combine
+
+    def union(self, other: "Pipeline") -> "Pipeline":
+        return self._with(self.df_.unionByName(other.df_, allowMissingColumns=True))
+
+    def join(self, other: "Pipeline", on: Sequence[str], how: str = "inner") -> "Pipeline":
+        return self._with(self.df_.join(other.df_, list(on), how))
+
+    def pivot(self, row_key: Sequence[str], column_key: str, value_column: str,
+              values: Sequence[str] | None = None) -> "Pipeline":
+        return self._with(
+            ops.pivot(self.df_, list(row_key), column_key, value_column, values)
+        )
+
+    def yield_(self) -> DataFrame:
+        """Flux ``yield()`` — hand the declarative plan to the caller."""
+        return self.df_
+
+
+def from_points(
+    df: DataFrame, group_key: Sequence[str] = ("measurement", "field")
+) -> Pipeline:
+    """Start a pipeline from a canonical points DataFrame."""
+    order = ("time_ns", "ingest_seq") if "ingest_seq" in df.columns else ("time_ns",)
+    return Pipeline(df, tuple(group_key), order=order)
+
+
+def from_bucket(store, org: str, bucket: str,
+                group_key: Sequence[str] = ("measurement", "series_key", "field")) -> Pipeline:
+    """Flux ``from(bucket:)`` — scan a bucket (LWW-resolved)."""
+    return from_points(store.read_points(org, bucket), group_key)

@@ -36,3 +36,4 @@ def load_all() -> None:
     from . import timeseries  # noqa: F401
     from . import relational  # noqa: F401
     from . import ext  # noqa: F401
+    from . import frontend  # noqa: F401

@@ -1,0 +1,91 @@
+"""Suite queries that go through the InfluxQL string frontend — the
+whole path (parse → compile → DataFrame plan) sits under the oracle
+gate, not just the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..frontends import execute_influxql
+from ..sources.io import events_points
+from . import q
+
+
+@q(
+    "influxql_count_fill0",
+    """
+    WITH grid AS (
+      SELECT g AS wstart
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g)),
+    et AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT et.event_type, epoch_ms(grid.wstart) AS t_ms,
+           cast(coalesce(agg.n, 0) as double) AS n
+    FROM et CROSS JOIN grid
+    LEFT JOIN agg ON agg.event_type = et.event_type AND agg.wstart = grid.wstart
+    """,
+)
+def influxql_count_fill0(spark, sf_dir):
+    """InfluxQL: SELECT count(value) ... GROUP BY time(1h), tag fill(0).
+
+    The fill value applies to the aggregate column (InfluxQL coerces to
+    the fill literal's type → double here, both sides cast)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' "
+        "GROUP BY time(1h), event_type fill(0)",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), F.col("n").cast("double").alias("n")
+    )
+
+
+@q(
+    "influxql_selectors",
+    """
+    WITH r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type ORDER BY value ASC, ts ASC) rn_min,
+        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts ASC) rn_max,
+        row_number() OVER (PARTITION BY event_type ORDER BY ts ASC) rn_first,
+        row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) rn_last
+      FROM events)
+    SELECT event_type,
+           max(CASE WHEN rn_max = 1 THEN value END) AS mx,
+           max(CASE WHEN rn_min = 1 THEN value END) AS mn,
+           max(CASE WHEN rn_first = 1 THEN value END) AS fv,
+           max(CASE WHEN rn_last = 1 THEN value END) AS lv
+    FROM r GROUP BY 1
+    """,
+)
+def influxql_selectors(spark, sf_dir):
+    """InfluxQL selector functions via the string frontend."""
+    pts = events_points(spark, sf_dir)
+    return execute_influxql(
+        pts,
+        "SELECT max(value) AS mx, min(value) AS mn, first(value) AS fv, last(value) AS lv "
+        "FROM events GROUP BY event_type",
+    )
+
+
+@q(
+    "influxql_where_limit",
+    """
+    SELECT value, epoch_ms(ts) AS t_ms FROM (
+      SELECT *, row_number() OVER (ORDER BY ts ASC, event_id ASC) rn
+      FROM events WHERE event_type = 'error' AND value >= 150) WHERE rn <= 20
+    """,
+)
+def influxql_where_limit(spark, sf_dir):
+    """InfluxQL raw-field query: tag + field predicates with LIMIT."""
+    pts = events_points(spark, sf_dir).withColumn("_t", F.col("time"))
+    out = execute_influxql(
+        pts,
+        "SELECT value FROM events WHERE event_type = 'error' AND value >= 150 LIMIT 20",
+    )
+    return out.select("value", F.unix_millis("time").alias("t_ms"))

@@ -1,0 +1,145 @@
+"""InfluxQL frontend + annotated CSV + pipeline builder tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_greengrass_labs_database_influxdb_spark.frontends import (
+    InfluxQLError,
+    execute_influxql,
+    parse_influxql,
+    to_annotated_csv,
+)
+from aws_greengrass_labs_database_influxdb_spark.plans import from_points
+from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+T0 = 1704067200_000_000_000
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return events_points(spark, sf_dir).cache()
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parse_basic_aggregate():
+    ast = parse_influxql(
+        "SELECT mean(value) AS avg_v FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' "
+        "GROUP BY time(1h), event_type fill(0) ORDER BY time DESC LIMIT 5"
+    )
+    assert ast.measurement == "events"
+    assert ast.fields == [("mean", "value", "avg_v")]
+    assert ast.group_time_ns == 3600 * 10**9
+    assert ast.group_tags == ["event_type"]
+    assert ast.fill == 0.0
+    assert ast.order_desc and ast.limit == 5
+    assert ast.time_start_ns == T0
+
+
+def test_parse_selector_and_filters():
+    ast = parse_influxql(
+        "SELECT max(value), first(value) FROM events "
+        "WHERE event_type = 'click' AND value > 100"
+    )
+    assert ast.fields[0][0] == "max"
+    assert ast.tag_filters == [("event_type", "=", "click")]
+    assert ast.field_filters == [("value", ">", 100.0)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DELETE FROM events",
+        "SELECT frobnicate(value) FROM events",
+        "SELECT mean(value) FROM events WHERE frobnicate ??",
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(InfluxQLError):
+        parse_influxql(bad)
+
+
+# ---------------------------------------------------------------- execution
+
+def test_influxql_group_by_time_matches_dataframe(pts, spark):
+    out = execute_influxql(
+        pts,
+        "SELECT mean(*) AS mean_v, count(*) AS n FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' GROUP BY time(1h), event_type",
+    )
+    from aws_greengrass_labs_database_influxdb_spark.operators import window
+
+    expected = (
+        window(pts, 3600 * 10**9)
+        .groupBy("event_type", "_start_ns")
+        .agg(F.avg("f_float").alias("mean_v"), F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert out.count() == expected
+
+
+def test_influxql_fill_zero_emits_empty_windows(pts):
+    out = execute_influxql(
+        pts,
+        "SELECT sum(value) AS s FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' "
+        "GROUP BY time(1h), event_type fill(0)",
+    )
+    n_types = pts.select("event_type").distinct().count()
+    assert out.count() == 30 * 24 * n_types
+    assert out.filter(F.col("s") == 0).count() > 0
+
+
+def test_influxql_selector_row_semantics(pts):
+    out = execute_influxql(pts, "SELECT max(value) AS mx FROM events").collect()
+    direct = pts.agg(F.max("f_float")).first()[0]
+    assert out[0].mx == direct
+
+
+def test_influxql_tag_and_field_filter(pts):
+    out = execute_influxql(
+        pts, "SELECT count(value) AS n FROM events WHERE event_type = 'click' AND value >= 100"
+    ).first()
+    expected = pts.filter((F.col("event_type") == "click") & (F.col("f_float") >= 100)).count()
+    assert out.n == expected
+
+
+# ----------------------------------------------------------------- pipeline
+
+def test_pipeline_group_key_threading(pts):
+    p = (
+        from_points(pts, group_key=["measurement", "field"])
+        .group(["event_type"])
+        .aggregate_window("1h", "mean")
+    )
+    df = p.df
+    assert "event_type" in df.columns and "mean" in df.columns
+    # per-series limit goes through the group key, not global
+    lim = from_points(pts).group(["event_type"]).limit(2).df
+    assert lim.count() == 2 * pts.select("event_type").distinct().count()
+
+
+def test_pipeline_derivative_per_series(pts):
+    d = from_points(pts).group(["event_type"]).derivative().df
+    n_series = pts.select("event_type").distinct().count()
+    assert d.count() == pts.count() - n_series  # first row per series drops
+
+
+# ------------------------------------------------------------ annotated CSV
+
+def test_annotated_csv_shape(spark):
+    df = spark.createDataFrame(
+        [("cpu", "h1", 1.5), ("cpu", "h2", 2.0)], "measurement string, host string, value double"
+    )
+    csv = to_annotated_csv(df, group_key=("measurement", "host"))
+    lines = csv.splitlines()
+    assert lines[0].startswith("#group,false,false,true,true,false")
+    assert lines[1].startswith("#datatype,string,long,string,string,double")
+    assert lines[2].startswith("#default,_result")
+    assert lines[3] == ",result,table,measurement,host,value"
+    # two distinct group keys → table ids 0 and 1
+    assert lines[4].split(",")[2] == "0" and lines[5].split(",")[2] == "1"
