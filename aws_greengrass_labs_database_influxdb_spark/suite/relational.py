@@ -72,3 +72,176 @@ def rel_region_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@q(
+    "rel_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS od_ms
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+      FROM orders) WHERE rn <= 25
+    """,
+)
+def rel_top_orders(spark, sf_dir):
+    """Global top-N with deterministic tie-break (single-partition window
+    over a pre-filtered top-heavy subset would be the at-scale variant;
+    AQE handles the small result)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 25)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            # parquet ms-timestamps arrive as TIMESTAMP_NTZ; the session
+            # is UTC so the cast matches DuckDB's naive-as-UTC epoch_ms
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("od_ms"),
+        )
+    )
+
+
+@q(
+    "rel_semi_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+)
+def rel_semi_anti(spark, sf_dir):
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders long, n_without_orders long"
+    )
+
+
+@q(
+    "rel_subquery_avg",
+    """
+    SELECT c_mktsegment, count(*) AS n_above,
+           cast(sum(cast(c_acctbal as decimal(14,2))) as double) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY 1
+    """,
+)
+def rel_subquery_avg(spark, sf_dir):
+    """Scalar subquery (InfluxQL nested-query analog): customers above
+    the global mean balance.
+
+    The scalar aggregates once and broadcasts into the filter — exactly
+    what a hand-rolled two-pass would do, for free.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal")).first()[0]
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@q(
+    "rel_rollup",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS rf, coalesce(l_linestatus, '∅') AS ls,
+           count(*) AS n,
+           cast(sum(cast(l_quantity as decimal(12,2))) as double) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (free Spark extension beyond Flux/InfluxQL —
+    SURVEY.md §2.2.4 notes the reference has none)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@q(
+    "rel_events_customer_join",
+    f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT c.c_mktsegment, count(*) AS n_user_days,
+           cast(sum(cast(d.sum_value as decimal(18,2))) as double) AS total_value
+    FROM daily d JOIN customer c ON d.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def rel_events_customer_join(spark, sf_dir):
+    """Fact-to-dim enrichment: daily per-user event rollup joined to the
+    customer dim (events.user_id ⋈ customer.c_custkey), re-aggregated by
+    segment. Dim side broadcasts; the fact aggregates before the join so
+    the join input is days×users, not raw events."""
+    from ..sources.io import events_points
+
+    ev = events_points(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("time")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(c), daily.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.sum(F.col("sum_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@q(
+    "rel_supplier_part_agg",
+    """
+    SELECT p.p_brand, count(DISTINCT l.l_suppkey) AS n_suppliers,
+           count(*) AS n_lines,
+           cast(sum(cast(l.l_extendedprice as decimal(14,2))) as double) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 10
+    GROUP BY 1
+    """,
+)
+def rel_supplier_part_agg(spark, sf_dir):
+    """Join + COUNT DISTINCT (exact) + filter pushdown through a dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+        )
+    )
