@@ -220,16 +220,20 @@ def interpolate_linear(
     unioned = data.unionByName(spine.withColumn(value, F.lit(None).cast("double")),
                                allowMissingColumns=True)
 
-    wp = W.partitionBy(*by).orderBy(time_ns).rowsBetween(W.unboundedPreceding, 0)
-    wn = W.partitionBy(*by).orderBy(time_ns).rowsBetween(0, W.unboundedFollowing)
+    # order (time, _grid): a real observation at a grid timestamp sorts
+    # BEFORE its grid row, so the grid row's backward fill sees it
+    wp = W.partitionBy(*by).orderBy(time_ns, "_grid").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy(*by).orderBy(time_ns, "_grid").rowsBetween(0, W.unboundedFollowing)
     v, t = F.col(value), F.col(time_ns)
     obs_t = F.when(v.isNotNull(), t)
     prev_v = F.last(v, ignorenulls=True).over(wp)
     prev_t = F.last(obs_t, ignorenulls=True).over(wp)
     next_v = F.first(v, ignorenulls=True).over(wn)
     next_t = F.first(obs_t, ignorenulls=True).over(wn)
-    lerp = F.when(v.isNotNull(), v).otherwise(
-        F.when(
+    lerp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_t == t, prev_v)  # exact hit: grid row takes the real value
+        .when(
             prev_v.isNotNull() & next_v.isNotNull(),
             prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
         )

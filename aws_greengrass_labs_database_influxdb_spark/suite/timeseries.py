@@ -472,10 +472,12 @@ def ts_fill_previous(spark, sf_dir):
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT event_type, tns // 1000000 AS t_ms,
            CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_t = tns THEN prev_v
                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
                 THEN prev_v + (next_v - prev_v) * (tns - prev_t) / (next_t - prev_t)
            END AS iv
-    FROM f WHERE is_grid = 1 AND (v IS NOT NULL OR (prev_v IS NOT NULL AND next_v IS NOT NULL))
+    FROM f WHERE is_grid = 1 AND (v IS NOT NULL OR prev_t = tns
+                                  OR (prev_v IS NOT NULL AND next_v IS NOT NULL))
     """,
 )
 def ts_interpolate_linear(spark, sf_dir):

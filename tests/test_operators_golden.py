@@ -1,0 +1,220 @@
+"""Golden tests for the semantics where a naive Spark translation
+silently diverges from InfluxDB (SURVEY.md §5.2(4), §7 hard parts):
+selector tie-breaking, createEmpty, fill policies, per-series limit,
+interpolation edges, EMA seeding, state runs, duration parsing.
+
+Small hand-built frames with exact expected outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import aws_greengrass_labs_database_influxdb_spark.operators as ops
+from aws_greengrass_labs_database_influxdb_spark.operators.windows import duration_ns
+
+
+def mk(spark, rows):
+    """rows: (series, time_ns, value, seq)"""
+    return spark.createDataFrame(
+        [(s, t, float(v), q) for s, t, v, q in rows],
+        "series string, time_ns long, f_float double, ingest_seq long",
+    )
+
+
+S = 10**9  # 1s in ns
+
+
+# ------------------------------------------------------------- tie breaking
+
+def test_min_selector_tie_earliest_time_wins(spark):
+    df = mk(spark, [("a", 5 * S, 1.0, 0), ("a", 2 * S, 1.0, 1), ("a", 7 * S, 3.0, 2)])
+    out = ops.min_selector(df, by=["series"]).collect()
+    assert len(out) == 1 and out[0].time_ns == 2 * S  # equal min values → earliest
+
+
+def test_max_selector_tie_earliest_time_wins(spark):
+    df = mk(spark, [("a", 5 * S, 9.0, 0), ("a", 2 * S, 9.0, 1), ("a", 1 * S, 3.0, 2)])
+    out = ops.max_selector(df, by=["series"]).collect()
+    assert out[0].time_ns == 2 * S
+
+
+def test_first_last_same_timestamp_seq_breaks_tie(spark):
+    df = mk(spark, [("a", 5 * S, 1.0, 7), ("a", 5 * S, 2.0, 3)])
+    assert ops.first(df, by=["series"]).collect()[0].f_float == 2.0  # lower seq
+    assert ops.last(df, by=["series"]).collect()[0].f_float == 1.0   # higher seq
+
+
+def test_top_ties_resolved_by_time(spark):
+    df = mk(spark, [("a", 3 * S, 5.0, 0), ("a", 1 * S, 5.0, 1), ("a", 2 * S, 4.0, 2)])
+    out = ops.top(df, 2, by=["series"]).orderBy("time_ns").collect()
+    assert [(r.time_ns, r.f_float) for r in out] == [(1 * S, 5.0), (3 * S, 5.0)]
+
+
+# -------------------------------------------------------------- createEmpty
+
+def test_aggregate_window_create_empty_emits_null_rows(spark):
+    df = mk(spark, [("a", 0, 1.0, 0), ("a", 10 * S, 3.0, 1)])  # gap in the middle
+    out = ops.aggregate_window(
+        df, "5s", "mean", by=["series"], create_empty=True,
+        range_start=0, range_stop=15 * S,
+    ).orderBy("_start_ns")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0].mean == 1.0
+    assert rows[1].mean is None  # empty window materialized as null
+    assert rows[2].mean == 3.0
+    # timeSrc defaults to _stop
+    assert rows[0].time_ns == 5 * S
+
+
+def test_aggregate_window_without_create_empty_skips_gaps(spark):
+    df = mk(spark, [("a", 0, 1.0, 0), ("a", 10 * S, 3.0, 1)])
+    out = ops.aggregate_window(df, "5s", "mean", by=["series"])
+    assert out.count() == 2
+
+
+def test_window_offset_shifts_alignment(spark):
+    df = mk(spark, [("a", 7 * S, 1.0, 0)])
+    w = ops.window(df, "5s", offset="2s")
+    r = w.collect()[0]
+    assert r._start_ns == 7 * S  # windows at 2,7,12... → 7 starts a window
+    assert r._stop_ns == 12 * S
+
+
+# ------------------------------------------------------------- fill family
+
+def test_fill_previous_per_series_isolation(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 1, None), ("b", 2, 5.0)],
+        "series string, time_ns long, v double",
+    )
+    out = ops.fill(df, "v", use_previous=True, by=["series"], order="time_ns")
+    got = {(r.series, r.time_ns): r.v for r in out.collect()}
+    assert got[("a", 2)] == 1.0
+    assert got[("b", 1)] is None  # no previous in THIS series — stays null
+
+
+def test_interpolate_single_point_series_yields_exact_hits_only(spark):
+    df = mk(spark, [("a", 5 * S, 2.0, 0)])
+    out = ops.interpolate_linear(df, "5s", by=["series"], range_start=0, range_stop=20 * S)
+    rows = out.collect()
+    # only the grid point with a real observation (t=5s) survives —
+    # nothing to interpolate toward on either side
+    assert [(r.time_ns, r.f_float) for r in rows] == [(5 * S, 2.0)]
+
+
+def test_interpolate_midpoint_exact(spark):
+    df = mk(spark, [("a", 0, 0.0, 0), ("a", 10 * S, 10.0, 1)])
+    out = ops.interpolate_linear(df, "5s", by=["series"], range_start=0, range_stop=11 * S)
+    got = {r.time_ns: r.f_float for r in out.collect()}
+    assert got[5 * S] == 5.0
+
+
+# ---------------------------------------------------------- per-series limit
+
+def test_limit_is_per_series_not_global(spark):
+    df = mk(spark, [(s, i * S, float(i), i) for s in ("a", "b") for i in range(5)])
+    out = ops.limit(df, 2, by=["series"], order=["time_ns", "ingest_seq"])
+    assert out.count() == 4  # 2 per series — a global limit would return 2
+    tail = ops.tail(df, 1, by=["series"], order=["time_ns", "ingest_seq"])
+    assert {r.time_ns for r in tail.collect()} == {4 * S}
+
+
+# ----------------------------------------------------------------- EMA seed
+
+def test_ema_seeds_with_sma_of_first_n(spark):
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate([2.0, 4.0, 6.0, 8.0])])
+    out = ops.exponential_moving_average(df, 3, by=["series"]).orderBy("time_ns").collect()
+    assert out[0].ema is None and out[1].ema is None
+    assert out[2].ema == pytest.approx(4.0)  # SMA(2,4,6)
+    k = 2 / (3 + 1)
+    assert out[3].ema == pytest.approx(8.0 * k + 4.0 * (1 - k))
+
+
+# ------------------------------------------------------------- state family
+
+def test_state_count_runs_and_reset(spark):
+    vals = [1.0, 5.0, 6.0, 1.0, 7.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = (
+        ops.state_count(df, F.col("f_float") > 2, by=["series"])
+        .orderBy("time_ns")
+        .collect()
+    )
+    assert [r.state_count for r in out] == [-1, 1, 2, -1, 1]
+
+
+def test_state_duration_seconds(spark):
+    vals = [5.0, 6.0, 1.0, 7.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = (
+        ops.state_duration(df, F.col("f_float") > 2, by=["series"])
+        .orderBy("time_ns")
+        .collect()
+    )
+    assert [r.state_duration for r in out] == [0, 1, -1, 0]
+
+
+# ----------------------------------------------------------------- misc ops
+
+def test_derivative_respects_units_and_drops_first(spark):
+    df = mk(spark, [("a", 0, 0.0, 0), ("a", 2 * S, 10.0, 1)])
+    out = ops.derivative(df, unit_seconds=1.0, by=["series"]).collect()
+    assert len(out) == 1 and out[0].derivative == 5.0
+
+
+def test_increase_handles_counter_reset(spark):
+    vals = [10.0, 20.0, 5.0, 15.0]  # reset at 3rd point
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = ops.increase(df, by=["series"]).orderBy("time_ns").collect()
+    assert [r.increase for r in out] == [0.0, 10.0, 15.0, 25.0]
+
+
+def test_histogram_zero_buckets_present(spark):
+    df = mk(spark, [("a", 0, 5.0, 0)])
+    h = ops.histogram(df, [1.0, 10.0], by=["series"]).orderBy("le").collect()
+    assert [(r.le, r["count"]) for r in h] == [(1.0, 0), (10.0, 1)]
+
+
+def test_spread_and_mode(spark):
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate([1.0, 9.0, 9.0, 2.0])])
+    assert ops.spread(df, by=["series"]).collect()[0].spread == 8.0
+    assert ops.mode_value(df, "f_float", by=["series"]).collect()[0].mode == 9.0
+
+
+def test_unique_and_distinct(spark):
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate([1.0, 2.0, 2.0, 3.0])])
+    assert {r.f_float for r in ops.unique(df, "f_float", by=["series"]).collect()} == {1.0, 3.0}
+    assert ops.distinct_rows(df, "f_float", by=["series"]).count() == 3
+
+
+def test_highest_max_keeps_whole_series(spark):
+    df = mk(
+        spark,
+        [("a", 0, 1.0, 0), ("a", S, 9.0, 1), ("b", 0, 5.0, 2), ("c", 0, 2.0, 3)],
+    )
+    out = ops.highest_max(df, 2, series=["series"])
+    assert {r.series for r in out.collect()} == {"a", "b"}
+    assert out.count() == 3  # ALL rows of the kept series
+
+
+# ------------------------------------------------------------ duration parse
+
+@pytest.mark.parametrize(
+    "tok,ns",
+    [
+        ("1m", 60 * S),
+        ("30s", 30 * S),
+        ("1h30m", 5400 * S),
+        ("100ms", 100 * 10**6),
+        ("2us", 2000),
+        ("7ns", 7),
+        ("1d", 86400 * S),
+        ("1w", 7 * 86400 * S),
+    ],
+)
+def test_duration_ns(tok, ns):
+    assert duration_ns(tok) == ns
