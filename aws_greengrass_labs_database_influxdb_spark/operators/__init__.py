@@ -24,7 +24,7 @@ from .core import (  # noqa: F401
     time_shift,
     truncate_time,
 )
-from .aggregates import aggregate, spread, integral, mode_value  # noqa: F401
+from .aggregates import aggregate, spread, integral, mode_value, quantile  # noqa: F401
 from .selectors import (  # noqa: F401
     bottom,
     distinct_rows,
@@ -73,3 +73,4 @@ from .analytics import (  # noqa: F401
     triple_ema,
 )
 from .sortlimit import limit, sort, tail, slimit  # noqa: F401
+from .joins import asof_join  # noqa: F401

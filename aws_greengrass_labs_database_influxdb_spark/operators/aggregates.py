@@ -35,6 +35,43 @@ AGG_FNS: dict[str, callable] = {
 }
 
 
+def quantile(
+    df: DataFrame,
+    q: float,
+    method: str = "estimate_tdigest",
+    column: str = "f_float",
+    by: Sequence[str] = ("measurement", "field"),
+    alias: str = "quantile",
+) -> DataFrame:
+    """Flux ``quantile(q:, method:)`` / InfluxQL PERCENTILE.
+
+    - ``estimate_tdigest``: approximate (Spark's percentile_approx — a
+      quantile sketch, the scale path, mergeable map-side);
+    - ``exact_mean``: exact interpolated percentile;
+    - ``exact_selector``: the actual data point at rank ⌈q·n⌉
+      (selector semantics — returns a value that exists in the data).
+    """
+    from pyspark.sql import Window as W
+
+    c = F.col(column)
+    if method == "estimate_tdigest":
+        return df.groupBy(*by).agg(F.percentile_approx(c, q).alias(alias))
+    if method == "exact_mean":
+        return df.groupBy(*by).agg(F.percentile(c, q).alias(alias))
+    if method == "exact_selector":
+        w = W.partitionBy(*by).orderBy(column)
+        wn = W.partitionBy(*by)
+        ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n")))
+        return (
+            ranked.filter(F.col("_rk") == target)
+            .select(*by, c.alias(alias))
+        )
+    raise ValueError(f"unknown quantile method {method!r}")
+
+
 def aggregate(
     df: DataFrame,
     fn: str,

@@ -1205,3 +1205,54 @@ def ts_sample(spark, sf_dir):
     p = _pts(spark, sf_dir)
     s = ops.sample(p, 10, by=["event_type"], seed=42)
     return s.select(F.col("ingest_seq").alias("event_id"), "event_type")
+
+
+@q(
+    "ts_quantile_selector",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value ASC) rk,
+             count(*) OVER (PARTITION BY event_type) n
+      FROM events)
+    SELECT event_type, value AS q90
+    FROM r WHERE rk = greatest(1, cast(ceil(0.9 * n) as bigint))
+    """,
+)
+def ts_quantile_selector(spark, sf_dir):
+    """quantile(0.9, method: exact_selector) — the data point at rank
+    ⌈q·n⌉ per series (selector semantics: a value that exists)."""
+    p = _pts(spark, sf_dir)
+    return ops.quantile(p, 0.9, method="exact_selector", by=["event_type"], alias="q90")
+
+
+@q(
+    "ts_asof_join",
+    """
+    SELECT c.event_id, c.user_id, c.value AS click_value,
+           e.value AS last_error_value,
+           epoch_ms(e.ts) AS last_error_ms
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def ts_asof_join(spark, sf_dir):
+    """As-of join: each click gets the user's most recent error at or
+    before it (union + forward-fill plan — one shuffle, no range-join
+    explosion; SURVEY.md §2.2.3 extension)."""
+    p = _pts(spark, sf_dir)
+    clicks = p.filter(F.col("event_type") == "click")
+    errors = p.filter(F.col("event_type") == "error").select(
+        "user_id", "time_ns", F.col("f_float").alias("err_value")
+    )
+    j = ops.asof_join(
+        clicks, errors, on=["user_id"], value_cols=["err_value"]
+    )
+    return j.select(
+        F.col("ingest_seq").alias("event_id"),
+        "user_id",
+        F.col("f_float").alias("click_value"),
+        F.col("err_value_right").alias("last_error_value"),
+        F.expr("asof_time_ns div 1000000").alias("last_error_ms"),
+    )
