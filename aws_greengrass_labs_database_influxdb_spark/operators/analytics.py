@@ -197,17 +197,17 @@ def exponential_moving_average(
     per series (pandas ewm after SMA seed).
     """
     def _ema(pdf: pd.DataFrame) -> pd.Series:
-        v = pdf[value].astype(float)
-        if len(v) < n:
-            return pd.Series([None] * len(v), dtype="float64")
+        v = pdf[value].astype(float).reset_index(drop=True)
+        m = len(v)
+        out = pd.Series([None] * m, dtype="float64")
+        if m < n:
+            return out
         k = 2.0 / (n + 1)
-        out = pd.Series([None] * len(v), dtype="float64")
-        seed = v.iloc[:n].mean()
-        out.iloc[n - 1] = seed
-        prev = seed
-        for i in range(n, len(v)):
-            prev = v.iloc[i] * k + prev * (1 - k)
-            out.iloc[i] = prev
+        # vectorized recursion: seed the SMA as x₀ of an adjust=False ewm
+        # (y₀ = x₀; yₜ = (1−k)yₜ₋₁ + k·xₜ — exactly the InfluxDB formula)
+        tail = v.iloc[n - 1 :].copy()
+        tail.iloc[0] = v.iloc[:n].mean()
+        out.iloc[n - 1 :] = tail.ewm(alpha=k, adjust=False).mean().to_numpy()
         return out
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema)

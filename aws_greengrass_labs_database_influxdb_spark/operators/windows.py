@@ -221,15 +221,23 @@ def interpolate_linear(
                                allowMissingColumns=True)
 
     # order (time, _grid): a real observation at a grid timestamp sorts
-    # BEFORE its grid row, so the grid row's backward fill sees it
+    # BEFORE its grid row, so the grid row's backward fill sees it.
+    # Forward-looking fill uses a REVERSED running frame, not
+    # rowsBetween(0, unboundedFollowing): Spark evaluates growing-start
+    # frames O(n²) per partition (re-aggregated per row), which turns a
+    # sub-second window into minutes at 100k rows/series.
     wp = W.partitionBy(*by).orderBy(time_ns, "_grid").rowsBetween(W.unboundedPreceding, 0)
-    wn = W.partitionBy(*by).orderBy(time_ns, "_grid").rowsBetween(0, W.unboundedFollowing)
+    wn = (
+        W.partitionBy(*by)
+        .orderBy(F.desc(time_ns), F.desc("_grid"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     v, t = F.col(value), F.col(time_ns)
     obs_t = F.when(v.isNotNull(), t)
     prev_v = F.last(v, ignorenulls=True).over(wp)
     prev_t = F.last(obs_t, ignorenulls=True).over(wp)
-    next_v = F.first(v, ignorenulls=True).over(wn)
-    next_t = F.first(obs_t, ignorenulls=True).over(wn)
+    next_v = F.last(v, ignorenulls=True).over(wn)
+    next_t = F.last(obs_t, ignorenulls=True).over(wn)
     lerp = (
         F.when(v.isNotNull(), v)
         .when(prev_t == t, prev_v)  # exact hit: grid row takes the real value

@@ -24,14 +24,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "ts_agg_window_mean",
     "ts_agg_window_create_empty",
+    "ts_window_sliding",
+    "ts_interpolate_linear",
     "ts_derivative",
     "ts_cumulative_sum",
     "ts_top3",
     "ts_spread_stats",
+    "ts_asof_join",
+    "ts_ema",
     "rel_pricing_summary",
     "rel_region_revenue",
+    "rel_supplier_part_agg",
     "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_minhash_lsh",
+    "ext_similarity_topk",
     "ext_text_stats",
+    "influxql_count_fill0",
 ]
 
 
