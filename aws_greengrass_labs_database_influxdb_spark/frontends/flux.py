@@ -1,0 +1,365 @@
+"""Flux-subset string frontend.
+
+Parses the pipe-forward dashboard dialect of Flux (the language the
+provisioned engine serves on ``POST /api/v2/query`` — consumption shown
+at ``/root/reference/README.md:406-410``) and compiles it onto the
+operator library via :class:`..plans.pipeline.Pipeline`.
+
+Supported pipeline stages (the telemetry-dashboard core):
+
+    from(bucket: "b")
+    range(start: <time|duration|int>, stop: ...)
+    filter(fn: (r) => <conjunction of comparisons on r.cols>)
+    group(columns: ["a"], mode: "by"|"except")
+    window(every: 1m) / aggregateWindow(every: 1m, fn: mean,
+        createEmpty: false)
+    count/sum/mean/median/mode/stddev/spread/skew  ()
+    min/max/first/last/top(n:)/bottom(n:)/unique/distinct(column:)
+    derivative(unit: 1s, nonNegative: bool) / difference() /
+        increase() / cumulativeSum() / elapsed() /
+        movingAverage(n:) / timedMovingAverage(period:) /
+        exponentialMovingAverage(n:)
+    fill(value: X | usePrevious: true, column: "c")
+    sort(columns: [...], desc: bool) / limit(n:, offset:) / tail(n:)
+    keep/drop(columns: [...]) / rename(columns: {a: "b"}) /
+        set(key:, value:) / duplicate(column:, as:)
+    pivot(rowKey:[...], columnKey: ["_field"], valueColumn: "_value")
+    yield(name: "...")
+
+Flux column names map onto the canonical points schema:
+``_measurement → measurement``, ``_field → field``, ``_value →
+f_float``, ``_time → time`` (and tag names pass through — promoted
+columns or ``tags['k']``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..operators.windows import duration_ns
+from ..plans.pipeline import Pipeline, from_points
+
+
+class FluxError(ValueError):
+    pass
+
+
+COLMAP = {"_measurement": "measurement", "_field": "field", "_value": "f_float", "_time": "time"}
+
+_DUR_RX = re.compile(r"^-?\d+(ns|us|ms|s|m|h|d|w|mo|y)(\d+(ns|us|ms|s|m|h|d|w))*$")
+
+
+def _split_pipeline(q: str) -> list[str]:
+    """Split on |> at depth 0 (not inside strings/parens)."""
+    stages, buf, depth, instr = [], [], 0, False
+    i = 0
+    while i < len(q):
+        c = q[i]
+        if instr:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(q):
+                buf.append(q[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                instr = False
+            i += 1
+            continue
+        if c == '"':
+            instr = True
+            buf.append(c)
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c == "|" and depth == 0 and q[i : i + 2] == "|>":
+            stages.append("".join(buf).strip())
+            buf = []
+            i += 2
+            continue
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        stages.append("".join(buf).strip())
+    return stages
+
+
+def _parse_stage(stage: str) -> tuple[str, str]:
+    m = re.match(r"(?s)^(\w+(?:\.\w+)?)\s*\((.*)\)$", stage.strip())
+    if not m:
+        raise FluxError(f"cannot parse stage {stage!r}")
+    return m.group(1), m.group(2).strip()
+
+
+def _split_args(argstr: str) -> dict[str, str]:
+    """Top-level k: v pairs (respecting nesting + strings + lambdas)."""
+    args: dict[str, str] = {}
+    depth, instr, buf = 0, False, []
+    parts = []
+    for c in argstr:
+        if instr:
+            buf.append(c)
+            if c == '"':
+                instr = False
+            continue
+        if c == '"':
+            instr = True
+            buf.append(c)
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if "".join(buf).strip():
+        parts.append("".join(buf))
+    for p in parts:
+        k, _, v = p.partition(":")
+        args[k.strip()] = v.strip()
+    return args
+
+
+def _time_to_ns(tok: str, now_ns: int) -> int:
+    tok = tok.strip()
+    if _DUR_RX.match(tok):
+        neg = tok.startswith("-")
+        ns = duration_ns(tok.lstrip("-"))
+        return now_ns - ns if neg else now_ns + ns
+    if re.match(r"^\d+$", tok):
+        return int(tok) * 10**9  # unix seconds
+    iso = tok.strip('"')
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%d"):
+        try:
+            d = dt.datetime.strptime(iso, fmt).replace(tzinfo=dt.timezone.utc)
+            return int(d.timestamp() * 10**6) * 1000
+        except ValueError:
+            continue
+    raise FluxError(f"bad time literal {tok!r}")
+
+
+def _col(df: DataFrame, name: str) -> Column:
+    name = COLMAP.get(name, name)
+    if name in df.columns:
+        return F.col(name)
+    if "tags" in df.columns:
+        return F.col("tags")[name]
+    raise FluxError(f"unknown column {name!r}")
+
+
+_CMP_RX = re.compile(
+    r'r(?:\.(\w+)|\["(\w+)"\])\s*(==|!=|>=|<=|>|<|=~)\s*'
+    r'("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|/[^/]*/)'
+)
+
+
+def _parse_predicate(df: DataFrame, body: str) -> Column:
+    """Conjunction/disjunction of r.<col> <op> <literal> comparisons."""
+    body = body.strip()
+    pos = 0
+    tokens: list = []  # Columns and 'and'/'or'
+    while pos < len(body):
+        m = _CMP_RX.search(body, pos)
+        if not m:
+            break
+        # connective between previous comparison and this one
+        gap = body[pos : m.start()]
+        if tokens:
+            if re.search(r"\bor\b", gap):
+                tokens.append("or")
+            else:
+                tokens.append("and")
+        name = m.group(1) or m.group(2)
+        op, lit = m.group(3), m.group(4)
+        c = _col(df, name)
+        if lit.startswith('"'):
+            val = lit[1:-1]
+        elif lit in ("true", "false"):
+            val = lit == "true"
+        elif lit.startswith("/"):
+            val = lit[1:-1]
+        else:
+            val = float(lit) if "." in lit else int(lit)
+            if name == "_value" or COLMAP.get(name) == "f_float":
+                val = float(val)
+        expr = {
+            "==": lambda: c == val,
+            "!=": lambda: c != val,
+            ">": lambda: c > val,
+            ">=": lambda: c >= val,
+            "<": lambda: c < val,
+            "<=": lambda: c <= val,
+            "=~": lambda: c.rlike(val),
+        }[op]()
+        tokens.append(expr)
+        pos = m.end()
+    if not tokens:
+        raise FluxError(f"cannot parse predicate {body!r}")
+    # left-fold with and/or
+    acc = tokens[0]
+    for i in range(1, len(tokens) - 1, 2):
+        conn, nxt = tokens[i], tokens[i + 1]
+        acc = (acc | nxt) if conn == "or" else (acc & nxt)
+    return acc
+
+
+def _lit(v: str):
+    v = v.strip()
+    if v.startswith('"'):
+        return v[1:-1]
+    if v in ("true", "false"):
+        return v == "true"
+    if re.match(r"^-?\d+\.\d+$", v):
+        return float(v)
+    if re.match(r"^-?\d+$", v):
+        return int(v)
+    return v
+
+
+def _strlist(v: str) -> list[str]:
+    return [s.strip().strip('"') for s in v.strip("[]").split(",") if s.strip()]
+
+
+AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
+
+
+def execute_flux(
+    points: DataFrame,
+    query: str,
+    now_ns: int | None = None,
+    group_key: tuple[str, ...] = ("measurement", "field"),
+) -> DataFrame:
+    """Compile + run a Flux pipe query against a canonical points DF."""
+    import time as _time
+
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    stages = _split_pipeline(query)
+    if not stages or not stages[0].startswith("from"):
+        raise FluxError("query must start with from(bucket: ...)")
+    pipe: Pipeline = from_points(points, group_key=group_key)
+    range_bounds: list = [None, None]
+
+    for stage in stages[1:]:
+        name, argstr = _parse_stage(stage)
+        args = _split_args(argstr) if argstr else {}
+        df = pipe.df
+        if name == "range":
+            start = _time_to_ns(args["start"], now_ns) if "start" in args else None
+            stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
+            range_bounds = [start, stop]
+            if start is not None:
+                pipe = pipe.filter(F.col("time_ns") >= start)
+            if stop is not None:
+                pipe = pipe.filter(F.col("time_ns") < stop)
+        elif name == "filter":
+            body = argstr.partition("=>")[2]
+            pipe = pipe.filter(_parse_predicate(df, body))
+        elif name == "group":
+            cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
+            pipe = pipe.group(cols, mode=_lit(args.get("mode", '"by"')))
+        elif name == "window":
+            pipe = pipe.window(args["every"])
+        elif name == "aggregateWindow":
+            pipe = pipe.aggregate_window(
+                args["every"],
+                args.get("fn", "mean"),
+                create_empty=_lit(args.get("createEmpty", "false")) is True,
+                range_start=range_bounds[0],
+                range_stop=range_bounds[1],
+                alias="_value_agg",
+            )
+            pipe = pipe.rename({"_value_agg": "f_float"})
+        elif name in AGG_STAGES:
+            pipe = pipe.aggregate(name, alias=name)
+        elif name == "min":
+            pipe = pipe.min()
+        elif name == "max":
+            pipe = pipe.max()
+        elif name == "first":
+            pipe = pipe.first()
+        elif name == "last":
+            pipe = pipe.last()
+        elif name == "top":
+            pipe = pipe.top(int(_lit(args["n"])))
+        elif name == "bottom":
+            pipe = pipe.bottom(int(_lit(args["n"])))
+        elif name == "derivative":
+            unit_s = duration_ns(args.get("unit", "1s")) / 1e9
+            pipe = pipe.derivative(
+                unit_seconds=unit_s,
+                non_negative=_lit(args.get("nonNegative", "false")) is True,
+            )
+        elif name == "difference":
+            pipe = pipe.difference(
+                non_negative=_lit(args.get("nonNegative", "false")) is True
+            )
+        elif name == "increase":
+            from ..operators import increase
+
+            pipe = pipe._with(increase(df, by=pipe.group_key, order=list(pipe.order)))
+        elif name == "cumulativeSum":
+            pipe = pipe.cumulative_sum()
+        elif name == "elapsed":
+            from ..operators import elapsed
+
+            pipe = pipe._with(elapsed(df, by=pipe.group_key, order=list(pipe.order)))
+        elif name == "movingAverage":
+            pipe = pipe.moving_average(int(_lit(args["n"])))
+        elif name == "timedMovingAverage":
+            from ..operators import timed_moving_average
+
+            period_s = int(duration_ns(args["period"]) // 10**9)
+            pipe = pipe._with(timed_moving_average(df, period_s, by=pipe.group_key))
+        elif name == "exponentialMovingAverage":
+            pipe = pipe.exponential_moving_average(int(_lit(args["n"])))
+        elif name == "fill":
+            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            if _lit(args.get("usePrevious", "false")) is True:
+                pipe = pipe.fill(use_previous=True, column=col)
+            else:
+                pipe = pipe.fill(value=_lit(args["value"]), column=col)
+        elif name == "sort":
+            cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", '["_time"]'))]
+            pipe = pipe.sort(cols, desc=_lit(args.get("desc", "false")) is True)
+        elif name == "limit":
+            pipe = pipe.limit(int(_lit(args["n"])), int(_lit(args.get("offset", "0"))))
+        elif name == "tail":
+            pipe = pipe.tail(int(_lit(args["n"])))
+        elif name == "keep":
+            pipe = pipe.keep([COLMAP.get(c, c) for c in _strlist(args["columns"])])
+        elif name == "drop":
+            pipe = pipe.drop([COLMAP.get(c, c) for c in _strlist(args["columns"])])
+        elif name == "rename":
+            body = args.get("columns", "{}").strip("{}")
+            mapping = {}
+            for part in body.split(","):
+                if ":" in part:
+                    k, _, v = part.partition(":")
+                    mapping[COLMAP.get(k.strip(), k.strip())] = v.strip().strip('"')
+            pipe = pipe.rename(mapping)
+        elif name == "set":
+            pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
+        elif name == "duplicate":
+            pipe = pipe._with(
+                df.withColumn(_lit(args["as"]), F.col(COLMAP.get(_lit(args["column"]), _lit(args["column"]))))
+            )
+        elif name == "pivot":
+            row_key = [COLMAP.get(c, c) for c in _strlist(args["rowKey"])]
+            col_key = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])][0]
+            val = COLMAP.get(_lit(args["valueColumn"]), _lit(args["valueColumn"]))
+            pipe = pipe.pivot(row_key, col_key, val)
+        elif name == "yield":
+            pass
+        else:
+            raise FluxError(f"unsupported Flux function {name!r}")
+    return pipe.df

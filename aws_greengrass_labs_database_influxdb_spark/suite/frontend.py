@@ -89,3 +89,44 @@ def influxql_where_limit(spark, sf_dir):
         "SELECT value FROM events WHERE event_type = 'error' AND value >= 150 LIMIT 20",
     )
     return out.select("value", F.unix_millis("time").alias("t_ms"))
+
+
+@q(
+    "flux_dashboard",
+    """
+    WITH grid AS (
+      SELECT g AS wstart
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g)),
+    et AS (SELECT DISTINCT event_type FROM events WHERE event_type IN ('click','error')),
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n
+      FROM events WHERE event_type IN ('click','error') GROUP BY 1, 2)
+    SELECT et.event_type,
+           epoch_ms(grid.wstart + INTERVAL 1 HOUR) AS t_ms,
+           coalesce(agg.n, 0) AS n
+    FROM et CROSS JOIN grid
+    LEFT JOIN agg ON agg.event_type = et.event_type AND agg.wstart = grid.wstart
+    """,
+)
+def flux_dashboard(spark, sf_dir):
+    """The reference's dashboard query shape, as Flux TEXT through the
+    parser: range → filter (or-predicate) → group → aggregateWindow
+    (createEmpty, timeSrc=_stop) → fill(0)."""
+    pts = events_points(spark, sf_dir)
+    from ..frontends import execute_flux
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> filter(fn: (r) => r.event_type == "click" or r.event_type == "error")'
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1h, fn: count, createEmpty: true)"
+        " |> fill(value: 0)",
+    )
+    return out.select(
+        "event_type",
+        F.expr("time_ns div 1000000").alias("t_ms"),
+        F.col("f_float").cast("long").alias("n"),
+    )

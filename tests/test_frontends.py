@@ -143,3 +143,87 @@ def test_annotated_csv_shape(spark):
     assert lines[3] == ",result,table,measurement,host,value"
     # two distinct group keys → table ids 0 and 1
     assert lines[4].split(",")[2] == "0" and lines[5].split(",")[2] == "1"
+
+
+# ----------------------------------------------------------------- flux text
+
+from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError, execute_flux  # noqa: E402
+
+T_STOP = 1706659200_000_000_000
+
+
+def test_flux_flagship_dashboard_query(pts, spark):
+    """The SURVEY §7 phase-0 query, as Flux text."""
+    out = execute_flux(
+        pts,
+        '''from(bucket:"greengrass-telemetry")
+          |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)
+          |> filter(fn: (r) => r._measurement == "events" and r.event_type == "click")
+          |> group(columns: ["event_type"])
+          |> aggregateWindow(every: 1h, fn: mean)''',
+    )
+    expected = (
+        pts.filter(F.col("event_type") == "click")
+        .groupBy(F.expr("time_ns div 3600000000000"))
+        .count()
+        .count()
+    )
+    assert out.count() == expected
+    assert "f_float" in out.columns
+
+
+def test_flux_filter_or_and_value(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => r.event_type == "click" or r.event_type == "error")'
+        " |> filter(fn: (r) => r._value > 150)",
+    )
+    direct = pts.filter(
+        F.col("event_type").isin("click", "error") & (F.col("f_float") > 150)
+    ).count()
+    assert out.count() == direct
+
+
+def test_flux_derivative_and_limit(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> derivative(unit: 1s) |> limit(n: 3)",
+    )
+    assert out.count() == 3 * pts.select("event_type").distinct().count()
+
+
+def test_flux_top_selector(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> top(n: 2)',
+    )
+    assert out.count() == 2 * pts.select("event_type").distinct().count()
+
+
+def test_flux_create_empty_fill(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1h, fn: mean, createEmpty: true)"
+        " |> fill(value: 0.0)",
+    )
+    n_types = pts.select("event_type").distinct().count()
+    assert out.count() == 720 * n_types
+    assert out.filter(F.col("f_float").isNull()).count() == 0
+
+
+def test_flux_relative_range(pts):
+    now = T_STOP
+    out = execute_flux(pts, 'from(bucket:"b") |> range(start: -24h)', now_ns=now)
+    direct = pts.filter(F.col("time_ns") >= now - 24 * 3600 * 10**9).count()
+    assert out.count() == direct
+
+
+def test_flux_unsupported_raises(pts):
+    with pytest.raises(FluxError):
+        execute_flux(pts, 'from(bucket:"b") |> frobnicate()')
+    with pytest.raises(FluxError):
+        execute_flux(pts, 'range(start: -1h)')
