@@ -251,6 +251,10 @@ def lines_df_to_points(
                 yield pd.DataFrame({c: [] for c in cols})
 
     parsed = lines_df.mapInPandas(_parse_batches, schema=POINTS_SCHEMA)
-    # ingest_seq: monotonically increasing id is assigned post-parse so the
-    # parser stays a pure function of its batch.
+    # ingest_seq: assigned post-parse so the parser stays a pure function.
+    # monotonically_increasing_id is illegal on an unbounded stream —
+    # streaming callers assign their own (e.g. per-micro-batch in
+    # foreachBatch, as streaming.ingest does).
+    if parsed.isStreaming:
+        return parsed
     return parsed.withColumn("ingest_seq", F.monotonically_increasing_id())

@@ -140,3 +140,56 @@ def test_threshold_check_publishes_statuses(spark, store, tmp_path):
         "h1" in k and lvl == "ok" for k, lvl in levels
     )
     assert any("h2" in k and lvl == "warn" for k, lvl in levels)
+
+
+def test_streaming_state_count_continues_across_batches(spark, store, tmp_path):
+    """applyInPandasWithState stateCount: run counts survive micro-batch
+    boundaries (state store), converging to the batch semantics."""
+    from aws_greengrass_labs_database_influxdb_spark.streaming.stateful import apply_streaming_state_count
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+    out_dir = str(tmp_path / "state_out")
+
+    def run_batch(name, lines):
+        (in_dir / name).write_text("\n".join(lines))
+        stream = (
+            spark.readStream.schema("value string")
+            .text(str(in_dir))
+        )
+        from aws_greengrass_labs_database_influxdb_spark.sources.lineprotocol import lines_df_to_points
+
+        pts = lines_df_to_points(stream).withColumn(
+            "host", F.col("tags")["host"]
+        ).select("host", "time_ns", "f_float")
+        q = (
+            apply_streaming_state_count(pts, ["host"], threshold=50.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: two above-threshold points → run 1,2
+    run_batch("a.txt", [f"m,host=h1 v=60.0 {T0}", f"m,host=h1 v=70.0 {T0 + MIN_NS}"])
+    # batch 2: run continues (3), then resets, then restarts
+    run_batch("b.txt", [
+        f"m,host=h1 v=80.0 {T0 + 2 * MIN_NS}",
+        f"m,host=h1 v=10.0 {T0 + 3 * MIN_NS}",
+        f"m,host=h1 v=90.0 {T0 + 4 * MIN_NS}",
+    ])
+    got = {
+        r.time_ns: r.state_count
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        T0: 1,
+        T0 + MIN_NS: 2,
+        T0 + 2 * MIN_NS: 3,  # continued across the micro-batch boundary
+        T0 + 3 * MIN_NS: -1,
+        T0 + 4 * MIN_NS: 1,
+    }
