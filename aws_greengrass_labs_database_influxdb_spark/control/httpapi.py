@@ -1,0 +1,315 @@
+"""HTTP façade: the ``/api/v2``-shaped surface of the provisioned engine.
+
+The reference component's clients talk to the database over HTTP on
+``{interface}:{port}`` (defaults ``127.0.0.1:8086``,
+``/root/reference/recipe.yaml:22-27``): peer components POST line
+protocol to ``/api/v2/write`` and Flux to ``/api/v2/query``
+(consumption documented at ``/root/reference/README.md:292-297`` and
+``:406-410``), authenticating with the tokens vended over IPC
+(§3.2/§3.3 of SURVEY.md). This module closes that last loop: a user of
+the reference can point the same client at this engine.
+
+Endpoints (InfluxDB 2.0 API shapes):
+
+- ``GET /ping`` → 204 (liveness; the ``influx ping`` probe the
+  reference health-check drives, ``src/influxdb_utils.sh:31-35``)
+- ``GET /health`` → 200 JSON pass/fail
+- ``GET /api/v2/setup`` → ``{"allowed": bool}`` (provision state —
+  the troubleshooting probe at ``README.md:383``)
+- ``POST /api/v2/write?org=&bucket=&precision=`` — line-protocol
+  body → LWW append into the bucket store (write-scoped token)
+- ``POST /api/v2/query?org=`` — Flux text (raw or JSON-wrapped) →
+  annotated CSV (read-scoped token)
+- ``GET/POST /query?db=&q=`` — InfluxQL 1.x compatibility endpoint →
+  v1-style JSON results
+- ``POST /api/v2/delete?org=&bucket=`` — time range + tag-equality
+  predicate delete
+
+Auth: ``Authorization: Token <token>`` resolved against the engine's
+:class:`~.tokens.TokenRegistry`; scoped tokens carry
+``read:orgs/{org}/buckets/{bucket_id}`` / ``write:...`` permissions
+(fixture shape ``/root/reference/test/test_influxDBTokenStreamHandler.py:36-49``),
+admin tokens carry org-wide ``read:orgs``/``write:orgs``. Missing or
+unknown token → 401; insufficient scope → 403 — matching the
+"unauthorized access to path" failure mode shown at ``README.md:406-410``.
+
+Scale note: the HTTP layer is control-plane-thin — each request turns
+into one Spark job (append or query); no per-row Python work happens
+here beyond line-protocol parsing of the posted batch, and nothing is
+collected except final query results (post-aggregation row counts).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from pyspark.sql import functions as F
+
+from ..frontends.annotated_csv import to_annotated_csv
+from ..frontends.flux import execute_flux
+from ..frontends.influxql import execute_influxql
+from ..sources.lineprotocol import parse_lines
+from .engine import Engine
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, code: str, message: str):
+        super().__init__(message)
+        self.status, self.code, self.message = status, code, message
+
+
+_FROM_BUCKET_RX = re.compile(r'from\s*\(\s*bucket\s*:\s*"([^"]+)"')
+
+
+def _rfc3339_to_ns(s: str) -> int:
+    s = s.strip()
+    # fromisoformat (3.11+) accepts 'Z'; normalize for older parsers
+    ts = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=dt.timezone.utc)
+    return int(ts.timestamp() * 1_000_000) * 1000
+
+
+def _ns_to_rfc3339(ns: int) -> str:
+    ts = dt.datetime.fromtimestamp(ns // 1_000_000_000, tz=dt.timezone.utc)
+    frac = ns % 1_000_000_000
+    base = ts.strftime("%Y-%m-%dT%H:%M:%S")
+    return f"{base}.{frac:09d}Z" if frac else f"{base}Z"
+
+
+def _parse_delete_predicate(pred: str):
+    """``_measurement="m" AND tag="v"`` → Column (equality conjunctions,
+    the grammar the delete API supports)."""
+    col = None
+    for clause in re.split(r"\s+AND\s+", pred.strip()):
+        m = re.match(r'^\s*([\w.]+)\s*=\s*"([^"]*)"\s*$', clause)
+        if not m:
+            raise ApiError(400, "invalid", f"bad delete predicate clause: {clause!r}")
+        key, val = m.group(1), m.group(2)
+        c = (
+            F.col("measurement") == val
+            if key == "_measurement"
+            else F.col("tags")[key] == val
+        )
+        col = c if col is None else (col & c)
+    return col
+
+
+class HttpApi:
+    """Serve an :class:`Engine` over HTTP. ``port=0`` picks a free port."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.host, self.port = host, port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        # Distinct ingest_seq space per write request so LWW resolves
+        # across requests (parse_lines numbers each batch from 0).
+        self._write_lock = threading.Lock()
+        self._write_batch = 0
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> tuple[str, int]:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                api._dispatch(self, "GET")
+
+            def do_POST(self):
+                api._dispatch(self, "POST")
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.host, self.port
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    # ----------------------------------------------------------------- auth
+
+    def _authorize(self, handler, mode: str, org: str, bucket: str) -> None:
+        """401 unless a known token; 403 unless it grants `mode` on the
+        bucket (scoped grant or org-wide admin grant)."""
+        auth = handler.headers.get("Authorization", "")
+        if not auth.startswith("Token "):
+            raise ApiError(401, "unauthorized", "unauthorized access")
+        token = auth[len("Token "):].strip()
+        record = next(
+            (r for r in self.engine.tokens.list_records() if r["token"] == token),
+            None,
+        )
+        if record is None:
+            raise ApiError(401, "unauthorized", "unknown authorization token")
+        try:
+            bucket_id = self.engine.store.get_bucket(org, bucket).id
+        except FileNotFoundError:
+            raise ApiError(404, "not found", f"bucket {bucket!r} not found")
+        allowed = {f"{mode}:orgs", f"{mode}:orgs/{org}/buckets/{bucket_id}"}
+        if not allowed.intersection(record["permissions"]):
+            raise ApiError(403, "forbidden", f"insufficient permissions for {mode}")
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch(self, handler, method: str) -> None:
+        url = urlsplit(handler.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            body = b""
+            length = int(handler.headers.get("Content-Length") or 0)
+            if length:
+                body = handler.rfile.read(length)
+            route = (method, url.path)
+            if route == ("GET", "/ping"):
+                self._respond(handler, 204, None)
+            elif route == ("GET", "/health"):
+                ok = self.engine.ping() == "OK"
+                self._respond(
+                    handler,
+                    200 if ok else 503,
+                    {"name": "influxdb", "status": "pass" if ok else "fail",
+                     "message": "ready for queries and writes", "checks": []},
+                )
+            elif route == ("GET", "/api/v2/setup"):
+                self._respond(handler, 200, {"allowed": not self.engine._provisioned})
+            elif route == ("POST", "/api/v2/write"):
+                self._handle_write(handler, q, body)
+            elif route == ("POST", "/api/v2/query"):
+                self._handle_query_flux(handler, q, body)
+            elif url.path == "/query":
+                self._handle_query_v1(handler, q, body)
+            elif route == ("POST", "/api/v2/delete"):
+                self._handle_delete(handler, q, body)
+            else:
+                raise ApiError(404, "not found", f"path not found: {url.path}")
+        except ApiError as e:
+            self._respond(handler, e.status, {"code": e.code, "message": e.message})
+        except Exception as e:  # surface engine errors as 400s, keep serving
+            self._respond(handler, 400, {"code": "invalid", "message": str(e)})
+
+    def _respond(self, handler, status: int, payload, content_type="application/json"):
+        if payload is None:
+            handler.send_response(status)
+            handler.end_headers()
+            return
+        data = (
+            payload.encode()
+            if isinstance(payload, str)
+            else json.dumps(payload).encode()
+        )
+        handler.send_response(status)
+        handler.send_header("Content-Type", content_type)
+        handler.send_header("Content-Length", str(len(data)))
+        handler.end_headers()
+        handler.wfile.write(data)
+
+    # ------------------------------------------------------------ endpoints
+
+    def _handle_write(self, handler, q: dict, body: bytes) -> None:
+        org = q.get("org") or self.engine.config.org
+        bucket = q.get("bucket") or self.engine.config.bucket
+        precision = q.get("precision", "ns")
+        self._authorize(handler, "write", org, bucket)
+        lines = body.decode().splitlines()
+        rows = parse_lines(lines, precision=precision, default_time_ns=time.time_ns())
+        if not rows:
+            raise ApiError(400, "invalid", "no points in request body")
+        with self._write_lock:
+            self._write_batch += 1
+            base = self._write_batch << 32
+        import pandas as pd
+
+        from ..schema import POINTS_SCHEMA
+
+        pdf = pd.DataFrame(rows)
+        pdf["ingest_seq"] = pdf["ingest_seq"] + base
+        pdf["time"] = pd.to_datetime(pdf["time_ns"] // 1000, unit="us")
+        df = self.engine.spark.createDataFrame(
+            pdf[[f.name for f in POINTS_SCHEMA.fields]], POINTS_SCHEMA
+        )
+        self.engine.store.write_points(org, bucket, df)
+        self._respond(handler, 204, None)
+
+    def _handle_query_flux(self, handler, q: dict, body: bytes) -> None:
+        org = q.get("org") or self.engine.config.org
+        ctype = handler.headers.get("Content-Type", "")
+        text = body.decode()
+        if "json" in ctype:
+            text = json.loads(text).get("query", "")
+        m = _FROM_BUCKET_RX.search(text)
+        if not m:
+            raise ApiError(400, "invalid", 'query must contain from(bucket: "...")')
+        bucket = m.group(1)
+        self._authorize(handler, "read", org, bucket)
+        points = self.engine.store.read_points(org, bucket)
+        result = execute_flux(points, text)
+        csv = to_annotated_csv(result)
+        self._respond(handler, 200, csv, content_type="text/csv; charset=utf-8")
+
+    def _handle_query_v1(self, handler, q: dict, body: bytes) -> None:
+        """InfluxQL compatibility: ``/query?db=<bucket>&q=<select>`` →
+        the 1.x JSON results envelope (DBRP maps db→bucket 1:1 here)."""
+        if not q.get("q") and body:
+            q.update({k: v[0] for k, v in parse_qs(body.decode()).items()})
+        db, text = q.get("db"), q.get("q")
+        if not db or not text:
+            raise ApiError(400, "invalid", "db and q parameters are required")
+        org = q.get("org") or self.engine.config.org
+        self._authorize(handler, "read", org, db)
+        points = self.engine.store.read_points(org, db)
+        result = execute_influxql(points, text)
+        epoch = q.get("epoch")
+        cols = result.columns
+        rows = result.collect()
+        div = {"ns": 1, "u": 1000, "us": 1000, "ms": 10**6, "s": 10**9}.get(epoch)
+
+        def cell(row, c):
+            v = row[c]
+            if c == "time" and v is not None:
+                ns = int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
+                return ns // div if div else _ns_to_rfc3339(ns)
+            return v
+
+        name = re.search(r'FROM\s+"?(\w+)"?', text, re.IGNORECASE)
+        series = {
+            "name": name.group(1) if name else db,
+            "columns": cols,
+            "values": [[cell(r, c) for c in cols] for r in rows],
+        }
+        self._respond(
+            handler, 200, {"results": [{"statement_id": 0, "series": [series]}]}
+        )
+
+    def _handle_delete(self, handler, q: dict, body: bytes) -> None:
+        org = q.get("org") or self.engine.config.org
+        bucket = q.get("bucket") or self.engine.config.bucket
+        self._authorize(handler, "write", org, bucket)
+        req = json.loads(body.decode() or "{}")
+        if "start" not in req or "stop" not in req:
+            raise ApiError(400, "invalid", "start and stop are required")
+        predicate = (
+            _parse_delete_predicate(req["predicate"]) if req.get("predicate") else None
+        )
+        self.engine.store.delete_predicate(
+            org,
+            bucket,
+            _rfc3339_to_ns(req["start"]),
+            _rfc3339_to_ns(req["stop"]),
+            predicate,
+        )
+        self._respond(handler, 204, None)

@@ -1,0 +1,167 @@
+"""HTTP façade tests: the /api/v2 surface end-to-end over a real socket.
+
+Drives the same client flow the reference documents — get a token
+(vending contract), write line protocol, query with Flux / InfluxQL,
+delete — against the in-process engine
+(write/query consumption: /root/reference/README.md:292-297, 406-410).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from aws_greengrass_labs_database_influxdb_spark.control.engine import Engine, EngineConfig
+from aws_greengrass_labs_database_influxdb_spark.control.httpapi import HttpApi
+from aws_greengrass_labs_database_influxdb_spark.control.secrets import CredentialsProvider
+
+GOOD_SECRET = {
+    "influxdb_username": "greengrass",
+    "influxdb_password": "ValidPassword#123",
+}
+
+T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    cfg = EngineConfig(store_root=str(tmp_path_factory.mktemp("httpstore")))
+    engine = Engine(spark, cfg)
+    engine.setup(CredentialsProvider(GOOD_SECRET))
+    engine.serve()
+    api = HttpApi(engine)
+    host, port = api.start()
+    tokens = {
+        level: engine.get_publish_json(
+            {"action": "RetrieveToken", "accessLevel": level}
+        )["InfluxDBToken"]
+        for level in ("RO", "RW", "Admin")
+    }
+    yield f"http://{host}:{port}", engine, tokens
+    api.stop()
+    engine.close()
+
+
+def _req(base, path, method="GET", token=None, body=None, ctype="application/json"):
+    req = urllib.request.Request(base + path, method=method)
+    if token:
+        req.add_header("Authorization", f"Token {token}")
+    data = None
+    if body is not None:
+        data = body.encode() if isinstance(body, str) else json.dumps(body).encode()
+        req.add_header("Content-Type", ctype)
+    resp = urllib.request.urlopen(req, data)
+    return resp.status, resp.read().decode()
+
+
+def test_ping_health_setup(served):
+    base, engine, tokens = served
+    assert _req(base, "/ping")[0] == 204
+    status, body = _req(base, "/health")
+    assert status == 200 and json.loads(body)["status"] == "pass"
+    status, body = _req(base, "/api/v2/setup")
+    assert json.loads(body) == {"allowed": False}  # already provisioned
+
+
+def test_write_requires_auth(served):
+    base, _, tokens = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+             body=f"cpu,host=h1 usage=1.0 {T0}")
+    assert e.value.code == 401
+    # RO token may not write
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+             token=tokens["RO"], body=f"cpu,host=h1 usage=1.0 {T0}")
+    assert e.value.code == 403
+
+
+def test_write_then_flux_query(served):
+    base, _, tokens = served
+    lines = "\n".join(
+        f"cpu,host=h{1 + i % 2} usage={float(i)} {T0 + i * 60_000_000_000}"
+        for i in range(10)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body=lines, ctype="text/plain")
+    assert status == 204
+
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "cpu")'
+        " |> sum()"
+    )
+    status, body = _req(
+        base, "/api/v2/query", "POST",
+        token=tokens["RO"], body={"query": flux, "type": "flux"},
+    )
+    assert status == 200
+    assert body.startswith("#group")
+    # sum of 0..9 = 45 appears in the annotated CSV data rows
+    assert ",45.0" in body
+
+
+def test_lww_overwrite_via_http(served):
+    base, engine, tokens = served
+    # same series+timestamp written twice → last write wins at read
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=f"temp,host=h9 t=1.0 {T0}", ctype="text/plain")
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=f"temp,host=h9 t=2.5 {T0}", ctype="text/plain")
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    rows = pts.filter("measurement = 'temp'").collect()
+    assert len(rows) == 1 and rows[0]["f_float"] == 2.5
+
+
+def test_influxql_v1_query(served):
+    base, _, tokens = served
+    q = urllib.parse.quote(
+        "SELECT SUM(value) FROM cpu WHERE time >= '2024-01-01T00:00:00Z'"
+        " AND time < '2024-01-02T00:00:00Z' GROUP BY time(1h)"
+    )
+    status, body = _req(
+        base, f"/query?db=greengrass-telemetry&q={q}&epoch=s", token=tokens["RO"]
+    )
+    assert status == 200
+    payload = json.loads(body)
+    series = payload["results"][0]["series"][0]
+    assert series["name"] == "cpu"
+    assert "time" in series["columns"]
+    ti = series["columns"].index("time")
+    vi = 1 - ti if len(series["columns"]) == 2 else series["columns"].index("sum")
+    total = sum(v[vi] for v in series["values"] if v[vi] is not None)
+    assert total == 45.0
+    assert all(isinstance(v[ti], int) for v in series["values"])  # epoch=s
+
+
+def test_delete_predicate_via_http(served):
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"mem,host=a used=1.0 {T0}\nmem,host=b used=2.0 {T0}",
+         ctype="text/plain")
+    status, _ = _req(
+        base, "/api/v2/delete?bucket=greengrass-telemetry", "POST",
+        token=tokens["Admin"],
+        body={
+            "start": "2024-01-01T00:00:00Z",
+            "stop": "2024-01-02T00:00:00Z",
+            "predicate": '_measurement="mem" AND host="a"',
+        },
+    )
+    assert status == 204
+    left = engine.store.read_points("greengrass", "greengrass-telemetry") \
+        .filter("measurement = 'mem'").collect()
+    assert [r["tags"]["host"] for r in left] == ["b"]
+
+
+def test_unknown_bucket_404(served):
+    base, _, tokens = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/write?bucket=nope", "POST",
+             token=tokens["Admin"], body="m v=1 1", ctype="text/plain")
+    assert e.value.code == 404
