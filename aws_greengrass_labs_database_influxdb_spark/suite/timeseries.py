@@ -72,6 +72,33 @@ def ts_agg_window_mean(spark, sf_dir):
 
 
 @q(
+    "ts_rollup_routed",
+    f"""
+    SELECT event_type,
+           epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS w_ms,
+           {DEC_SUM} / count(*) AS mean_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_rollup_routed(spark, sf_dir):
+    """Materialized-downsample routing (SURVEY §4.2): the hourly mean is
+    served from a 1-minute rollup of partials, not raw points. DECIMAL
+    partial sums make the two-phase re-aggregation bit-identical to the
+    direct aggregation — same oracle as ts_agg_window_mean."""
+    from ..plans.rollup import build_rollup, reaggregate
+
+    p = _pts(spark, sf_dir)
+    rp = build_rollup(p, 60 * 10**9, by=("event_type",))
+    hourly = reaggregate(rp, HOUR_NS, "mean", by=("event_type",), alias="mean_value")
+    n = reaggregate(rp, HOUR_NS, "count", by=("event_type",), alias="n")
+    return (
+        hourly.join(n.select("event_type", "_start_ns", "n"), ["event_type", "_start_ns"])
+        .select("event_type", _w_ms().alias("w_ms"), "mean_value", "n")
+    )
+
+
+@q(
     "ts_agg_window_create_empty",
     f"""
     WITH grid AS (

@@ -14,6 +14,8 @@ def spark():
     from aws_greengrass_labs_database_influxdb_spark.session import get_spark
 
     s = get_spark(app_name="tests", shuffle_partitions=4)
+    # events.parquet carries TIMESTAMP(NANOS); read as epoch-ns LONG
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield s
 
 
@@ -28,7 +30,7 @@ def events(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
-def points(events):
-    from aws_greengrass_labs_database_influxdb_spark.schema import events_to_points
+def points(spark, sf_dir):
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
 
-    return events_to_points(events).cache()
+    return events_points(spark, sf_dir).cache()
