@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # heaviest representative operators, not every suite entry.
 HEADLINE = [
     "ts_agg_window_mean",
+    "ts_rollup_routed",
     "ts_agg_window_create_empty",
     "ts_window_sliding",
     "ts_interpolate_linear",
@@ -56,7 +57,9 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not session bootstrap.
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in names:
