@@ -12,14 +12,21 @@
   turning O(N·Q) into O(candidates).
 - :func:`embedding_near_dup_pairs` — near-dup by cosine ≥ threshold
   over LSH buckets.
+- :func:`ivf_build` / :func:`ivf_topk` — IVF: a k-means|| coarse
+  quantizer partitions the corpus into cells; queries probe their
+  ``nprobe`` nearest cells only. The cell-partitioned corpus is what
+  you persist at scale (bucket by ``centroid_id``); full probe
+  degenerates to exact brute force (the test invariant).
 
-At 100 TB the corpus side is the big table: both entry points keep it
-shuffle-keyed by bucket/query id and never collect embeddings to the
-driver.
+At 100 TB the corpus side is the big table: all entry points keep it
+shuffle-keyed by bucket/cell/query id and never collect embeddings to
+the driver.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -201,3 +208,98 @@ def embedding_near_dup_pairs(
         "cosine", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
     )
     return out.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+# --------------------------------------------------------------------- IVF
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train an IVF coarse quantizer and partition the corpus by cell.
+
+    The quantizer is MLlib k-means|| (JVM, distributed, seeded); the
+    corpus assignment is ``model.transform`` — one scan, no Python.
+    Returns ``(indexed_corpus, centroids)`` where ``indexed_corpus``
+    carries a ``centroid_id`` column and ``centroids`` is the small
+    (n_centroids × dims) list the query side broadcasts.
+
+    At scale the indexed corpus is what you persist (partitioned /
+    bucketed by ``centroid_id``), so a query touches only the probed
+    cells — the inverted-file idea: O(candidates) not O(N·Q).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="_features", predictionCol="centroid_id",
+    )
+    model = km.fit(feat)
+    indexed = model.transform(feat).drop("_features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: each query probes its
+    ``nprobe`` nearest cells and scores only those cells' vectors.
+
+    Probe assignment is one Arrow-batched pandas UDF on the (small)
+    query side — a Q×C matrix multiply per batch; the corpus side never
+    runs Python. The candidate join is keyed on ``centroid_id``; cell
+    imbalance is the skew axis (AQE skew-join splits hot cells).
+
+    With ``nprobe == n_centroids`` every cell is probed, so the result
+    is exactly :func:`brute_force_topk` (the unit-test invariant).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (m, d)
+    nprobe = min(nprobe, len(centroids))
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (q, d)
+        d2 = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * (Q @ C.T) + c_sq
+        order = np.argsort(d2, kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_probes(F.col(vec_col))).alias("centroid_id"),
+    )
+    cand = indexed_corpus.join(q, "centroid_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_similarity_col(F.col("_qvec"), F.col(vec_col))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cosine", 6)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("match_id"),
+                F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )

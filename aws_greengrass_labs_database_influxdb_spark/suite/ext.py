@@ -282,3 +282,40 @@ def ext_doc_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = document_fingerprint(d)
     return out.select("doc_id", "fingerprint_md5", F.to_json("fingerprint_mins").alias("fp_mins"))
+
+
+@q(
+    "ext_similarity_ivf",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    prod AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             unnest(q.embedding)::double AS x, unnest(c.embedding)::double AS y
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id),
+    dots AS (
+      SELECT query_id, match_id, sum(x * y) AS dot,
+             sum(x * x) AS qq, sum(y * y) AS cc
+      FROM prod GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, match_id,
+             round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cosine
+      FROM dots),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, match_id, cosine, cast(rank as int) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ext_similarity_ivf(spark, sf_dir):
+    """IVF ANN (coarse-quantizer routing) at full probe: every cell is
+    probed, so the result must equal brute force exactly — which puts
+    the whole k-means build → cell assignment → probe → score pipeline
+    under the exact oracle gate. Partial-probe recall (the production
+    configuration) is asserted in unit tests."""
+    from ..ext.similarity import ivf_build, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = ivf_build(e, n_centroids=8, max_iter=4)
+    out = ivf_topk(indexed, centroids, e.filter(F.col("vec_id") < 5), k=5, nprobe=8)
+    return out.withColumn("rank", F.col("rank").cast("int"))

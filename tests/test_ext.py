@@ -117,3 +117,39 @@ def test_video_frame_sampling_grid(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     frames = sample_frames(media, every_ms=1000).collect()
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+# -------------------------------------------------------------------- IVF
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == n_centroids probes every cell → exactly brute force
+    (every corpus vector sits in exactly one probed cell)."""
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import ivf_build, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    indexed, centroids = ivf_build(e, n_centroids=8)
+    full = ivf_topk(indexed, centroids, q, k=5, nprobe=8).collect()
+    exact = brute_force_topk(e, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert {key(r): r.match_id for r in full} == {key(r): r.match_id for r in exact}
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import ivf_build, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    indexed, centroids = ivf_build(e, n_centroids=8)
+    approx = ivf_topk(indexed, centroids, q, k=5, nprobe=3)
+    exact = brute_force_topk(e, q, k=5)
+    exact_pairs = {(r.query_id, r.match_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.match_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF nprobe=3/8 recall collapsed: {recall}"
+    # a probed-cell result never invents a neighbor that brute force
+    # wouldn't score identically
+    for r in approx.collect():
+        assert r.cosine <= 1.0 + 1e-9
