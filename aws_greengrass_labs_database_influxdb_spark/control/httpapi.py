@@ -64,7 +64,8 @@ class ApiError(Exception):
         self.status, self.code, self.message = status, code, message
 
 
-_FROM_BUCKET_RX = re.compile(r'from\s*\(\s*bucket\s*:\s*"([^"]+)"')
+# matches from(bucket: "...") and schema.*(bucket: "...") alike
+_FROM_BUCKET_RX = re.compile(r'bucket\s*:\s*"([^"]+)"')
 
 
 def _rfc3339_to_ns(s: str) -> int:
@@ -253,7 +254,7 @@ class HttpApi:
             text = json.loads(text).get("query", "")
         m = _FROM_BUCKET_RX.search(text)
         if not m:
-            raise ApiError(400, "invalid", 'query must contain from(bucket: "...")')
+            raise ApiError(400, "invalid", 'query must reference bucket: "..."')
         bucket = m.group(1)
         self._authorize(handler, "read", org, bucket)
         points = self.engine.store.read_points(org, bucket)

@@ -26,6 +26,10 @@ Supported pipeline stages (the telemetry-dashboard core):
     pivot(rowKey:[...], columnKey: ["_field"], valueColumn: "_value")
     yield(name: "...")
 
+Standalone schema-introspection calls (dashboard variable queries) are
+also served: ``schema.measurements(bucket:)``, ``schema.fieldKeys``,
+``schema.tagKeys``, ``schema.tagValues(bucket:, tag:)``.
+
 Flux column names map onto the canonical points schema:
 ``_measurement → measurement``, ``_field → field``, ``_value →
 f_float``, ``_time → time`` (and tag names pass through — promoted
@@ -233,14 +237,55 @@ def _strlist(v: str) -> list[str]:
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
 
+_SCHEMA_RX = re.compile(
+    r'^\s*(?:import\s+"[^"]+"\s*)*schema\.(\w+)\s*\((.*)\)\s*$', re.DOTALL
+)
+
+
+def _schema_fn(points: DataFrame, fn: str, args: dict, tag_cols) -> DataFrame:
+    """``schema.measurements/fieldKeys/tagKeys/tagValues`` — the
+    dashboard-variable introspection calls. One distinct-aggregate scan
+    each; output is a single sorted ``_value`` column (the InfluxDB
+    result shape). ``tag_cols`` names promoted tag columns for frames
+    that materialize hot tags instead of a map."""
+    spark = points.sparkSession
+    if fn == "measurements":
+        out = points.select(F.col("measurement").alias("_value")).distinct()
+    elif fn == "fieldKeys":
+        out = points.select(F.col("field").alias("_value")).distinct()
+    elif fn == "tagKeys":
+        if "tags" in points.columns:
+            out = points.select(
+                F.explode(F.map_keys("tags")).alias("_value")
+            ).distinct()
+        else:
+            out = spark.createDataFrame([(c,) for c in tag_cols], "_value string")
+    elif fn == "tagValues":
+        tag = _lit(args["tag"])
+        col = F.col(tag) if tag in points.columns else F.col("tags")[tag]
+        out = (
+            points.select(col.cast("string").alias("_value"))
+            .filter(F.col("_value").isNotNull())
+            .distinct()
+        )
+    else:
+        raise FluxError(f"unsupported schema function {fn!r}")
+    return out.orderBy("_value")
+
+
 def execute_flux(
     points: DataFrame,
     query: str,
     now_ns: int | None = None,
     group_key: tuple[str, ...] = ("measurement", "field"),
+    tag_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Compile + run a Flux pipe query against a canonical points DF."""
     import time as _time
+
+    sm = _SCHEMA_RX.match(query)
+    if sm:
+        return _schema_fn(points, sm.group(1), _split_args(sm.group(2)), tag_cols)
 
     now_ns = now_ns if now_ns is not None else _time.time_ns()
     stages = _split_pipeline(query)

@@ -45,6 +45,12 @@ _AGGS = {
     "mode": "mode", "stddev": "stddev", "spread": "spread",
 }
 _SELECTORS = {"min", "max", "first", "last"}
+# per-point transform functions (windowed per series, not aggregated)
+_TRANSFORMS = {
+    "derivative", "non_negative_derivative",
+    "difference", "non_negative_difference",
+    "cumulative_sum", "moving_average", "elapsed",
+}
 
 
 @dataclass
@@ -62,6 +68,8 @@ class InfluxQLQuery:
     limit: int | None = None
     offset: int = 0
     slimit: int | None = None
+    # extra positional args of transform fns, keyed by output alias
+    fn_args: dict[str, list[str]] = field(default_factory=dict)
 
 
 def _parse_duration(tok: str) -> int:
@@ -111,12 +119,18 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     # SELECT list
     for part in re.split(r",(?![^()]*\))", m.group("sel")):
         part = part.strip()
-        fm = re.match(r"(?i)^(\w+)\s*\(\s*\"?(\w+|\*)\"?\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
+        fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
             fn = fm.group(1).lower()
-            if fn not in _AGGS and fn not in _SELECTORS:
+            if fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS:
                 raise InfluxQLError(f"unsupported function {fn!r}")
-            out.fields.append((fn, fm.group(2), fm.group(3) or fn))
+            args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
+            if not args:
+                raise InfluxQLError(f"{fn} needs a field argument")
+            alias = fm.group(3) or fn
+            out.fields.append((fn, args[0], alias))
+            if len(args) > 1:
+                out.fn_args[alias] = args[1:]
         else:
             cm = re.match(r'^"?([\w*]+)"?(?:\s+AS\s+"?(\w+)"?)?$', part)
             if not cm:
@@ -181,6 +195,65 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     return out
 
 
+def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -> DataFrame:
+    """DERIVATIVE / DIFFERENCE / CUMULATIVE_SUM / MOVING_AVERAGE /
+    ELAPSED (+ NON_NEGATIVE_*): per-point windowed transforms.
+
+    InfluxQL merge semantics: points of all series merge into one
+    ordered stream unless ``GROUP BY <tag>`` partitions them. First
+    points with no predecessor (and suppressed negatives for the
+    NON_NEGATIVE variants) drop, as InfluxDB does.
+    """
+    from ..operators import analytics as an_ops
+
+    if ast.group_time_ns:
+        raise InfluxQLError("transform functions do not support GROUP BY time()")
+    if len(transforms) != 1 or len(ast.fields) != 1:
+        raise InfluxQLError("exactly one transform function per SELECT")
+    fn, fld, alias = transforms[0]
+    src = "f_float" if fld in ("*", "value") else fld
+    by = list(ast.group_tags)
+    for t in by:
+        if t not in df.columns:
+            df = df.withColumn(t, tag_col(t))
+    args = ast.fn_args.get(alias, [])
+    order = ["time_ns", "ingest_seq"] if "ingest_seq" in df.columns else None
+
+    if fn in ("derivative", "non_negative_derivative"):
+        unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+        out = an_ops.derivative(
+            df, unit_seconds=unit_s, non_negative=fn.startswith("non_"),
+            value=src, by=by, alias=alias, order=order,
+        ).filter(F.col(alias).isNotNull())
+    elif fn in ("difference", "non_negative_difference"):
+        out = an_ops.difference(
+            df, non_negative=fn.startswith("non_"), value=src, by=by,
+            alias=alias, order=order,
+        ).filter(F.col(alias).isNotNull())
+    elif fn == "cumulative_sum":
+        out = an_ops.cumulative_sum(df, value=src, by=by, alias=alias, order=order)
+    elif fn == "moving_average":
+        if not args:
+            raise InfluxQLError("MOVING_AVERAGE needs a window size")
+        out = an_ops.moving_average(
+            df, n=int(args[0]), value=src, by=by, alias=alias, order=order
+        )
+    elif fn == "elapsed":
+        unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+        out = an_ops.elapsed(
+            df, unit_seconds=unit_s, by=by, alias=alias, order=order
+        ).filter(F.col(alias).isNotNull())
+    else:  # pragma: no cover — guarded by _TRANSFORMS membership
+        raise InfluxQLError(f"unhandled transform {fn!r}")
+
+    out = out.select("time", *by, alias)
+    if ast.order_desc:
+        out = out.orderBy(F.desc("time"))
+    if ast.limit is not None:
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+    return out
+
+
 def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
@@ -209,6 +282,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         df = df.filter(cmpmap[op])
 
     by = list(ast.group_tags)
+    transforms = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _TRANSFORMS]
+    if transforms:
+        return _execute_transform(df, ast, transforms, tag_col)
     has_agg = any(fn for fn, _, _ in ast.fields)
 
     if not has_agg:

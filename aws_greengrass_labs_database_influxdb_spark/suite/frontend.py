@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..frontends import execute_influxql
+from ..frontends import execute_flux, execute_influxql
 from ..sources.io import events_points
 from . import q
 
@@ -129,4 +129,107 @@ def flux_dashboard(spark, sf_dir):
         "event_type",
         F.expr("time_ns div 1000000").alias("t_ms"),
         F.col("f_float").cast("long").alias("n"),
+    )
+
+
+@q(
+    "influxql_derivative",
+    """
+    SELECT event_type, t_ms, derivative FROM (
+      SELECT event_type, epoch_ms(ts) AS t_ms,
+             (value - lag(value) OVER w) /
+             (((epoch_us(ts) * 1000) - lag(epoch_us(ts) * 1000) OVER w) / 1e9)
+               AS derivative,
+             lag(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def influxql_derivative(spark, sf_dir):
+    """InfluxQL transform: SELECT DERIVATIVE(value, 1s) ... GROUP BY
+    event_type — per-series rate with InfluxDB's drop-first semantics,
+    identical IEEE division tree on both sides."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT DERIVATIVE(value, 1s) FROM events GROUP BY event_type"
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "derivative"
+    )
+
+
+@q(
+    "influxql_elapsed",
+    """
+    SELECT event_type, t_ms, elapsed FROM (
+      SELECT event_type, epoch_ms(ts) AS t_ms,
+             cast(floor(((epoch_us(ts) * 1000) -
+                         lag(epoch_us(ts) * 1000) OVER w) / 1e9) as bigint)
+               AS elapsed,
+             lag(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def influxql_elapsed(spark, sf_dir):
+    """InfluxQL transform: SELECT ELAPSED(value, 1s) ... GROUP BY
+    event_type — integer seconds between consecutive points."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT ELAPSED(value, 1s) FROM events GROUP BY event_type"
+    )
+    return out.select("event_type", F.unix_millis("time").alias("t_ms"), "elapsed")
+
+
+@q(
+    "influxql_moving_average",
+    """
+    SELECT event_type, t_ms, round(ma, 6) AS ma FROM (
+      SELECT event_type, epoch_ms(ts) AS t_ms,
+             avg(value) OVER w AS ma, count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    WHERE n = 5
+    """,
+)
+def influxql_moving_average(spark, sf_dir):
+    """InfluxQL transform: SELECT MOVING_AVERAGE(value, 5) ... GROUP BY
+    event_type — emits from the 5th point per series (InfluxDB
+    semantics). Rounded on both sides: windowed float means are
+    engine-order-dependent in the last ulp."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT MOVING_AVERAGE(value, 5) AS ma FROM events GROUP BY event_type"
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), F.round("ma", 6).alias("ma")
+    )
+
+
+@q(
+    "flux_schema_tag_values",
+    "SELECT DISTINCT event_type AS _value FROM events",
+)
+def flux_schema_tag_values(spark, sf_dir):
+    """Flux schema introspection: schema.tagValues — the dashboard
+    variable query (one distinct scan, promoted-tag aware)."""
+    pts = events_points(spark, sf_dir)
+    return execute_flux(
+        pts,
+        'import "influxdata/influxdb/schema"\n'
+        'schema.tagValues(bucket: "greengrass-telemetry", tag: "event_type")',
+        tag_cols=("event_type", "user_id"),
+    )
+
+
+@q(
+    "flux_schema_measurements",
+    "SELECT DISTINCT 'events' AS _value FROM events",
+)
+def flux_schema_measurements(spark, sf_dir):
+    """Flux schema introspection: schema.measurements(bucket:)."""
+    pts = events_points(spark, sf_dir)
+    return execute_flux(
+        pts, 'schema.measurements(bucket: "greengrass-telemetry")'
     )

@@ -165,3 +165,14 @@ def test_unknown_bucket_404(served):
         _req(base, "/api/v2/write?bucket=nope", "POST",
              token=tokens["Admin"], body="m v=1 1", ctype="text/plain")
     assert e.value.code == 404
+
+
+def test_flux_schema_query_via_http(served):
+    base, _, tokens = served
+    status, body = _req(
+        base, "/api/v2/query", "POST", token=tokens["RO"],
+        body={"query": 'schema.tagValues(bucket: "greengrass-telemetry", tag: "host")'},
+    )
+    assert status == 200
+    # hosts written by earlier tests appear as _value rows
+    assert "_value" in body and "h1" in body
