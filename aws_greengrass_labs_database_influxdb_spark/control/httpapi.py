@@ -55,6 +55,7 @@ from ..frontends.annotated_csv import to_annotated_csv
 from ..frontends.flux import execute_flux
 from ..frontends.influxql import execute_influxql
 from ..sources.lineprotocol import parse_lines
+from ..sources.seq import next_seq_base
 from .engine import Engine
 
 
@@ -74,7 +75,10 @@ def _rfc3339_to_ns(s: str) -> int:
     ts = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=dt.timezone.utc)
-    return int(ts.timestamp() * 1_000_000) * 1000
+    # integer calendar arithmetic — float timestamp() loses ulps at ns
+    delta = ts - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return micros * 1000
 
 
 def _ns_to_rfc3339(ns: int) -> str:
@@ -110,10 +114,6 @@ class HttpApi:
         self.host, self.port = host, port
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        # Distinct ingest_seq space per write request so LWW resolves
-        # across requests (parse_lines numbers each batch from 0).
-        self._write_lock = threading.Lock()
-        self._write_batch = 0
 
     # ------------------------------------------------------------ lifecycle
 
@@ -230,9 +230,10 @@ class HttpApi:
         rows = parse_lines(lines, precision=precision, default_time_ns=time.time_ns())
         if not rows:
             raise ApiError(400, "invalid", "no points in request body")
-        with self._write_lock:
-            self._write_batch += 1
-            base = self._write_batch << 32
+        # Shared wall-clock base (sources/seq.py) so LWW order is
+        # consistent with the streaming ingest path; line index within
+        # the request stays the low bits (later duplicate line wins).
+        base = next_seq_base(rows=len(rows))
         import pandas as pd
 
         from ..schema import POINTS_SCHEMA
@@ -275,14 +276,21 @@ class HttpApi:
         points = self.engine.store.read_points(org, db)
         result = execute_influxql(points, text)
         epoch = q.get("epoch")
-        cols = result.columns
-        rows = result.collect()
         div = {"ns": 1, "u": 1000, "us": 1000, "ms": 10**6, "s": 10**9}.get(epoch)
+        # epoch ns computed in the plan (unix_micros is tz-independent);
+        # collect() returns naive local-tz datetimes, so any driver-side
+        # tz math would shift on non-UTC drivers
+        cols = result.columns
+        if "time" in cols:
+            result = result.withColumn(
+                "_time_ns_out", F.expr("unix_micros(time) * 1000")
+            )
+        rows = result.collect()
 
         def cell(row, c):
             v = row[c]
             if c == "time" and v is not None:
-                ns = int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
+                ns = row["_time_ns_out"]
                 return ns // div if div else _ns_to_rfc3339(ns)
             return v
 

@@ -120,16 +120,25 @@ class TokenRegistry:
             return None
         token: str | None = None
         matched = False
-        for rec in records:
-            desc = rec.get("description", "")
-            if (
-                (access_level == "RW" and desc == RW_DESCRIPTION)
-                or (access_level == "RO" and desc == RO_DESCRIPTION)
-                or (access_level == "Admin" and desc.endswith(ADMIN_SUFFIX))
-            ):
-                matched = True
-                token = rec.get("token")
-                break
+        if access_level == "Admin":
+            # Mirror the reference exactly: only the FIRST record is
+            # inspected, by substring containment — an admin token not
+            # in position 0 or with the identifier mid-description
+            # behaves identically (influxDBTokenStreamHandler.py:107-110)
+            desc0 = records[0].get("description", "") if records else ""
+            if ADMIN_SUFFIX not in desc0:
+                return None
+            matched = True
+            token = records[0].get("token")
+        else:
+            for rec in records:
+                desc = rec.get("description", "")
+                if (access_level == "RW" and desc == RW_DESCRIPTION) or (
+                    access_level == "RO" and desc == RO_DESCRIPTION
+                ):
+                    matched = True
+                    token = rec.get("token")
+                    break
         if not matched:
             return None
         if not token:

@@ -60,13 +60,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
     jaccard = |A∩B| / (|A| + |B| − |A∩B|) with integer counts — exact
     and engine-independent. ``max_shingle_freq`` drops shingles shared
-    by more than that many docs (skew guard at scale).
+    by more than that many docs BEFORE the self-join — default ON: at
+    corpus scale one stop-shingle ("of the and") otherwise creates a
+    quadratic hot key (10⁶ docs sharing it → 10¹² join rows). Dropping
+    it loses nothing: a shingle in >1000 docs carries ~zero Jaccard
+    signal for any pair. Pass ``None`` for the exact-oracle semantics.
     """
     sh = _shingled(df, text_col, id_col, n)
     if max_shingle_freq is not None:

@@ -98,15 +98,18 @@ def document_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Content fingerprints: full-text md5 + a winnowing-style selection
-    of k-gram hashes (min xxhash64 of word 5-grams per document window).
+    of k-gram hashes (min hash of word 5-grams per document window).
 
-    The "rolling hash" is the word-5-gram xxhash64 stream; we keep the
-    4 minima as the fingerprint set (robust to small edits, join-able).
+    The "rolling hash" is the word-5-gram hash stream; we keep the 4
+    minima as the fingerprint set (robust to small edits, join-able).
+    The gram hash is the first 60 bits of md5 — engine-portable (md5 is
+    identical everywhere), so the DuckDB oracle reproduces it exactly,
+    unlike xxhash64/murmur3 which are Spark-internal.
     """
     toks = _tokens(F.col(text_col))
     grams = F.expr(
         "transform(sequence(1, greatest(size(_toks), 5) - 4), "
-        "i -> xxhash64(concat_ws(' ', slice(_toks, i, 5))))"
+        "i -> cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, 5))), 1, 15), 16, 10) as bigint))"
     )
     return (
         df.withColumn("_toks", toks)

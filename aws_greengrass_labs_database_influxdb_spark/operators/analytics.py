@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
@@ -175,7 +176,10 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn):
     )
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_ns).reset_index(drop=True)
+        # total order: ingest_seq tie-break keeps recursions stable when
+        # two points share a timestamp (same rule as the window family)
+        keys = [time_ns] + (["ingest_seq"] if "ingest_seq" in pdf.columns else [])
+        pdf = pdf.sort_values(keys).reset_index(drop=True)
         pdf[out_field] = fn(pdf)
         return pdf
 
@@ -192,23 +196,28 @@ def exponential_moving_average(
 ) -> DataFrame:
     """Flux ``exponentialMovingAverage(n:)``.
 
-    EMA_t = v_t·k + EMA_{t−1}·(1−k), k = 2/(n+1); seeded with the SMA of
-    the first n points (InfluxDB semantics). Recursive → applyInPandas
-    per series (pandas ewm after SMA seed).
+    EMA_t = EMA_{t−1} + k·(v_t − EMA_{t−1}), k = 2/(n+1); seeded with
+    the SMA of the first n points (InfluxDB semantics). Recursive →
+    applyInPandas per series; the arithmetic is an explicit sequential
+    fold (seed = sequential sum / n) so the DuckDB oracle can reproduce
+    it bit-for-bit with ``list_reduce`` — see suite/timeseries.EMA_SQL.
     """
     def _ema(pdf: pd.DataFrame) -> pd.Series:
-        v = pdf[value].astype(float).reset_index(drop=True)
+        v = pdf[value].astype(float).to_numpy()
         m = len(v)
-        out = pd.Series([None] * m, dtype="float64")
+        out = np.full(m, np.nan)
         if m < n:
-            return out
+            return pd.Series(out)
         k = 2.0 / (n + 1)
-        # vectorized recursion: seed the SMA as x₀ of an adjust=False ewm
-        # (y₀ = x₀; yₜ = (1−k)yₜ₋₁ + k·xₜ — exactly the InfluxDB formula)
-        tail = v.iloc[n - 1 :].copy()
-        tail.iloc[0] = v.iloc[:n].mean()
-        out.iloc[n - 1 :] = tail.ewm(alpha=k, adjust=False).mean().to_numpy()
-        return out
+        s = 0.0
+        for x in v[:n]:
+            s = s + x
+        e = s / float(n)
+        out[n - 1] = e
+        for i in range(n, m):
+            e = e + k * (v[i] - e)
+            out[i] = e
+        return pd.Series(out)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema)
 
@@ -243,16 +252,30 @@ def triple_ema(df, n, value="f_float", by=("measurement", "field"),
 
 def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
                             time_ns="time_ns", alias="rsi"):
-    """Flux ``relativeStrengthIndex(n:)`` (Wilder smoothing — recursive)."""
+    """Flux ``relativeStrengthIndex(n:)`` (Wilder smoothing — recursive).
+
+    avg_up/avg_down fold as y = y + (1/n)·(x − y) seeded with the first
+    delta's up/down; output masked until n deltas observed. Explicit
+    sequential arithmetic for DuckDB-oracle bit parity.
+    """
     def _rsi(pdf: pd.DataFrame) -> pd.Series:
-        v = pdf[value].astype(float)
-        delta = v.diff()
-        up = delta.clip(lower=0.0)
-        down = (-delta).clip(lower=0.0)
-        avg_up = up.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
-        avg_down = down.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
-        rs = avg_up / avg_down
-        return 100 - 100 / (1 + rs)
+        v = pdf[value].astype(float).to_numpy()
+        m = len(v)
+        out = np.full(m, np.nan)
+        if m <= n:
+            return pd.Series(out)
+        a = 1.0 / n
+        d = np.diff(v)
+        up = np.where(d > 0.0, d, 0.0)
+        dn = np.where(d < 0.0, -d, 0.0)
+        au, ad = up[0], dn[0]
+        for j in range(1, m - 1):
+            au = au + a * (up[j] - au)
+            ad = ad + a * (dn[j] - ad)
+            i = j + 1  # row carrying the value after delta j
+            if i >= n:
+                out[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
+        return pd.Series(out)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi)
 
@@ -278,23 +301,36 @@ def kaufmans_er(df, n, value="f_float", by=("measurement", "field"),
 
 def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
                  time_ns="time_ns", alias="kama"):
-    """Flux ``kaufmansAMA(n:)`` — recursive adaptive MA."""
+    """Flux ``kaufmansAMA(n:)`` — recursive adaptive MA.
+
+    The efficiency-ratio inputs (|Δ| window sums) are vectorized via a
+    cumulative-sum difference — O(m), not O(m·n); only the smoothing
+    recursion itself stays scalar. The cumsum form is also what the
+    DuckDB oracle computes (running SUM window minus its lag), keeping
+    the two engines bit-identical.
+    """
     def _kama(pdf: pd.DataFrame) -> pd.Series:
         v = pdf[value].astype(float).to_numpy()
-        out = [None] * len(v)
-        if len(v) <= n:
-            return pd.Series(out, dtype="float64")
+        m = len(v)
+        out = np.full(m, np.nan)
+        if m <= n:
+            return pd.Series(out)
         fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
+        # cs[i] = |Δ| cumsum through row i; window sum = cs[i] − cs[i−n]
+        cs = np.concatenate(([0.0], np.cumsum(np.abs(np.diff(v)))))
+        idx = np.arange(n, m)
+        change = np.abs(v[idx] - v[idx - n])
+        vol = cs[idx] - cs[idx - n]
+        safe_vol = np.where(vol != 0.0, vol, 1.0)
+        er = np.where(vol != 0.0, change / safe_vol, 0.0)
+        sc_arr = (er * (fast - slow) + slow) ** 2
         prev = v[n - 1]
         out[n - 1] = prev
-        for i in range(n, len(v)):
-            change = abs(v[i] - v[i - n])
-            vol = sum(abs(v[j] - v[j - 1]) for j in range(i - n + 1, i + 1))
-            er = change / vol if vol != 0 else 0.0
-            sc = (er * (fast - slow) + slow) ** 2
-            prev = prev + sc * (v[i] - prev)
+        for j in range(len(idx)):
+            i = n + j
+            prev = prev + sc_arr[j] * (v[i] - prev)
             out[i] = prev
-        return pd.Series(out, dtype="float64")
+        return pd.Series(out)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama)
 
@@ -321,10 +357,18 @@ def chande_momentum_oscillator(df, n, value="f_float", by=("measurement", "field
 
 def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
                  by=("measurement", "field"), time_ns="time_ns"):
-    """Flux/InfluxQL ``holtWinters(n:, interval:)`` — forecast n points.
+    """Flux/InfluxQL ``holtWinters(n:, interval:, seasonality:)`` —
+    forecast n points per series.
 
-    Pure-pandas double/triple exponential smoothing fitted per series
-    (no statsmodels dependency); emits n forecast rows per series.
+    ``seasonality == 0``: double (Holt) exponential smoothing, fixed
+    α=β=0.5, explicit sequential arithmetic (DuckDB-oracle-matchable).
+    ``seasonality == s > 0``: additive triple exponential smoothing
+    (Holt-Winters proper): seasonal components seeded from the first
+    season against the first-season mean, γ=0.5. Parity note vs the
+    reference engine: InfluxDB fits α/β/γ by loss minimization
+    (Nelder-Mead); we use fixed coefficients — documented divergence,
+    deterministic and golden-tested instead. Needs ≥ 2·s points, else
+    falls back to the non-seasonal path.
     """
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType, True) for c in by]
@@ -332,19 +376,42 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
     )
 
     def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_ns)
+        keys_sort = [time_ns] + (["ingest_seq"] if "ingest_seq" in pdf.columns else [])
+        pdf = pdf.sort_values(keys_sort)
         v = pdf[value].astype(float).to_numpy()
         keys = {c: pdf[c].iloc[0] for c in by}
-        if len(v) < 2:
+        m = len(v)
+        if m < 2:
             return pd.DataFrame(columns=[*by, "time_ns", "hw"])
-        alpha = beta = 0.5
+        t0 = int(pdf[time_ns].iloc[-1])
+        step = int(interval_seconds * 1e9)
+        alpha = beta = gamma = 0.5
+        s = int(seasonality or 0)
+        if s > 0 and m >= 2 * s:
+            mean1 = float(np.mean(v[:s]))
+            mean2 = float(np.mean(v[s : 2 * s]))
+            level = mean1
+            trend = (mean2 - mean1) / s
+            seas = [v[i] - mean1 for i in range(s)]
+            for t in range(s, m):
+                prev = level
+                level = alpha * (v[t] - seas[t % s]) + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1 - beta) * trend
+                seas[t % s] = gamma * (v[t] - level) + (1 - gamma) * seas[t % s]
+            rows = [
+                {
+                    **keys,
+                    "time_ns": t0 + (i + 1) * step,
+                    "hw": level + (i + 1) * trend + seas[(m + i) % s],
+                }
+                for i in range(n)
+            ]
+            return pd.DataFrame(rows)
         level, trend = v[0], v[1] - v[0]
         for x in v[1:]:
             prev = level
             level = alpha * x + (1 - alpha) * (level + trend)
             trend = beta * (level - prev) + (1 - beta) * trend
-        t0 = int(pdf[time_ns].iloc[-1])
-        step = int(interval_seconds * 1e9)
         rows = [
             {**keys, "time_ns": t0 + (i + 1) * step, "hw": level + (i + 1) * trend}
             for i in range(n)

@@ -88,8 +88,29 @@ def bottom(
     )
 
 
-def sample(df: DataFrame, n: int, by: Sequence[str], seed: int = 42) -> DataFrame:
-    """InfluxQL SAMPLE: random n rows per series (seeded for tests)."""
+def sample(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    seed: int = 42,
+    pos: int = -1,
+    order: Sequence[str] = ("time_ns", "ingest_seq"),
+) -> DataFrame:
+    """Flux ``sample(n:, pos:)`` / InfluxQL ``SAMPLE``.
+
+    ``pos >= 0`` is the Flux contract: deterministically keep every
+    n-th row per series starting at offset ``pos`` (time order) —
+    reproducible, so the DuckDB oracle covers it. ``pos = -1`` is the
+    InfluxQL behavior: a random n rows per series (seeded for tests;
+    RNG streams are engine-specific → rows-only checking).
+    """
+    if pos >= 0:
+        w = W.partitionBy(*by).orderBy(*[c for c in order if c in df.columns])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") - 1) % n == pos)
+            .drop("_rn")
+        )
     w = W.partitionBy(*by).orderBy(F.rand(seed))
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -32,6 +32,7 @@ Spark-first design:
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Sequence
@@ -112,12 +113,26 @@ def reaggregate(
     )
 
 
+def _decimal_prec_scale(sum_dtype: str) -> tuple[int, int]:
+    """``decimal(p,s)`` → (p, s); non-decimal types get (inf, inf) —
+    they impose no truncation so they satisfy any requirement."""
+    m = re.fullmatch(r"\s*decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*", sum_dtype.lower())
+    if not m:
+        big = 10**9
+        return big, big
+    return int(m.group(1)), int(m.group(2))
+
+
 @dataclass
 class RollupSpec:
     name: str
     every_ns: int
     by: tuple[str, ...]
     value: str
+    sum_dtype: str = "decimal(12,2)"
+    # max window stop covered by the materialized data; writes with
+    # time_ns >= watermark_ns are NOT reflected in the rollup.
+    watermark_ns: int | None = None
 
 
 class RollupCatalog:
@@ -144,20 +159,29 @@ class RollupCatalog:
         every: str | int,
         by: Sequence[str] = ("measurement", "field"),
         value: str = "f_float",
+        sum_dtype: str = "decimal(12,2)",
     ) -> RollupSpec:
         """Full (re)build. Day-partitioned so incremental refreshes can
         overwrite only the days a new batch touches (the downsample
-        task's ``foreachBatch`` does exactly that per micro-batch)."""
+        task's ``foreachBatch`` does exactly that per micro-batch).
+
+        ``sum_dtype`` must be wide enough for the data's decimal scale —
+        it is persisted and validated at routing time so a rollup built
+        with too-narrow a scale is never silently preferred."""
         every_n = duration_ns(every)
-        rp = build_rollup(points, every_n, by, value).withColumn(
+        rp = build_rollup(points, every_n, by, value, sum_dtype=sum_dtype).withColumn(
             "_day", F.expr(f"_start_ns div {DAY_NS}")
         )
         d = self._dir(name)
         rp.write.mode("overwrite").partitionBy("_day").parquet(str(d / "data"))
-        spec = RollupSpec(name, every_n, tuple(by), value)
-        (d / "rollup.json").write_text(
-            json.dumps({"name": name, "every_ns": every_n, "by": list(by), "value": value})
+        # watermark from the written rollup (tiny relative to points):
+        # ranges ending past it may include unrolled-up writes → direct.
+        max_start = (
+            self.spark.read.parquet(str(d / "data")).agg(F.max("_start_ns")).collect()[0][0]
         )
+        watermark = (max_start + every_n) if max_start is not None else 0
+        spec = RollupSpec(name, every_n, tuple(by), value, sum_dtype, watermark)
+        (d / "rollup.json").write_text(json.dumps(spec.__dict__))
         return spec
 
     def refresh_days(self, name: str, points: DataFrame, days: Sequence[int]) -> None:
@@ -166,7 +190,7 @@ class RollupCatalog:
         partition-overwrite, no full rewrite."""
         spec = self.get(name)
         rp = (
-            build_rollup(points, spec.every_ns, spec.by, spec.value)
+            build_rollup(points, spec.every_ns, spec.by, spec.value, sum_dtype=spec.sum_dtype)
             .withColumn("_day", F.expr(f"_start_ns div {DAY_NS}"))
             .filter(F.col("_day").isin(list(days)))
         )
@@ -174,31 +198,53 @@ class RollupCatalog:
         rp.write.mode("overwrite").partitionBy("_day").parquet(
             str(self._dir(name) / "data")
         )
+        new_wm = (max(days) + 1) * DAY_NS
+        if spec.watermark_ns is None or new_wm > spec.watermark_ns:
+            spec.watermark_ns = new_wm
+            (self._dir(name) / "rollup.json").write_text(json.dumps(spec.__dict__))
 
     # ------------------------------------------------------------- lookup
+
+    @staticmethod
+    def _spec_from_json(m: dict) -> RollupSpec:
+        return RollupSpec(
+            m["name"],
+            m["every_ns"],
+            tuple(m["by"]),
+            m["value"],
+            m.get("sum_dtype", "decimal(12,2)"),
+            m.get("watermark_ns"),
+        )
 
     def list_specs(self) -> list[RollupSpec]:
         out = []
         for d in sorted(self.root.iterdir()):
             meta = d / "rollup.json"
             if meta.exists():
-                m = json.loads(meta.read_text())
-                out.append(RollupSpec(m["name"], m["every_ns"], tuple(m["by"]), m["value"]))
+                out.append(self._spec_from_json(json.loads(meta.read_text())))
         return out
 
     def get(self, name: str) -> RollupSpec:
-        m = json.loads((self._dir(name) / "rollup.json").read_text())
-        return RollupSpec(m["name"], m["every_ns"], tuple(m["by"]), m["value"])
+        return self._spec_from_json(
+            json.loads((self._dir(name) / "rollup.json").read_text())
+        )
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(str(self._dir(name) / "data"))
 
     def route(
-        self, every: str | int, fn: str, by: Sequence[str] = ("measurement", "field")
+        self,
+        every: str | int,
+        fn: str,
+        by: Sequence[str] = ("measurement", "field"),
+        min_sum_dtype: str | None = None,
     ) -> RollupSpec | None:
         """Coarsest materialized rollup that exactly answers
         (every, fn, by): grain divides the request, same group columns,
-        fn derivable from partials. None → fall back to raw points."""
+        fn derivable from partials, and (when ``min_sum_dtype`` is
+        given) a partial-sum type at least as wide/precise as required
+        — a rollup whose decimal sum would truncate the data is never
+        selected. None → fall back to raw points."""
         if fn not in ROUTABLE_FNS:
             return None
         every_n = duration_ns(every)
@@ -207,6 +253,15 @@ class RollupCatalog:
             for s in self.list_specs()
             if s.by == tuple(by) and every_n % s.every_ns == 0
         ]
+        if min_sum_dtype is not None and fn in ("sum", "mean"):
+            need_p, need_s = _decimal_prec_scale(min_sum_dtype)
+            candidates = [
+                s
+                for s in candidates
+                if (lambda p, s_: s_ >= need_s and p - s_ >= need_p - need_s)(
+                    *_decimal_prec_scale(s.sum_dtype)
+                )
+            ]
         return max(candidates, key=lambda s: s.every_ns, default=None)
 
     # ------------------------------------------------------------ execute
@@ -222,18 +277,51 @@ class RollupCatalog:
         range_start: int | None = None,
         range_stop: int | None = None,
         time_src: str = "_stop",
+        min_sum_dtype: str | None = None,
+        source_max_time_ns: int | None = None,
     ) -> DataFrame:
         """aggregateWindow with routing: serve from the best rollup when
         one applies (pruning rollup day-partitions by the range), else
-        compute directly from ``points``."""
-        spec = self.route(every, fn, by)
-        if spec is None:
-            from ..operators.windows import aggregate_window as direct
+        compute directly from ``points``.
 
+        Routing is refused (falls back to the direct path) when it
+        could diverge from a direct aggregation:
+
+        - range bounds not aligned to the rollup grain — the boundary
+          rollup window straddles the range edge, so its partial can't
+          be split; direct would aggregate only the in-range points;
+        - ``min_sum_dtype`` wider than the rollup's persisted partial
+          sum type (decimal truncation);
+        - ``source_max_time_ns`` (the bucket's max write time, when the
+          caller knows it) at/past the rollup watermark — writes newer
+          than the materialization would be invisible to the rollup.
+        """
+        from ..operators.windows import aggregate_window as direct
+
+        def fallback():
+            # range() filters points on the direct path (the routed path
+            # prunes rollup windows by the same bounds)
+            pts = points
+            if range_start is not None:
+                pts = pts.filter(F.col("time_ns") >= range_start)
+            if range_stop is not None:
+                pts = pts.filter(F.col("time_ns") < range_stop)
             return direct(
-                points, every, fn, by=by, alias=alias, create_empty=create_empty,
+                pts, every, fn, by=by, alias=alias, create_empty=create_empty,
                 range_start=range_start, range_stop=range_stop, time_src=time_src,
             )
+
+        spec = self.route(every, fn, by, min_sum_dtype=min_sum_dtype)
+        if spec is None:
+            return fallback()
+        for bound in (range_start, range_stop):
+            if bound is not None and bound % spec.every_ns != 0:
+                return fallback()
+        if (
+            source_max_time_ns is not None
+            and (spec.watermark_ns is None or source_max_time_ns >= spec.watermark_ns)
+        ):
+            return fallback()
         rp = self.read(spec.name)
         if range_start is not None:
             rp = rp.filter(

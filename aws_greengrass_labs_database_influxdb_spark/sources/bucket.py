@@ -97,10 +97,16 @@ class BucketStore:
         if "series_key" not in df.columns:
             df = series_key(df)
         if "ingest_seq" not in df.columns or df.schema["ingest_seq"].nullable:
-            df = df.withColumn(
-                "ingest_seq",
-                F.coalesce(F.col("ingest_seq"), F.monotonically_increasing_id()),
-            )
+            from .seq import INTRA_BITS, next_seq_base
+
+            # wall-clock base (shared allocator) so rows stamped here
+            # order correctly against every other write path's LWW seqs
+            base = next_seq_base()
+            fallback = F.lit(base) + F.monotonically_increasing_id() % F.lit(1 << INTRA_BITS)
+            if "ingest_seq" in df.columns:
+                df = df.withColumn("ingest_seq", F.coalesce(F.col("ingest_seq"), fallback))
+            else:
+                df = df.withColumn("ingest_seq", fallback)
         df = df.withColumn("day", F.expr(f"time_ns div {DAY_NS}"))
         (
             df.write.mode("append")
@@ -197,7 +203,11 @@ class BucketStore:
         doomed = (F.col("time_ns") >= start_ns) & (F.col("time_ns") < stop_ns)
         if predicate is not None:
             doomed = doomed & predicate
-        kept = affected.filter(~doomed)
+        # Null-safe negation: a tag predicate like tags['host']=='h1' is NULL
+        # for points without that tag; ~NULL is NULL, and filter(NULL) drops
+        # the row — which would silently delete every point lacking the tag.
+        # InfluxDB deletes only matching series, so NULL must mean "keep".
+        kept = affected.filter(~F.coalesce(doomed, F.lit(False)))
         tmp = data.with_name("data_delete_tmp")
         kept.write.mode("overwrite").partitionBy("measurement", "day").parquet(str(tmp))
         # swap in rewritten partitions for the affected day range only

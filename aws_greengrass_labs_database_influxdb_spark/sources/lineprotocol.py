@@ -251,10 +251,13 @@ def lines_df_to_points(
                 yield pd.DataFrame({c: [] for c in cols})
 
     parsed = lines_df.mapInPandas(_parse_batches, schema=POINTS_SCHEMA)
-    # ingest_seq: assigned post-parse so the parser stays a pure function.
-    # monotonically_increasing_id is illegal on an unbounded stream —
-    # streaming callers assign their own (e.g. per-micro-batch in
-    # foreachBatch, as streaming.ingest does).
+    # ingest_seq: assigned post-parse so the parser stays a pure function,
+    # from the shared wall-clock allocator so LWW order is comparable
+    # across all write paths. Illegal on an unbounded stream — streaming
+    # callers assign their own (per-micro-batch in foreachBatch, as
+    # streaming.ingest does).
     if parsed.isStreaming:
         return parsed
-    return parsed.withColumn("ingest_seq", F.monotonically_increasing_id())
+    from .seq import with_ingest_seq
+
+    return with_ingest_seq(parsed)

@@ -13,17 +13,21 @@ Late/out-of-order data: InfluxDB accepts ANY timestamp and upserts by
 aggregations (tasks.py), where they bound state, not acceptance.
 
 Idempotence under retries: ``foreachBatch`` can re-deliver a batch.
-``ingest_seq`` is derived from ``(batch_id, row-in-batch)`` so a replay
-writes identical rows and LWW dedup collapses them — convergent state.
+``ingest_seq`` comes from the shared wall-clock allocator
+(:mod:`..sources.seq`) so LWW ordering is consistent with the HTTP
+write path; a replay re-stamps the same (series, time, field, value)
+rows with a newer base, so state converges to the same values (LWW
+keeps one copy, compaction drops the rest) — value-idempotent.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.bucket import BucketStore
 from ..sources.lineprotocol import lines_df_to_points
+from ..sources.seq import with_ingest_seq
 
 
 def stream_lineprotocol_ingest(
@@ -43,12 +47,7 @@ def stream_lineprotocol_ingest(
 
     def _sink(batch_df, batch_id: int):
         pts = lines_df_to_points(batch_df, precision=precision)
-        # deterministic per-batch sequence → replay-idempotent appends
-        pts = pts.withColumn(
-            "ingest_seq",
-            (F.lit(batch_id) * F.lit(1 << 40)) + F.monotonically_increasing_id() % F.lit(1 << 40),
-        )
-        store.write_points(org, bucket, pts)
+        store.write_points(org, bucket, with_ingest_seq(pts))
 
     writer = lines.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:

@@ -68,12 +68,15 @@ def ext_text_stats(spark, sf_dir):
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, greatest(len(toks), 3) - 2),
                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
         FROM t)),
+    -- skew guard (default-on in the engine): shingles in >1000 docs drop
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pair AS (
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -273,10 +276,29 @@ def ext_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(d, max_hamming=3)
 
 
-@q("ext_doc_fingerprint")
+@q(
+    "ext_doc_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint_md5,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, fingerprint_md5,
+             list_transform(range(1, greatest(len(toks), 5) - 3),
+               i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT
+             ) AS grams
+      FROM t
+    )
+    SELECT doc_id, fingerprint_md5, to_json(list_sort(grams)[1:4]) AS fp_mins FROM g
+    """,
+)
 def ext_doc_fingerprint(spark, sf_dir):
-    """Winnowing-style fingerprints (md5 + 5-gram xxhash minima;
-    xxhash64 is Spark-specific → rows-only)."""
+    """Winnowing-style fingerprints: md5 of normalized text + the 4
+    minima of the word-5-gram hash stream. Gram hash = first 60 bits of
+    md5 (engine-portable) so the DuckDB oracle reproduces it exactly."""
     from ..ext.text import document_fingerprint
 
     d = load_table(spark, sf_dir, "documents")

@@ -1172,12 +1172,40 @@ def ts_chande_momentum(spark, sf_dir):
     )
 
 
-# -------------------------------------------- recursive family (rows-only)
+# ----------------------------------------------------- recursive family
+# Recursions are oracled with DuckDB list_reduce: a strict sequential
+# left fold, bit-identical to the explicit loops in operators/analytics
+# (verified: folds, prefix-array cumsums, and pair accumulators all
+# match numpy/python float-for-float; DuckDB *window* SUM does NOT —
+# it aggregates tree-wise — hence the fold-over-prefix-array shape).
 
-@q("ts_ema")
+# fold expression for one EMA step, k = 2/(n+1) with n = 10
+_EMA_FOLD = "(acc, x) -> acc + (2.0/11.0) * (x - acc)"
+# seed = sequential sum of first 10 values / 10
+_EMA_SEED = "list_reduce(pre[1:10], (a, b) -> a + b) / 10.0"
+
+EMA_SQL = f"""
+    WITH p AS (
+      SELECT event_id, event_type,
+             row_number() OVER w AS rn,
+             array_agg(value) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    )
+    SELECT event_id, event_type, round(ema, 6) AS ema FROM (
+      SELECT event_id, event_type,
+             CASE WHEN rn >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn]), {_EMA_FOLD}) END AS ema
+      FROM p)
+    WHERE ema IS NOT NULL
+    """
+
+
+@q("ts_ema", EMA_SQL)
 def ts_ema(spark, sf_dir):
     """exponentialMovingAverage(n:10) — recursive, applyInPandas per
-    series. No SQL oracle (recursion); driver records rows-only."""
+    series; oracled via DuckDB sequential-fold (see EMA_SQL)."""
     p = _pts(spark, sf_dir)
     e = ops.exponential_moving_average(p, 10, by=["event_type"])
     return e.filter(F.col("ema").isNotNull()).select(
@@ -1185,7 +1213,39 @@ def ts_ema(spark, sf_dir):
     )
 
 
-@q("ts_double_ema")
+@q(
+    "ts_double_ema",
+    f"""
+    WITH p AS (
+      SELECT event_id, event_type, ts,
+             row_number() OVER w AS rn,
+             array_agg(value) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e1 AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN rn >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn]), {_EMA_FOLD}) END AS e1
+      FROM p
+    ),
+    p2 AS (
+      SELECT event_id, event_type, e1,
+             row_number() OVER w2 AS rn2,
+             array_agg(e1) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e1 WHERE e1 IS NOT NULL
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    )
+    SELECT event_id, event_type, round(2 * e1 - e2, 6) AS dema FROM (
+      SELECT event_id, event_type, e1,
+             CASE WHEN rn2 >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn2]), {_EMA_FOLD}) END AS e2
+      FROM p2)
+    WHERE e2 IS NOT NULL
+    """,
+)
 def ts_double_ema(spark, sf_dir):
     """doubleEMA(n:10) = 2·EMA − EMA(EMA)."""
     p = _pts(spark, sf_dir)
@@ -1195,7 +1255,38 @@ def ts_double_ema(spark, sf_dir):
     )
 
 
-@q("ts_rsi")
+@q(
+    "ts_rsi",
+    f"""
+    WITH d AS (
+      SELECT event_id, event_type, ts,
+             value - lag(value) OVER w AS dl,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    u AS (
+      SELECT event_id, event_type, rn,
+             array_agg(CASE WHEN dl > 0.0 THEN dl ELSE 0.0 END) OVER w2 AS ups,
+             array_agg(CASE WHEN dl < 0.0 THEN -dl ELSE 0.0 END) OVER w2 AS dns
+      FROM d WHERE dl IS NOT NULL
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, event_type, round(rsi, 6) AS rsi FROM (
+      SELECT event_id, event_type,
+        CASE WHEN rn >= 15 THEN
+          CASE WHEN list_reduce(dns, (acc, x) -> acc + (1.0/14.0) * (x - acc)) = 0.0
+               THEN 100.0
+               ELSE 100.0 - 100.0 / (1.0 +
+                      list_reduce(ups, (acc, x) -> acc + (1.0/14.0) * (x - acc))
+                    / list_reduce(dns, (acc, x) -> acc + (1.0/14.0) * (x - acc)))
+          END
+        END AS rsi
+      FROM u)
+    WHERE rsi IS NOT NULL
+    """,
+)
 def ts_rsi(spark, sf_dir):
     """relativeStrengthIndex(n:14) — Wilder smoothing (recursive)."""
     p = _pts(spark, sf_dir)
@@ -1205,7 +1296,53 @@ def ts_rsi(spark, sf_dir):
     )
 
 
-@q("ts_kama")
+@q(
+    "ts_kama",
+    f"""
+    WITH b AS (
+      SELECT event_id, event_type, ts, value,
+             row_number() OVER w AS rn,
+             abs(value - lag(value) OVER w) AS dabs,
+             lag(value, 10) OVER w AS vlag
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    c AS (  -- sequential |Δ| cumsum (leading 0.0 for the first row)
+      SELECT *, list_reduce(array_agg(coalesce(dabs, 0.0)) OVER w2, (a, x) -> a + x) AS cs
+      FROM b
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT *, lag(cs, 10) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}) AS cs10,
+             max(CASE WHEN rn = 10 THEN value END) OVER (PARTITION BY event_type) AS seed
+      FROM c
+    ),
+    e AS (
+      SELECT *,
+        CASE WHEN (cs - cs10) != 0.0
+             THEN (abs(value - vlag) / (cs - cs10)) * (2.0/3.0 - 2.0/31.0) + 2.0/31.0
+             ELSE 0.0 * (2.0/3.0 - 2.0/31.0) + 2.0/31.0 END AS scb
+      FROM s WHERE rn >= 11
+    ),
+    f AS (
+      SELECT event_id, event_type, rn, seed,
+             array_agg([scb * scb, value]) OVER (
+               PARTITION BY event_type ORDER BY {SQL_ORDER}
+               ROWS UNBOUNDED PRECEDING) AS pairs
+      FROM e
+    )
+    SELECT event_id, event_type, round(kama, 6) AS kama FROM (
+      SELECT event_id, event_type,
+             list_reduce(list_prepend([seed, 0.0], pairs),
+               (acc, x) -> [acc[1] + x[1] * (x[2] - acc[1]), 0.0])[1] AS kama
+      FROM f
+      UNION ALL
+      SELECT event_id, event_type, seed AS kama
+      FROM s WHERE rn = 10)
+    WHERE kama IS NOT NULL
+    """,
+)
 def ts_kama(spark, sf_dir):
     """kaufmansAMA(n:10) — recursive adaptive moving average."""
     p = _pts(spark, sf_dir)
@@ -1215,7 +1352,32 @@ def ts_kama(spark, sf_dir):
     )
 
 
-@q("ts_holt_winters")
+@q(
+    "ts_holt_winters",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             list(value ORDER BY ts, event_id) AS vs,
+             max(epoch_us(ts) * 1000) AS t0
+      FROM events GROUP BY event_type
+    ),
+    fit AS (  -- fold carries [level, trend]; α = β = 0.5
+      SELECT event_type, t0,
+        list_reduce(
+          list_prepend([vs[1], vs[2] - vs[1]],
+                       list_transform(vs[2:], y -> [y, 0.0])),
+          (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                         + 0.5 * acc[2]]
+        ) AS lt
+      FROM agg
+    )
+    SELECT event_type,
+           (t0 + i * 3600000000000) // 1000000 AS t_ms,
+           round(lt[1] + i * lt[2], 6) AS hw
+    FROM fit CROSS JOIN (SELECT unnest(range(1, 7)) AS i)
+    """,
+)
 def ts_holt_winters(spark, sf_dir):
     """holtWinters(n:6, interval:1h): 6 forecast points per series."""
     p = _pts(spark, sf_dir)
@@ -1225,12 +1387,23 @@ def ts_holt_winters(spark, sf_dir):
     )
 
 
-@q("ts_sample")
+@q(
+    "ts_sample",
+    f"""
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}) AS rn
+      FROM events)
+    WHERE (rn - 1) % 10 = 3
+    """,
+)
 def ts_sample(spark, sf_dir):
-    """sample(n:10) per series — seeded random selection (rows-only:
-    RNG streams are engine-specific)."""
+    """Flux sample(n:10, pos:3): every 10th row per series starting at
+    offset 3 — deterministic (the InfluxQL random SAMPLE stays available
+    via pos=-1; RNG streams are engine-specific so only the Flux form is
+    oracled)."""
     p = _pts(spark, sf_dir)
-    s = ops.sample(p, 10, by=["event_type"], seed=42)
+    s = ops.sample(p, 10, by=["event_type"], pos=3)
     return s.select(F.col("ingest_seq").alias("event_id"), "event_type")
 
 

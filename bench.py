@@ -33,6 +33,8 @@ HEADLINE = [
     "ts_spread_stats",
     "ts_asof_join",
     "ts_ema",
+    "ts_kama",
+    "ts_rsi",
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_supplier_part_agg",

@@ -142,3 +142,26 @@ def test_bucket_delete_predicate(spark, tmp_path):
     )
     rows = {(r.tags["host"], r.f_float) for r in store.read_points("o", "b").collect()}
     assert rows == {("h2", 2.0), ("h1", 3.0)}
+
+
+def test_bucket_delete_predicate_keeps_untagged_points(spark, tmp_path):
+    """A tag predicate is NULL for points lacking the tag; those points
+    must survive the delete (InfluxDB deletes only matching series)."""
+    from pyspark.sql import functions as F
+
+    store = BucketStore(spark, str(tmp_path / "dn"))
+    store.create_bucket("o", "b")
+    t = 1704067200_000_000_000
+    store.write_points(
+        "o",
+        "b",
+        _points_df(
+            spark,
+            [f"m,host=h1 v=1 {t}", f"m v=2 {t + 1}", f"m,region=eu v=3 {t + 2}"],
+        ),
+    )
+    store.delete_predicate(
+        "o", "b", t, t + 3600 * 10**9, predicate=F.col("tags")["host"] == "h1"
+    )
+    vals = sorted(r.f_float for r in store.read_points("o", "b").collect())
+    assert vals == [2.0, 3.0]

@@ -47,6 +47,22 @@ def test_exact_dedup_groups(docs):
     assert dup[1] == 0  # keeper = min doc_id
 
 
+def test_ngram_skew_guard_prunes_stop_shingles(spark):
+    """A stop-shingle shared by every doc must not create O(N²)
+    candidates: with the guard on (default), docs whose only overlap is
+    the hot shingle produce no pair; genuinely similar docs still do."""
+    hot = "lorem ipsum dolor"  # one 3-gram shared by ALL docs
+    rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}") for i in range(40)]
+    rows += [(100, f"{hot} shared tail of nearly identical text"),
+             (101, f"{hot} shared tail of nearly identical text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_freq=10)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert (100, 101) in pairs
+    # no pair among the 40 hot-only docs (C(40,2)=780 would explode)
+    assert all(a == 100 for a, _ in pairs), pairs
+
+
 def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
     exact = {
         (r.a, r.b): r.jaccard

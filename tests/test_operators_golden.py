@@ -134,6 +134,39 @@ def test_ema_seeds_with_sma_of_first_n(spark):
     assert out[3].ema == pytest.approx(8.0 * k + 4.0 * (1 - k))
 
 
+# ----------------------------------------------------------- Holt-Winters
+
+def test_holt_winters_seasonal_matches_hand_computation(spark):
+    """Triple smoothing (additive, α=β=γ=0.5), hand-computed: seasonal
+    pattern of period 2 on a rising base."""
+    vals = [10.0, 20.0, 12.0, 22.0, 14.0, 24.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = ops.holt_winters(df, 2, 1, seasonality=2, by=["series"]).orderBy("time_ns").collect()
+
+    # hand recursion
+    a = b = g = 0.5
+    m1, m2 = (10 + 20) / 2, (12 + 22) / 2
+    level, trend = m1, (m2 - m1) / 2
+    seas = [10 - m1, 20 - m1]
+    for t in range(2, 6):
+        prev = level
+        level = a * (vals[t] - seas[t % 2]) + (1 - a) * (level + trend)
+        trend = b * (level - prev) + (1 - b) * trend
+        seas[t % 2] = g * (vals[t] - level) + (1 - g) * seas[t % 2]
+    exp = [level + (i + 1) * trend + seas[(6 + i) % 2] for i in range(2)]
+    assert [r.hw for r in out] == pytest.approx(exp)
+    assert [r.time_ns for r in out] == [6 * S, 7 * S]
+
+
+def test_holt_winters_seasonal_falls_back_without_two_seasons(spark):
+    """< 2·s points → non-seasonal double smoothing (same as s=0)."""
+    vals = [10.0, 20.0, 12.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    seasonal = ops.holt_winters(df, 2, 1, seasonality=2, by=["series"]).orderBy("time_ns").collect()
+    plain = ops.holt_winters(df, 2, 1, seasonality=0, by=["series"]).orderBy("time_ns").collect()
+    assert [r.hw for r in seasonal] == [r.hw for r in plain]
+
+
 # ------------------------------------------------------------- state family
 
 def test_state_count_runs_and_reset(spark):

@@ -92,6 +92,46 @@ def test_catalog_aggregate_window_routes_and_falls_back(points, tmp_path):
     }
 
 
+def test_routing_guards_fall_back_to_direct(points, tmp_path):
+    """Unaligned range bounds, too-narrow persisted sum_dtype, and a
+    stale watermark must each refuse routing (ADVICE r1)."""
+    cat = RollupCatalog(points.sparkSession, str(tmp_path / "rollups"))
+    spec = cat.materialize("m1", points, "1m", BY)
+    assert spec.sum_dtype == "decimal(12,2)" and spec.watermark_ns is not None
+
+    # (a) range start mid-window: routed must equal direct (fallback),
+    # i.e. include the partial boundary window's in-range points only
+    off_start = RANGE_START + 30 * 10**9  # 30s into the first window
+    routed = cat.aggregate_window(
+        points, "1h", "count", by=BY,
+        range_start=off_start, range_stop=RANGE_START + 86_400 * 10**9,
+    )
+    direct = aggregate_window(
+        points.filter(f"time_ns >= {off_start} and time_ns < {RANGE_START + 86_400 * 10**9}"),
+        "1h", "count", by=BY,
+    )
+    assert {_key(r): r["count"] for r in routed.collect()} == {
+        _key(r): r["count"] for r in direct.collect()
+    }
+
+    # (b) sum needing more decimal places than the persisted partials
+    assert cat.route("1h", "sum", BY, min_sum_dtype="decimal(20,6)") is None
+    assert cat.route("1h", "sum", BY, min_sum_dtype="decimal(12,2)") is not None
+    assert cat.route("1h", "count", BY, min_sum_dtype="decimal(20,6)") is not None
+
+    # (c) writes after materialize → stale rollup refused
+    fresh = cat.aggregate_window(
+        points, "1h", "count", by=BY, source_max_time_ns=spec.watermark_ns - 1
+    )
+    stale = cat.aggregate_window(
+        points, "1h", "count", by=BY, source_max_time_ns=spec.watermark_ns
+    )
+    # both still produce the right answer; the stale one just came from raw
+    assert {_key(r): r["count"] for r in fresh.collect()} == {
+        _key(r): r["count"] for r in stale.collect()
+    }
+
+
 def test_refresh_days_incremental(points, tmp_path):
     spark = points.sparkSession
     cat = RollupCatalog(spark, str(tmp_path / "rollups"))
