@@ -43,15 +43,19 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import re
+import ssl
+import subprocess
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from urllib.parse import parse_qs, urlsplit
 
 from pyspark.sql import functions as F
 
-from ..frontends.annotated_csv import to_annotated_csv
+from ..frontends.annotated_csv import iter_annotated_csv
 from ..frontends.flux import execute_flux
 from ..frontends.influxql import execute_influxql
 from ..sources.lineprotocol import parse_lines
@@ -63,6 +67,31 @@ class ApiError(Exception):
     def __init__(self, status: int, code: str, message: str):
         super().__init__(message)
         self.status, self.code, self.message = status, code, message
+
+
+def generate_self_signed_cert(
+    cert_dir: str, days: int = 365, subject: str = "/C=US/O=engine/CN=localhost"
+) -> tuple[str, str]:
+    """Self-signed cert + key, the reference's Install-step recipe
+    (``/root/reference/recipe.yaml:63-78``: ``openssl req -x509 -newkey
+    rsa:2048 -nodes``, configurable expiry, key chmod'd private).
+    Idempotent: reuses an existing pair in ``cert_dir``.
+    """
+    d = Path(cert_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    cert, key = d / "influxdb.crt", d / "influxdb.key"
+    if not (cert.exists() and key.exists()):
+        subprocess.run(
+            [
+                "openssl", "req", "-x509", "-newkey", "rsa:2048",
+                "-keyout", str(key), "-out", str(cert),
+                "-days", str(days), "-nodes", "-subj", subject,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.chmod(key, 0o600)  # recipe.yaml:77 chmods the key dir private
+    return str(cert), str(key)
 
 
 # matches from(bucket: "...") and schema.*(bucket: "...") alike
@@ -107,11 +136,29 @@ def _parse_delete_predicate(pred: str):
 
 
 class HttpApi:
-    """Serve an :class:`Engine` over HTTP. ``port=0`` picks a free port."""
+    """Serve an :class:`Engine` over HTTP or HTTPS.
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    ``port=0`` picks a free port. ``tls=True`` serves HTTPS with a
+    self-signed certificate (generated into ``cert_dir``, or reused) —
+    the reference's *default* posture (``recipe.yaml:24-27``
+    ``ServerProtocol: https`` + ``SkipTLSVerify: true``, certs from the
+    Install step). Clients opt out of verification exactly like the
+    vended ``InfluxDBSkipTLSVerify`` flag tells them to.
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tls: bool = False,
+        cert_dir: str | None = None,
+    ):
         self.engine = engine
         self.host, self.port = host, port
+        self.tls = tls
+        self.cert_dir = cert_dir
+        self.cert_file: str | None = None
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -131,6 +178,17 @@ class HttpApi:
                 api._dispatch(self, "POST")
 
         self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        if self.tls:
+            cert_dir = self.cert_dir or str(
+                Path(self.engine.config.store_root) / "tls"
+            )
+            cert, key = generate_self_signed_cert(cert_dir)
+            self.cert_file = cert
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            self._server.socket = ctx.wrap_socket(
+                self._server.socket, server_side=True
+            )
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
@@ -219,6 +277,19 @@ class HttpApi:
         handler.end_headers()
         handler.wfile.write(data)
 
+    def _respond_chunks(self, handler, chunks, content_type="text/csv; charset=utf-8"):
+        """Chunked transfer encoding: facade memory stays O(chunk) no
+        matter how large the query result is."""
+        handler.send_response(200)
+        handler.send_header("Content-Type", content_type)
+        handler.send_header("Transfer-Encoding", "chunked")
+        handler.end_headers()
+        for chunk in chunks:
+            data = chunk.encode()
+            if data:
+                handler.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+        handler.wfile.write(b"0\r\n\r\n")
+
     # ------------------------------------------------------------ endpoints
 
     def _handle_write(self, handler, q: dict, body: bytes) -> None:
@@ -260,8 +331,10 @@ class HttpApi:
         self._authorize(handler, "read", org, bucket)
         points = self.engine.store.read_points(org, bucket)
         result = execute_flux(points, text)
-        csv = to_annotated_csv(result)
-        self._respond(handler, 200, csv, content_type="text/csv; charset=utf-8")
+        # stream: chunked encoding over toLocalIterator — an
+        # un-aggregated range() over a big bucket never materializes
+        # in facade memory
+        self._respond_chunks(handler, iter_annotated_csv(result))
 
     def _handle_query_v1(self, handler, q: dict, body: bytes) -> None:
         """InfluxQL compatibility: ``/query?db=<bucket>&q=<select>`` →

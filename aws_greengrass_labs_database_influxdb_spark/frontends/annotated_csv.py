@@ -6,14 +6,17 @@ group key), ``#datatype``, ``#default`` — then the header and data rows,
 with a ``table`` index column numbering tables within the result
 (public InfluxDB 2.0 annotated-CSV spec).
 
-Serialization necessarily collects — it's the result-delivery edge, so
-rows here are post-aggregation (small). Callers stream large raw
-results to parquet instead.
+Serialization is the result-delivery edge, but it must not be a
+driver-memory bottleneck: an un-aggregated ``from() |> range()`` over a
+big bucket can be arbitrarily large. So the core is a *generator* over
+``toLocalIterator()`` — driver memory stays O(one partition); the
+group-key sort happens in Spark (``orderBy``), not driver-side. The
+string-returning wrapper remains for small dashboard responses.
 """
 
 from __future__ import annotations
 
-import io
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, types as T
 
@@ -49,33 +52,55 @@ def _fmt(v) -> str:
     return s
 
 
+def iter_annotated_csv(
+    df: DataFrame,
+    group_key: tuple[str, ...] = (),
+    result_name: str = "_result",
+) -> Iterator[str]:
+    """Stream a result DataFrame as Flux annotated-CSV chunks.
+
+    Tables split on the group key; ``table`` numbers them in sorted
+    group-key order. The sort is a Spark job (``orderBy``); rows reach
+    the driver one partition at a time via ``toLocalIterator()`` — the
+    facade never holds the full result.
+    """
+    cols = df.columns
+    dtypes = [_dtype(f.dataType) for f in df.schema.fields]
+    yield (
+        "#group,false,false,"
+        + ",".join("true" if c in group_key else "false" for c in cols)
+        + "\r\n"
+        + "#datatype,string,long,"
+        + ",".join(dtypes)
+        + "\r\n"
+        + "#default,"
+        + result_name
+        + ",,"
+        + "," * (len(cols) - 1)
+        + "\r\n"
+        + ",result,table,"
+        + ",".join(cols)
+        + "\r\n"
+    )
+    if group_key:
+        df = df.orderBy(*group_key)
+    table_ids: dict[tuple, int] = {}
+    buf: list[str] = []
+    for r in df.toLocalIterator(prefetchPartitions=True):
+        key = tuple(str(r[k]) for k in group_key) if group_key else ()
+        tid = table_ids.setdefault(key, len(table_ids))
+        buf.append(",," + str(tid) + "," + ",".join(_fmt(r[c]) for c in cols) + "\r\n")
+        if len(buf) >= 1000:
+            yield "".join(buf)
+            buf = []
+    if buf:
+        yield "".join(buf)
+
+
 def to_annotated_csv(
     df: DataFrame,
     group_key: tuple[str, ...] = (),
     result_name: str = "_result",
 ) -> str:
-    """Serialize a result DataFrame as Flux annotated CSV.
-
-    Tables split on the group key (sorted); ``table`` numbers them.
-    """
-    cols = df.columns
-    rows = df.collect()
-    if group_key:
-        rows = sorted(rows, key=lambda r: tuple(str(r[k]) for k in group_key))
-
-    # assign table ids by group-key value
-    table_ids: dict[tuple, int] = {}
-    out = io.StringIO()
-    dtypes = [_dtype(f.dataType) for f in df.schema.fields]
-
-    out.write("#group,false,false," + ",".join(
-        "true" if c in group_key else "false" for c in cols
-    ) + "\r\n")
-    out.write("#datatype,string,long," + ",".join(dtypes) + "\r\n")
-    out.write("#default," + result_name + ",," + "," * (len(cols) - 1) + "\r\n")
-    out.write(",result,table," + ",".join(cols) + "\r\n")
-    for r in rows:
-        key = tuple(str(r[k]) for k in group_key) if group_key else ()
-        tid = table_ids.setdefault(key, len(table_ids))
-        out.write(",," + str(tid) + "," + ",".join(_fmt(r[c]) for c in cols) + "\r\n")
-    return out.getvalue()
+    """Materialized convenience wrapper (small dashboard responses)."""
+    return "".join(iter_annotated_csv(df, group_key, result_name))

@@ -145,6 +145,19 @@ def test_annotated_csv_shape(spark):
     assert lines[4].split(",")[2] == "0" and lines[5].split(",")[2] == "1"
 
 
+def test_annotated_csv_streams_in_bounded_chunks(spark):
+    """iter_annotated_csv must yield incrementally (O(batch) facade
+    memory), and concatenate to the same bytes as the wrapper."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import iter_annotated_csv
+
+    df = spark.range(3500).selectExpr("'m' as measurement", "cast(id as double) as value")
+    chunks = list(iter_annotated_csv(df))
+    assert len(chunks) >= 4  # header + ≥3 row batches of ≤1000
+    body = "".join(chunks)
+    assert body.count("\r\n") == 3500 + 4
+    assert body == to_annotated_csv(df)
+
+
 # ----------------------------------------------------------------- flux text
 
 from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError, execute_flux  # noqa: E402

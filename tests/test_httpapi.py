@@ -176,3 +176,36 @@ def test_flux_schema_query_via_http(served):
     assert status == 200
     # hosts written by earlier tests appear as _value rows
     assert "_value" in body and "h1" in body
+
+
+def test_https_serve_with_self_signed_cert(served, tmp_path):
+    """The reference's default posture: HTTPS with a self-signed cert
+    (recipe.yaml:24-27, 63-78); clients skip verification (the vended
+    InfluxDBSkipTLSVerify flag) or pin the served cert."""
+    import ssl
+
+    _, engine, tokens = served
+    from aws_greengrass_labs_database_influxdb_spark.control.httpapi import HttpApi
+
+    api = HttpApi(engine, tls=True, cert_dir=str(tmp_path / "tls"))
+    host, port = api.start()
+    try:
+        # skip-verify client (InfluxDBSkipTLSVerify: true)
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        req = urllib.request.Request(f"https://{host}:{port}/ping")
+        assert urllib.request.urlopen(req, context=ctx).status == 204
+
+        # verifying client pinning the generated cert
+        pin = ssl.create_default_context(cafile=api.cert_file)
+        pin.check_hostname = False  # CN=localhost vs 127.0.0.1
+        req = urllib.request.Request(
+            f"https://{host}:{port}/api/v2/write?bucket=greengrass-telemetry",
+            method="POST", data=b"tlsm v=1 1704067200000000000",
+        )
+        req.add_header("Authorization", f"Token {tokens['RW']}")
+        req.add_header("Content-Type", "text/plain")
+        assert urllib.request.urlopen(req, context=pin).status == 204
+    finally:
+        api.stop()
