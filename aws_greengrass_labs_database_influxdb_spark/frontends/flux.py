@@ -152,8 +152,21 @@ def _time_to_ns(tok: str, now_ns: int) -> int:
     raise FluxError(f"bad time literal {tok!r}")
 
 
+def _colname(df: DataFrame, name: str) -> str:
+    mapped = COLMAP.get(name, name)
+    if mapped in df.columns:
+        return mapped
+    # join-suffixed flux names: _value_c → f_float_c etc.
+    for flux, real in COLMAP.items():
+        if name.startswith(flux + "_"):
+            cand = real + name[len(flux):]
+            if cand in df.columns:
+                return cand
+    return mapped
+
+
 def _col(df: DataFrame, name: str) -> Column:
-    name = COLMAP.get(name, name)
+    name = _colname(df, name)
     if name in df.columns:
         return F.col(name)
     if "tags" in df.columns:
@@ -236,6 +249,115 @@ def _strlist(v: str) -> list[str]:
 
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
+_ARITH_TOKEN_RX = re.compile(
+    r'r\.\w+|r\["[^"]+"\]|\d+\.\d+|\d+|"(?:[^"\\]|\\.)*"|[()+\-*/%]'
+)
+
+
+def _parse_arith(df: DataFrame, s: str) -> Column:
+    """Arithmetic over row fields for ``map()``: ``r.col``/``r["col"]``,
+    numeric/string literals, ``+ - * / %`` and parens — compiled to a
+    Column expression (JVM-side, no UDF)."""
+    tokens = _ARITH_TOKEN_RX.findall(s)
+    if not tokens:
+        raise FluxError(f"cannot parse map expression {s!r}")
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def eat():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def factor() -> Column:
+        t = peek()
+        if t is None:
+            raise FluxError(f"truncated map expression {s!r}")
+        if t == "(":
+            eat()
+            e = expr()
+            if peek() != ")":
+                raise FluxError(f"unbalanced parens in {s!r}")
+            eat()
+            return e
+        if t == "-":
+            eat()
+            return -factor()
+        eat()
+        if t.startswith('r["'):
+            return _col(df, t[3:-2])
+        if t.startswith("r."):
+            return _col(df, t[2:])
+        if t.startswith('"'):
+            return F.lit(t[1:-1])
+        return F.lit(float(t) if "." in t else int(t))
+
+    def term() -> Column:
+        e = factor()
+        while peek() in ("*", "/", "%"):
+            op = eat()
+            r = factor()
+            e = e * r if op == "*" else (e / r if op == "/" else e % r)
+        return e
+
+    def expr() -> Column:
+        e = term()
+        while peek() in ("+", "-"):
+            op = eat()
+            r = term()
+            e = e + r if op == "+" else e - r
+        return e
+
+    out = expr()
+    if pos[0] != len(tokens):
+        raise FluxError(f"trailing tokens in map expression {s!r}")
+    return out
+
+
+def _split_statements(q: str) -> list[str]:
+    """Top-level statements of a Flux script: ``name = <pipeline>``
+    assignments and the final result pipeline. A statement continues on
+    lines starting with ``|>`` or while brackets are open."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for raw in q.splitlines():
+        line = raw.rstrip()
+        if not line.strip() or line.lstrip().startswith("//"):
+            continue
+        if buf and depth == 0 and not line.lstrip().startswith("|>"):
+            stmts.append("\n".join(buf))
+            buf = []
+        buf.append(line)
+        instr = False
+        prev = ""
+        for c in line:
+            if instr:
+                if c == '"' and prev != "\\":
+                    instr = False
+            elif c == '"':
+                instr = True
+            elif c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            prev = c
+    if buf:
+        stmts.append("\n".join(buf))
+    return stmts
+
+
+def _record_refs(s: str) -> list[tuple[str, str]]:
+    """``{k1: v1, k2: v2}`` → [(k1, v1), ...] (identifier values)."""
+    out = []
+    for part in s.strip().strip("{}").split(","):
+        if part.strip():
+            k, _, v = part.partition(":")
+            out.append((k.strip(), v.strip()))
+    return out
+
 
 _SCHEMA_RX = re.compile(
     r'^\s*(?:import\s+"[^"]+"\s*)*schema\.(\w+)\s*\((.*)\)\s*$', re.DOTALL
@@ -280,7 +402,13 @@ def execute_flux(
     group_key: tuple[str, ...] = ("measurement", "field"),
     tag_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Compile + run a Flux pipe query against a canonical points DF."""
+    """Compile + run a Flux script against a canonical points DF.
+
+    Supports multi-statement scripts: ``x = from(...) |> ...``
+    assignments feeding ``join(tables: {a: x, b: y}, on: [...])`` /
+    ``union(tables: [x, y])`` sources, plus ``map()`` arithmetic — the
+    Grafana-dashboard dialect beyond single pipes.
+    """
     import time as _time
 
     sm = _SCHEMA_RX.match(query)
@@ -288,10 +416,86 @@ def execute_flux(
         return _schema_fn(points, sm.group(1), _split_args(sm.group(2)), tag_cols)
 
     now_ns = now_ns if now_ns is not None else _time.time_ns()
-    stages = _split_pipeline(query)
-    if not stages or not stages[0].startswith("from"):
-        raise FluxError("query must start with from(bucket: ...)")
-    pipe: Pipeline = from_points(points, group_key=group_key)
+    env: dict[str, Pipeline] = {}
+    result: Pipeline | None = None
+    for stmt in _split_statements(query):
+        am = re.match(r"^(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
+        name, body = (am.group(1), am.group(2)) if am else (None, stmt)
+        pipe = _run_pipeline(points, body, now_ns, group_key, env)
+        if name:
+            env[name] = pipe
+        else:
+            result = pipe
+    if result is None:
+        raise FluxError("script has no result pipeline (only assignments)")
+    return result.df
+
+
+def _source_stage(
+    points: DataFrame,
+    stage: str,
+    group_key: tuple[str, ...],
+    env: dict[str, Pipeline],
+) -> Pipeline:
+    """First stage of a pipeline: from() / join() / union() / variable."""
+    if re.fullmatch(r"\w+", stage.strip()):
+        ref = stage.strip()
+        if ref not in env:
+            raise FluxError(f"unknown table variable {ref!r}")
+        return env[ref]
+    name, argstr = _parse_stage(stage)
+    args = _split_args(argstr) if argstr else {}
+    if name == "from":
+        return from_points(points, group_key=group_key)
+    if name == "union":
+        refs = _strlist(args["tables"])
+        if not refs:
+            raise FluxError("union needs tables: [a, b, ...]")
+        pipes = []
+        for r in refs:
+            if r not in env:
+                raise FluxError(f"unknown table variable {r!r}")
+            pipes.append(env[r])
+        acc = pipes[0]
+        for p in pipes[1:]:
+            acc = acc.union(p)
+        return acc
+    if name in ("join", "experimental.join"):
+        refs = _record_refs(args["tables"])
+        if len(refs) != 2:
+            raise FluxError("join supports exactly two tables")
+        (lk, lv), (rk, rv) = refs
+        for v in (lv, rv):
+            if v not in env:
+                raise FluxError(f"unknown table variable {v!r}")
+        left, right = env[lv], env[rv]
+        on = [COLMAP.get(c, c) for c in _strlist(args["on"])]
+        # Flux suffixes colliding non-join columns with the record keys
+        overlap = sorted((set(left.df.columns) & set(right.df.columns)) - set(on))
+        ldf, rdf = left.df, right.df
+        for c in overlap:
+            ldf = ldf.withColumnRenamed(c, f"{c}_{lk}")
+            rdf = rdf.withColumnRenamed(c, f"{c}_{rk}")
+        joined = ldf.join(rdf, on, "inner")
+        gk = tuple(c for c in left.group_key if c in joined.columns) or tuple(on)
+        order = tuple(
+            c for c in ("time_ns", "time") if c in joined.columns
+        ) or tuple(on)
+        return Pipeline(joined, gk, order=order)
+    raise FluxError(f"pipeline must start with from/join/union/variable, got {name!r}")
+
+
+def _run_pipeline(
+    points: DataFrame,
+    body: str,
+    now_ns: int,
+    group_key: tuple[str, ...],
+    env: dict[str, Pipeline],
+) -> Pipeline:
+    stages = _split_pipeline(body)
+    if not stages:
+        raise FluxError("empty pipeline")
+    pipe = _source_stage(points, stages[0], group_key, env)
     range_bounds: list = [None, None]
 
     for stage in stages[1:]:
@@ -403,8 +607,23 @@ def execute_flux(
             col_key = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])][0]
             val = COLMAP.get(_lit(args["valueColumn"]), _lit(args["valueColumn"]))
             pipe = pipe.pivot(row_key, col_key, val)
+        elif name == "map":
+            fn_body = argstr.partition("=>")[2].strip()
+            m = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", fn_body, re.DOTALL)
+            if not m:
+                raise FluxError(f"cannot parse map fn {fn_body!r}")
+            inner = m.group(1).strip()
+            if inner.startswith("r with"):
+                inner = inner[len("r with"):].strip()
+            # all field expressions see the ORIGINAL record r (Flux
+            # record-extension semantics), hence one withColumns call
+            updates: dict[str, Column] = {}
+            for k, expr_src in _split_args(inner).items():
+                target = _colname(df, k)
+                updates[target if target in df.columns else k] = _parse_arith(df, expr_src)
+            pipe = pipe._with(df.withColumns(updates))
         elif name == "yield":
             pass
         else:
             raise FluxError(f"unsupported Flux function {name!r}")
-    return pipe.df
+    return pipe

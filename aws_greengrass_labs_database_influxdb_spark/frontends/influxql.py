@@ -208,45 +208,60 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
 
     if ast.group_time_ns:
         raise InfluxQLError("transform functions do not support GROUP BY time()")
-    if len(transforms) != 1 or len(ast.fields) != 1:
-        raise InfluxQLError("exactly one transform function per SELECT")
-    fn, fld, alias = transforms[0]
-    src = "f_float" if fld in ("*", "value") else fld
+    if len(transforms) != len(ast.fields):
+        raise InfluxQLError("cannot mix transform functions with other select items")
     by = list(ast.group_tags)
     for t in by:
         if t not in df.columns:
             df = df.withColumn(t, tag_col(t))
-    args = ast.fn_args.get(alias, [])
     order = ["time_ns", "ingest_seq"] if "ingest_seq" in df.columns else None
 
-    if fn in ("derivative", "non_negative_derivative"):
-        unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
-        out = an_ops.derivative(
-            df, unit_seconds=unit_s, non_negative=fn.startswith("non_"),
-            value=src, by=by, alias=alias, order=order,
-        ).filter(F.col(alias).isNotNull())
-    elif fn in ("difference", "non_negative_difference"):
-        out = an_ops.difference(
-            df, non_negative=fn.startswith("non_"), value=src, by=by,
-            alias=alias, order=order,
-        ).filter(F.col(alias).isNotNull())
-    elif fn == "cumulative_sum":
-        out = an_ops.cumulative_sum(df, value=src, by=by, alias=alias, order=order)
-    elif fn == "moving_average":
-        if not args:
-            raise InfluxQLError("MOVING_AVERAGE needs a window size")
-        out = an_ops.moving_average(
-            df, n=int(args[0]), value=src, by=by, alias=alias, order=order
-        )
-    elif fn == "elapsed":
-        unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
-        out = an_ops.elapsed(
-            df, unit_seconds=unit_s, by=by, alias=alias, order=order
-        ).filter(F.col(alias).isNotNull())
-    else:  # pragma: no cover — guarded by _TRANSFORMS membership
+    def one(fn: str, fld: str, alias: str) -> DataFrame:
+        src = "f_float" if fld in ("*", "value") else fld
+        args = ast.fn_args.get(alias, [])
+        if fn in ("derivative", "non_negative_derivative"):
+            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+            return an_ops.derivative(
+                df, unit_seconds=unit_s, non_negative=fn.startswith("non_"),
+                value=src, by=by, alias=alias, order=order,
+            ).filter(F.col(alias).isNotNull())
+        if fn in ("difference", "non_negative_difference"):
+            return an_ops.difference(
+                df, non_negative=fn.startswith("non_"), value=src, by=by,
+                alias=alias, order=order,
+            ).filter(F.col(alias).isNotNull())
+        if fn == "cumulative_sum":
+            return an_ops.cumulative_sum(df, value=src, by=by, alias=alias, order=order)
+        if fn == "moving_average":
+            if not args:
+                raise InfluxQLError("MOVING_AVERAGE needs a window size")
+            return an_ops.moving_average(
+                df, n=int(args[0]), value=src, by=by, alias=alias, order=order
+            )
+        if fn == "elapsed":
+            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+            return an_ops.elapsed(
+                df, unit_seconds=unit_s, by=by, alias=alias, order=order
+            ).filter(F.col(alias).isNotNull())
         raise InfluxQLError(f"unhandled transform {fn!r}")
 
-    out = out.select("time", *by, alias)
+    if len(transforms) == 1:
+        fn, fld, alias = transforms[0]
+        out = one(fn, fld, alias).select("time", *by, alias)
+    else:
+        # InfluxQL multi-transform: each computed independently per
+        # series, rows aligned on time — a row appears when ANY column
+        # is defined (full outer join on the point identity).
+        keys = [*by, "time_ns"] + (["ingest_seq"] if "ingest_seq" in df.columns else [])
+        acc = None
+        for fn, fld, alias in transforms:
+            o = one(fn, fld, alias).select(*keys, alias)
+            acc = o if acc is None else acc.join(o, on=keys, how="full")
+        out = acc.select(
+            F.timestamp_micros(F.expr("time_ns div 1000")).alias("time"),
+            *by,
+            *[alias for _, _, alias in transforms],
+        )
     if ast.order_desc:
         out = out.orderBy(F.desc("time"))
     if ast.limit is not None:
@@ -254,12 +269,49 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
     return out
 
 
+_SUBQUERY_MEAS = "__subquery__"
+
+
+def _extract_subquery(text: str) -> tuple[str, str] | None:
+    """``SELECT ... FROM ( <inner> ) <tail>`` → (inner, outer-with-
+    placeholder); None when FROM names a measurement."""
+    m = re.search(r"(?is)\bFROM\s*\(", text)
+    if not m:
+        return None
+    start = m.end() - 1
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                inner = text[start + 1 : i]
+                outer = text[: m.start()] + f"FROM {_SUBQUERY_MEAS}" + text[i + 1 :]
+                return inner, outer
+    raise InfluxQLError("unbalanced parens in FROM subquery")
+
+
 def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
     ``tag_cols`` names promoted tag columns available for GROUP BY /
-    WHERE (a tags-map fallback covers the rest).
+    WHERE (a tags-map fallback covers the rest). ``FROM (SELECT ...)``
+    subqueries run the inner query first and treat its result as the
+    outer query's measurement (DataFrame composition — the inner plan
+    feeds the outer directly, no materialization).
     """
+    sub = _extract_subquery(query.strip().rstrip(";"))
+    if sub is not None:
+        inner_text, outer_text = sub
+        inner = execute_influxql(points, inner_text, tag_cols)
+        if "time" not in inner.columns:
+            raise InfluxQLError("subquery result needs a time column")
+        pseudo = inner.withColumn(
+            "time_ns", F.expr("unix_micros(time) * 1000")
+        ).withColumn("measurement", F.lit(_SUBQUERY_MEAS))
+        return execute_influxql(pseudo, outer_text, tag_cols)
+
     ast = parse_influxql(query)
     df = points.filter(F.col("measurement") == ast.measurement)
 
@@ -306,7 +358,10 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
     aggs = []
     for fn, fld, alias in ast.fields:
-        col = F.col("f_float")
+        # resolve the aggregated column: canonical value slot, or a
+        # named column of a subquery result
+        src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+        col = F.col(src)
         if fn in _AGGS:
             if fn == "spread":
                 aggs.append((F.max(col) - F.min(col)).alias(alias))

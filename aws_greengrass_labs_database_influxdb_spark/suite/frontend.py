@@ -208,6 +208,117 @@ def influxql_moving_average(spark, sf_dir):
 
 
 @q(
+    "influxql_multi_transform",
+    """
+    WITH b AS (
+      SELECT event_type, ts, event_id, value,
+             (value - lag(value) OVER w) /
+             (((epoch_us(ts) * 1000) - lag(epoch_us(ts) * 1000) OVER w) / 1e9) AS deriv,
+             avg(value) OVER w5 AS ma, count(*) OVER w5 AS n5
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+             w5 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_type, epoch_ms(ts) AS t_ms, deriv,
+           round(CASE WHEN n5 = 5 THEN ma END, 6) AS ma
+    FROM b WHERE deriv IS NOT NULL OR n5 = 5
+    """,
+)
+def influxql_multi_transform(spark, sf_dir):
+    """InfluxQL with TWO transforms in one SELECT: DERIVATIVE +
+    MOVING_AVERAGE, independently computed per series and row-aligned
+    on time (a row appears when either is defined — InfluxDB merge
+    semantics). The round-1 parser rejected this shape."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT DERIVATIVE(value, 1s) AS deriv, MOVING_AVERAGE(value, 5) AS ma "
+        "FROM events GROUP BY event_type",
+    )
+    return out.select(
+        "event_type",
+        F.unix_millis("time").alias("t_ms"),
+        "deriv",
+        F.round("ma", 6).alias("ma"),
+    )
+
+
+@q(
+    "influxql_subquery",
+    """
+    WITH i AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, avg(n) AS avg_n FROM i GROUP BY event_type
+    """,
+)
+def influxql_subquery(spark, sf_dir):
+    """InfluxQL string-form subquery: mean over an inner GROUP BY
+    time(1h) count — FROM (SELECT ...) now parses; the inner plan feeds
+    the outer as a pseudo-measurement (pure DataFrame composition).
+    Integer counts keep the outer mean engine-exact."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT mean(n) AS avg_n FROM "
+        "(SELECT count(value) AS n FROM events GROUP BY time(1h), event_type) "
+        "GROUP BY event_type",
+    )
+    return out.select("event_type", "avg_n")
+
+
+@q(
+    "flux_join_ratio",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1),
+    v AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+      FROM events
+      WHERE event_type = 'view'
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1)
+    SELECT epoch_ms(c.w + INTERVAL 1 HOUR) AS t_ms,
+           c.n AS n_click, v.n AS n_view, c.n / v.n AS ratio
+    FROM c JOIN v ON c.w = v.w
+    """,
+)
+def flux_join_ratio(spark, sf_dir):
+    """Flux TEXT with variables + join() + map(): two aggregateWindow
+    streams joined on _time, per-window click/view ratio via map
+    arithmetic — the Grafana multi-stream dashboard shape. Integer
+    counts → the ratio division is engine-exact."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        """
+c = from(bucket: "greengrass-telemetry")
+  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)
+  |> filter(fn: (r) => r.event_type == "click")
+  |> group(columns: ["event_type"])
+  |> aggregateWindow(every: 1h, fn: count)
+v = from(bucket: "greengrass-telemetry")
+  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)
+  |> filter(fn: (r) => r.event_type == "view")
+  |> group(columns: ["event_type"])
+  |> aggregateWindow(every: 1h, fn: count)
+join(tables: {c: c, v: v}, on: ["_time"])
+  |> map(fn: (r) => ({ r with ratio: r._value_c / r._value_v }))
+""",
+    )
+    return out.select(
+        F.unix_millis("time").alias("t_ms"),
+        F.col("f_float_c").alias("n_click"),
+        F.col("f_float_v").alias("n_view"),
+        "ratio",
+    )
+
+
+@q(
     "flux_schema_tag_values",
     "SELECT DISTINCT event_type AS _value FROM events",
 )

@@ -1256,6 +1256,62 @@ def ts_double_ema(spark, sf_dir):
 
 
 @q(
+    "ts_triple_ema",
+    f"""
+    WITH p AS (
+      SELECT event_id, event_type, ts,
+             row_number() OVER w AS rn,
+             array_agg(value) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e1 AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN rn >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn]), {_EMA_FOLD}) END AS e1
+      FROM p
+    ),
+    p2 AS (
+      SELECT event_id, event_type, ts, e1,
+             row_number() OVER w2 AS rn2,
+             array_agg(e1) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e1 WHERE e1 IS NOT NULL
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e2 AS (
+      SELECT event_id, event_type, ts, e1,
+             CASE WHEN rn2 >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn2]), {_EMA_FOLD}) END AS e2
+      FROM p2
+    ),
+    p3 AS (
+      SELECT event_id, event_type, e1, e2,
+             row_number() OVER w3 AS rn3,
+             array_agg(e2) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e2 WHERE e2 IS NOT NULL
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    )
+    SELECT event_id, event_type, round(3 * e1 - 3 * e2 + e3, 6) AS tema FROM (
+      SELECT event_id, event_type, e1, e2,
+             CASE WHEN rn3 >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn3]), {_EMA_FOLD}) END AS e3
+      FROM p3)
+    WHERE e3 IS NOT NULL
+    """,
+)
+def ts_triple_ema(spark, sf_dir):
+    """tripleEMA(n:10) = 3·EMA − 3·EMA² + EMA³ (three stacked folds)."""
+    p = _pts(spark, sf_dir)
+    e = ops.triple_ema(p, 10, by=["event_type"])
+    return e.select(
+        F.col("ingest_seq").alias("event_id"), "event_type", F.round("tema", 6).alias("tema")
+    )
+
+
+@q(
     "ts_rsi",
     f"""
     WITH d AS (

@@ -240,3 +240,88 @@ def test_flux_unsupported_raises(pts):
         execute_flux(pts, 'from(bucket:"b") |> frobnicate()')
     with pytest.raises(FluxError):
         execute_flux(pts, 'range(start: -1h)')
+
+
+def test_influxql_multi_transform_row_alignment(pts):
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
+
+    out = execute_influxql(
+        pts,
+        "SELECT DERIVATIVE(value, 1s) AS deriv, MOVING_AVERAGE(value, 5) AS ma "
+        "FROM events GROUP BY event_type",
+    )
+    assert {"time", "event_type", "deriv", "ma"} <= set(out.columns)
+    per_series = pts.groupBy("event_type").count().collect()
+    # union semantics: every row except the first per series appears
+    assert out.count() == sum(r["count"] - 1 for r in per_series)
+    # rows 2..4 per series: deriv defined, ma still null
+    some = out.filter(F.col("ma").isNull() & F.col("deriv").isNotNull()).count()
+    assert some == sum(min(3, r["count"] - 1) for r in per_series)
+
+
+def test_influxql_subquery_from_select(pts):
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
+
+    out = execute_influxql(
+        pts,
+        "SELECT mean(n) AS avg_n FROM "
+        "(SELECT count(value) AS n FROM events GROUP BY time(1h), event_type) "
+        "GROUP BY event_type",
+    )
+    rows = {r.event_type: r.avg_n for r in out.collect()}
+    # hand-computed: mean of hourly counts per type
+    inner = (
+        pts.groupBy("event_type", F.expr("time_ns div 3600000000000").alias("w"))
+        .count()
+        .groupBy("event_type")
+        .agg(F.avg("count").alias("m"))
+    )
+    expect = {r.event_type: r.m for r in inner.collect()}
+    assert rows == expect
+
+
+def test_flux_map_arithmetic(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => r.event_type == "click")'
+        " |> map(fn: (r) => ({ r with _value: r._value * 2.0 + 1.0, half: r._value / 2.0 }))",
+    )
+    row = out.orderBy("time_ns").first()
+    src = pts.filter(F.col("event_type") == "click").orderBy("time_ns").first()
+    assert row.f_float == src.f_float * 2.0 + 1.0
+    # `half` reads the ORIGINAL r._value (Flux record-extension rule)
+    assert row.half == src.f_float / 2.0
+
+
+def test_flux_union_of_variables(pts):
+    out = execute_flux(
+        pts,
+        'a = from(bucket:"b") |> filter(fn: (r) => r.event_type == "click")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r.event_type == "error")\n'
+        "union(tables: [a, b])",
+    )
+    direct = pts.filter(F.col("event_type").isin("click", "error")).count()
+    assert out.count() == direct
+
+
+def test_flux_join_with_suffixes_and_map(pts):
+    script = """
+c = from(bucket: "b")
+  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)
+  |> filter(fn: (r) => r.event_type == "click")
+  |> group(columns: ["event_type"])
+  |> aggregateWindow(every: 1h, fn: count)
+v = from(bucket: "b")
+  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)
+  |> filter(fn: (r) => r.event_type == "view")
+  |> group(columns: ["event_type"])
+  |> aggregateWindow(every: 1h, fn: count)
+join(tables: {c: c, v: v}, on: ["_time"])
+  |> map(fn: (r) => ({ r with ratio: r._value_c / r._value_v }))
+"""
+    out = execute_flux(pts, script)
+    assert {"f_float_c", "f_float_v", "ratio", "time"} <= set(out.columns)
+    rows = out.collect()
+    assert rows, "hourly click and view windows must overlap"
+    for r in rows:
+        assert r.ratio == r.f_float_c / r.f_float_v
