@@ -133,39 +133,49 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    # signatures as ONE array column, persisted: used three times
+    # (banding + two post-candidate re-joins) — one shingle pass total.
+    # At corpus scale this table is num_docs × (8·num_hashes) bytes;
+    # memory-and-disk persistence spills gracefully.
+    sig = (
+        minhash_signatures(df, n, num_hashes, text_col, id_col)
+        .select(id_col, F.array(*mh_cols).alias("sig"))
+        .persist()
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(mh_cols[b * rpb + r]) for r in range(rpb)]).alias("bh"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
+                ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select(id_col, *mh_cols, F.explode(band_structs).alias("_b")).select(
-        id_col, *mh_cols, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
-    )
-    left = banded.select(
-        F.col(id_col).alias("a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols], "band", "bh"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols], "band", "bh"
+    # the band join carries ONLY (id, band, band-hash) — candidate
+    # shuffle rows stay slim; full signatures re-join after dedup
+    # (round-1 carried 2·num_hashes longs per candidate row)
+    banded = sig.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
     )
     cand = (
-        left.join(right, ["band", "bh"])
+        banded.select(F.col(id_col).alias("a"), "band", "bh")
+        .join(banded.select(F.col(id_col).alias("b"), "band", "bh"), ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", *[F.col(f"a_mh_{i}") for i in range(num_hashes)],
-                *[F.col(f"b_mh_{i}") for i in range(num_hashes)])
+        .select("a", "b")
         .distinct()
     )
-    matches = sum(
-        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
-    return cand.select(
-        "a", "b", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        cand.join(sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b")), "b")
+        .select("a", "b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
     )
 
 
