@@ -179,6 +179,58 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: ``(id,
+    cluster_id)`` where ``cluster_id`` is the minimum doc id reachable
+    through the pair graph — the step that turns pairwise similarity
+    into dedup groups (keep ``id == cluster_id``, drop the rest).
+
+    Iterative min-label propagation: each round is one join + one
+    map-side-combining groupBy, labels cached between rounds, stopping
+    when no label changes. Rounds needed ≈ cluster diameter — near-dup
+    clusters are tiny (chains of a few docs), so this converges in
+    2–4 rounds regardless of corpus size; every round is shuffle-
+    bounded by |edges|, never all-pairs. Deterministic (min id), so the
+    DuckDB recursive-CTE oracle reproduces it exactly.
+    """
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    edges = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("x", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

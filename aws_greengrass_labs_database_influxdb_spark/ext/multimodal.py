@@ -3,10 +3,12 @@ columns with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partition-
 preserving ``mapInPandas`` decode stage, Arrow batch shapes, feature
-schema. The actual codec call is stubbed (this container has no
-image/audio libraries): ``decode_fn`` defaults to a clearly-marked
-deterministic fake; pass a real decoder (e.g. PIL/librosa-backed) in
-production.
+schema. Decoding itself is real for the container-formats the Python
+stdlib can parse — WAV/PCM audio (``wave``) and uncompressed BMP
+images (``struct`` + numpy) via :func:`stdlib_decode` — and stubbed
+only for compressed codecs (JPEG/PNG/MP3/H.264), where ``decode_fn``
+defaults to a clearly-marked deterministic fake; pass a PIL/librosa-
+backed decoder in production.
 
 Design for 100 TB: decode runs inside ``mapInPandas`` so bytes never
 leave executors; batch size is bounded by
@@ -66,11 +68,131 @@ def fake_decode(content: bytes, kind: str) -> list[float]:
 
 
 def real_decode_unavailable(content: bytes, kind: str) -> list[float]:
-    """The production decode hook. Not implemented in this container."""
+    """The production decode hook for compressed codecs (JPEG/PNG/MP3/
+    H.264). Not implemented in this container — see :func:`stdlib_decode`
+    for the formats that ARE really decoded here."""
     raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
+        "compressed-codec libraries are not installed in this environment; "
         "pass decode_fn=<your decoder> to extract_features()"
     )
+
+
+def decode_wav(content: bytes) -> tuple[dict, "np.ndarray"]:
+    """REAL audio decode: RIFF/WAV PCM via the ``wave`` stdlib module.
+
+    Returns ``(meta, samples)`` where meta has ``channels /
+    sample_rate / n_frames / duration_ms / sample_width`` and samples
+    is a mono float64 array in [-1, 1] (channels averaged).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        ch, width, rate, n = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit: pad each 3-byte frame to 4
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int32))
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / float(1 << 23)
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    meta = {
+        "channels": ch,
+        "sample_rate": rate,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "sample_width": width,
+    }
+    return meta, x
+
+
+def decode_bmp(content: bytes) -> tuple[dict, "np.ndarray"]:
+    """REAL image decode: uncompressed 24/32-bit BMP via ``struct`` +
+    numpy (no codec library needed — BMP is a raw pixel dump).
+
+    Returns ``(meta, pixels)`` with pixels as a ``(h, w, 3)`` uint8
+    RGB array (BMP stores BGR bottom-up with 4-byte row padding —
+    both undone here).
+    """
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    rows = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    meta = {"width": w, "height": h, "bpp": bpp}
+    return meta, np.ascontiguousarray(rgb)
+
+
+def resize_nearest(pixels: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an ``(h, w, c)`` array — pure numpy
+    index arithmetic, the real thumbnail step for the BMP path."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return pixels[yi][:, xi]
+
+
+def stdlib_decode(content: bytes, kind: str) -> list[float]:
+    """REAL decoder/feature extractor for stdlib-parseable formats.
+
+    - ``audio`` + RIFF/WAV magic → :func:`decode_wav`; feature = 8
+      per-segment RMS energies (the standard cheap audio fingerprint).
+    - ``image`` + BMP magic → :func:`decode_bmp` → 4×4 grayscale
+      thumbnail via :func:`resize_nearest`, normalized to [0, 1] —
+      a real perceptual-hash-style feature.
+    - anything else (JPEG/PNG/MP3/video) raises — compressed codecs
+      are the documented stub; see :func:`real_decode_unavailable`.
+    """
+    import numpy as np
+
+    if content is None:
+        return []
+    if kind == "audio" and content[:4] == b"RIFF":
+        _, x = decode_wav(content)
+        if len(x) == 0:
+            return [0.0] * 8
+        segs = np.array_split(x, 8)
+        return [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs]
+    if kind == "image" and content[:2] == b"BM":
+        _, rgb = decode_bmp(content)
+        gray = rgb.astype(np.float64).mean(axis=2)
+        thumb = resize_nearest(gray[:, :, None], 4, 4)[:, :, 0]
+        return [float(v) / 255.0 for v in thumb.ravel()]
+    return real_decode_unavailable(content, kind)
 
 
 def extract_features(

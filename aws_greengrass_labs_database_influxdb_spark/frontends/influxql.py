@@ -61,6 +61,10 @@ class InfluxQLQuery:
     time_stop_ns: int | None = None
     tag_filters: list[tuple[str, str, str]] = field(default_factory=list)
     field_filters: list[tuple[str, str, float]] = field(default_factory=list)
+    # parenthesized OR groups: each inner list of (name, op, value) tag
+    # conditions is OR'd; groups AND with everything else
+    or_tag_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    measurement_regex: str | None = None
     group_time_ns: int | None = None
     group_tags: list[str] = field(default_factory=list)
     fill: str | float | None = None
@@ -85,6 +89,7 @@ _TIME_RX = re.compile(
     r"time\s*(>=|<=|>|<)\s*(?:'([^']+)'|(\d+)(ns|u|µ|ms|s)?)", re.IGNORECASE
 )
 _TAG_RX = re.compile(r"\"?(\w+)\"?\s*(=|!=)\s*'([^']*)'")
+_TAG_REGEX_RX = re.compile(r"\"?(\w+)\"?\s*(=~|!~)\s*/([^/]*)/")
 _FIELD_RX = re.compile(r"\"?(\w+)\"?\s*(>=|<=|>|<|=|!=)\s*(-?\d+(?:\.\d+)?)$")
 
 
@@ -103,7 +108,7 @@ def _ts_to_ns(lit: str) -> int:
 def parse_influxql(q: str) -> InfluxQLQuery:
     text = q.strip().rstrip(";")
     m = re.match(
-        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+\"?(?P<meas>[\w.\-]+)\"?"
+        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
         r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
@@ -114,7 +119,8 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     )
     if not m:
         raise InfluxQLError(f"cannot parse: {q!r}")
-    out = InfluxQLQuery(fields=[], measurement=m.group("meas"))
+    out = InfluxQLQuery(fields=[], measurement=m.group("meas") or "")
+    out.measurement_regex = m.group("measrx")
 
     # SELECT list
     for part in re.split(r",(?![^()]*\))", m.group("sel")):
@@ -158,6 +164,16 @@ def parse_influxql(q: str) -> InfluxQLQuery:
             else:
                 out.time_stop_ns = ns + (1 if op == "<=" else 0)
             continue
+        if cond.startswith("(") and cond.endswith(")"):
+            group: list[tuple[str, str, str]] = []
+            for sub in re.split(r"(?i)\s+OR\s+", cond[1:-1].strip()):
+                sub = sub.strip()
+                gm = _TAG_RX.match(sub) or _TAG_REGEX_RX.match(sub)
+                if not gm:
+                    raise InfluxQLError(f"cannot parse OR condition {sub!r}")
+                group.append((gm.group(1), gm.group(2), gm.group(3)))
+            out.or_tag_groups.append(group)
+            continue
         fm2 = _FIELD_RX.match(cond)
         if fm2 and fm2.group(2) in (">=", "<=", ">", "<"):
             out.field_filters.append((fm2.group(1), fm2.group(2), float(fm2.group(3))))
@@ -165,6 +181,10 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         gm = _TAG_RX.match(cond)
         if gm:
             out.tag_filters.append((gm.group(1), gm.group(2), gm.group(3)))
+            continue
+        rm = _TAG_REGEX_RX.match(cond)
+        if rm:
+            out.tag_filters.append((rm.group(1), rm.group(2), rm.group(3)))
             continue
         raise InfluxQLError(f"cannot parse WHERE clause {cond!r}")
 
@@ -313,7 +333,10 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         return execute_influxql(pseudo, outer_text, tag_cols)
 
     ast = parse_influxql(query)
-    df = points.filter(F.col("measurement") == ast.measurement)
+    if ast.measurement_regex is not None:
+        df = points.filter(F.col("measurement").rlike(ast.measurement_regex))
+    else:
+        df = points.filter(F.col("measurement") == ast.measurement)
 
     if ast.time_start_ns is not None:
         df = df.filter(F.col("time_ns") >= ast.time_start_ns)
@@ -325,9 +348,22 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             return F.col(name)
         return F.col("tags")[name]
 
-    for name, op, val in ast.tag_filters:
+    def tag_cond(name: str, op: str, val: str):
         c = tag_col(name)
-        df = df.filter(c == val if op == "=" else c != val)
+        return {
+            "=": lambda: c == val,
+            "!=": lambda: c != val,
+            "=~": lambda: c.rlike(val),
+            "!~": lambda: ~c.rlike(val),
+        }[op]()
+
+    for name, op, val in ast.tag_filters:
+        df = df.filter(tag_cond(name, op, val))
+    for group in ast.or_tag_groups:
+        acc = tag_cond(*group[0])
+        for cond in group[1:]:
+            acc = acc | tag_cond(*cond)
+        df = df.filter(acc)
     for name, op, val in ast.field_filters:
         c = F.col("f_float") if name not in df.columns else F.col(name)
         cmpmap = {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val}

@@ -61,9 +61,7 @@ def ext_text_stats(spark, sf_dir):
     )
 
 
-@q(
-    "ext_dedup_ngram_jaccard",
-    """
+_NGRAM_PAIRS_SQL = """
     WITH t AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
@@ -86,8 +84,10 @@ def ext_text_stats(spark, sf_dir):
            common / (sa.n + sb.n - common) AS jaccard
     FROM pair JOIN sz sa ON pair.a = sa.doc_id JOIN sz sb ON pair.b = sb.doc_id
     WHERE common / (sa.n + sb.n - common) >= 0.5
-    """,
-)
+    """
+
+
+@q("ext_dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def ext_dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard near-dup pairs (exact set arithmetic — integer
     counts, so cross-engine equality is trivial)."""
@@ -95,6 +95,30 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@q(
+    "ext_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    r AS (
+      SELECT id, id AS label FROM (SELECT DISTINCT a AS id FROM e)
+      UNION
+      SELECT e.a AS id, r.label FROM e JOIN r ON r.id = e.b
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM r GROUP BY id
+    """,
+)
+def ext_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: pairwise
+    similarity → dedup groups (cluster_id = min reachable doc id) via
+    iterative min-label propagation; the oracle is a recursive-CTE
+    transitive closure — both deterministic, exact match."""
+    from ..ext.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(ngram_jaccard_pairs(d, n=3, threshold=0.5))
 
 
 @q(

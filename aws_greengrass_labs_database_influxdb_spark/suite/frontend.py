@@ -244,6 +244,32 @@ def influxql_multi_transform(spark, sf_dir):
 
 
 @q(
+    "influxql_regex_or",
+    """
+    SELECT event_type, epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS t_ms,
+           count(*) AS n
+    FROM events
+    WHERE (event_type = 'click' OR regexp_matches(event_type, 'err.*'))
+      AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_regex_or(spark, sf_dir):
+    """InfluxQL with a regex measurement (FROM /ev.*/), a parenthesized
+    OR tag group, and a =~ regex tag match — the Grafana template-
+    variable query shape the round-1 parser rejected."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM /ev.*/ "
+        "WHERE (event_type = 'click' OR event_type =~ /err.*/) "
+        "AND time >= '2024-01-01' AND time < '2024-01-31' "
+        "GROUP BY time(1d), event_type",
+    )
+    return out.select("event_type", F.unix_millis("time").alias("t_ms"), "n")
+
+
+@q(
     "influxql_subquery",
     """
     WITH i AS (

@@ -63,6 +63,18 @@ def test_ngram_skew_guard_prunes_stop_shingles(spark):
     assert all(a == 100 for a, _ in pairs), pairs
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    """A-B and B-C pairs must land A, B, C in ONE cluster labeled by
+    the min id — multi-hop propagation, not just direct pairs."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "a long, b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
     exact = {
         (r.a, r.b): r.jaccard
@@ -126,6 +138,107 @@ def test_multimodal_extract_features_plumbing(spark):
 def test_multimodal_real_decode_is_marked_unavailable():
     with pytest.raises(NotImplementedError):
         real_decode_unavailable(b"bytes", "image")
+
+
+def _make_wav(freq=440.0, rate=8000, ms=250, width=2, channels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    if channels == 2:
+        x = np.repeat(x, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _make_bmp(w, h, rgb_fn):
+    """Build an uncompressed 24-bit BMP (bottom-up, padded rows)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row += bytes([b, g, r])  # BGR
+        row += b"\x00" * (stride - len(row))
+        img += row
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(hdr) + dib + bytes(img)
+
+
+def test_wav_decode_real():
+    """The stdlib WAV path really decodes PCM: meta fields match the
+    writer's parameters and the RMS feature matches the known RMS of a
+    0.5-amplitude sine (1/(2*sqrt(2)) ≈ 0.3536) in every segment."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.multimodal import decode_wav, stdlib_decode
+
+    content = _make_wav()
+    meta, x = decode_wav(content)
+    assert meta["sample_rate"] == 8000 and meta["channels"] == 1
+    assert meta["duration_ms"] == 250 and meta["n_frames"] == 2000
+    feat = stdlib_decode(content, "audio")
+    assert len(feat) == 8
+    for v in feat:
+        assert abs(v - 0.5 / (2 ** 0.5)) < 0.01, feat
+    # stereo averages to the same mono signal
+    meta2, x2 = decode_wav(_make_wav(channels=2))
+    assert meta2["channels"] == 2 and abs(float(abs(x2 - x).max())) < 1e-9
+
+
+def test_bmp_decode_real():
+    """The stdlib BMP path really decodes pixels: a half-black /
+    half-white image yields exact pixel values at the right
+    coordinates (bottom-up storage and BGR order both undone), and the
+    4x4 thumbnail feature splits 0/1 accordingly."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.multimodal import decode_bmp, stdlib_decode
+
+    # left half pure red, right half white; 10 wide so rows need padding
+    content = _make_bmp(10, 6, lambda x, y: (255, 0, 0) if x < 5 else (255, 255, 255))
+    meta, rgb = decode_bmp(content)
+    assert (meta["width"], meta["height"], meta["bpp"]) == (10, 6, 24)
+    assert rgb.shape == (6, 10, 3)
+    assert rgb[0, 0].tolist() == [255, 0, 0] and rgb[5, 9].tolist() == [255, 255, 255]
+    feat = stdlib_decode(content, "image")
+    assert len(feat) == 16
+    assert all(abs(v - 1.0) < 1e-9 for v in feat[2::4] + feat[3::4])  # white cols
+    assert all(abs(v - 85.0 / 255.0) < 1e-9 for v in feat[0::4] + feat[1::4])  # red gray=85
+
+
+def test_multimodal_stdlib_decode_through_spark(spark):
+    """End-to-end: the REAL decoder runs inside mapInPandas; compressed
+    formats (fake PNG bytes) degrade to null feature, not batch death."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.multimodal import stdlib_decode
+
+    rows = [
+        (1, "audio", _make_wav(), ("audio/wav", None, None, 250)),
+        (2, "image", _make_bmp(4, 4, lambda x, y: (0, 0, 0)), ("image/bmp", 4, 4, None)),
+        (3, "image", b"\x89PNG...notdecodable", ("image/png", 8, 8, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def tolerant(content, kind):
+        try:
+            return stdlib_decode(content, kind)
+        except NotImplementedError:
+            return None
+
+    by_id = {r.media_id: r for r in extract_features(media, decode_fn=tolerant).collect()}
+    assert len(by_id[1].feature) == 8 and abs(by_id[1].feature[0] - 0.3536) < 0.01
+    assert by_id[2].feature == [0.0] * 16
+    assert by_id[3].feature is None
 
 
 def test_video_frame_sampling_grid(spark):

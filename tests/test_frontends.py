@@ -259,6 +259,30 @@ def test_influxql_multi_transform_row_alignment(pts):
     assert some == sum(min(3, r["count"] - 1) for r in per_series)
 
 
+def test_influxql_or_group_and_regex(pts):
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
+
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM /ev.*/ "
+        "WHERE (event_type = 'click' OR event_type =~ /err.*/) GROUP BY event_type",
+    )
+    rows = {r.event_type: r.n for r in out.collect()}
+    direct = {
+        r.event_type: r["count"]
+        for r in pts.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type").count().collect()
+    }
+    assert rows == direct
+    # negated regex
+    out2 = execute_influxql(
+        pts, "SELECT count(value) AS n FROM events WHERE event_type !~ /^e/ GROUP BY event_type"
+    )
+    assert {r.event_type for r in out2.collect()} == {
+        r.event_type for r in pts.filter(~F.col("event_type").rlike("^e")).select("event_type").distinct().collect()
+    }
+
+
 def test_influxql_subquery_from_select(pts):
     from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
 
