@@ -77,11 +77,21 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.select(F.col("_id").alias("a"), "shingle")
-    b = sh.select(F.col("_id").alias("b"), "shingle")
+    # pair generation WITHOUT a two-sided self-join: group each shingle's
+    # doc ids into one sorted list (the semi-join already partitioned by
+    # shingle, so this aggregate is shuffle-free) and explode the (a < b)
+    # combinations JVM-side. Same pair stream as a self-join, one fewer
+    # full shuffle of the shingle set, and list size is bounded by
+    # max_shingle_freq so no hot-key blowup.
+    lists = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+        "y -> struct(x AS a, y AS b))))"
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        lists.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -7,6 +7,6 @@ results serialize as annotated CSV (SURVEY.md §2.2.1). The fluent
 query strings and produce the same DataFrame plans.
 """
 
-from .influxql import InfluxQLError, execute_influxql, parse_influxql  # noqa: F401
+from .influxql import InfluxQLError, execute_influxql, execute_show, parse_influxql  # noqa: F401
 from .flux import FluxError, execute_flux  # noqa: F401
 from .annotated_csv import iter_annotated_csv, to_annotated_csv  # noqa: F401

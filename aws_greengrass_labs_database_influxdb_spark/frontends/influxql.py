@@ -105,46 +105,10 @@ def _ts_to_ns(lit: str) -> int:
     raise InfluxQLError(f"bad time literal {lit!r}")
 
 
-def parse_influxql(q: str) -> InfluxQLQuery:
-    text = q.strip().rstrip(";")
-    m = re.match(
-        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
-        r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
-        r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
-        r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
-        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?$",
-        text,
-    )
-    if not m:
-        raise InfluxQLError(f"cannot parse: {q!r}")
-    out = InfluxQLQuery(fields=[], measurement=m.group("meas") or "")
-    out.measurement_regex = m.group("measrx")
-
-    # SELECT list
-    for part in re.split(r",(?![^()]*\))", m.group("sel")):
-        part = part.strip()
-        fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
-        if fm:
-            fn = fm.group(1).lower()
-            if fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS:
-                raise InfluxQLError(f"unsupported function {fn!r}")
-            args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
-            if not args:
-                raise InfluxQLError(f"{fn} needs a field argument")
-            alias = fm.group(3) or fn
-            out.fields.append((fn, args[0], alias))
-            if len(args) > 1:
-                out.fn_args[alias] = args[1:]
-        else:
-            cm = re.match(r'^"?([\w*]+)"?(?:\s+AS\s+"?(\w+)"?)?$', part)
-            if not cm:
-                raise InfluxQLError(f"bad select expression {part!r}")
-            out.fields.append((None, cm.group(1), cm.group(2) or cm.group(1)))
-
-    # WHERE
-    where = m.group("where") or ""
+def _parse_where(where: str, out: InfluxQLQuery) -> None:
+    """Parse a WHERE clause (time bounds, tag =/!=/=~/!~, field
+    comparisons, parenthesized OR groups) into ``out`` — shared by
+    SELECT and SHOW parsing."""
     for cond in re.split(r"(?i)\s+AND\s+", where) if where else []:
         cond = cond.strip()
         if not cond:
@@ -187,6 +151,47 @@ def parse_influxql(q: str) -> InfluxQLQuery:
             out.tag_filters.append((rm.group(1), rm.group(2), rm.group(3)))
             continue
         raise InfluxQLError(f"cannot parse WHERE clause {cond!r}")
+
+
+def parse_influxql(q: str) -> InfluxQLQuery:
+    text = q.strip().rstrip(";")
+    m = re.match(
+        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+        r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+        r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
+        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?$",
+        text,
+    )
+    if not m:
+        raise InfluxQLError(f"cannot parse: {q!r}")
+    out = InfluxQLQuery(fields=[], measurement=m.group("meas") or "")
+    out.measurement_regex = m.group("measrx")
+
+    # SELECT list
+    for part in re.split(r",(?![^()]*\))", m.group("sel")):
+        part = part.strip()
+        fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
+        if fm:
+            fn = fm.group(1).lower()
+            if fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS:
+                raise InfluxQLError(f"unsupported function {fn!r}")
+            args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
+            if not args:
+                raise InfluxQLError(f"{fn} needs a field argument")
+            alias = fm.group(3) or fn
+            out.fields.append((fn, args[0], alias))
+            if len(args) > 1:
+                out.fn_args[alias] = args[1:]
+        else:
+            cm = re.match(r'^"?([\w*]+)"?(?:\s+AS\s+"?(\w+)"?)?$', part)
+            if not cm:
+                raise InfluxQLError(f"bad select expression {part!r}")
+            out.fields.append((None, cm.group(1), cm.group(2) or cm.group(1)))
+
+    _parse_where(m.group("where") or "", out)
 
     # GROUP BY — fill() rides on the clause without a comma, so extract
     # it from the raw text first, then parse the remaining tokens.
@@ -312,6 +317,158 @@ def _extract_subquery(text: str) -> tuple[str, str] | None:
     raise InfluxQLError("unbalanced parens in FROM subquery")
 
 
+# columns of the canonical points schema that are NOT promoted tags —
+# anything else on a points DF is treated as a promoted tag column by
+# the SHOW meta-queries (sources/io promotes hot tags to plain columns).
+_NON_TAG_COLS = frozenset(
+    {"measurement", "time", "time_ns", "tags", "field", "ftype", "ingest_seq",
+     "f_float", "f_int", "f_uint", "f_str", "f_bool", "props"}
+)
+
+# v1 SHOW FIELD KEYS type names differ from our ftype discriminators
+_V1_FIELD_TYPES = {"float": "float", "int": "integer", "uint": "unsigned",
+                   "string": "string", "bool": "boolean"}
+
+_SHOW_RX = re.compile(
+    r"(?is)^SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS|SERIES)"
+    r"(?:\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?))?"
+    r"(?:\s+WITH\s+KEY\s*(?:=\s*\"?(?P<key>\w+)\"?|=~\s*/(?P<keyrx>[^/]+)/"
+    r"|\s+IN\s*\(\s*(?P<keys>[^)]*)\)))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$"
+)
+
+
+def execute_show(points: DataFrame, query: str) -> DataFrame:
+    """InfluxQL v1 meta-queries over a canonical points DF — the
+    queries a Grafana InfluxQL datasource issues to populate dropdowns
+    (reference serves them on v1 ``/query``; shapes per public InfluxQL
+    docs):
+
+        SHOW MEASUREMENTS [WHERE ...] [LIMIT n]       → name
+        SHOW TAG KEYS [FROM m]                        → measurement, tagKey
+        SHOW TAG VALUES [FROM m] WITH KEY = "k"
+            | WITH KEY IN ("a","b") | WITH KEY =~ /re/ → key, value
+        SHOW FIELD KEYS [FROM m]                      → measurement, fieldKey, fieldType
+        SHOW SERIES [FROM m] [WHERE ...]              → key
+
+    All distinct-scans: Catalyst collapses each to a hash aggregate
+    over the pruned column set — at 100 TB these read only the
+    dictionary-encoded tag/meta columns, never field payloads.
+    """
+    m = _SHOW_RX.match(query.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"cannot parse SHOW query: {query!r}")
+    what = re.sub(r"\s+", " ", m.group("what").upper())
+
+    df = points
+    if m.group("measrx"):
+        df = df.filter(F.col("measurement").rlike(m.group("measrx")))
+    elif m.group("meas"):
+        df = df.filter(F.col("measurement") == m.group("meas"))
+
+    # WHERE: time bounds + tag predicates (field filters rejected — v1
+    # SHOW only supports tag/time conditions)
+    flt = InfluxQLQuery(fields=[], measurement="")
+    _parse_where(m.group("where") or "", flt)
+    if flt.field_filters:
+        raise InfluxQLError("SHOW does not support field conditions")
+    if flt.time_start_ns is not None:
+        df = df.filter(F.col("time_ns") >= flt.time_start_ns)
+    if flt.time_stop_ns is not None:
+        df = df.filter(F.col("time_ns") < flt.time_stop_ns)
+
+    def tag_expr(name):
+        return F.col(name) if name in df.columns else F.col("tags")[name]
+
+    for name, op, val in flt.tag_filters:
+        c = tag_expr(name)
+        df = df.filter({"=": c == val, "!=": c != val,
+                        "=~": c.rlike(val), "!~": ~c.rlike(val)}[op])
+
+    promoted = [c for c in df.columns if c not in _NON_TAG_COLS]
+    has_map = "tags" in df.columns
+
+    if what == "MEASUREMENTS":
+        out = df.select(F.col("measurement").alias("name")).distinct().orderBy("name")
+
+    elif what == "TAG KEYS":
+        parts = [
+            df.filter(tag_expr(c).isNotNull())
+            .select("measurement", F.lit(c).alias("tagKey"))
+            for c in promoted
+        ]
+        if has_map:
+            parts.append(
+                df.select("measurement", F.explode(F.map_keys("tags")).alias("tagKey"))
+            )
+        if not parts:
+            raise InfluxQLError("points DF has no tag columns")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.distinct().orderBy("measurement", "tagKey")
+
+    elif what == "TAG VALUES":
+        keyrx = m.group("keyrx")
+        if m.group("key"):
+            keys = [m.group("key")]
+        elif m.group("keys") is not None:
+            keys = [k.strip().strip("\"'") for k in m.group("keys").split(",") if k.strip()]
+        elif keyrx:
+            # regex key match: promoted columns by name, map keys JVM-side
+            keys = [c for c in promoted if re.search(keyrx, c)]
+        else:
+            raise InfluxQLError("SHOW TAG VALUES requires WITH KEY")
+        parts = [
+            df.select(F.lit(k).alias("key"), tag_expr(k).cast("string").alias("value"))
+            for k in keys
+        ]
+        if has_map and keyrx:
+            parts.append(
+                df.select(F.explode("tags").alias("key", "value"))
+                .filter(F.col("key").rlike(keyrx))
+            )
+        if not parts:
+            raise InfluxQLError("SHOW TAG VALUES matched no keys")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.filter(F.col("value").isNotNull()).distinct().orderBy("key", "value")
+
+    elif what == "FIELD KEYS":
+        v1_type = F.element_at(
+            F.create_map(*[F.lit(x) for kv in _V1_FIELD_TYPES.items() for x in kv]),
+            F.col("ftype"),
+        )
+        out = (
+            df.select("measurement", F.col("field").alias("fieldKey"),
+                      v1_type.alias("fieldType"))
+            .distinct()
+            .orderBy("measurement", "fieldKey")
+        )
+
+    else:  # SERIES
+        pairs = [
+            F.when(tag_expr(c).isNotNull(),
+                   F.concat(F.lit(c), F.lit("="), tag_expr(c).cast("string")))
+            for c in promoted
+        ]
+        arr = F.array_compact(F.array(*pairs)) if pairs else F.array()
+        if has_map:
+            map_pairs = F.transform(
+                F.map_entries(F.coalesce(F.col("tags"), F.create_map())),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+            arr = F.concat(arr, map_pairs)
+        key = F.concat_ws(",", F.concat(F.array("measurement"), F.array_sort(arr)))
+        out = df.select(key.alias("key")).distinct().orderBy("key")
+
+    if m.group("limit"):
+        out = out.limit(int(m.group("limit")))
+    return out
+
+
 def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
@@ -321,6 +478,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     outer query's measurement (DataFrame composition — the inner plan
     feeds the outer directly, no materialization).
     """
+    if re.match(r"(?is)^\s*SHOW\b", query):
+        return execute_show(points, query)
     sub = _extract_subquery(query.strip().rstrip(";"))
     if sub is not None:
         inner_text, outer_text = sub

@@ -270,6 +270,32 @@ def influxql_regex_or(spark, sf_dir):
 
 
 @q(
+    "influxql_show_meta",
+    """
+    SELECT 'event_type' AS key, event_type AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 2
+    """,
+)
+def influxql_show_meta(spark, sf_dir):
+    """InfluxQL v1 meta-query: SHOW TAG VALUES WITH KEY IN (...) with a
+    WHERE time range — the Grafana variable-dropdown query. A distinct
+    scan over pruned tag columns (dictionary-only read at scale)."""
+    pts = events_points(spark, sf_dir)
+    return execute_influxql(
+        pts,
+        'SHOW TAG VALUES FROM events WITH KEY IN ("event_type", "user_id") '
+        "WHERE time >= '2024-01-05' AND time < '2024-01-20'",
+    )
+
+
+@q(
     "influxql_subquery",
     """
     WITH i AS (

@@ -283,6 +283,67 @@ def test_influxql_or_group_and_regex(pts):
     }
 
 
+def test_influxql_show_meta_queries(pts, spark):
+    """SHOW MEASUREMENTS / TAG KEYS / TAG VALUES / FIELD KEYS / SERIES
+    — the Grafana-dropdown meta-queries, exact shapes per v1 docs."""
+    out = execute_influxql(pts, "SHOW MEASUREMENTS")
+    assert [r.name for r in out.collect()] == ["events"]
+
+    out = execute_influxql(pts, "SHOW TAG KEYS FROM events")
+    keys = {r.tagKey for r in out.collect()}
+    assert {"event_type", "user_id"}.issubset(keys)
+
+    out = execute_influxql(pts, 'SHOW TAG VALUES FROM events WITH KEY = "event_type"')
+    vals = {(r.key, r.value) for r in out.collect()}
+    expect = {
+        ("event_type", r.event_type)
+        for r in pts.select("event_type").distinct().collect()
+    }
+    assert vals == expect
+
+    # WITH KEY IN + WHERE tag filter composes
+    out = execute_influxql(
+        pts,
+        'SHOW TAG VALUES WITH KEY IN ("event_type", "user_id") '
+        "WHERE event_type = 'click'",
+    )
+    got = {(r.key, r.value) for r in out.collect()}
+    assert ("event_type", "click") in got
+    assert all(k != "event_type" or v == "click" for k, v in got)
+    n_users = pts.filter(F.col("event_type") == "click").select("user_id").distinct().count()
+    assert sum(1 for k, _ in got if k == "user_id") == n_users
+
+    out = execute_influxql(pts, "SHOW FIELD KEYS FROM events")
+    assert [(r.fieldKey, r.fieldType) for r in out.collect()] == [("value", "float")]
+
+    # SERIES keys: measurement,tag=val with sorted tags
+    row = execute_influxql(
+        pts, "SHOW SERIES WHERE event_type = 'click'"
+    ).collect()
+    assert all(r.key.startswith("events,event_type=click,user_id=") for r in row)
+    assert len(row) == n_users
+
+    # tags-map fallback: points with a map column and no promoted tags
+    from aws_greengrass_labs_database_influxdb_spark.schema import POINTS_SCHEMA
+
+    mapped = spark.createDataFrame(
+        [
+            ("cpu", None, 1, {"host": "h1", "dc": "east"}, "usage",
+             1.0, None, None, None, None, "float", 1),
+            ("cpu", None, 2, {"host": "h2"}, "usage",
+             2.0, None, None, None, None, "float", 2),
+        ],
+        POINTS_SCHEMA,
+    )
+    got = {r.tagKey for r in execute_influxql(mapped, "SHOW TAG KEYS").collect()}
+    assert got == {"host", "dc"}
+    got = {(r.key, r.value)
+           for r in execute_influxql(mapped, 'SHOW TAG VALUES WITH KEY =~ /host|dc/').collect()}
+    assert got == {("host", "h1"), ("host", "h2"), ("dc", "east")}
+    got = [r.key for r in execute_influxql(mapped, "SHOW SERIES").collect()]
+    assert got == ["cpu,dc=east,host=h1", "cpu,host=h2"]
+
+
 def test_influxql_subquery_from_select(pts):
     from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
 
