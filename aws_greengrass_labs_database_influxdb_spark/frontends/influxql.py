@@ -44,7 +44,12 @@ _AGGS = {
     "count": "count", "sum": "sum", "mean": "mean", "median": "median",
     "mode": "mode", "stddev": "stddev", "spread": "spread",
 }
+# single-row aggregates with extra arguments, computed as group-local
+# expressions (percentile rank / trapezoid fold over the group's points)
+_ARG_AGGS = {"percentile", "integral"}
 _SELECTORS = {"min", "max", "first", "last"}
+# functions that emit multiple rows per group — must be the sole selection
+_MULTI_ROW = {"top", "bottom", "distinct", "sample"}
 # per-point transform functions (windowed per series, not aggregated)
 _TRANSFORMS = {
     "derivative", "non_negative_derivative",
@@ -176,7 +181,8 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
             fn = fm.group(1).lower()
-            if fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS:
+            if (fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS
+                    and fn not in _ARG_AGGS and fn not in _MULTI_ROW):
                 raise InfluxQLError(f"unsupported function {fn!r}")
             args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
             if not args:
@@ -469,6 +475,55 @@ def execute_show(points: DataFrame, query: str) -> DataFrame:
     return out
 
 
+def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataFrame:
+    """TOP / BOTTOM / DISTINCT / SAMPLE — InfluxQL functions that emit
+    multiple rows per group (so they can't join the single-row
+    aggregate list). TOP/BOTTOM/SAMPLE keep the source point's
+    timestamp (v1 semantics); DISTINCT emits the window start (or no
+    time column when ungrouped)."""
+    fn, fld, alias = sel
+    by = list(ast.group_tags)
+    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    args = ast.fn_args.get(alias) or []
+    if ast.group_time_ns:
+        df = df.withColumn("_ws", window_start_ns(F.col("time_ns"), ast.group_time_ns))
+        keys = [*by, "_ws"]
+    else:
+        keys = by
+    # group tags may live in the tags map — materialize them as columns
+    for t in by:
+        if t not in df.columns:
+            df = df.withColumn(t, tag_col(t))
+
+    if fn in ("top", "bottom"):
+        if not args:
+            raise InfluxQLError(f"{fn.upper()} needs (field, n)")
+        picked = (sel_ops.top if fn == "top" else sel_ops.bottom)(
+            df, int(args[0]), by=keys, value=src
+        )
+        out = picked.select("time", *by, F.col(src).alias(alias))
+    elif fn == "sample":
+        if not args:
+            raise InfluxQLError("SAMPLE needs (field, n)")
+        picked = sel_ops.sample(df, int(args[0]), by=keys)
+        out = picked.select("time", *by, F.col(src).alias(alias))
+    else:  # distinct
+        out = df.select(*keys, F.col(src).alias(alias)).distinct()
+        if ast.group_time_ns:
+            out = out.withColumn(
+                "time", F.timestamp_micros(F.expr("_ws div 1000"))
+            ).drop("_ws")
+
+    if ast.order_desc and "time" in out.columns:
+        out = out.orderBy(F.desc("time"))
+    if ast.slimit is not None and by:
+        out = sl_ops.slimit(out, ast.slimit, series=by)
+    if ast.limit is not None:
+        order = "time" if "time" in out.columns else alias
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order)
+    return out
+
+
 def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
@@ -532,6 +587,15 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     transforms = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _TRANSFORMS]
     if transforms:
         return _execute_transform(df, ast, transforms, tag_col)
+
+    multi = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _MULTI_ROW]
+    if multi:
+        if len(ast.fields) != 1:
+            raise InfluxQLError(
+                "TOP/BOTTOM/DISTINCT/SAMPLE must be the only selection"
+            )
+        return _execute_multi_row(df, ast, multi[0], tag_col)
+
     has_agg = any(fn for fn, _, _ in ast.fields)
 
     if not has_agg:
@@ -572,6 +636,36 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         elif fn in ("first", "last"):
             pick = F.min_by if fn == "first" else F.max_by
             aggs.append(pick(col, F.col("time_ns")).alias(alias))
+        elif fn == "percentile":
+            # InfluxQL PERCENTILE(f, p): the actual data value at rank
+            # round(n·p/100 + ½) ≡ max(1, ⌈n·p/100⌉) — a group-local
+            # sort+pick (groups are windows/series, bounded; the
+            # scalable global path is operators.aggregates.quantile)
+            args = ast.fn_args.get(alias) or []
+            if not args:
+                raise InfluxQLError("PERCENTILE needs (field, p)")
+            qv = float(args[0]) / 100.0
+            aggs.append(
+                F.expr(
+                    f"element_at(array_sort(collect_list({src})), "
+                    f"greatest(1, cast(ceil({qv!r} * count({src})) as int)))"
+                ).alias(alias)
+            )
+        elif fn == "integral":
+            # trapezoid fold over the group's time-sorted points —
+            # InfluxQL INTEGRAL(f[, unit]); group-local like PERCENTILE
+            args = ast.fn_args.get(alias) or []
+            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+            # struct field order = sort order: time first
+            arr = f"array_sort(collect_list(struct(time_ns as t, {src} as v)))"
+            aggs.append(
+                F.expr(
+                    f"aggregate(zip_with(slice({arr}, 1, size({arr}) - 1), "
+                    f"slice({arr}, 2, size({arr}) - 1), "
+                    f"(p, c) -> (c.v + p.v) / 2 * (c.t - p.t) / 1e9 / {unit_s!r}), "
+                    f"cast(0.0 as double), (acc, x) -> acc + x)"
+                ).alias(alias)
+            )
     out = df.groupBy(*keys).agg(*aggs)
 
     if ast.group_time_ns and ast.fill not in (None, "none"):

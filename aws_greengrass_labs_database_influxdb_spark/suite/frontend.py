@@ -270,6 +270,70 @@ def influxql_regex_or(spark, sf_dir):
 
 
 @q(
+    "influxql_percentile_integral",
+    """
+    SELECT event_type,
+           epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS t_ms,
+           (list_sort(list(value)))[greatest(1, CAST(ceil(0.9 * count(value)) AS INT))] AS p90,
+           round(sum(area), 6) AS area
+    FROM (
+      SELECT event_type, ts, value,
+             time_bucket(INTERVAL 1 DAY, ts) AS w,
+             (value + lag(value) OVER win) / 2
+               * ((epoch_us(ts) * 1000) - lag(epoch_us(ts) * 1000) OVER win) / 1e9 / 3600 AS area
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+      WINDOW win AS (
+        PARTITION BY event_type, time_bucket(INTERVAL 1 DAY, ts)
+        ORDER BY ts, value)
+    )
+    GROUP BY event_type, t_ms
+    """,
+)
+def influxql_percentile_integral(spark, sf_dir):
+    """InfluxQL PERCENTILE (rank-⌈n·p⌉ actual value) + INTEGRAL
+    (time-sorted trapezoid per window, unit-scaled) in one SELECT —
+    both group-local folds; the windowed shape is the dashboard use.
+    Trapezoid sums rounded on both sides (fold order differs across
+    engines in the last ulp)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT PERCENTILE(value, 90) AS p90, INTEGRAL(value, 1h) AS area "
+        "FROM events WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "p90",
+        F.round("area", 6).alias("area"),
+    )
+
+
+@q(
+    "influxql_top_n",
+    """
+    SELECT event_type, epoch_ms(ts) AS t_ms, value AS v
+    FROM (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+)
+def influxql_top_n(spark, sf_dir):
+    """InfluxQL TOP(field, n) — a multi-row selector: the n largest
+    points per series WITH their own timestamps (not an aggregate).
+    Ties break on time then ingest order, matching the oracle's
+    row_number ordering."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT TOP(value, 3) AS v FROM events GROUP BY event_type"
+    )
+    return out.select("event_type", F.unix_millis("time").alias("t_ms"), "v")
+
+
+@q(
     "influxql_show_meta",
     """
     SELECT 'event_type' AS key, event_type AS value

@@ -283,6 +283,76 @@ def test_influxql_or_group_and_regex(pts):
     }
 
 
+def test_influxql_percentile_and_integral(pts):
+    """PERCENTILE picks the actual rank-⌈n·p⌉ value; INTEGRAL is the
+    time-sorted trapezoid sum — both checked against hand computation
+    on one series."""
+    rows = (
+        pts.filter(F.col("event_type") == "click")
+        .select("time_ns", "f_float").orderBy("time_ns").limit(50).collect()
+    )
+    vals = sorted(r.f_float for r in rows)
+    t_hi = rows[-1].time_ns
+    out = execute_influxql(
+        pts,
+        "SELECT PERCENTILE(value, 90) AS p90 FROM events "
+        f"WHERE event_type = 'click' AND time <= {t_hi} GROUP BY event_type",
+    ).collect()
+    import math
+
+    assert out[0].p90 == vals[max(1, math.ceil(0.9 * len(vals))) - 1]
+
+    out = execute_influxql(
+        pts,
+        "SELECT INTEGRAL(value, 1s) AS area FROM events "
+        f"WHERE event_type = 'click' AND time <= {t_hi} GROUP BY event_type",
+    ).collect()
+    srt = sorted(rows, key=lambda r: (r.time_ns, r.f_float))
+    expect = sum(
+        (b.f_float + a.f_float) / 2 * (b.time_ns - a.time_ns) / 1e9
+        for a, b in zip(srt, srt[1:])
+    )
+    assert abs(out[0].area - expect) < 1e-6 * max(1.0, abs(expect))
+
+
+def test_influxql_top_bottom_distinct_sample(pts):
+    out = execute_influxql(
+        pts, "SELECT TOP(value, 3) AS v FROM events GROUP BY event_type"
+    )
+    got = {(r.event_type, r.v) for r in out.collect()}
+    for et_row in pts.select("event_type").distinct().collect():
+        et = et_row.event_type
+        top3 = (
+            pts.filter(F.col("event_type") == et)
+            .orderBy(F.desc("f_float"), "time_ns", "ingest_seq").limit(3).collect()
+        )
+        for r in top3:
+            assert (et, r.f_float) in got
+    assert len(got) == 15
+
+    out = execute_influxql(pts, "SELECT BOTTOM(value, 2) AS v FROM events")
+    vals = sorted(r.v for r in out.collect())
+    expect = [r.f_float for r in pts.orderBy("f_float", "time_ns").limit(2).collect()]
+    assert vals == sorted(expect)
+
+    out = execute_influxql(
+        pts, "SELECT DISTINCT(user_id) AS u FROM events GROUP BY time(7d)"
+    )
+    n = out.count()
+    direct = (
+        pts.select((F.col("time_ns") - F.col("time_ns") % (7 * 86400 * 10**9)).alias("w"),
+                   "user_id").distinct().count()
+    )
+    assert n == direct and "time" in out.columns
+
+    out = execute_influxql(
+        pts, "SELECT SAMPLE(value, 5) AS v FROM events GROUP BY event_type"
+    )
+    assert out.count() == 25  # 5 per series, values from the source
+    src = {r.f_float for r in pts.select("f_float").collect()}
+    assert all(r.v in src for r in out.collect())
+
+
 def test_influxql_show_meta_queries(pts, spark):
     """SHOW MEASUREMENTS / TAG KEYS / TAG VALUES / FIELD KEYS / SERIES
     — the Grafana-dropdown meta-queries, exact shapes per v1 docs."""
