@@ -122,6 +122,101 @@ def ext_dedup_clusters(spark, sf_dir):
 
 
 @q(
+    "ext_corpus_clean",
+    """
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id, text, length(text) AS chars,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha
+      FROM documents),
+    qual AS (
+      SELECT doc_id,
+             (CASE WHEN chars >= 100 AND chars <= 20000 THEN 1.0 ELSE 0.0 END
+              + alpha / chars
+              + least(len(list_filter(toks, x -> x IN ('the','and','of','to'))) / len(toks) / 0.2, 1.0)
+              + len(list_distinct(toks)) / len(toks)) / 4 AS quality
+      FROM t0),
+    good AS (
+      SELECT t0.doc_id, t0.text, t0.toks, qual.quality
+      FROM t0 JOIN qual USING (doc_id) WHERE qual.quality >= 0.62),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+            FROM good)
+      GROUP BY h),
+    uniq AS (SELECT good.* FROM good JOIN keepers USING (doc_id)),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks), 3) - 2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+        FROM uniq)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS common
+      FROM sh s1 JOIN sh s2 USING (shingle)
+      WHERE s1.doc_id < s2.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a, b FROM pair
+      JOIN sz sa ON pair.a = sa.doc_id JOIN sz sb ON pair.b = sb.doc_id
+      WHERE common / (sa.n + sb.n - common) >= 0.5),
+    e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    r AS (
+      SELECT id, id AS label FROM (SELECT DISTINCT a AS id FROM e)
+      UNION
+      SELECT e.a AS id, r.label FROM e JOIN r ON r.id = e.b
+    ),
+    cl AS (SELECT id, min(label) AS cluster FROM r GROUP BY id),
+    kept AS (
+      SELECT uniq.* FROM uniq
+      WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)),
+    lid AS (
+      SELECT doc_id, lang_code AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_code DESC) rn
+      FROM (
+        SELECT kept.doc_id, l.lang_code, len(list_intersect(kept.toks, l.markers)) AS hits
+        FROM kept CROSS JOIN (
+          SELECT * FROM (VALUES
+            ('de', ['der','die','das','und','nicht','ist']),
+            ('en', ['the','and','of','to','is','a']),
+            ('es', ['el','la','los','que','y','es']),
+            ('fr', ['le','la','les','et','est','que']),
+            ('zh', ['de5','shi4','le5','zai4','he2','you3'])
+          ) AS l(lang_code, markers)) l))
+    SELECT kept.doc_id, lid.lang_pred, kept.quality
+    FROM kept JOIN lid ON kept.doc_id = lid.doc_id AND lid.rn = 1
+    """,
+)
+def ext_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning — the composed training-data
+    pipeline: quality-score filter (>= 0.62) → exact dedup (md5
+    groupBy, keep min id) → near-dup removal (3-gram Jaccard >= 0.5
+    pairs → connected components, keep cluster min) → language-ID of
+    the survivors. Every stage is the already-oracled operator; the
+    composition itself is what a 100 TB pretraining-prep job runs.
+    All stages fuse into one lazy plan except the label-propagation
+    rounds, which cache per-round label frames (bounded by |docs in
+    pairs| — tiny relative to the corpus)."""
+    from ..ext.dedup import dedup_clusters, exact_dedup, ngram_jaccard_pairs
+    from ..ext.text import language_id, quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = quality_score(d).select("doc_id", "quality")
+    good = d.join(qs.filter(F.col("quality") >= 0.62), "doc_id")
+    uniq = good.join(
+        exact_dedup(good).select(F.col("keep_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    clusters = dedup_clusters(ngram_jaccard_pairs(uniq, n=3, threshold=0.5))
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = uniq.join(dropped, "doc_id", "left_anti")
+    lid = language_id(kept).select("doc_id", "lang_pred")
+    return kept.join(lid, "doc_id").select("doc_id", "lang_pred", "quality")
+
+
+@q(
     "ext_text_langid",
     """
     WITH t AS (
