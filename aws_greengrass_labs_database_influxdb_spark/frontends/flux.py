@@ -327,6 +327,11 @@ def _split_statements(q: str) -> list[str]:
         line = raw.rstrip()
         if not line.strip() or line.lstrip().startswith("//"):
             continue
+        # import statements bind stdlib package names (interpolate,
+        # math, strings, ...) — the dispatcher resolves dotted names
+        # directly, so the import line itself is a no-op
+        if depth == 0 and not buf and re.match(r'^\s*import\s+"[^"]+"\s*$', line):
+            continue
         if buf and depth == 0 and not line.lstrip().startswith("|>"):
             stmts.append("\n".join(buf))
             buf = []
@@ -622,6 +627,106 @@ def _run_pipeline(
                 target = _colname(df, k)
                 updates[target if target in df.columns else k] = _parse_arith(df, expr_src)
             pipe = pipe._with(df.withColumns(updates))
+        elif name == "timeShift":
+            from ..operators.core import time_shift
+
+            pipe = pipe._with(time_shift(df, _lit(args["duration"])))
+        elif name == "truncateTimeColumn":
+            from ..operators.core import truncate_time
+
+            pipe = pipe._with(truncate_time(df, _lit(args["unit"])))
+        elif name == "unique":
+            from ..operators.selectors import unique as _unique
+
+            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            pipe = pipe._with(_unique(df, col, by=pipe.group_key))
+        elif name == "distinct":
+            from ..operators.selectors import distinct_rows
+
+            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            pipe = pipe._with(distinct_rows(df, col, by=pipe.group_key))
+        elif name == "sample":
+            from ..operators.selectors import sample as _sample
+
+            pipe = pipe._with(_sample(
+                df, int(_lit(args["n"])), by=pipe.group_key,
+                pos=int(_lit(args.get("pos", "-1"))),
+            ))
+        elif name == "quantile":
+            from ..operators.aggregates import quantile as _quantile
+
+            pipe = pipe._with(_quantile(
+                df, float(_lit(args["q"])),
+                method=_lit(args.get("method", '"estimate_tdigest"')),
+                by=pipe.group_key, alias="quantile",
+            ))
+        elif name == "integral":
+            from ..operators.aggregates import integral as _integral
+
+            pipe = pipe._with(_integral(
+                df, duration_ns(args.get("unit", "1s")) / 1e9, by=pipe.group_key
+            ))
+        elif name in ("stateCount", "stateDuration"):
+            from ..operators import analytics as _an
+
+            pred = _parse_predicate(df, args["fn"].partition("=>")[2])
+            if name == "stateCount":
+                pipe = pipe._with(_an.state_count(
+                    df, pred, by=pipe.group_key, order=list(pipe.order)
+                ))
+            else:
+                unit_s = duration_ns(args.get("unit", "1s")) / 1e9
+                pipe = pipe._with(_an.state_duration(
+                    df, pred, unit_s, by=pipe.group_key, order=list(pipe.order)
+                ))
+        elif name == "histogram":
+            from ..operators.analytics import histogram as _hist
+
+            bins = [float(b) for b in _strlist(args["bins"])]
+            pipe = pipe._with(_hist(df, bins, by=pipe.group_key))
+        elif name == "histogramQuantile":
+            from ..operators.analytics import histogram_quantile as _hq
+
+            pipe = pipe._with(
+                _hq(df, float(_lit(args["quantile"])), by=pipe.group_key)
+            )
+        elif name == "interpolate.linear":
+            from ..operators.windows import interpolate_linear as _interp
+
+            pipe = pipe._with(_interp(
+                df, args["every"], by=pipe.group_key,
+                range_start=range_bounds[0], range_stop=range_bounds[1],
+            ))
+        elif name in ("doubleEMA", "tripleEMA", "kaufmansER", "kaufmansAMA",
+                      "chandeMomentumOscillator", "relativeStrengthIndex"):
+            from ..operators import analytics as _an
+
+            fn = {
+                "doubleEMA": _an.double_ema, "tripleEMA": _an.triple_ema,
+                "kaufmansER": _an.kaufmans_er, "kaufmansAMA": _an.kaufmans_ama,
+                "chandeMomentumOscillator": _an.chande_momentum_oscillator,
+                "relativeStrengthIndex": _an.relative_strength_index,
+            }[name]
+            pipe = pipe._with(fn(df, int(_lit(args["n"])), by=pipe.group_key))
+        elif name == "holtWinters":
+            from ..operators.analytics import holt_winters as _hw
+
+            pipe = pipe._with(_hw(
+                df, int(_lit(args["n"])),
+                duration_ns(args["interval"]) / 1e9,
+                seasonality=int(_lit(args.get("seasonality", "0"))),
+                by=pipe.group_key,
+            ))
+        elif name in ("highestMax", "highestAverage", "highestCurrent",
+                      "lowestMin", "lowestAverage", "lowestCurrent"):
+            from ..operators import selectors as _sel
+
+            fn = {
+                "highestMax": _sel.highest_max, "highestAverage": _sel.highest_average,
+                "highestCurrent": _sel.highest_current, "lowestMin": _sel.lowest_min,
+                "lowestAverage": _sel.lowest_average, "lowestCurrent": _sel.lowest_current,
+            }[name]
+            pipe = pipe._with(fn(df, int(_lit(args["n"])), series=pipe.group_key))
         elif name == "yield":
             pass
         else:

@@ -69,12 +69,31 @@ def duplicate(df: DataFrame, column: str, as_: str) -> DataFrame:
     return df.withColumn(as_, F.col(column))
 
 
-def time_shift(df: DataFrame, duration: str, time_col: str = "time") -> DataFrame:
-    """Flux ``timeShift(duration:)`` — shift the time column.
+def time_shift(df: DataFrame, duration: str, time_col: str = "time",
+               time_ns_col: str | None = "time_ns") -> DataFrame:
+    """Flux ``timeShift(duration:)`` — shift the time column(s).
 
-    ``duration`` is a SQL interval string, e.g. ``'1 hour'``.
+    ``duration`` is a Flux duration (``1h``, ``-10m``) or a SQL
+    interval string (``'1 hour'``). When the frame carries the
+    authoritative ``time_ns`` column it shifts too (integer add), so
+    downstream window/ordering semantics stay consistent.
     """
-    return df.withColumn(time_col, F.col(time_col) + F.expr(f"INTERVAL {duration}"))
+    try:
+        from .windows import duration_ns
+
+        d = duration.strip()
+        ns_delta = F.lit(duration_ns(d.lstrip("-")) * (-1 if d.startswith("-") else 1))
+    except (ValueError, KeyError, AttributeError):  # not a Flux duration → SQL interval
+        shifted = F.col(time_col) + F.expr(f"INTERVAL {duration}")
+        ns_delta = (F.unix_micros(shifted) - F.unix_micros(F.col(time_col))) * 1000
+    updates = {
+        time_col: F.timestamp_micros(
+            F.unix_micros(F.col(time_col)) + (ns_delta / 1000).cast("long")
+        )
+    }
+    if time_ns_col is not None and time_ns_col in df.columns:
+        updates[time_ns_col] = F.col(time_ns_col) + ns_delta
+    return df.withColumns(updates)
 
 
 def truncate_time(df: DataFrame, unit: str, time_col: str = "time") -> DataFrame:

@@ -384,6 +384,64 @@ def influxql_subquery(spark, sf_dir):
 
 
 @q(
+    "flux_text_quantile",
+    """
+    SELECT event_type, round(quantile_cont(value, 0.9), 9) AS q90
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1
+    """,
+)
+def flux_text_quantile(spark, sf_dir):
+    """Flux-text quantile(q:, method: "exact_mean") — the linearly
+    interpolated exact percentile, same h = (n−1)·q convention in
+    Spark and DuckDB; rounded (interp arithmetic differs in the last
+    ulp across engines)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        ' |> quantile(q: 0.9, method: "exact_mean")',
+    )
+    return out.select("event_type", F.round("quantile", 9).alias("q90"))
+
+
+@q(
+    "flux_text_statecount",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END m
+      FROM events),
+    r AS (
+      SELECT *, sum(1 - m) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run
+      FROM b)
+    SELECT event_id, event_type,
+           CASE WHEN m = 1 THEN cast(sum(m) OVER (PARTITION BY event_type, run
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           ELSE -1 END AS state_count
+    FROM r
+    """,
+)
+def flux_text_statecount(spark, sf_dir):
+    """stateCount through the Flux *string* frontend (lambda predicate
+    parsed from text) — integer run numbering, exact oracle."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> stateCount(fn: (r) => r._value > 150)",
+    )
+    return out.select(
+        F.col("ingest_seq").alias("event_id"), "event_type",
+        F.col("state_count").cast("long").alias("state_count"),
+    )
+
+
+@q(
     "flux_join_ratio",
     """
     WITH c AS (

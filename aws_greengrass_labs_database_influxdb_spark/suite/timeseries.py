@@ -981,7 +981,12 @@ def ts_column_ops(spark, sf_dir):
     p = ops.duplicate(p, "f_float", "value_copy")
     p = ops.set_constant(p, "origin", "greengrass")
     trunc = ops.truncate_time(p.withColumn("t_min", F.col("time")), "minute", time_col="t_min")
-    shifted = ops.time_shift(trunc.withColumn("t_shift", F.col("time")), "30 MINUTE", time_col="t_shift")
+    # shifting a *copy* of the time column — the authoritative time_ns
+    # must not move with it
+    shifted = ops.time_shift(
+        trunc.withColumn("t_shift", F.col("time")), "30 MINUTE",
+        time_col="t_shift", time_ns_col=None,
+    )
     kept = ops.keep(
         shifted, ["point_id", "t_min", "t_shift", "origin", "value_copy", "f_float"]
     )

@@ -214,6 +214,83 @@ def test_flux_top_selector(pts):
     assert out.count() == 2 * pts.select("event_type").distinct().count()
 
 
+def test_flux_text_extended_stages(pts):
+    """Round-2 Flux-text additions: quantile/integral/stateCount/
+    histogram(+Quantile)/unique/timeShift/interpolate.linear/
+    doubleEMA etc. each compile and agree with the direct operator."""
+    n_types = pts.select("event_type").distinct().count()
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> quantile(q: 0.5, method: "exact_mean")',
+    )
+    got = {(r.event_type, r.quantile) for r in out.collect()}
+    direct = {
+        (r.event_type, r.q)
+        for r in pts.groupBy("event_type").agg(F.percentile("f_float", 0.5).alias("q")).collect()
+    }
+    assert got == direct
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> integral(unit: 1s)',
+    )
+    assert out.count() == n_types
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> stateCount(fn: (r) => r._value > 150)",
+    )
+    assert out.filter(F.col("state_count") > 0).count() == pts.filter(F.col("f_float") > 150).count()
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> histogram(bins: [100.0, 200.0, 10000.0])"
+        " |> histogramQuantile(quantile: 0.5)",
+    )
+    assert out.count() == n_types  # one median estimate per series
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> unique()',
+    )
+    once = (
+        pts.groupBy("event_type", "f_float").count().filter(F.col("count") == 1).count()
+    )
+    assert out.count() == once
+
+    shifted = execute_flux(
+        pts, 'from(bucket:"b") |> timeShift(duration: 1h) |> first()'
+    ).collect()
+    base = execute_flux(pts, 'from(bucket:"b") |> first()').collect()
+    assert shifted[0].time_ns - base[0].time_ns == 3600 * 10**9
+
+    out = execute_flux(
+        pts,
+        'import "interpolate"\n'
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> interpolate.linear(every: 1h)",
+    )
+    assert out.count() > 0 and "f_float" in out.columns
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> doubleEMA(n: 5)',
+    )
+    assert out.count() > 0
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> highestAverage(n: 2)',
+    )
+    assert out.select("event_type").distinct().count() == 2  # top-2 series' rows
+
+
 def test_flux_create_empty_fill(pts):
     out = execute_flux(
         pts,
