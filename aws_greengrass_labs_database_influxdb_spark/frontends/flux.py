@@ -511,10 +511,9 @@ def _run_pipeline(
             start = _time_to_ns(args["start"], now_ns) if "start" in args else None
             stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
             range_bounds = [start, stop]
-            if start is not None:
-                pipe = pipe.filter(F.col("time_ns") >= start)
-            if stop is not None:
-                pipe = pipe.filter(F.col("time_ns") < stop)
+            from ..operators.core import push_time_filter
+
+            pipe = pipe._with(push_time_filter(df, start, stop))
         elif name == "filter":
             body = argstr.partition("=>")[2]
             pipe = pipe.filter(_parse_predicate(df, body))

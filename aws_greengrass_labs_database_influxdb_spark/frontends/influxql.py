@@ -379,10 +379,9 @@ def execute_show(points: DataFrame, query: str) -> DataFrame:
     _parse_where(m.group("where") or "", flt)
     if flt.field_filters:
         raise InfluxQLError("SHOW does not support field conditions")
-    if flt.time_start_ns is not None:
-        df = df.filter(F.col("time_ns") >= flt.time_start_ns)
-    if flt.time_stop_ns is not None:
-        df = df.filter(F.col("time_ns") < flt.time_stop_ns)
+    from ..operators.core import push_time_filter
+
+    df = push_time_filter(df, flt.time_start_ns, flt.time_stop_ns)
 
     def tag_expr(name):
         return F.col(name) if name in df.columns else F.col("tags")[name]
@@ -392,7 +391,10 @@ def execute_show(points: DataFrame, query: str) -> DataFrame:
         df = df.filter({"=": c == val, "!=": c != val,
                         "=~": c.rlike(val), "!~": ~c.rlike(val)}[op])
 
-    promoted = [c for c in df.columns if c not in _NON_TAG_COLS]
+    # underscore-prefixed columns are engine-internal (e.g. the raw
+    # scan-time companion), never tags
+    promoted = [c for c in df.columns
+                if c not in _NON_TAG_COLS and not c.startswith("_")]
     has_map = "tags" in df.columns
 
     if what == "MEASUREMENTS":
@@ -552,10 +554,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     else:
         df = points.filter(F.col("measurement") == ast.measurement)
 
-    if ast.time_start_ns is not None:
-        df = df.filter(F.col("time_ns") >= ast.time_start_ns)
-    if ast.time_stop_ns is not None:
-        df = df.filter(F.col("time_ns") < ast.time_stop_ns)
+    from ..operators.core import push_time_filter
+
+    df = push_time_filter(df, ast.time_start_ns, ast.time_stop_ns)
 
     def tag_col(name):
         if name in df.columns:

@@ -18,6 +18,7 @@ from .core import (  # noqa: F401
     keep,
     map_columns,
     pivot,
+    push_time_filter,
     range_time,
     rename,
     set_constant,

@@ -38,6 +38,43 @@ def filter_expr(df: DataFrame, predicate: Column | str) -> DataFrame:
     return df.filter(predicate)
 
 
+#: name of the optional raw-storage time column adapters may carry so
+#: time-range filters stay sargable (see push_time_filter)
+RAW_TIME_COL = "_ts_raw"
+
+
+def push_time_filter(
+    df: DataFrame,
+    start_ns: int | None = None,
+    stop_ns: int | None = None,
+    time_ns_col: str = "time_ns",
+    raw_col: str = RAW_TIME_COL,
+) -> DataFrame:
+    """Half-open ``[start_ns, stop_ns)`` filter that reaches the scan.
+
+    ``time_ns`` is often *derived* (e.g. µs-truncated from a raw ns
+    column for oracle parity) — parquet can't translate a predicate on
+    an arithmetic expression into row-group stats, so a plain
+    ``time_ns >= X`` filter scans the whole time dimension at 100 TB.
+    When the frame carries the raw storage column, this adds the
+    equivalent *superset* predicate on it (``raw >= start`` /
+    ``raw < stop + 1µs`` — implied by the exact predicate, ≤1 µs of
+    slack), which IS sargable: row-group min/max skipping and partition
+    pruning work again. The exact ``time_ns`` predicate still applies,
+    so results are unchanged.
+    """
+    c = F.col(time_ns_col)
+    if start_ns is not None:
+        df = df.filter(c >= F.lit(start_ns))
+        if raw_col in df.columns:
+            df = df.filter(F.col(raw_col) >= F.lit(int(start_ns)))
+    if stop_ns is not None:
+        df = df.filter(c < F.lit(stop_ns))
+        if raw_col in df.columns:
+            df = df.filter(F.col(raw_col) < F.lit(int(stop_ns) + 1000))
+    return df
+
+
 def map_columns(df: DataFrame, **exprs: Column) -> DataFrame:
     """Flux ``map(fn:)`` — computed/rewritten columns."""
     return df.withColumns(dict(exprs))

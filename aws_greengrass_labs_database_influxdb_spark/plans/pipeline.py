@@ -57,6 +57,15 @@ class Pipeline:
     # -------------------------------------------------------- source shaping
 
     def range(self, start=None, stop=None) -> "Pipeline":
+        if isinstance(start, int) or isinstance(stop, int):
+            # epoch-ns bounds: use the sargable path (adds a raw-column
+            # superset predicate so parquet row-group pruning applies)
+            return self._with(ops.push_time_filter(
+                self.df_,
+                start if isinstance(start, int) else None,
+                stop if isinstance(stop, int) else None,
+                time_ns_col=self.time_ns_col,
+            ))
         return self._with(ops.range_time(self.df_, start, stop, self.time_col))
 
     def filter(self, predicate: Column | str) -> "Pipeline":

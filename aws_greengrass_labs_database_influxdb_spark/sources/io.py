@@ -51,4 +51,9 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(FT_FLOAT).alias("ftype"),
         F.col("event_id").alias("ingest_seq"),
         F.col("props"),
+        # raw storage time: time_ns above is DERIVED (µs-truncated), so
+        # predicates on it can't reach parquet row-group stats; range
+        # filters add a superset predicate on this raw column instead
+        # (operators.core.push_time_filter) — that one is sargable
+        F.col("ts").alias("_ts_raw"),
     )
