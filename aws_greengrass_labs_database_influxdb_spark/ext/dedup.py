@@ -196,21 +196,31 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     into dedup groups (keep ``id == cluster_id``, drop the rest).
 
     Iterative min-label propagation: each round is one join + one
-    map-side-combining groupBy, labels cached between rounds, stopping
-    when no label changes. Rounds needed ≈ cluster diameter — near-dup
-    clusters are tiny (chains of a few docs), so this converges in
-    2–4 rounds regardless of corpus size; every round is shuffle-
-    bounded by |edges|, never all-pairs. Deterministic (min id), so the
-    DuckDB recursive-CTE oracle reproduces it exactly.
+    map-side-combining groupBy, stopping when no label changes. Rounds
+    needed ≈ cluster diameter — near-dup clusters are tiny (chains of
+    a few docs), so this converges in 2–4 rounds regardless of corpus
+    size; every round is shuffle-bounded by |edges|, never all-pairs.
+    Deterministic (min id), so the DuckDB recursive-CTE oracle
+    reproduces it exactly.
+
+    Lineage discipline: iterative DataFrame algorithms grow their
+    logical plan per round (the unrolled history re-analyzes on every
+    action — plans reached thousands of Exchange nodes before this
+    was truncated). Each round's labels are ``localCheckpoint``-ed
+    (eager, executor-local storage, O(|vertices in pairs|) — tiny
+    relative to the corpus), so the returned frame's plan is one
+    round deep no matter how many rounds ran.
     """
     edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     edges = (
         edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
-        edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+        edges.select(F.col("x").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -225,7 +235,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -233,11 +243,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
