@@ -70,6 +70,12 @@ class InfluxQLQuery:
     # conditions is OR'd; groups AND with everything else
     or_tag_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
     measurement_regex: str | None = None
+    # nested transform-over-aggregate selections:
+    # (outer_transform, inner_agg, field, alias) — DERIVATIVE(MEAN(v), 1s)
+    nested: list[tuple[str, str, str, str]] = field(default_factory=list)
+    # arithmetic selections: (expr_tree, alias); tree nodes are
+    # ("num", x) | ("agg", fn, field, args) | ("bin", op, l, r)
+    arith: list[tuple[tuple, str]] = field(default_factory=list)
     group_time_ns: int | None = None
     group_tags: list[str] = field(default_factory=list)
     fill: str | float | None = None
@@ -108,6 +114,74 @@ def _ts_to_ns(lit: str) -> int:
         except ValueError:
             continue
     raise InfluxQLError(f"bad time literal {lit!r}")
+
+
+_ARITH_TOKEN_RX = re.compile(
+    r"\s*(\w+\s*\(\s*[^()]*\s*\)|\d+\.\d+|\d+|[+\-*/])"
+)
+
+
+def _parse_select_arith(src: str):
+    """Parse ``mean(v) * 8`` / ``max(v) - min(v)`` style SELECT items
+    into an expression tree (standard precedence: ``* /`` over
+    ``+ -``). Returns None when ``src`` isn't an arithmetic chain of
+    aggregate calls and numeric literals (callers fall back to the
+    plain single-function grammar)."""
+    tokens, pos = [], 0
+    while pos < len(src):
+        m = _ARITH_TOKEN_RX.match(src, pos)
+        if not m:
+            return None
+        tokens.append(m.group(1))
+        pos = m.end()
+    if not tokens or not any(t in "+-*/" for t in tokens):
+        return None
+
+    def atom(i):
+        t = tokens[i]
+        fm = re.match(r"(?i)^(\w+)\s*\(\s*\"?([\w*]+)\"?\s*(?:,\s*([^)]*))?\)$", t)
+        if fm:
+            fn = fm.group(1).lower()
+            if fn not in _AGGS and fn not in _SELECTORS and fn not in _ARG_AGGS:
+                raise InfluxQLError(f"unsupported function {fn!r} in expression")
+            args = [a.strip().strip('"') for a in (fm.group(3) or "").split(",") if a.strip()]
+            return ("agg", fn, fm.group(2), tuple(args)), i + 1
+        if re.match(r"^\d", t):
+            return ("num", float(t)), i + 1
+        raise InfluxQLError(f"cannot parse expression token {t!r}")
+
+    def mul(i):
+        node, i = atom(i)
+        while i < len(tokens) and tokens[i] in "*/":
+            op = tokens[i]
+            rhs, i = atom(i + 1)
+            node = ("bin", op, node, rhs)
+        return node, i
+
+    def add(i):
+        node, i = mul(i)
+        while i < len(tokens) and tokens[i] in "+-":
+            op = tokens[i]
+            rhs, i = mul(i + 1)
+            node = ("bin", op, node, rhs)
+        return node, i
+
+    try:
+        tree, i = add(0)
+    except InfluxQLError:
+        raise
+    if i != len(tokens):
+        raise InfluxQLError(f"trailing tokens in expression {src!r}")
+    return tree
+
+
+def _default_arith_alias(tree) -> str:
+    """InfluxQL names unaliased expressions after the first function."""
+    if tree[0] == "agg":
+        return tree[1]
+    if tree[0] == "bin":
+        return _default_arith_alias(tree[2])
+    return "expr"
 
 
 def _parse_where(where: str, out: InfluxQLQuery) -> None:
@@ -178,6 +252,28 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     # SELECT list
     for part in re.split(r",(?![^()]*\))", m.group("sel")):
         part = part.strip()
+        # nested transform-over-aggregate: DERIVATIVE(MEAN(value), 1s)
+        nm = re.match(
+            r"(?i)^(\w+)\s*\(\s*(\w+)\s*\(\s*\"?([\w*]+)\"?\s*\)"
+            r"\s*(?:,\s*([^)]*))?\)(?:\s+AS\s+\"?(\w+)\"?)?$",
+            part,
+        )
+        if nm and nm.group(1).lower() in _TRANSFORMS:
+            outer, inner = nm.group(1).lower(), nm.group(2).lower()
+            if inner not in _AGGS and inner not in _SELECTORS:
+                raise InfluxQLError(f"cannot nest {inner!r} inside {outer!r}")
+            alias = nm.group(5) or outer
+            out.nested.append((outer, inner, nm.group(3), alias))
+            if nm.group(4):
+                out.fn_args[alias] = [a.strip().strip('"') for a in nm.group(4).split(",")]
+            continue
+        # arithmetic over aggregates/literals: mean(v) * 8, max(v)-min(v)
+        am = re.match(r'(?is)^(.*?)(?:\s+AS\s+"?(\w+)"?)?$', part)
+        expr_src, expr_alias = am.group(1).strip(), am.group(2)
+        tree = _parse_select_arith(expr_src)
+        if tree is not None and tree[0] == "bin":
+            out.arith.append((tree, expr_alias or _default_arith_alias(tree)))
+            continue
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
             fn = fm.group(1).lower()
@@ -597,7 +693,10 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             )
         return _execute_multi_row(df, ast, multi[0], tag_col)
 
-    has_agg = any(fn for fn, _, _ in ast.fields)
+    if ast.nested:
+        return _execute_nested(df, ast, by, tag_col)
+
+    has_agg = any(fn for fn, _, _ in ast.fields) or bool(ast.arith)
 
     if not has_agg:
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
@@ -609,66 +708,105 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
         return out
 
-    # aggregate / selector path
+    # aggregate / selector path (+ arithmetic over aggregates)
+    return _finish(_execute_aggregate(df, ast, by), ast, by)
+
+
+def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
+    """One InfluxQL aggregate/selector as a Spark aggregate Column."""
+    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    col = F.col(src)
+    if fn in _AGGS:
+        if fn == "spread":
+            return (F.max(col) - F.min(col)).alias(alias)
+        if fn == "mode":
+            return F.mode(col).alias(alias)
+        return agg_ops.AGG_FNS[fn](col).alias(alias)
+    if fn in ("min", "max"):
+        # selector semantics: extreme value, ties → earliest time ⇒
+        # always min_by over (±value, time)
+        order = F.struct(col if fn == "min" else -col, F.col("time_ns"))
+        return F.min_by(col, order).alias(alias)
+    if fn in ("first", "last"):
+        pick = F.min_by if fn == "first" else F.max_by
+        return pick(col, F.col("time_ns")).alias(alias)
+    if fn == "percentile":
+        # InfluxQL PERCENTILE(f, p): the actual data value at rank
+        # round(n·p/100 + ½) ≡ max(1, ⌈n·p/100⌉) — a group-local
+        # sort+pick (groups are windows/series, bounded; the
+        # scalable global path is operators.aggregates.quantile)
+        if not args:
+            raise InfluxQLError("PERCENTILE needs (field, p)")
+        qv = float(args[0]) / 100.0
+        return F.expr(
+            f"element_at(array_sort(collect_list({src})), "
+            f"greatest(1, cast(ceil({qv!r} * count({src})) as int)))"
+        ).alias(alias)
+    if fn == "integral":
+        # trapezoid fold over the group's time-sorted points —
+        # InfluxQL INTEGRAL(f[, unit]); group-local like PERCENTILE
+        unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+        # struct field order = sort order: time first
+        arr = f"array_sort(collect_list(struct(time_ns as t, {src} as v)))"
+        return F.expr(
+            f"aggregate(zip_with(slice({arr}, 1, size({arr}) - 1), "
+            f"slice({arr}, 2, size({arr}) - 1), "
+            f"(p, c) -> (c.v + p.v) / 2 * (c.t - p.t) / 1e9 / {unit_s!r}), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias(alias)
+    raise InfluxQLError(f"unsupported aggregate {fn!r}")
+
+
+def _walk_agg_nodes(tree):
+    if tree[0] == "agg":
+        yield tree
+    elif tree[0] == "bin":
+        yield from _walk_agg_nodes(tree[2])
+        yield from _walk_agg_nodes(tree[3])
+
+
+def _tree_col(tree, names: dict):
+    kind = tree[0]
+    if kind == "num":
+        return F.lit(tree[1])
+    if kind == "agg":
+        return F.col(names[tree[1:]])
+    _, op, l, r = tree
+    lc, rc = _tree_col(l, names), _tree_col(r, names)
+    return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+
+def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
+    """The aggregate/selector/arithmetic SELECT core: one groupBy over
+    (tags[, window start]), arithmetic combined post-agg, fill over the
+    window spine. No ordering/limits — ``_finish`` applies those."""
     if ast.group_time_ns:
         df = df.withColumn("_ws", window_start_ns(F.col("time_ns"), ast.group_time_ns))
         keys = [*by, "_ws"]
     else:
         keys = by
 
-    aggs = []
-    for fn, fld, alias in ast.fields:
-        # resolve the aggregated column: canonical value slot, or a
-        # named column of a subquery result
-        src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
-        col = F.col(src)
-        if fn in _AGGS:
-            if fn == "spread":
-                aggs.append((F.max(col) - F.min(col)).alias(alias))
-            elif fn == "mode":
-                aggs.append(F.mode(col).alias(alias))
-            else:
-                aggs.append(agg_ops.AGG_FNS[fn](col).alias(alias))
-        elif fn in ("min", "max"):
-            # selector semantics: extreme value, ties → earliest time ⇒
-            # always min_by over (±value, time)
-            order = F.struct(col if fn == "min" else -col, F.col("time_ns"))
-            aggs.append(F.min_by(col, order).alias(alias))
-        elif fn in ("first", "last"):
-            pick = F.min_by if fn == "first" else F.max_by
-            aggs.append(pick(col, F.col("time_ns")).alias(alias))
-        elif fn == "percentile":
-            # InfluxQL PERCENTILE(f, p): the actual data value at rank
-            # round(n·p/100 + ½) ≡ max(1, ⌈n·p/100⌉) — a group-local
-            # sort+pick (groups are windows/series, bounded; the
-            # scalable global path is operators.aggregates.quantile)
-            args = ast.fn_args.get(alias) or []
-            if not args:
-                raise InfluxQLError("PERCENTILE needs (field, p)")
-            qv = float(args[0]) / 100.0
-            aggs.append(
-                F.expr(
-                    f"element_at(array_sort(collect_list({src})), "
-                    f"greatest(1, cast(ceil({qv!r} * count({src})) as int)))"
-                ).alias(alias)
-            )
-        elif fn == "integral":
-            # trapezoid fold over the group's time-sorted points —
-            # InfluxQL INTEGRAL(f[, unit]); group-local like PERCENTILE
-            args = ast.fn_args.get(alias) or []
-            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
-            # struct field order = sort order: time first
-            arr = f"array_sort(collect_list(struct(time_ns as t, {src} as v)))"
-            aggs.append(
-                F.expr(
-                    f"aggregate(zip_with(slice({arr}, 1, size({arr}) - 1), "
-                    f"slice({arr}, 2, size({arr}) - 1), "
-                    f"(p, c) -> (c.v + p.v) / 2 * (c.t - p.t) / 1e9 / {unit_s!r}), "
-                    f"cast(0.0 as double), (acc, x) -> acc + x)"
-                ).alias(alias)
-            )
+    aggs = [
+        _agg_expr(fn, fld, alias, ast.fn_args.get(alias) or [], df)
+        for fn, fld, alias in ast.fields
+    ]
+    # arithmetic selections: each distinct aggregate call becomes one
+    # internal agg column; the expression combines them post-groupBy
+    internal: dict[tuple, str] = {}
+    for tree, _alias in ast.arith:
+        for node in _walk_agg_nodes(tree):
+            key = node[1:]
+            if key not in internal:
+                ia = f"__x{len(internal)}"
+                internal[key] = ia
+                aggs.append(_agg_expr(node[1], node[2], ia, list(node[3]), df))
     out = df.groupBy(*keys).agg(*aggs)
+    for tree, alias in ast.arith:
+        out = out.withColumn(alias, _tree_col(tree, internal))
+    if internal:
+        out = out.drop(*internal.values())
 
+    value_cols = [a for _, _, a in ast.fields] + [a for _, a in ast.arith]
     if ast.group_time_ns and ast.fill not in (None, "none"):
         if ast.time_start_ns is None or ast.time_stop_ns is None:
             raise InfluxQLError("fill() needs an explicit WHERE time range")
@@ -676,7 +814,6 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             df, ast.time_start_ns, ast.time_stop_ns, ast.group_time_ns, by=by
         ).withColumnRenamed("_start_ns", "_ws").drop("_stop_ns")
         out = spine.join(out, on=keys, how="left")
-        value_cols = [a for _, _, a in ast.fields]
         if isinstance(ast.fill, float):
             for c in value_cols:
                 out = out.withColumn(c, F.coalesce(F.col(c), F.lit(ast.fill)))
@@ -707,7 +844,72 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
     if ast.group_time_ns:
         out = out.withColumn("time", F.timestamp_micros(F.expr("_ws div 1000"))).drop("_ws")
+    return out
 
+
+def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> DataFrame:
+    """Transform-over-aggregate nesting — the classic Grafana InfluxQL
+    shape ``SELECT DERIVATIVE(MEAN(v), 1s) ... GROUP BY time(10s)``:
+    aggregate per window first (full fill/spine semantics), then run
+    the per-point transform over the *aggregated* series."""
+    import dataclasses
+
+    from ..operators import analytics as an_ops
+
+    if not ast.group_time_ns:
+        raise InfluxQLError("transform(aggregate(..)) needs GROUP BY time()")
+    if ast.fields:
+        raise InfluxQLError("cannot mix nested transforms with plain selections")
+    for t in by:
+        if t not in df.columns:
+            df = df.withColumn(t, tag_col(t))
+    inner_fields = [
+        (inner, fld, f"__n{i}") for i, (_o, inner, fld, _a) in enumerate(ast.nested)
+    ]
+    inner_ast = dataclasses.replace(
+        ast, fields=inner_fields, nested=[], arith=[],
+        limit=None, offset=0, slimit=None, order_desc=False,
+    )
+    aggd = _execute_aggregate(df, inner_ast, by).withColumn(
+        "time_ns", F.expr("unix_micros(time) * 1000")
+    )
+    aliases = []
+    for i, (outer, _inner, _fld, alias) in enumerate(ast.nested):
+        src, args = f"__n{i}", ast.fn_args.get(alias, [])
+        if outer in ("derivative", "non_negative_derivative"):
+            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+            aggd = an_ops.derivative(
+                aggd, unit_seconds=unit_s, non_negative=outer.startswith("non_"),
+                value=src, by=by, alias=alias, order=["time_ns"],
+            )
+        elif outer in ("difference", "non_negative_difference"):
+            aggd = an_ops.difference(
+                aggd, non_negative=outer.startswith("non_"), value=src,
+                by=by, alias=alias, order=["time_ns"],
+            )
+        elif outer == "cumulative_sum":
+            aggd = an_ops.cumulative_sum(aggd, value=src, by=by, alias=alias,
+                                         order=["time_ns"])
+        elif outer == "moving_average":
+            if not args:
+                raise InfluxQLError("MOVING_AVERAGE needs a window size")
+            aggd = an_ops.moving_average(aggd, n=int(args[0]), value=src,
+                                         by=by, alias=alias, order=["time_ns"])
+        elif outer == "elapsed":
+            unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
+            aggd = an_ops.elapsed(aggd, unit_seconds=unit_s, by=by, alias=alias,
+                                  order=["time_ns"])
+        else:
+            raise InfluxQLError(f"unhandled nested transform {outer!r}")
+        aliases.append(alias)
+    keep = None
+    for a in aliases:
+        c = F.col(a).isNotNull()
+        keep = c if keep is None else (keep | c)
+    return _finish(aggd.filter(keep).select("time", *by, *aliases), ast, by)
+
+
+def _finish(out: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
     if ast.order_desc:
         out = out.orderBy(F.desc("time"))
     if ast.slimit is not None and by:

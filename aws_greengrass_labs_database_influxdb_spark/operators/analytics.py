@@ -47,7 +47,10 @@ def derivative(
     """
     w = _series_window(by, order or time_ns)
     dv = F.col(value) - F.lag(value).over(w)
-    dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9 / unit_seconds)
+    # Δt in *units*: ns → seconds → units. (A previous form divided by
+    # 1e9/unit, i.e. multiplied by the unit — inverted scaling for any
+    # unit ≠ 1s; caught by the nested-transform golden test.)
+    dt = (F.col(time_ns) - F.lag(time_ns).over(w)) / F.lit(1e9) / F.lit(unit_seconds)
     d = dv / dt
     if non_negative:
         d = F.when(d >= 0, d)

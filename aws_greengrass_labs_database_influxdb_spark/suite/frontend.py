@@ -334,6 +334,69 @@ def influxql_top_n(spark, sf_dir):
 
 
 @q(
+    "influxql_nested_grafana",
+    """
+    WITH m AS (
+      SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS w, avg(value) AS mv
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-20'
+      GROUP BY 1, 2)
+    SELECT event_type, epoch_ms(w) AS t_ms,
+           round((mv - lag(mv) OVER win) /
+                 ((epoch(w) - lag(epoch(w)) OVER win) / 3600.0), 6) AS d
+    FROM m
+    WINDOW win AS (PARTITION BY event_type ORDER BY w)
+    QUALIFY lag(mv) OVER win IS NOT NULL
+    """,
+)
+def influxql_nested_grafana(spark, sf_dir):
+    """Transform-over-aggregate nesting — DERIVATIVE(MEAN(v), 1h)
+    GROUP BY time(1d): windowed means first, then the rate over the
+    aggregated series. This exact shape is what Grafana's InfluxQL
+    editor emits; the round-1 parser rejected nesting. Rounded both
+    sides (float mean division, last-ulp engine noise)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT DERIVATIVE(MEAN(value), 1h) AS d FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-20' "
+        "GROUP BY time(1d), event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"),
+        F.round("d", 6).alias("d"),
+    )
+
+
+@q(
+    "influxql_agg_arithmetic",
+    """
+    SELECT event_type, epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS t_ms,
+           round(avg(value) * 8 + 1, 6) AS m8,
+           max(value) - min(value) AS rng
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_agg_arithmetic(spark, sf_dir):
+    """Arithmetic over aggregates in the SELECT list — MEAN(v)*8+1 and
+    MAX(v)-MIN(v) — parsed with standard precedence into one groupBy
+    (each distinct call one agg column, combined post-agg)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT MEAN(value) * 8 + 1 AS m8, MAX(value) - MIN(value) AS rng "
+        "FROM events WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"),
+        F.round("m8", 6).alias("m8"), "rng",
+    )
+
+
+@q(
     "influxql_show_meta",
     """
     SELECT 'event_type' AS key, event_type AS value

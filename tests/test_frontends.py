@@ -430,6 +430,63 @@ def test_influxql_top_bottom_distinct_sample(pts):
     assert all(r.v in src for r in out.collect())
 
 
+def test_influxql_nested_transform_over_aggregate(pts):
+    """DERIVATIVE(MEAN(value), 1h) GROUP BY time(1d) — the classic
+    Grafana shape: windowed means first, then the transform over the
+    aggregated series."""
+    out = execute_influxql(
+        pts,
+        "SELECT DERIVATIVE(MEAN(value), 1h) AS d FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-11' "
+        "GROUP BY time(1d), event_type",
+    ).collect()
+    means = {
+        (r.event_type, r.w): r.m
+        for r in pts.filter(
+            (F.col("time_ns") >= 1704067200 * 10**9)
+            & (F.col("time_ns") < (1704067200 + 10 * 86400) * 10**9)
+        )
+        .groupBy(
+            "event_type",
+            (F.col("time_ns") - F.col("time_ns") % (86400 * 10**9)).alias("w"),
+        )
+        .agg(F.avg("f_float").alias("m"))
+        .collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        w = r.time.timestamp() * 10**9
+        prev_w = int(w) - 86400 * 10**9
+        expect = (means[(r.event_type, int(w))] - means[(r.event_type, prev_w)]) / 24.0
+        assert abs(r.d - expect) < 1e-9
+
+
+def test_influxql_arithmetic_on_aggregates(pts):
+    out = execute_influxql(
+        pts,
+        "SELECT MEAN(value) * 8 + 1 AS m8, MAX(value) - MIN(value) AS rng "
+        "FROM events GROUP BY event_type",
+    ).collect()
+    direct = {
+        r.event_type: (r.m * 8 + 1, r.mx - r.mn)
+        for r in pts.groupBy("event_type").agg(
+            F.avg("f_float").alias("m"), F.max("f_float").alias("mx"),
+            F.min("f_float").alias("mn"),
+        ).collect()
+    }
+    assert len(out) == 5
+    for r in out:
+        em8, erng = direct[r.event_type]
+        assert abs(r.m8 - em8) < 1e-9 and abs(r.rng - erng) < 1e-12
+
+    # precedence: * binds tighter than +
+    one = execute_influxql(
+        pts, "SELECT MEAN(value) + MEAN(value) * 2 AS x FROM events"
+    ).collect()[0]
+    base = execute_influxql(pts, "SELECT MEAN(value) AS m FROM events").collect()[0].m
+    assert abs(one.x - base * 3) < 1e-9
+
+
 def test_influxql_show_meta_queries(pts, spark):
     """SHOW MEASUREMENTS / TAG KEYS / TAG VALUES / FIELD KEYS / SERIES
     — the Grafana-dropdown meta-queries, exact shapes per v1 docs."""
