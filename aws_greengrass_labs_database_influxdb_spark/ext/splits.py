@@ -1,0 +1,87 @@
+"""Dataset-assembly operators: deterministic splits and benchmark
+contamination — the last-mile steps of a training-data pipeline.
+
+Scale design:
+
+- **train_split**: pure Column expression over a hash of the id — no
+  shuffle at all, embarrassingly parallel, and *stable*: re-running on
+  a grown corpus never moves an existing doc between splits (the
+  property that matters for dataset versioning).
+- **contamination**: shingle join between corpus and benchmark. The
+  benchmark side is tiny (eval sets are thousands of docs) → its
+  distinct shingles broadcast; the corpus side streams map-side with
+  no shuffle of the corpus itself, then one groupBy(doc_id) counts
+  overlapping shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _shingled
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign each row to train/val/test by a hash of its id.
+
+    ``bucket = int(md5(salt || id)[:4], 16) % 10000`` — deterministic,
+    engine-portable (md5 on both Spark and DuckDB), stable under
+    corpus growth, and tunable per dataset version via ``salt``.
+    Fractions are exact over the bucket space (not approximate
+    sampling): train gets buckets [0, train·10⁴), val the next
+    val·10⁴, test the rest.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    t_hi = int(train * 10000)
+    v_hi = t_hi + int(val * 10000)
+    split = (
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark contamination: per corpus doc, how many of its word
+    ``n``-gram shingles appear anywhere in the benchmark set.
+
+    Returns ``(doc_id, n_shingles, n_contaminated, contamination)``
+    with ``contamination = n_contaminated / n_shingles``. The
+    benchmark's distinct shingles broadcast (eval sets are small);
+    the corpus never shuffles — one map-side semi-match feeds a single
+    groupBy on doc_id.
+    """
+    corp_sh = _shingled(corpus, text_col, id_col, n)
+    bench_sh = _shingled(benchmark, text_col, id_col, n).select("shingle").distinct()
+    hits = corp_sh.join(
+        F.broadcast(bench_sh).withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+        )
+    )

@@ -217,6 +217,66 @@ def ext_corpus_clean(spark, sf_dir):
 
 
 @q(
+    "ext_train_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def ext_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: md5-bucket of the doc
+    id — zero-shuffle Column expression, stable under corpus growth
+    (a grown corpus never reassigns existing docs), salt-versioned."""
+    from ..ext.splits import train_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_split(d, train=0.9, val=0.05).select(
+        "doc_id", "lang", "bucket", "split"
+    )
+
+
+@q(
+    "ext_contamination",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks), 5) - 4),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS shingle
+        FROM t)),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS contamination
+    FROM sh s LEFT JOIN bsh b USING (shingle)
+    GROUP BY 1
+    """,
+)
+def ext_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each corpus doc's
+    5-gram shingles that appear in the benchmark set (here: every
+    97th doc as a stand-in eval set). Benchmark shingles broadcast;
+    the corpus never shuffles."""
+    from ..ext.splits import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination(d, bench, n=5)
+
+
+@q(
     "ext_text_langid",
     """
     WITH t AS (

@@ -135,6 +135,42 @@ def test_multimodal_extract_features_plumbing(spark):
     assert extract_features(media).collect()[0].feature == feats[0].feature
 
 
+def test_train_split_stable_and_fractional(spark, sf_dir):
+    """The property that matters for dataset versioning: assignments
+    are a pure function of (salt, id) — growing the corpus never moves
+    an existing doc — and fractions land near the targets."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.splits import train_split
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {r.doc_id: r.split for r in train_split(d).collect()}
+    subset = {r.doc_id: r.split for r in train_split(d.limit(100)).collect()}
+    assert all(full[k] == v for k, v in subset.items())  # stability
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97
+    # different salt → different assignment (not a constant function)
+    salted = {r.doc_id: r.split for r in train_split(d, salt="v2").collect()}
+    assert any(salted[k] != full[k] for k in full)
+
+
+def test_contamination_bounds(spark, sf_dir):
+    """Benchmark docs are 100% contaminated against themselves; docs
+    sharing no 5-gram with the benchmark score 0; ratio ∈ [0, 1]."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.splits import contamination
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    out = contamination(d, bench, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    for i in bench_ids:
+        assert rows[i].contamination == 1.0, rows[i]
+    assert all(0.0 <= r.contamination <= 1.0 for r in rows.values())
+    assert out.count() == d.count()
+
+
 def test_multimodal_real_decode_is_marked_unavailable():
     with pytest.raises(NotImplementedError):
         real_decode_unavailable(b"bytes", "image")
