@@ -530,6 +530,7 @@ def _run_pipeline(
                 range_start=range_bounds[0],
                 range_stop=range_bounds[1],
                 alias="_value_agg",
+                offset=args.get("offset", "0"),
             )
             pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:

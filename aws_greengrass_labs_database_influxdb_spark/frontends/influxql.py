@@ -77,6 +77,7 @@ class InfluxQLQuery:
     # ("num", x) | ("agg", fn, field, args) | ("bin", op, l, r)
     arith: list[tuple[tuple, str]] = field(default_factory=list)
     group_time_ns: int | None = None
+    group_time_offset_ns: int = 0
     group_tags: list[str] = field(default_factory=list)
     fill: str | float | None = None
     order_desc: bool = False
@@ -309,9 +310,13 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         g = g.strip()
         if not g:
             continue
-        tg = re.match(r"(?i)^time\s*\(\s*(\w+)\s*\)$", g)
+        tg = re.match(r"(?i)^time\s*\(\s*(\w+)\s*(?:,\s*(-?\w+)\s*)?\)$", g)
         if tg:
             out.group_time_ns = _parse_duration(tg.group(1))
+            if tg.group(2):
+                off = tg.group(2)
+                sign = -1 if off.startswith("-") else 1
+                out.group_time_offset_ns = sign * _parse_duration(off.lstrip("-"))
             continue
         out.group_tags.append(g.strip('"'))
 
@@ -584,7 +589,11 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
     src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
     args = ast.fn_args.get(alias) or []
     if ast.group_time_ns:
-        df = df.withColumn("_ws", window_start_ns(F.col("time_ns"), ast.group_time_ns))
+        df = df.withColumn(
+            "_ws",
+            window_start_ns(F.col("time_ns"), ast.group_time_ns,
+                            ast.group_time_offset_ns),
+        )
         keys = [*by, "_ws"]
     else:
         keys = by
@@ -781,7 +790,11 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
     (tags[, window start]), arithmetic combined post-agg, fill over the
     window spine. No ordering/limits — ``_finish`` applies those."""
     if ast.group_time_ns:
-        df = df.withColumn("_ws", window_start_ns(F.col("time_ns"), ast.group_time_ns))
+        df = df.withColumn(
+            "_ws",
+            window_start_ns(F.col("time_ns"), ast.group_time_ns,
+                            ast.group_time_offset_ns),
+        )
         keys = [*by, "_ws"]
     else:
         keys = by
@@ -811,7 +824,8 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
         if ast.time_start_ns is None or ast.time_stop_ns is None:
             raise InfluxQLError("fill() needs an explicit WHERE time range")
         spine = window_spine(
-            df, ast.time_start_ns, ast.time_stop_ns, ast.group_time_ns, by=by
+            df, ast.time_start_ns, ast.time_stop_ns, ast.group_time_ns, by=by,
+            offset=ast.group_time_offset_ns,
         ).withColumnRenamed("_start_ns", "_ws").drop("_stop_ns")
         out = spine.join(out, on=keys, how="left")
         if isinstance(ast.fill, float):

@@ -121,11 +121,12 @@ class Pipeline:
     def aggregate_window(
         self, every, fn: str, column: str = "f_float", create_empty: bool = False,
         range_start=None, range_stop=None, alias: str | None = None,
+        offset: str | int = 0,
     ) -> "Pipeline":
         out = ops.aggregate_window(
             self.df_, every, fn, column, by=self.group_key,
             create_empty=create_empty, range_start=range_start, range_stop=range_stop,
-            alias=alias, time_ns=self.time_ns_col,
+            alias=alias, time_ns=self.time_ns_col, offset=offset,
         )
         return self._with(out)
 

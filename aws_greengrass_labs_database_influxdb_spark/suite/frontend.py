@@ -334,6 +334,33 @@ def influxql_top_n(spark, sf_dir):
 
 
 @q(
+    "influxql_offset_window",
+    """
+    SELECT event_type,
+           epoch_ms(time_bucket(INTERVAL 1 DAY, ts, INTERVAL 6 HOUR)) AS t_ms,
+           count(*) AS n, max(value) AS mx
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_offset_window(spark, sf_dir):
+    """GROUP BY time(1d, 6h) — offset-aligned windows (shift-floor-
+    unshift integer arithmetic, matching DuckDB's 3-arg time_bucket).
+    The timezone-alignment workhorse of v1 dashboards."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT COUNT(value) AS n, MAX(value) AS mx FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d, 6h), event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "n", "mx"
+    )
+
+
+@q(
     "influxql_nested_grafana",
     """
     WITH m AS (

@@ -291,6 +291,21 @@ def test_flux_text_extended_stages(pts):
     assert out.select("event_type").distinct().count() == 2  # top-2 series' rows
 
 
+def test_flux_aggregate_window_offset(pts):
+    """aggregateWindow(offset:) shifts window boundaries: with a 6h
+    offset, window starts sit at 06:00 rather than midnight."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-15T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1d, fn: count, offset: 6h)",
+    )
+    starts = {r.time_ns - 86400 * 10**9 for r in out.collect()}  # _stop → start
+    assert all((s - 6 * 3600 * 10**9) % (86400 * 10**9) == 0 for s in starts)
+    assert len(starts) > 0
+
+
 def test_flux_create_empty_fill(pts):
     out = execute_flux(
         pts,

@@ -67,6 +67,59 @@ def test_ingest_end_to_end_and_out_of_order_convergence(spark, store, tmp_path):
     )
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicate text arriving in a LATER micro-batch is dropped (the
+    state store remembers hashes across batches); distinct texts all
+    pass; the dedup key matches the batch operator's normalization
+    (whitespace/case-insensitive)."""
+    import json
+
+    from aws_greengrass_labs_database_influxdb_spark.streaming import stream_exact_dedup
+
+    in_dir, ckpt, out_dir = tmp_path / "in", tmp_path / "ck", tmp_path / "out"
+    in_dir.mkdir()
+
+    def run_batch():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .json(str(in_dir))
+        )
+        deduped = stream_exact_dedup(src, watermark="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = "2024-01-01T00:{m:02d}:00.000Z"
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "alpha beta gamma", "ts": t.format(m=0)},
+                {"doc_id": 2, "text": "delta epsilon", "ts": t.format(m=1)},
+            ]
+        )
+    )
+    run_batch()
+    (in_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # same text as doc 1 modulo case/whitespace → duplicate
+                {"doc_id": 3, "text": "  Alpha   BETA gamma ", "ts": t.format(m=5)},
+                {"doc_id": 4, "text": "zeta eta", "ts": t.format(m=6)},
+            ]
+        )
+    )
+    run_batch()
+    got = {r.doc_id for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {1, 2, 4}
+
+
 def test_downsample_task_matches_batch_recompute(spark, store, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
