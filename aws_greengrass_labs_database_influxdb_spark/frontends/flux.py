@@ -254,6 +254,21 @@ _ARITH_TOKEN_RX = re.compile(
 )
 
 
+def _parse_map_value(df: DataFrame, s: str) -> Column:
+    """A ``map()`` field value: either Flux conditional syntax
+    ``if <pred> then <v> else <v>`` (chainable via ``else if``, the
+    dashboard banding idiom) compiled to ``F.when``, or plain
+    arithmetic. All JVM-side — no UDF."""
+    s = s.strip()
+    m = re.match(r"(?s)^if\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+)$", s)
+    if m:
+        cond = _parse_predicate(df, m.group(1))
+        return F.when(cond, _parse_map_value(df, m.group(2))).otherwise(
+            _parse_map_value(df, m.group(3))
+        )
+    return _parse_arith(df, s)
+
+
 def _parse_arith(df: DataFrame, s: str) -> Column:
     """Arithmetic over row fields for ``map()``: ``r.col``/``r["col"]``,
     numeric/string literals, ``+ - * / %`` and parens — compiled to a
@@ -625,7 +640,7 @@ def _run_pipeline(
             updates: dict[str, Column] = {}
             for k, expr_src in _split_args(inner).items():
                 target = _colname(df, k)
-                updates[target if target in df.columns else k] = _parse_arith(df, expr_src)
+                updates[target if target in df.columns else k] = _parse_map_value(df, expr_src)
             pipe = pipe._with(df.withColumns(updates))
         elif name == "timeShift":
             from ..operators.core import time_shift

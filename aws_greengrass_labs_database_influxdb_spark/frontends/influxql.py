@@ -84,6 +84,7 @@ class InfluxQLQuery:
     limit: int | None = None
     offset: int = 0
     slimit: int | None = None
+    soffset: int = 0
     # extra positional args of transform fns, keyed by output alias
     fn_args: dict[str, list[str]] = field(default_factory=dict)
 
@@ -242,7 +243,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
         r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
         r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
-        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?$",
+        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?(?:\s+SOFFSET\s+(?P<soffset>\d+))?$",
         text,
     )
     if not m:
@@ -324,6 +325,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     out.limit = int(m.group("limit")) if m.group("limit") else None
     out.offset = int(m.group("offset") or 0)
     out.slimit = int(m.group("slimit")) if m.group("slimit") else None
+    out.soffset = int(m.group("soffset") or 0)
     return out
 
 
@@ -624,7 +626,7 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
     if ast.order_desc and "time" in out.columns:
         out = out.orderBy(F.desc("time"))
     if ast.slimit is not None and by:
-        out = sl_ops.slimit(out, ast.slimit, series=by)
+        out = sl_ops.slimit(out, ast.slimit, series=by, soffset=ast.soffset)
     if ast.limit is not None:
         order = "time" if "time" in out.columns else alias
         out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order)
@@ -927,7 +929,7 @@ def _finish(out: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
     if ast.order_desc:
         out = out.orderBy(F.desc("time"))
     if ast.slimit is not None and by:
-        out = sl_ops.slimit(out, ast.slimit, series=by)
+        out = sl_ops.slimit(out, ast.slimit, series=by, soffset=ast.soffset)
     if ast.limit is not None:
         out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
     return out

@@ -291,6 +291,31 @@ def test_flux_text_extended_stages(pts):
     assert out.select("event_type").distinct().count() == 2  # top-2 series' rows
 
 
+def test_flux_map_conditional_banding(pts):
+    """map(fn: (r) => ({ r with band: if ... then ... else if ... }))
+    — the Grafana banding idiom, compiled to F.when (no UDF)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => ({ r with '
+        'band: if r._value > 150 then "high" else if r._value > 50 then "mid" else "low" }))',
+    )
+    got = {r.band for r in out.select("band").distinct().collect()}
+    assert got == {"high", "mid", "low"}
+    n_high = out.filter(F.col("band") == "high").count()
+    assert n_high == pts.filter(F.col("f_float") > 150).count()
+
+
+def test_influxql_soffset(pts):
+    two = execute_influxql(
+        pts, "SELECT MEAN(value) AS m FROM events GROUP BY event_type SLIMIT 2 SOFFSET 1"
+    ).collect()
+    allg = execute_influxql(
+        pts, "SELECT MEAN(value) AS m FROM events GROUP BY event_type"
+    ).collect()
+    ordered = sorted(r.event_type for r in allg)
+    assert sorted(r.event_type for r in two) == ordered[1:3]
+
+
 def test_flux_aggregate_window_offset(pts):
     """aggregateWindow(offset:) shifts window boundaries: with a 6h
     offset, window starts sit at 06:00 rather than midnight."""

@@ -138,6 +138,34 @@ def test_influxql_v1_query(served):
     assert all(isinstance(v[ti], int) for v in series["values"])  # epoch=s
 
 
+def test_show_meta_queries_via_v1_http(served):
+    """Grafana's dropdown queries over the wire: SHOW MEASUREMENTS and
+    SHOW TAG VALUES on the v1 /query endpoint."""
+    base, _, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"cpu,host=h1 usage=1.0 {T0}\ncpu,host=h2 usage=2.0 {T0 + 1}",
+         ctype="text/plain")
+    q = urllib.parse.quote("SHOW MEASUREMENTS")
+    status, body = _req(
+        base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"]
+    )
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    assert series["columns"] == ["name"]
+    assert ["cpu"] in series["values"]
+
+    q = urllib.parse.quote('SHOW TAG VALUES FROM cpu WITH KEY = "host"')
+    status, body = _req(
+        base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"]
+    )
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    assert series["columns"] == ["key", "value"]
+    assert all(k == "host" for k, _v in series["values"])
+    assert len(series["values"]) >= 1
+
+
 def test_delete_predicate_via_http(served):
     base, engine, tokens = served
     _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
