@@ -172,8 +172,22 @@ def timed_moving_average(
 
 # ---------------------------------------------------------------- recursive
 
-def _per_series_pandas(df, by, time_ns, out_field, out_type, fn):
-    """Shared applyInPandas scaffold for recursive per-series transforms."""
+def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
+    """Shared applyInPandas scaffold for recursive per-series transforms.
+
+    The frame is pruned to the columns the recursion actually touches
+    (group key, time order, tie-break, display time, ``needed`` value
+    columns) BEFORE the Arrow exchange — Catalyst cannot prune through
+    an applyInPandas whose declared schema carries every input column,
+    and shipping wide pass-through columns (e.g. a props payload)
+    through Arrow both ways dominated the runtime of the EMA family.
+    """
+    keep, seen = [], set()
+    for c in [*by, time_ns, "ingest_seq", "time", *needed]:
+        if c in df.columns and c not in seen:
+            keep.append(c)
+            seen.add(c)
+    df = df.select(*keep)
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_field, out_type, True)]
     )
@@ -196,6 +210,7 @@ def exponential_moving_average(
     by: Sequence[str] = ("measurement", "field"),
     time_ns: str = "time_ns",
     alias: str = "ema",
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """Flux ``exponentialMovingAverage(n:)``.
 
@@ -222,7 +237,7 @@ def exponential_moving_average(
             out[i] = e
         return pd.Series(out)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema)
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema, needed=(value, *keep))
 
 
 def double_ema(df, n, value="f_float", by=("measurement", "field"),
@@ -245,7 +260,7 @@ def triple_ema(df, n, value="f_float", by=("measurement", "field"),
     e1f = e1.filter(F.col("_e1").isNotNull())
     e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
     e2f = e2.filter(F.col("_e2").isNotNull())
-    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3")
+    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3", keep=("_e1",))
     return (
         e3.withColumn(alias, 3 * F.col("_e1") - 3 * F.col("_e2") + F.col("_e3"))
         .filter(F.col(alias).isNotNull())
@@ -280,7 +295,7 @@ def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
                 out[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
         return pd.Series(out)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi)
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi, needed=(value,))
 
 
 def kaufmans_er(df, n, value="f_float", by=("measurement", "field"),
@@ -335,7 +350,7 @@ def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
             out[i] = prev
         return pd.Series(out)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama)
+    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama, needed=(value,))
 
 
 def chande_momentum_oscillator(df, n, value="f_float", by=("measurement", "field"),

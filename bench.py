@@ -43,7 +43,11 @@ HEADLINE = [
     "ext_dedup_minhash_lsh",
     "ext_similarity_topk",
     "ext_text_stats",
+    "ext_contamination",
+    "ext_train_split",
     "influxql_count_fill0",
+    "influxql_nested_grafana",
+    "influxql_show_meta",
 ]
 
 
