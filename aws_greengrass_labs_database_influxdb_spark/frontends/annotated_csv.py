@@ -104,3 +104,82 @@ def to_annotated_csv(
 ) -> str:
     """Materialized convenience wrapper (small dashboard responses)."""
     return "".join(iter_annotated_csv(df, group_key, result_name))
+
+
+def from_annotated_csv(spark, text: str) -> DataFrame:
+    """Flux ``csv.from(csv: ...)``: parse annotated CSV back into a
+    DataFrame (inverse of the writer — round-trip tested).
+
+    Honors ``#datatype`` for column types (string/long/double/boolean/
+    RFC3339 timestamps) and ``#default`` for empty ``result`` cells.
+    The ``result``/``table`` bookkeeping columns are kept (Flux keeps
+    them too — ``drop()`` removes them downstream). Parsing happens
+    driver-side: csv.from is Flux's *literal/small-table* source (the
+    bulk path is the parquet bucket store), so inputs are dashboards'
+    inline tables, not data lakes.
+    """
+    import csv as _csv
+    import datetime as dt
+    import io
+
+    dtypes: list[str] = []
+    defaults: list[str] = []
+    header: list[str] = []
+    rows = []
+    for rec in _csv.reader(io.StringIO(text)):
+        if not rec or all(c == "" for c in rec):
+            continue
+        if rec[0] == "#group":
+            continue
+        if rec[0] == "#datatype":
+            dtypes = rec[1:]
+            continue
+        if rec[0] == "#default":
+            defaults = rec[1:]
+            continue
+        if rec[0].startswith("#"):  # unknown annotation — skip
+            continue
+        if not header:
+            header = rec[1:]
+            continue
+        rows.append(rec[1:])
+    if not header:
+        raise ValueError("annotated CSV has no header row")
+
+    def conv(v: str, dtype: str, default: str):
+        if v == "":
+            v = default
+        if v == "":
+            return None
+        if dtype == "long":
+            return int(v)
+        if dtype in ("double", "unsignedLong"):
+            return float(v)
+        if dtype == "boolean":
+            return v == "true"
+        if dtype.startswith("dateTime"):
+            return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+        return v
+
+    dtypes = dtypes or ["string"] * len(header)
+    defaults = (defaults + [""] * len(header))[: len(header)]
+    data = [
+        tuple(conv(v, t, d) for v, t, d in zip(row, dtypes, defaults))
+        for row in rows
+    ]
+    spark_types = {
+        "string": T.StringType(), "long": T.LongType(), "double": T.DoubleType(),
+        "boolean": T.BooleanType(), "unsignedLong": T.DoubleType(),
+    }
+    fields = [
+        T.StructField(
+            name,
+            T.TimestampType() if t.startswith("dateTime")
+            else spark_types.get(t, T.StringType()),
+            True,
+        )
+        for name, t in zip(header, dtypes)
+    ]
+    return spark.createDataFrame(data, T.StructType(fields))

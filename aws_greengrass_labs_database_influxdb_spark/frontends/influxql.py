@@ -5,17 +5,26 @@ provisioned engine serves on ``/query`` via DBRP — semantics per public
 InfluxQL docs):
 
     SELECT <fn>(<field>) [AS <alias>] [, ...] | <field list>
-    FROM <measurement>
-    [WHERE <time predicates> [AND <tag> = '<value>' ...] [AND <field> <op> <num>]]
-    [GROUP BY time(<interval>)[, <tag> ...]] [fill(null|none|0|<num>|previous)]
+         | <transform>(<agg>(<field>)[, args])          -- nested (Grafana)
+         | <agg-arithmetic: mean(v) * 8 + 1, max(v) - min(v)>
+         | TOP/BOTTOM/DISTINCT/SAMPLE(...)              -- multi-row
+    FROM <measurement> | /regex/ | (SELECT ...)
+    [WHERE <time predicates> [AND <tag> =|!=|=~|!~ ...] [AND (<t> OR <t>)]
+           [AND <field> <op> <num>]]
+    [GROUP BY time(<interval>[, <offset>])[, <tag> ...]]
+           [fill(null|none|0|<num>|previous|linear)]
     [ORDER BY time [ASC|DESC]]
-    [LIMIT <n>] [OFFSET <n>] [SLIMIT <n>]
+    [LIMIT <n>] [OFFSET <n>] [SLIMIT <n>] [SOFFSET <n>]
 
-Aggregates: count sum mean median mode stddev spread min max first last
-Selectors MIN/MAX/FIRST/LAST keep InfluxDB selector semantics (the
-row's timestamp). GROUP BY time windows align to the epoch; ``fill``
-controls empty windows (requires an explicit WHERE time range, like
-InfluxDB itself).
+    SHOW MEASUREMENTS | TAG KEYS | TAG VALUES WITH KEY ... | FIELD KEYS
+         | SERIES    [FROM ...] [WHERE ...] [LIMIT n]
+
+Aggregates: count sum mean median mode stddev spread percentile
+integral min max first last. Selectors MIN/MAX/FIRST/LAST keep
+InfluxDB selector semantics (the row's timestamp). GROUP BY time
+windows align to the epoch (plus optional offset); ``fill`` controls
+empty windows (requires an explicit WHERE time range, like InfluxDB
+itself).
 
 The parser is a small regex/recursive-descent over this grammar; the
 compiled plan is pure DataFrame composition (one groupBy per query +

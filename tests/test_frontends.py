@@ -291,6 +291,35 @@ def test_flux_text_extended_stages(pts):
     assert out.select("event_type").distinct().count() == 2  # top-2 series' rows
 
 
+def test_annotated_csv_roundtrip(pts, spark):
+    """from_annotated_csv(to_annotated_csv(df)) reproduces values,
+    types, and nulls — the csv.from inverse of our writer."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import (
+        from_annotated_csv,
+        to_annotated_csv,
+    )
+
+    df = (
+        pts.groupBy("event_type")
+        .agg(F.avg("f_float").alias("m"), F.count(F.lit(1)).alias("n"))
+        .withColumn("flag", F.col("m") > 150)
+        .withColumn("m", F.when(F.col("event_type") != "click", F.col("m")))  # a null
+    )
+    text = to_annotated_csv(df, group_key=("event_type",))
+    back = from_annotated_csv(spark, text)
+    assert set(back.columns) == {"result", "table", "event_type", "m", "n", "flag"}
+    a = {tuple(r) for r in df.select("event_type", "m", "n", "flag").collect()}
+    b = {tuple(r) for r in back.select("event_type", "m", "n", "flag").collect()}
+    assert a == b
+    assert dict(back.dtypes)["n"] == "bigint" and dict(back.dtypes)["flag"] == "boolean"
+    assert {r.result for r in back.select("result").distinct().collect()} == {"_result"}
+
+    # timestamps survive the RFC3339 leg
+    tdf = pts.select("time", "event_type").limit(5)
+    back_t = from_annotated_csv(spark, to_annotated_csv(tdf))
+    assert {r.time for r in back_t.collect()} == {r.time for r in tdf.collect()}
+
+
 def test_flux_map_conditional_banding(pts):
     """map(fn: (r) => ({ r with band: if ... then ... else if ... }))
     — the Grafana banding idiom, compiled to F.when (no UDF)."""
