@@ -66,6 +66,13 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # ... and the Python/Arrow worker pool (first applyInPandas pays
+    # ~2s of daemon spin-up that is session bootstrap, not query time)
+    from pyspark.sql import functions as F
+
+    spark.range(32).withColumn("g", F.expr("id % 4")).groupBy("g").applyInPandas(
+        lambda p: p, schema="id long, g long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
