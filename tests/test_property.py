@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the invariants that hold for ALL
+inputs, not just the fixtures.
+
+- line protocol: format→parse round-trip over adversarial measurement/
+  tag/field content (escapes, specials, all five field types).
+- window arithmetic: every point lands in exactly one offset-aligned
+  window, at any epoch magnitude (the double-precision trap zone).
+- durations: compound parsing is additive.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from aws_greengrass_labs_database_influxdb_spark.sources.lineprotocol import (
+    parse_line,
+)
+
+# printable, newline-free content including every escape-relevant char
+_NAME = st.text(
+    alphabet='abcXYZ09_-./ ,="\\',
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() == s and s not in ("",))
+
+
+def _esc_meas(s: str) -> str:
+    return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ")
+
+
+def _esc_tag(s: str) -> str:
+    return _esc_meas(s).replace("=", "\\=")
+
+
+def _fmt_field_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}i"
+    if isinstance(v, float):
+        return repr(v)
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+_FIELD_VALUE = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.booleans(),
+    st.text(alphabet='abc ,="\\', max_size=10),
+)
+
+
+@given(
+    meas=_NAME,
+    tags=st.dictionaries(_NAME, _NAME, max_size=3),
+    fields=st.dictionaries(_NAME, _FIELD_VALUE, min_size=1, max_size=3),
+    ts=st.integers(min_value=0, max_value=2**62),
+)
+@settings(max_examples=300, deadline=None)
+def test_lineprotocol_roundtrip(meas, tags, fields, ts):
+    """format(point) → parse_line → the exact same point, for any
+    content in measurement/tag/field names and values (escape rules
+    per the line-protocol spec) and every field type."""
+    line = _esc_meas(meas)
+    for k, v in tags.items():
+        line += f",{_esc_tag(k)}={_esc_tag(v)}"
+    line += " " + ",".join(
+        f"{_esc_tag(k)}={_fmt_field_value(v)}" for k, v in fields.items()
+    )
+    line += f" {ts}"
+    points = parse_line(line)
+    assert len(points) == len(fields)
+    for p in points:
+        assert p["measurement"] == meas
+        assert p["tags"] == tags
+        assert p["time_ns"] == ts
+        v = fields[p["field"]]
+        if isinstance(v, bool):
+            assert p["f_bool"] is v and p["ftype"] == "bool"
+        elif isinstance(v, int):
+            assert p["f_int"] == v and p["ftype"] == "int"
+        elif isinstance(v, float):
+            assert p["f_float"] == v and p["ftype"] == "float"
+        else:
+            assert p["f_str"] == v and p["ftype"] == "string"
+
+
+def _py_window_start(t: int, every: int, offset: int) -> int:
+    shifted = t - offset
+    return shifted - shifted % every + offset
+
+
+@given(
+    t=st.integers(min_value=0, max_value=2**62),
+    every=st.sampled_from([10**9, 60 * 10**9, 3600 * 10**9, 86400 * 10**9, 7 * 86400 * 10**9]),
+    offset=st.integers(min_value=-(10**12), max_value=10**12),
+)
+@settings(max_examples=500, deadline=None)
+def test_window_assignment_invariants(t, every, offset):
+    """Every timestamp lands in exactly one window: start ≤ t < start+every
+    and starts are offset-aligned — including at full epoch-ns magnitude
+    where double arithmetic would be 256ns-lossy (the formula is integer).
+    The Python mirror here is cross-checked against the Spark column in
+    test_window_start_column_matches_python_mirror."""
+    s = _py_window_start(t, every, offset)
+    assert s <= t < s + every
+    assert (s - offset) % every == 0
+
+
+def test_window_start_column_matches_python_mirror(spark):
+    """The Spark column expression computes the same window starts as
+    the integer mirror used in the property test, over adversarial
+    timestamps (epoch-magnitude, window-boundary ±1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        window_start_ns,
+    )
+
+    rng = random.Random(7)
+    every, offset = 3600 * 10**9, 6 * 3600 * 10**9
+    ts = [rng.randrange(0, 2**62) for _ in range(500)]
+    ts += [((t // every) * every + d) for t in ts[:20] for d in (-1, 0, 1)]
+    df = spark.createDataFrame([(t,) for t in ts], "t long")
+    got = {
+        r.t: r.s
+        for r in df.withColumn("s", window_start_ns(F.col("t"), every, offset)).collect()
+    }
+    for t in ts:
+        assert got[t] == _py_window_start(t, every, offset)
+
+
+@given(
+    h=st.integers(min_value=0, max_value=48),
+    m=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+)
+@settings(max_examples=100, deadline=None)
+def test_duration_parse_is_additive(h, m, s):
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import duration_ns
+
+    compound = (f"{h}h" if h else "") + (f"{m}m" if m else "") + (f"{s}s" if s else "")
+    if not compound:
+        return
+    assert duration_ns(compound) == (h * 3600 + m * 60 + s) * 10**9
