@@ -129,3 +129,68 @@ class ThresholdCheck:
             .trigger(availableNow=True)
             .start()
         )
+
+
+@dataclass
+class RollupMaintenanceTask:
+    """Continuous materialized-rollup maintenance: keep a
+    :class:`~..plans.rollup.RollupCatalog` rollup fresh as points
+    stream into its source bucket, so routed ``aggregateWindow``
+    queries keep answering from partials instead of falling back to
+    raw scans.
+
+    Per micro-batch (``foreachBatch``):
+
+    1. project the batch to the *days it touches* (tiny distinct);
+    2. ``refresh_days`` rebuilds exactly those day partitions from the
+       bucket's LWW-resolved points (dynamic partition overwrite — a
+       re-delivered or late batch converges to the same partition
+       content, so retries are idempotent);
+    3. the catalog's watermark advances, widening the routable range.
+
+    Rebuild-the-day (not merge-the-delta) is deliberate: LWW overwrites
+    can change history, and partial aggregates cannot be decremented —
+    day-rebuild from resolved points is the smallest correct unit, and
+    its cost is bounded by points-per-day, not bucket size.
+    """
+
+    spark: SparkSession
+    store: BucketStore
+    org: str
+    bucket: str
+    catalog: object  # plans.rollup.RollupCatalog
+    name: str
+    checkpoint: str
+
+    def start(self, available_now: bool = True,
+              processing_time: str | None = None) -> StreamingQuery:
+        from ..plans.rollup import DAY_NS
+
+        src_dir = str(self.store._data_dir(self.org, self.bucket))
+        schema = self.store._stored_schema()
+        stream = self.spark.readStream.schema(schema).parquet(src_dir)
+
+        def _sink(batch_df, batch_id: int) -> None:
+            days = [
+                r.d
+                for r in batch_df.select(
+                    F.expr(f"time_ns div {DAY_NS}").alias("d")
+                ).distinct().collect()
+            ]
+            if not days:
+                return
+            pts = self.store.read_points(self.org, self.bucket).filter(
+                F.expr(f"time_ns div {DAY_NS}").isin(days)
+            )
+            self.catalog.refresh_days(self.name, pts, days)
+
+        writer = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()

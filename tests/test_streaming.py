@@ -67,6 +67,73 @@ def test_ingest_end_to_end_and_out_of_order_convergence(spark, store, tmp_path):
     )
 
 
+def test_rollup_maintenance_task_keeps_routing_fresh(spark, store, tmp_path):
+    """Continuous rollup maintenance: after late writes (an overwrite
+    in an existing day + points in a brand-new day), one availableNow
+    pass of RollupMaintenanceTask makes the routed coarse aggregate
+    match a direct recompute over the updated bucket, and the
+    watermark advances to cover the new day."""
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.plans.rollup import RollupCatalog
+    from aws_greengrass_labs_database_influxdb_spark.streaming import (
+        RollupMaintenanceTask,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt_i, ckpt_m = tmp_path / "cki", tmp_path / "ckm"
+    by = ("measurement", "series_key", "field")
+
+    (in_dir / "a.txt").write_text(
+        "\n".join(
+            f"SystemMetrics,host=h{j} CpuUsage={10 * j + i}.0 {T0 + i * MIN_NS}"
+            for j in (1, 2)
+            for i in range(120)
+        )
+    )
+    _run_ingest(spark, store, in_dir, ckpt_i)
+
+    cat = RollupCatalog(spark, str(tmp_path / "rollups"))
+    cat.materialize("cpu_1m", store.read_points("o", "b"), "1m", by)
+    wm0 = cat.get("cpu_1m").watermark_ns
+
+    # late batch: overwrite an old minute + a whole new day of points
+    day2 = T0 + 86_400 * 10**9
+    (in_dir / "b.txt").write_text(
+        f"SystemMetrics,host=h1 CpuUsage=999.0 {T0}\n"
+        + "\n".join(
+            f"SystemMetrics,host=h1 CpuUsage={i}.5 {day2 + i * MIN_NS}"
+            for i in range(60)
+        )
+    )
+    _run_ingest(spark, store, in_dir, ckpt_i)
+
+    task = RollupMaintenanceTask(
+        spark, store, "o", "b", cat, "cpu_1m", checkpoint=str(ckpt_m)
+    )
+    task.start(available_now=True).awaitTermination(120)
+
+    spec = cat.get("cpu_1m")
+    assert spec.watermark_ns > wm0  # new day is now routable
+
+    pts = store.read_points("o", "b")
+    routed = cat.aggregate_window(
+        pts, "1h", "max", by=by,
+        range_start=T0, range_stop=day2 + 3600 * 10**9,
+    )
+    direct = aggregate_window(pts, "1h", "max", by=by)
+    key = lambda r: (r.series_key, r["_start_ns"])  # noqa: E731
+    a = {key(r): r["max"] for r in routed.collect()}
+    b = {key(r): r["max"] for r in direct.collect()}
+    assert a == b
+    h1_first_hour = [
+        v for (sk, ws), v in a.items() if "h1" in sk and ws == T0
+    ]
+    assert h1_first_hour == [999.0]  # overwrite reflected through the rollup
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """Duplicate text arriving in a LATER micro-batch is dropped (the
     state store remembers hashes across batches); distinct texts all
