@@ -345,6 +345,32 @@ class HttpApi:
         if not db or not text:
             raise ApiError(400, "invalid", "db and q parameters are required")
         org = q.get("org") or self.engine.config.org
+
+        # v1 DELETE statement (Grafana/CLI compat): DELETE FROM m WHERE ...
+        dm = re.match(
+            r'(?is)^\s*DELETE\s+FROM\s+"?([\w.\-]+)"?(?:\s+WHERE\s+(.+))?\s*$',
+            text.rstrip(";"),
+        )
+        if dm:
+            from ..frontends.influxql import InfluxQLQuery, _parse_where
+
+            self._authorize(handler, "write", org, db)
+            flt = InfluxQLQuery(fields=[], measurement="")
+            if dm.group(2):
+                _parse_where(dm.group(2), flt)
+            pred = F.col("measurement") == dm.group(1)
+            for name, op, val in flt.tag_filters:
+                c = F.col("tags")[name]
+                pred = pred & (c == val) if op == "=" else pred & (c != val)
+            self.engine.store.delete_predicate(
+                org, db,
+                flt.time_start_ns or 0,
+                flt.time_stop_ns if flt.time_stop_ns is not None else 2**62,
+                pred,
+            )
+            self._respond(handler, 200, {"results": [{"statement_id": 0}]})
+            return
+
         self._authorize(handler, "read", org, db)
         points = self.engine.store.read_points(org, db)
         result = execute_influxql(points, text)

@@ -328,6 +328,11 @@ def parse_influxql(q: str) -> InfluxQLQuery:
                 sign = -1 if off.startswith("-") else 1
                 out.group_time_offset_ns = sign * _parse_duration(off.lstrip("-"))
             continue
+        if g == "*":
+            # GROUP BY * — every tag, resolved against the frame at
+            # execution (Grafana's per-series default)
+            out.group_tags.append("*")
+            continue
         out.group_tags.append(g.strip('"'))
 
     out.order_desc = (m.group("ord") or "").upper() == "DESC"
@@ -701,6 +706,13 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         df = df.filter(cmpmap[op])
 
     by = list(ast.group_tags)
+    if "*" in by:
+        # GROUP BY *: every promoted tag column (the tags-map variant
+        # would need per-query key discovery; promoted columns are the
+        # canonical hot-tag path)
+        by = [c for c in df.columns
+              if c not in _NON_TAG_COLS and not c.startswith("_")]
+        ast.group_tags = by
     transforms = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _TRANSFORMS]
     if transforms:
         return _execute_transform(df, ast, transforms, tag_col)

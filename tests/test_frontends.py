@@ -334,6 +334,14 @@ def test_flux_map_conditional_banding(pts):
     assert n_high == pts.filter(F.col("f_float") > 150).count()
 
 
+def test_influxql_group_by_star(pts):
+    """GROUP BY * groups by every (promoted) tag — Grafana's
+    per-series default."""
+    out = execute_influxql(pts, "SELECT MEAN(value) AS m FROM events GROUP BY *")
+    assert {"event_type", "user_id", "m"}.issubset(set(out.columns))
+    assert out.count() == pts.select("event_type", "user_id").distinct().count()
+
+
 def test_influxql_soffset(pts):
     two = execute_influxql(
         pts, "SELECT MEAN(value) AS m FROM events GROUP BY event_type SLIMIT 2 SOFFSET 1"

@@ -166,6 +166,28 @@ def test_show_meta_queries_via_v1_http(served):
     assert len(series["values"]) >= 1
 
 
+def test_v1_delete_statement(served):
+    """InfluxQL DELETE FROM m WHERE tag/time — the v1 write-path compat
+    statement; requires a write token (RO → 403)."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"disk,host=a used=1.0 {T0}\ndisk,host=b used=2.0 {T0}",
+         ctype="text/plain")
+    q = urllib.parse.quote("DELETE FROM disk WHERE host = 'a'")
+    try:
+        _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"])
+        raise AssertionError("RO token must not delete")
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RW"])
+    assert status == 200
+    sel = urllib.parse.quote("SELECT value FROM disk GROUP BY host")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert len(vals) == 1  # only host=b survives
+
+
 def test_delete_predicate_via_http(served):
     base, engine, tokens = served
     _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
