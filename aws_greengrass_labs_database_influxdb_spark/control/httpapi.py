@@ -371,6 +371,29 @@ class HttpApi:
             self._respond(handler, 200, {"results": [{"statement_id": 0}]})
             return
 
+        # SELECT ... INTO <target> FROM ... — the v1 continuous-query
+        # idiom: run the query, write its rows back as points
+        im = re.match(
+            r'(?is)^\s*(SELECT\s+.+?)\s+INTO\s+"?([\w.\-]+)"?\s+(FROM\s+.+)$',
+            text.rstrip(";"),
+        )
+        if im:
+            from ..sources.io import result_to_points
+
+            self._authorize(handler, "write", org, db)
+            points = self.engine.store.read_points(org, db)
+            result = execute_influxql(points, f"{im.group(1)} {im.group(3)}")
+            new_pts = result_to_points(result, im.group(2))
+            self.engine.store.write_points(org, db, new_pts)
+            n = new_pts.count()
+            series = {"name": "result", "columns": ["time", "written"],
+                      "values": [[0, n]]}
+            self._respond(
+                handler, 200,
+                {"results": [{"statement_id": 0, "series": [series]}]},
+            )
+            return
+
         self._authorize(handler, "read", org, db)
         points = self.engine.store.read_points(org, db)
         result = execute_influxql(points, text)

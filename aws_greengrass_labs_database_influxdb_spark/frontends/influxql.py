@@ -713,6 +713,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         by = [c for c in df.columns
               if c not in _NON_TAG_COLS and not c.startswith("_")]
         ast.group_tags = by
+    # group tags living in the tags map become real columns once, for
+    # every downstream path (aggregate, transform, multi-row, nested)
+    for t in by:
+        if t not in df.columns:
+            df = df.withColumn(t, tag_col(t))
     transforms = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _TRANSFORMS]
     if transforms:
         return _execute_transform(df, ast, transforms, tag_col)

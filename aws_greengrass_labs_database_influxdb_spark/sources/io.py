@@ -57,3 +57,59 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (operators.core.push_time_filter) — that one is sargable
         F.col("ts").alias("_ts_raw"),
     )
+
+
+def result_to_points(result: DataFrame, measurement: str) -> DataFrame:
+    """Convert a query result back into canonical points — the write
+    half of ``SELECT ... INTO <measurement>`` (the v1 continuous-query
+    idiom: downsample a measurement into another one).
+
+    Column mapping (InfluxDB's own INTO convention): ``time`` is
+    required; string-typed columns become tags; numeric columns become
+    fields (one tall row per field). ``ingest_seq`` is left null — the
+    store's write path stamps its shared allocator, so LWW ordering is
+    consistent with every other write.
+    """
+    from pyspark.sql import types as T
+
+    from ..schema import POINTS_SCHEMA
+
+    if "time" not in result.columns:
+        raise ValueError("INTO requires a time column in the result")
+    tag_cols = [
+        f.name for f in result.schema.fields
+        if isinstance(f.dataType, T.StringType) and f.name != "time"
+    ]
+    field_cols = [
+        f.name for f in result.schema.fields
+        if f.name not in ("time", *tag_cols)
+        and isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType,
+                                    T.IntegerType, T.DecimalType))
+    ]
+    if not field_cols:
+        raise ValueError("INTO requires at least one numeric result column")
+    parts = []
+    for c in field_cols:
+        parts.append(
+            result.select(
+                F.lit(measurement).alias("measurement"),
+                F.col("time"),
+                F.expr("unix_micros(time) * 1000").alias("time_ns"),
+                F.map_from_arrays(
+                    F.array(*[F.lit(t) for t in tag_cols]),
+                    F.array(*[F.col(t).cast("string") for t in tag_cols]),
+                ).alias("tags"),
+                F.lit(c).alias("field"),
+                F.col(c).cast("double").alias("f_float"),
+                F.lit(None).cast("long").alias("f_int"),
+                F.lit(None).cast("decimal(20,0)").alias("f_uint"),
+                F.lit(None).cast("string").alias("f_str"),
+                F.lit(None).cast("boolean").alias("f_bool"),
+                F.lit(FT_FLOAT).alias("ftype"),
+                F.lit(None).cast("long").alias("ingest_seq"),
+            ).filter(F.col("f_float").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*[f.name for f in POINTS_SCHEMA.fields])

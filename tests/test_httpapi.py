@@ -119,6 +119,15 @@ def test_lww_overwrite_via_http(served):
 
 def test_influxql_v1_query(served):
     base, _, tokens = served
+    # self-sufficient: (re)write the same points test_write_then_flux_query
+    # uses — identical timestamps/values, so LWW makes this idempotent
+    # whether or not that test ran first
+    lines = "\n".join(
+        f"cpu,host=h{1 + i % 2} usage={float(i)} {T0 + i * 60_000_000_000}"
+        for i in range(10)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
     q = urllib.parse.quote(
         "SELECT SUM(value) FROM cpu WHERE time >= '2024-01-01T00:00:00Z'"
         " AND time < '2024-01-02T00:00:00Z' GROUP BY time(1h)"
@@ -186,6 +195,34 @@ def test_v1_delete_statement(served):
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
     assert len(vals) == 1  # only host=b survives
+
+
+def test_v1_select_into(served):
+    """SELECT ... INTO target — the continuous-query downsample: run
+    the aggregation, write results back, query them from the target
+    measurement."""
+    base, _, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body="\n".join(
+             f"net,host=h{j} rx={j * 10 + i}.0 {T0 + i * 60 * 10**9}"
+             for j in (1, 2) for i in range(120)
+         ),
+         ctype="text/plain")
+    q = urllib.parse.quote(
+        "SELECT MEAN(value) AS rx_avg INTO net_hourly FROM net "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02' GROUP BY time(1h), host"
+    )
+    status, body = _req(base, f"/query?db=greengrass-telemetry&q={q}",
+                        token=tokens["RW"])
+    assert status == 200
+    written = json.loads(body)["results"][0]["series"][0]["values"][0][1]
+    assert written == 4  # 2 hosts x 2 hours
+
+    sel = urllib.parse.quote("SELECT value FROM net_hourly GROUP BY host")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert len(vals) == 4
 
 
 def test_delete_predicate_via_http(served):
