@@ -330,7 +330,22 @@ class HttpApi:
         bucket = m.group(1)
         self._authorize(handler, "read", org, bucket)
         points = self.engine.store.read_points(org, bucket)
-        result = execute_flux(points, text)
+
+        if re.search(r"\|>\s*to\s*\(", text):
+            # write stage present → needs write scope and a store sink
+            from ..sources.io import canonicalize_result
+
+            self._authorize(handler, "write", org, bucket)
+
+            def _sink(df, target_bucket: str) -> None:
+                self.engine.store.create_bucket(org, target_bucket)
+                self.engine.store.write_points(
+                    org, target_bucket, canonicalize_result(df)
+                )
+
+            result = execute_flux(points, text, sink=_sink)
+        else:
+            result = execute_flux(points, text)
         # stream: chunked encoding over toLocalIterator — an
         # un-aggregated range() over a big bucket never materializes
         # in facade memory

@@ -421,6 +421,7 @@ def execute_flux(
     now_ns: int | None = None,
     group_key: tuple[str, ...] = ("measurement", "field"),
     tag_cols: tuple[str, ...] = (),
+    sink=None,
 ) -> DataFrame:
     """Compile + run a Flux script against a canonical points DF.
 
@@ -441,7 +442,7 @@ def execute_flux(
     for stmt in _split_statements(query):
         am = re.match(r"^(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
         name, body = (am.group(1), am.group(2)) if am else (None, stmt)
-        pipe = _run_pipeline(points, body, now_ns, group_key, env)
+        pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink)
         if name:
             env[name] = pipe
         else:
@@ -511,6 +512,7 @@ def _run_pipeline(
     now_ns: int,
     group_key: tuple[str, ...],
     env: dict[str, Pipeline],
+    sink=None,
 ) -> Pipeline:
     stages = _split_pipeline(body)
     if not stages:
@@ -742,6 +744,13 @@ def _run_pipeline(
                 "lowestAverage": _sel.lowest_average, "lowestCurrent": _sel.lowest_current,
             }[name]
             pipe = pipe._with(fn(df, int(_lit(args["n"])), series=pipe.group_key))
+        elif name == "to":
+            # to(bucket: "x") — the task write stage. ``sink`` is the
+            # store-backed callable a facade/task runner provides;
+            # pure points-DF sessions have nowhere to write.
+            if sink is None:
+                raise FluxError("to() requires a store-backed session")
+            sink(pipe.df, _lit(args["bucket"]))
         elif name == "yield":
             pass
         else:

@@ -113,3 +113,46 @@ def result_to_points(result: DataFrame, measurement: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*[f.name for f in POINTS_SCHEMA.fields])
+
+
+def canonicalize_result(df: DataFrame) -> DataFrame:
+    """Coerce a query-result frame into the canonical points schema for
+    write-back (Flux ``to(bucket:)``): the ``aggregateWindow |> to()``
+    task shape arrives with measurement/field/f_float/time and no tags
+    or type slots — missing canonical columns fill with nulls/defaults;
+    ``ingest_seq`` stays null for the store's allocator to stamp.
+    """
+    from pyspark.sql import types as T
+
+    from ..schema import POINTS_SCHEMA
+
+    cols = set(df.columns)
+    if "measurement" not in cols:
+        raise ValueError(
+            'write-back needs a measurement column (use set(key: "_measurement"))'
+        )
+    if "f_float" not in cols:
+        raise ValueError("write-back needs a _value (f_float) column")
+    if "time_ns" not in cols and "time" not in cols:
+        raise ValueError("write-back needs a time column")
+    out = df
+    if "time_ns" not in cols:
+        out = out.withColumn("time_ns", F.expr("unix_micros(time) * 1000"))
+    if "time" not in cols:
+        out = out.withColumn(
+            "time", F.timestamp_micros(F.expr("time_ns div 1000"))
+        )
+    defaults = {
+        "tags": F.lit(None).cast(T.MapType(T.StringType(), T.StringType())),
+        "field": F.lit("value"),
+        "f_int": F.lit(None).cast("long"),
+        "f_uint": F.lit(None).cast("decimal(20,0)"),
+        "f_str": F.lit(None).cast("string"),
+        "f_bool": F.lit(None).cast("boolean"),
+        "ftype": F.lit(FT_FLOAT),
+        "ingest_seq": F.lit(None).cast("long"),
+    }
+    for name, default in defaults.items():
+        if name not in out.columns:
+            out = out.withColumn(name, default)
+    return out.select(*[f.name for f in POINTS_SCHEMA.fields])

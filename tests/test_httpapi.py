@@ -197,6 +197,39 @@ def test_v1_delete_statement(served):
     assert len(vals) == 1  # only host=b survives
 
 
+def test_flux_to_bucket_write_stage(served):
+    """Flux task shape over the wire: aggregateWindow |> to(bucket:)
+    writes the downsample into another bucket; RO tokens are refused."""
+    base, engine, tokens = served
+    lines = "\n".join(
+        f"iface,host=h{1 + i % 2} tx={float(i)} {T0 + i * 60_000_000_000}"
+        for i in range(120)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "iface")'
+        ' |> group(columns: ["_measurement", "_field"])'
+        " |> aggregateWindow(every: 1h, fn: mean)"
+        ' |> to(bucket: "iface-hourly")'
+    )
+    try:
+        _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+             body={"query": flux, "type": "flux"})
+        raise AssertionError("RO token must not write via to()")
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+    status, _ = _req(base, "/api/v2/query", "POST", token=tokens["Admin"],
+                     body={"query": flux, "type": "flux"})
+    assert status == 200
+    written = engine.store.read_points("greengrass", "iface-hourly")
+    assert written.count() == 2  # 2 hours of means
+    vals = sorted(r.f_float for r in written.collect())
+    assert vals[0] == sum(range(60)) / 60  # first hour's mean of 0..59
+
+
 def test_v1_select_into(served):
     """SELECT ... INTO target — the continuous-query downsample: run
     the aggregation, write results back, query them from the target
