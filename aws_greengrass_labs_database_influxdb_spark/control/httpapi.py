@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from ..frontends.annotated_csv import iter_annotated_csv
 from ..frontends.flux import execute_flux
 from ..frontends.influxql import execute_influxql
+from ..sources.bucket import BucketMeta
 from ..sources.lineprotocol import parse_lines
 from ..sources.seq import next_seq_base
 from .engine import Engine
@@ -360,6 +361,35 @@ class HttpApi:
         if not db or not text:
             raise ApiError(400, "invalid", "db and q parameters are required")
         org = q.get("org") or self.engine.config.org
+
+        # datasource-init meta statements (Grafana issues these before
+        # any data query): SHOW DATABASES / SHOW RETENTION POLICIES
+        sm = re.match(r"(?is)^\s*SHOW\s+DATABASES\s*$", text.rstrip(";"))
+        if sm:
+            self._authorize(handler, "read", org, db)
+            names = [[b.name] for b in self.engine.store.list_buckets(org)]
+            self._respond(handler, 200, {"results": [{"statement_id": 0, "series": [
+                {"name": "databases", "columns": ["name"], "values": names}]}]})
+            return
+        rm = re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",
+                      text.rstrip(";"))
+        if rm:
+            self._authorize(handler, "read", org, db)
+            metas = [b for b in self.engine.store.list_buckets(org) if b.name == db]
+            rp = [
+                [
+                    "autogen",
+                    f"{m.retention_ns // 10**9}s" if m.retention_ns else "0s",
+                    "0s", 1, True,
+                ]
+                for m in (metas or [BucketMeta(org, db)])
+            ]
+            self._respond(handler, 200, {"results": [{"statement_id": 0, "series": [
+                {"name": db,
+                 "columns": ["name", "duration", "shardGroupDuration",
+                             "replicaN", "default"],
+                 "values": rp}]}]})
+            return
 
         # v1 DELETE statement (Grafana/CLI compat): DELETE FROM m WHERE ...
         dm = re.match(

@@ -197,6 +197,22 @@ def test_v1_delete_statement(served):
     assert len(vals) == 1  # only host=b survives
 
 
+def test_v1_show_databases_and_retention_policies(served):
+    """Grafana's datasource-init statements."""
+    base, _, tokens = served
+    q = urllib.parse.quote("SHOW DATABASES")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"][0]
+    assert series["name"] == "databases" and series["columns"] == ["name"]
+    assert ["greengrass-telemetry"] in series["values"]
+
+    q = urllib.parse.quote("SHOW RETENTION POLICIES ON greengrass-telemetry")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"][0]
+    assert series["columns"][:2] == ["name", "duration"]
+    assert series["values"][0][0] == "autogen"
+
+
 def test_flux_to_bucket_write_stage(served):
     """Flux task shape over the wire: aggregateWindow |> to(bucket:)
     writes the downsample into another bucket; RO tokens are refused."""
