@@ -132,6 +132,81 @@ def test_window_start_column_matches_python_mirror(spark):
         assert got[t] == _py_window_start(t, every, offset)
 
 
+def test_aggregate_window_matches_pandas_model(spark):
+    """aggregate_window vs an independent pandas groupby model on
+    random data: same windows, same counts/means/mins, for a
+    non-round `every` and adversarial timestamps near boundaries."""
+    import random
+
+    import pandas as pd
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+    )
+
+    rng = random.Random(11)
+    every = 7 * 10**9  # 7s — deliberately not a round minute
+    t0 = 1704067200 * 10**9
+    rows = []
+    for i in range(2000):
+        s = f"s{rng.randrange(3)}"
+        t = t0 + rng.randrange(0, 600 * 10**9)
+        if i % 17 == 0:  # exact boundary hits
+            t = t0 + (t // every) * every - t0 + t0
+            t = (t // every) * every
+        rows.append((s, t, rng.uniform(-100, 100)))
+    df = spark.createDataFrame(rows, "series string, time_ns long, f_float double")
+
+    for fn in ("count", "mean", "min"):
+        got = {
+            (r.series, r["_start_ns"]): r[fn]
+            for r in aggregate_window(df, every, fn, by=("series",)).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["series", "t", "v"])
+        pdf["w"] = (pdf.t // every) * every
+        model = pdf.groupby(["series", "w"]).v.agg(
+            {"count": "count", "mean": "mean", "min": "min"}[fn]
+        )
+        assert len(got) == len(model)
+        for (s, w), mv in model.items():
+            gv = got[(s, w)]
+            if fn == "count":
+                assert gv == mv
+            else:
+                assert abs(gv - mv) < 1e-9, (s, w)
+
+
+def test_sliding_window_membership_model(spark):
+    """window(every, period) with period > every: each row appears in
+    exactly period/every overlapping windows, each of which contains
+    it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import window
+
+    rng = random.Random(5)
+    t0 = 1704067200 * 10**9
+    rows = [("s", t0 + rng.randrange(0, 120 * 10**9), 1.0) for _ in range(300)]
+    df = spark.createDataFrame(
+        rows, "series string, time_ns long, f_float double"
+    ).withColumn("time", F.timestamp_micros(F.expr("time_ns div 1000")))
+    out = window(df, every="10s", period="30s")
+    got = out.select("time_ns", "_start_ns", "_stop_ns").collect()
+    per_row = {}
+    for r in got:
+        assert r["_start_ns"] <= r.time_ns < r["_stop_ns"]
+        assert r["_stop_ns"] - r["_start_ns"] == 30 * 10**9
+        per_row[r.time_ns] = per_row.get(r.time_ns, 0) + 1
+    # every row lands in exactly 3 overlapping windows (30s / 10s)
+    from collections import Counter
+
+    dup = Counter(t for _s, t, _v in rows)
+    for t, n in per_row.items():
+        assert n == 3 * dup[t], (t, n)
+
+
 @given(
     h=st.integers(min_value=0, max_value=48),
     m=st.integers(min_value=0, max_value=59),
