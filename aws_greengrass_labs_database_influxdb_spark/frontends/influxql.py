@@ -413,7 +413,9 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
     if ast.order_desc:
         out = out.orderBy(F.desc("time"))
     if ast.limit is not None:
-        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+        order_cols = ["time"] + (["ingest_seq"] if "ingest_seq" in out.columns else [])
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
+                           desc=ast.order_desc)
     return out
 
 
@@ -643,7 +645,8 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
         out = sl_ops.slimit(out, ast.slimit, series=by, soffset=ast.soffset)
     if ast.limit is not None:
         order = "time" if "time" in out.columns else alias
-        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order)
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order,
+                           desc=ast.order_desc)
     return out
 
 
@@ -742,7 +745,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             sel.append(F.col(src).alias(alias))
         out = df.select(*sel)
         if ast.limit is not None:
-            out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+            order_cols = ["time"] + (["ingest_seq"] if "ingest_seq" in out.columns else [])
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
+                           desc=ast.order_desc)
         return out
 
     # aggregate / selector path (+ arithmetic over aggregates)
@@ -957,5 +962,7 @@ def _finish(out: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
     if ast.slimit is not None and by:
         out = sl_ops.slimit(out, ast.slimit, series=by, soffset=ast.soffset)
     if ast.limit is not None:
-        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order="time")
+        order_cols = ["time"] + (["ingest_seq"] if "ingest_seq" in out.columns else [])
+        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
+                           desc=ast.order_desc)
     return out

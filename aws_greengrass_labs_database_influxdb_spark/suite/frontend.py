@@ -334,6 +334,27 @@ def influxql_top_n(spark, sf_dir):
 
 
 @q(
+    "influxql_order_desc_limit",
+    """
+    SELECT epoch_ms(ts) AS t_ms, value
+    FROM events WHERE event_type = 'click'
+    ORDER BY ts DESC, event_id DESC LIMIT 5
+    """,
+)
+def influxql_order_desc_limit(spark, sf_dir):
+    """ORDER BY time DESC LIMIT n returns the NEWEST n rows (InfluxDB
+    applies LIMIT after the sort). The pre-fix behavior took the oldest
+    n regardless of direction — caught while exercising the desc path."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT value FROM events WHERE event_type = 'click' "
+        "ORDER BY time DESC LIMIT 5",
+    )
+    return out.select(F.unix_millis("time").alias("t_ms"), "value")
+
+
+@q(
     "influxql_offset_window",
     """
     SELECT event_type,
