@@ -245,3 +245,80 @@ def rel_supplier_part_agg(spark, sf_dir):
             F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+@q(
+    "rel_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 2) as decimal(14,2))) as double) AS revenue,
+           epoch_ms(o.o_orderdate) AS o_date_ms
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (two broadcastable dims into the
+    fact), disjoint date predicates pushed to each scan, decimal-exact
+    discounted revenue, global top-10 by revenue. The classic join-
+    order/pushdown exercise."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+        "decimal(14,2)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # parquet NTZ timestamp → TZ for unix_millis (UTC session)
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_date_ms"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "rel_top_order_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def rel_top_order_per_segment(spark, sf_dir):
+    """Window ranking after a dim join: top-3 orders per market
+    segment — row_number per partition (no global sort of the fact)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
