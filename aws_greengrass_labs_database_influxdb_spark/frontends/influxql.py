@@ -745,9 +745,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             sel.append(F.col(src).alias(alias))
         out = df.select(*sel)
         if ast.limit is not None:
-            order_cols = ["time"] + (["ingest_seq"] if "ingest_seq" in out.columns else [])
-        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
-                           desc=ast.order_desc)
+            order_cols = ["time"] + (
+                ["ingest_seq"] if "ingest_seq" in out.columns else []
+            )
+            out = sl_ops.limit(out, ast.limit, ast.offset, by=by,
+                               order=order_cols, desc=ast.order_desc)
         return out
 
     # aggregate / selector path (+ arithmetic over aggregates)
