@@ -111,6 +111,28 @@ def _rfc3339_to_ns(s: str) -> int:
     return micros * 1000
 
 
+def _split_v1_statements(text: str) -> list[str]:
+    """Split a v1 ``q=`` payload on semicolons outside quotes."""
+    out, buf, quote = [], [], None
+    for c in text:
+        if quote:
+            buf.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c == ";":
+            if "".join(buf).strip():
+                out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
 def _ns_to_rfc3339(ns: int) -> str:
     ts = dt.datetime.fromtimestamp(ns // 1_000_000_000, tz=dt.timezone.utc)
     frac = ns % 1_000_000_000
@@ -353,27 +375,38 @@ class HttpApi:
         self._respond_chunks(handler, iter_annotated_csv(result))
 
     def _handle_query_v1(self, handler, q: dict, body: bytes) -> None:
-        """InfluxQL compatibility: ``/query?db=<bucket>&q=<select>`` →
-        the 1.x JSON results envelope (DBRP maps db→bucket 1:1 here)."""
+        """InfluxQL compatibility: ``/query?db=<bucket>&q=<stmts>`` →
+        the 1.x JSON results envelope (DBRP maps db→bucket 1:1 here).
+
+        Multiple semicolon-separated statements run in order, one
+        ``results`` entry each (Grafana batches its init SHOWs)."""
         if not q.get("q") and body:
             q.update({k: v[0] for k, v in parse_qs(body.decode()).items()})
         db, text = q.get("db"), q.get("q")
         if not db or not text:
             raise ApiError(400, "invalid", "db and q parameters are required")
         org = q.get("org") or self.engine.config.org
+        results = []
+        for i, stmt in enumerate(_split_v1_statements(text)):
+            res = self._run_v1_statement(handler, org, db, stmt, q.get("epoch"))
+            res["statement_id"] = i
+            results.append(res)
+        if not results:
+            raise ApiError(400, "invalid", "empty query")
+        self._respond(handler, 200, {"results": results})
 
+    def _run_v1_statement(self, handler, org: str, db: str, text: str,
+                          epoch: str | None) -> dict:
+        """One v1 statement → its ``results[i]`` dict (sans id)."""
         # datasource-init meta statements (Grafana issues these before
         # any data query): SHOW DATABASES / SHOW RETENTION POLICIES
-        sm = re.match(r"(?is)^\s*SHOW\s+DATABASES\s*$", text.rstrip(";"))
-        if sm:
+        if re.match(r"(?is)^\s*SHOW\s+DATABASES\s*$", text):
             self._authorize(handler, "read", org, db)
             names = [[b.name] for b in self.engine.store.list_buckets(org)]
-            self._respond(handler, 200, {"results": [{"statement_id": 0, "series": [
-                {"name": "databases", "columns": ["name"], "values": names}]}]})
-            return
-        rm = re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",
-                      text.rstrip(";"))
-        if rm:
+            return {"series": [
+                {"name": "databases", "columns": ["name"], "values": names}]}
+        if re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",
+                    text):
             self._authorize(handler, "read", org, db)
             metas = [b for b in self.engine.store.list_buckets(org) if b.name == db]
             rp = [
@@ -384,17 +417,16 @@ class HttpApi:
                 ]
                 for m in (metas or [BucketMeta(org, db)])
             ]
-            self._respond(handler, 200, {"results": [{"statement_id": 0, "series": [
+            return {"series": [
                 {"name": db,
                  "columns": ["name", "duration", "shardGroupDuration",
                              "replicaN", "default"],
-                 "values": rp}]}]})
-            return
+                 "values": rp}]}
 
         # v1 DELETE statement (Grafana/CLI compat): DELETE FROM m WHERE ...
         dm = re.match(
             r'(?is)^\s*DELETE\s+FROM\s+"?([\w.\-]+)"?(?:\s+WHERE\s+(.+))?\s*$',
-            text.rstrip(";"),
+            text,
         )
         if dm:
             from ..frontends.influxql import InfluxQLQuery, _parse_where
@@ -413,14 +445,13 @@ class HttpApi:
                 flt.time_stop_ns if flt.time_stop_ns is not None else 2**62,
                 pred,
             )
-            self._respond(handler, 200, {"results": [{"statement_id": 0}]})
-            return
+            return {}
 
         # SELECT ... INTO <target> FROM ... — the v1 continuous-query
         # idiom: run the query, write its rows back as points
         im = re.match(
             r'(?is)^\s*(SELECT\s+.+?)\s+INTO\s+"?([\w.\-]+)"?\s+(FROM\s+.+)$',
-            text.rstrip(";"),
+            text,
         )
         if im:
             from ..sources.io import result_to_points
@@ -431,18 +462,13 @@ class HttpApi:
             new_pts = result_to_points(result, im.group(2))
             self.engine.store.write_points(org, db, new_pts)
             n = new_pts.count()
-            series = {"name": "result", "columns": ["time", "written"],
-                      "values": [[0, n]]}
-            self._respond(
-                handler, 200,
-                {"results": [{"statement_id": 0, "series": [series]}]},
-            )
-            return
+            return {"series": [{"name": "result",
+                                "columns": ["time", "written"],
+                                "values": [[0, n]]}]}
 
         self._authorize(handler, "read", org, db)
         points = self.engine.store.read_points(org, db)
         result = execute_influxql(points, text)
-        epoch = q.get("epoch")
         div = {"ns": 1, "u": 1000, "us": 1000, "ms": 10**6, "s": 10**9}.get(epoch)
         # epoch ns computed in the plan (unix_micros is tz-independent);
         # collect() returns naive local-tz datetimes, so any driver-side
@@ -467,9 +493,7 @@ class HttpApi:
             "columns": cols,
             "values": [[cell(r, c) for c in cols] for r in rows],
         }
-        self._respond(
-            handler, 200, {"results": [{"statement_id": 0, "series": [series]}]}
-        )
+        return {"series": [series]}
 
     def _handle_delete(self, handler, q: dict, body: bytes) -> None:
         org = q.get("org") or self.engine.config.org

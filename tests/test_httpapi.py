@@ -197,6 +197,24 @@ def test_v1_delete_statement(served):
     assert len(vals) == 1  # only host=b survives
 
 
+def test_v1_multi_statement(served):
+    """Semicolon-batched statements → one results entry each with
+    sequential statement_ids (Grafana's init batch)."""
+    base, _, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=f"multi,host=a v=1.0 {T0}", ctype="text/plain")
+    q = urllib.parse.quote(
+        "SHOW DATABASES; SHOW TAG VALUES FROM multi WITH KEY = \"host\"; "
+        "SELECT value FROM multi"
+    )
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"])
+    results = json.loads(body)["results"]
+    assert [r["statement_id"] for r in results] == [0, 1, 2]
+    assert results[0]["series"][0]["name"] == "databases"
+    assert ["host", "a"] in results[1]["series"][0]["values"]
+    assert results[2]["series"][0]["values"][0][-1] == 1.0
+
+
 def test_v1_show_databases_and_retention_policies(served):
     """Grafana's datasource-init statements."""
     base, _, tokens = served
