@@ -8,7 +8,7 @@ InfluxQL docs):
          | <transform>(<agg>(<field>)[, args])          -- nested (Grafana)
          | <agg-arithmetic: mean(v) * 8 + 1, max(v) - min(v)>
          | TOP/BOTTOM/DISTINCT/SAMPLE(...)              -- multi-row
-    FROM <measurement> | /regex/ | (SELECT ...)
+    FROM <measurement>[, <measurement> ...] | /regex/ | (SELECT ...)
     [WHERE <time predicates> [AND <tag> =|!=|=~|!~ ...] [AND (<t> OR <t>)]
            [AND <field> <op> <num>]]
     [GROUP BY time(<interval>[, <offset>])[, <tag> ...]]
@@ -79,6 +79,10 @@ class InfluxQLQuery:
     # conditions is OR'd; groups AND with everything else
     or_tag_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
     measurement_regex: str | None = None
+    # FROM m1, m2 comma lists; single-measurement queries keep this at
+    # [measurement]. Multi-measurement (list or regex) queries emit one
+    # series per measurement, as InfluxDB does.
+    measurements: list[str] = field(default_factory=list)
     # nested transform-over-aggregate selections:
     # (outer_transform, inner_agg, field, alias) — DERIVATIVE(MEAN(v), 1s)
     nested: list[tuple[str, str, str, str]] = field(default_factory=list)
@@ -246,7 +250,8 @@ def _parse_where(where: str, out: InfluxQLQuery) -> None:
 def parse_influxql(q: str) -> InfluxQLQuery:
     text = q.strip().rstrip(";")
     m = re.match(
-        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?)"
+        r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+        r"(?:/(?P<measrx>[^/]+)/|(?P<meas>\"?[\w.\-]+\"?(?:\s*,\s*\"?[\w.\-]+\"?)*))"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
         r"(?:\s+ORDER\s+BY\s+time\s+(?P<ord>ASC|DESC))?"
@@ -257,8 +262,13 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     )
     if not m:
         raise InfluxQLError(f"cannot parse: {q!r}")
-    out = InfluxQLQuery(fields=[], measurement=m.group("meas") or "")
+    out = InfluxQLQuery(fields=[], measurement="")
     out.measurement_regex = m.group("measrx")
+    if m.group("meas"):
+        out.measurements = [
+            p.strip().strip('"') for p in m.group("meas").split(",")
+        ]
+        out.measurement = out.measurements[0]
 
     # SELECT list
     for part in re.split(r",(?![^()]*\))", m.group("sel")):
@@ -673,8 +683,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         return execute_influxql(pseudo, outer_text, tag_cols)
 
     ast = parse_influxql(query)
+    multi_meas = ast.measurement_regex is not None or len(ast.measurements) > 1
     if ast.measurement_regex is not None:
         df = points.filter(F.col("measurement").rlike(ast.measurement_regex))
+    elif len(ast.measurements) > 1:
+        df = points.filter(F.col("measurement").isin(ast.measurements))
     else:
         df = points.filter(F.col("measurement") == ast.measurement)
 
@@ -715,6 +728,12 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         # canonical hot-tag path)
         by = [c for c in df.columns
               if c not in _NON_TAG_COLS and not c.startswith("_")]
+        ast.group_tags = by
+    if multi_meas and "measurement" not in by:
+        # multi-measurement queries (comma list / regex) never merge
+        # points across measurements — one output series each, like
+        # InfluxDB's per-measurement result blocks
+        by = ["measurement", *by]
         ast.group_tags = by
     # group tags living in the tags map become real columns once, for
     # every downstream path (aggregate, transform, multi-row, nested)

@@ -270,6 +270,39 @@ def influxql_regex_or(spark, sf_dir):
 
 
 @q(
+    "influxql_multi_measurement",
+    """
+    SELECT event_type AS measurement,
+           epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS t_ms,
+           round(avg(value), 6) AS m
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_multi_measurement(spark, sf_dir):
+    """``FROM m1, m2`` comma lists: the query runs per measurement and
+    emits one series each (no cross-measurement merge), matching
+    InfluxDB's per-measurement result blocks (reference serves InfluxQL
+    1.x on v1 ``/query``). Points map event_type → measurement to get a
+    genuinely multi-measurement frame; mean rounded on both sides
+    (sum-fold order differs across engines in the last ulp)."""
+    pts = events_points(spark, sf_dir).withColumn(
+        "measurement", F.col("event_type")
+    )
+    out = execute_influxql(
+        pts,
+        "SELECT mean(value) AS m FROM click, purchase "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' GROUP BY time(1d)",
+    )
+    return out.select(
+        "measurement", F.unix_millis("time").alias("t_ms"),
+        F.round("m", 6).alias("m"),
+    )
+
+
+@q(
     "influxql_percentile_integral",
     """
     SELECT event_type,

@@ -94,6 +94,29 @@ def test_influxql_fill_zero_emits_empty_windows(pts):
     assert out.filter(F.col("s") == 0).count() > 0
 
 
+def test_influxql_from_comma_list(pts):
+    # FROM m1, m2: per-measurement series, no cross-measurement merge
+    ast = parse_influxql("SELECT count(value) FROM click, purchase")
+    assert ast.measurements == ["click", "purchase"]
+    multi = pts.withColumn("measurement", F.col("event_type"))
+    out = execute_influxql(
+        multi,
+        "SELECT count(value) AS n FROM click, purchase "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' GROUP BY time(1d)",
+    )
+    assert "measurement" in out.columns
+    got = {(r.measurement, r.time, r.n) for r in out.collect()}
+    assert {m for m, _, _ in got} == {"click", "purchase"}
+    single = execute_influxql(
+        multi,
+        "SELECT count(value) AS n FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-31' GROUP BY time(1d)",
+    )
+    assert {("click", r.time, r.n) for r in single.collect()} == {
+        t for t in got if t[0] == "click"
+    }
+
+
 def test_influxql_selector_row_semantics(pts):
     out = execute_influxql(pts, "SELECT max(value) AS mx FROM events").collect()
     direct = pts.agg(F.max("f_float")).first()[0]
