@@ -422,6 +422,7 @@ def execute_flux(
     group_key: tuple[str, ...] = ("measurement", "field"),
     tag_cols: tuple[str, ...] = (),
     sink=None,
+    result_name: str | None = None,
 ) -> DataFrame:
     """Compile + run a Flux script against a canonical points DF.
 
@@ -429,27 +430,70 @@ def execute_flux(
     assignments feeding ``join(tables: {a: x, b: y}, on: [...])`` /
     ``union(tables: [x, y])`` sources, plus ``map()`` arithmetic — the
     Grafana-dashboard dialect beyond single pipes.
+
+    ``result_name`` selects one of the script's ``yield(name:)``
+    results; without it the last result pipeline (or last yield) wins.
+    ``execute_flux_multi`` returns every yielded result by name.
     """
+    _, result = _execute_flux_script(
+        points, query, now_ns, group_key, tag_cols, sink, result_name
+    )
+    return result
+
+
+def execute_flux_multi(
+    points: DataFrame,
+    query: str,
+    now_ns: int | None = None,
+    group_key: tuple[str, ...] = ("measurement", "field"),
+    tag_cols: tuple[str, ...] = (),
+    sink=None,
+) -> dict[str, DataFrame]:
+    """All named results of a multi-yield Flux script, keyed by yield
+    name (``_result`` for unnamed); single-result scripts come back as
+    ``{"_result": df}``."""
+    yields, result = _execute_flux_script(
+        points, query, now_ns, group_key, tag_cols, sink, None
+    )
+    if not yields:
+        return {"_result": result}
+    return {k: p.df for k, p in yields.items()}
+
+
+def _execute_flux_script(
+    points, query, now_ns, group_key, tag_cols, sink, result_name
+):
     import time as _time
 
     sm = _SCHEMA_RX.match(query)
     if sm:
-        return _schema_fn(points, sm.group(1), _split_args(sm.group(2)), tag_cols)
+        return {}, _schema_fn(points, sm.group(1), _split_args(sm.group(2)), tag_cols)
 
     now_ns = now_ns if now_ns is not None else _time.time_ns()
     env: dict[str, Pipeline] = {}
+    yields: dict[str, Pipeline] = {}
     result: Pipeline | None = None
     for stmt in _split_statements(query):
-        am = re.match(r"^(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
+        am = re.match(r"^\s*(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
         name, body = (am.group(1), am.group(2)) if am else (None, stmt)
-        pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink)
+        pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink,
+                             yields=yields)
         if name:
             env[name] = pipe
         else:
             result = pipe
+    if result_name is not None:
+        if result_name not in yields:
+            raise FluxError(
+                f"no yield named {result_name!r} (have {sorted(yields)})"
+            )
+        return yields, yields[result_name].df
+    if result is None and yields:
+        # assignment-only script whose yields carry the results
+        result = next(reversed(yields.values()))
     if result is None:
         raise FluxError("script has no result pipeline (only assignments)")
-    return result.df
+    return yields, result.df
 
 
 def _source_stage(
@@ -513,6 +557,7 @@ def _run_pipeline(
     group_key: tuple[str, ...],
     env: dict[str, Pipeline],
     sink=None,
+    yields: dict[str, Pipeline] | None = None,
 ) -> Pipeline:
     stages = _split_pipeline(body)
     if not stages:
@@ -752,7 +797,10 @@ def _run_pipeline(
                 raise FluxError("to() requires a store-backed session")
             sink(pipe.df, _lit(args["bucket"]))
         elif name == "yield":
-            pass
+            # named results: every yield registers the pipeline state at
+            # that point (Flux default result name is "_result")
+            if yields is not None:
+                yields[_lit(args.get("name", '"_result"'))] = pipe
         else:
             raise FluxError(f"unsupported Flux function {name!r}")
     return pipe

@@ -32,9 +32,13 @@ NS = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9,
 
 
 def duration_ns(d: int | str) -> int:
-    """Parse a Flux-style duration ('1m', '30s', '1h30m') to ns."""
+    """Parse a Flux-style duration ('1m', '30s', '1h30m', '-5m') to ns."""
     if isinstance(d, int):
         return d
+    d = d.strip()
+    sign = 1
+    if d.startswith("-"):
+        sign, d = -1, d[1:]
     total, num = 0, ""
     i = 0
     while i < len(d):
@@ -48,7 +52,7 @@ def duration_ns(d: int | str) -> int:
         total += int(num) * NS[unit]
         num = ""
         i += len(unit)
-    return total
+    return sign * total
 
 
 def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Column:

@@ -208,6 +208,51 @@ def test_flux_flagship_dashboard_query(pts, spark):
     assert "f_float" in out.columns
 
 
+def test_flux_multi_yield_named_results(pts):
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_flux_multi
+
+    script = '''
+      base = from(bucket:"b")
+        |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)
+        |> group(columns: ["event_type"])
+      base |> count() |> yield(name: "counts")
+      base |> mean() |> yield(name: "means")
+    '''
+    res = execute_flux_multi(pts, script)
+    assert set(res) == {"counts", "means"}
+    n_types = res["counts"].count()
+    assert res["means"].count() == n_types
+    # result_name selects one yield through the single-result API
+    one = execute_flux(pts, script, result_name="counts")
+    assert one.count() == n_types
+    with pytest.raises(FluxError):
+        execute_flux(pts, script, result_name="nope")
+    # single-result scripts keep the legacy shape
+    single = execute_flux_multi(pts, 'from(bucket:"b") |> count()')
+    assert set(single) == {"_result"}
+
+
+def test_flux_negative_aggregate_window_offset(pts):
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import duration_ns
+
+    assert duration_ns("-6h") == -6 * 3600 * 10**9
+    assert duration_ns("-1h30m") == -(90 * 60) * 10**9
+    neg = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)'
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1d, fn: count, offset: -6h)",
+    ).select("event_type", "time", "f_float")
+    # -6h ≡ +18h for a 1d window: identical window starts
+    pos = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)'
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1d, fn: count, offset: 18h)",
+    ).select("event_type", "time", "f_float")
+    assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, pos.collect()))
+
+
 def test_flux_filter_or_and_value(pts):
     out = execute_flux(
         pts,
