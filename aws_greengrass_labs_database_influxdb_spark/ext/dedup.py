@@ -189,6 +189,73 @@ def minhash_lsh_pairs(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    line_split: str | None = None,
+) -> DataFrame:
+    """Corpus-wide span-level dedup (the C4 recipe generalized): split
+    each document into spans, drop every span whose exact text occurred
+    earlier in the corpus (first occurrence by ``(doc_id, span_idx)``
+    wins), and reassemble the surviving text.
+
+    ``line_split`` splits on a separator (C4 used lines); the default
+    chunks the token stream into fixed ``span_tokens``-token spans
+    (non-overlapping, so reassembly is unambiguous).
+
+    Scale shape: posexplode → ONE shuffle keyed by the span text
+    (row_number window picks the first occurrence) → one groupBy
+    ``doc_id`` to reassemble. No joins back to the corpus; state per
+    span is (id, idx, kept) — no all-pairs anything. Returns
+    ``(doc_id, n_spans, n_kept, text_clean)``.
+    """
+    from pyspark.sql import Window as W
+
+    if line_split is not None:
+        spans = F.split(F.col(text_col), line_split)
+    else:
+        k = int(span_tokens)
+        spans = F.expr(
+            f"transform(sequence(0, cast(ceil(size(_sd_toks) / {k}.0) as int) - 1), "
+            f"i -> concat_ws(' ', slice(_sd_toks, i * {k} + 1, {k})))"
+        )
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            tokens_col(F.col(text_col)).alias("_sd_toks"),
+        )
+        .select(F.col(id_col), F.posexplode(spans).alias("span_idx", "span"))
+    )
+    first = F.row_number().over(
+        W.partitionBy("span").orderBy(id_col, "span_idx")
+    )
+    kept = exploded.withColumn("_keep", first == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("span_idx", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: ``(id,
     cluster_id)`` where ``cluster_id`` is the minimum doc id reachable

@@ -94,6 +94,133 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, all per-row Column
+    arithmetic — NO shuffle, no explode: each document computes its own
+    signals inside the scan stage, so this runs at full corpus scale as
+    a map-only pass.
+
+    - ``top_token_frac``: occurrences of the most frequent token / tokens
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / bigrams
+    - ``dup_bigram_frac``: fraction of bigram slots occupied by repeated
+      bigrams (1 - distinct/total)
+    - ``dup_line_frac``: fraction of newline-split lines that repeat
+
+    The "most frequent element" count is a sorted-run fold
+    (``array_sort`` + ``aggregate`` with a (prev, run, best) struct
+    accumulator) — equivalent to a group-by-count max but without
+    leaving the row.
+    """
+    text = F.col(text_col)
+
+    def _max_multiplicity(arr: Column) -> Column:
+        srt = F.array_sort(arr)
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(srt, init, step, lambda acc: acc["best"])
+
+    toks = _tokens(text)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(_rs_toks), 2) - 1), "
+        "i -> concat(_rs_toks[i-1], ' ', _rs_toks[i]))"
+    )
+    lines = F.split(text, "\n")
+    out = (
+        df.withColumn("_rs_toks", toks)
+        .withColumn("_rs_bg", bigrams)
+        .withColumn("n_tokens", F.size("_rs_toks").cast("long"))
+        .withColumn(
+            "top_token_frac",
+            _max_multiplicity(F.col("_rs_toks")) / F.size("_rs_toks"),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            _max_multiplicity(F.col("_rs_bg")) / F.size("_rs_bg"),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            (F.size("_rs_bg") - F.size(F.array_distinct("_rs_bg")))
+            / F.size("_rs_bg"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines),
+        )
+    )
+    return out.drop("_rs_toks", "_rs_bg")
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: token frequencies
+    from the corpus itself → per-document mean log-probability (higher
+    = more typical text; repeated-boilerplate and gibberish score at
+    the extremes).
+
+    Scale shape: one explode+groupBy builds the vocabulary table
+    (vocab-sized, ~10^5 rows for natural text — broadcastable); the
+    per-document score is then explode → **broadcast** join → groupBy
+    doc. The corpus-sized side shuffles once, keyed by ``id_col``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    # total-token scalar rides along via an unpartitioned window over
+    # the vocab-sized frame (cheap); avoids a driver collect
+    freq = freq.withColumn(
+        "logp", F.log(F.col("cnt") / F.sum("cnt").over(W.partitionBy()))
+    )
+    return (
+        toks.join(F.broadcast(freq.select("token", "logp")), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("logprob_mean"),
+        )
+    )
+
+
+# redaction patterns: RE2-safe (no lookaround) so engine-portable
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII/URL scrubbing: URL → EMAIL → IP regex redaction (in that
+    order — URLs may embed ``@``), plus per-class match counts. Pure
+    ``regexp_replace``/``regexp_extract_all`` Column ops; patterns are
+    lookaround-free so any RE2/PCRE engine reproduces them."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, rep in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        )
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn(out_col, red)
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -520,3 +520,176 @@ def ext_similarity_ivf(spark, sf_dir):
     indexed, centroids = ivf_build(e, n_centroids=8, max_iter=4)
     out = ivf_topk(indexed, centroids, e.filter(F.col("vec_id") < 5), k=5, nprobe=8)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "ext_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    bg AS (
+      SELECT doc_id, list_transform(generate_series(1, greatest(len(toks), 2) - 1),
+             i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      FROM t),
+    tok_top AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id, tk)
+      GROUP BY doc_id),
+    bg_top AS (
+      SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg,
+             count(*) AS n_bg_distinct FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           tok_top.top_tok / len(t.toks) AS top_token_frac,
+           bg_top.top_bg / bg_top.n_bg AS top_bigram_frac,
+           (bg_top.n_bg - bg_top.n_bg_distinct) / bg_top.n_bg AS dup_bigram_frac,
+           (len(t.lines) - len(list_distinct(t.lines))) / len(t.lines) AS dup_line_frac
+    FROM t JOIN tok_top USING (doc_id) JOIN bg_top USING (doc_id)
+    """,
+)
+def ext_repetition(spark, sf_dir):
+    """Gopher-style repetition signals as a map-only pass: the
+    most-frequent-element counts come from a sorted-run fold inside the
+    row (array_sort + aggregate), so no shuffle ever happens — the 100
+    TB shape is scan → project. The oracle recomputes the same maxima
+    relationally (unnest + group-by + max)."""
+    from ..ext.text import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d).select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac",
+        "dup_bigram_frac", "dup_line_frac",
+    )
+
+
+@q(
+    "ext_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt / total)), 6) AS logprob_mean
+    FROM tok JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def ext_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality score: corpus-derived token
+    frequencies → per-document mean log-probability. The vocab table is
+    broadcast (natural-language vocab ≪ corpus); the corpus side
+    shuffles once on doc_id. Mean rounded on both sides (sum-fold
+    order)."""
+    from ..ext.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d).select(
+        "doc_id", "n_tokens", F.round("logprob_mean", 6).alias("logprob_mean")
+    )
+
+
+@q(
+    "ext_pii_redact",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'visit http://' || source || '.example.com/' || doc_id || ' ' ELSE '' END
+             || CASE WHEN doc_id % 3 != 0
+                  THEN 'mail ' || lang || '.user@site-' || (doc_id % 7) || '.org ' ELSE '' END
+             || 'ip 10.0.' || (doc_id % 256) || '.1 ' || text AS s
+      FROM documents),
+    s1 AS (SELECT doc_id, len(regexp_extract_all(s, 'https?://[^\\s]+')) AS n_url,
+                  regexp_replace(s, 'https?://[^\\s]+', '<URL>', 'g') AS s FROM synth),
+    s2 AS (SELECT doc_id, n_url,
+                  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s FROM s1),
+    s3 AS (SELECT doc_id, n_url, n_email,
+                  len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                  regexp_replace(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS s FROM s2)
+    SELECT doc_id, n_url, n_email, n_ip, md5(s) AS redacted_md5 FROM s3
+    """,
+)
+def ext_pii_redact(spark, sf_dir):
+    """PII/URL scrubbing over deterministic synthesized PII (the table
+    itself carries none): URL → EMAIL → IP redaction order, per-class
+    counts, and an md5 of the redacted text so the oracle checks the
+    exact rewrite, not just counts. Patterns are lookaround-free
+    (RE2-safe) so both regex engines agree."""
+    from ..ext.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("visit http://"), F.col("source"),
+                         F.lit(".example.com/"), F.col("doc_id").cast("string"),
+                         F.lit(" ")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(F.lit("mail "), F.col("lang"), F.lit(".user@site-"),
+                         (F.col("doc_id") % 7).cast("string"), F.lit(".org ")),
+            ).otherwise(F.lit("")),
+            F.lit("ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 "), F.col("text"),
+        ).alias("text"),
+    )
+    out = redact_pii(synth)
+    return out.select(
+        "doc_id",
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@q(
+    "ext_span_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    c0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, cast(ceil(len(toks) / 8.0) AS INT) - 1),
+               i -> {'idx': i,
+                     'span': array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')})) AS s
+      FROM t),
+    c AS (SELECT doc_id, s.idx AS span_idx, s.span AS span FROM c0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM c)
+    SELECT doc_id, count(*) AS n_spans,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')) AS clean_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def ext_span_dedup(spark, sf_dir):
+    """C4-style span-level corpus dedup: non-overlapping 8-token spans,
+    first corpus occurrence (doc_id, span_idx) wins, documents
+    reassembled from surviving spans. One shuffle keyed by span text +
+    one groupBy(doc) — no joins back to the corpus, no all-pairs. The
+    oracle replays the exact window/reassembly."""
+    from ..ext.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    out = span_dedup(d, span_tokens=8)
+    return out.select(
+        "doc_id", "n_spans", "n_kept", F.md5("text_clean").alias("clean_md5")
+    )

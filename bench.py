@@ -43,6 +43,9 @@ HEADLINE = [
     "ext_dedup_minhash_lsh",
     "ext_similarity_topk",
     "ext_text_stats",
+    "ext_span_dedup",
+    "ext_repetition",
+    "ext_unigram_logprob",
     "ext_contamination",
     "ext_train_split",
     "influxql_count_fill0",

@@ -318,3 +318,77 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     # wouldn't score identically
     for r in approx.collect():
         assert r.cosine <= 1.0 + 1e-9
+
+
+def test_repetition_signals_hand_computed(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y\nx y\nz w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r0 = out[0]
+    # tokens a,a,a,b → top token 3/4; bigrams "a a","a a","a b" → 2/3 top, 1/3 dup
+    assert r0.n_tokens == 4
+    assert r0.top_token_frac == 3 / 4
+    assert r0.top_bigram_frac == 2 / 3
+    assert r0.dup_bigram_frac == 1 / 3
+    assert r0.dup_line_frac == 0.0
+    r1 = out[1]
+    # lines "x y","x y","z w" → 1 of 3 repeats
+    assert r1.dup_line_frac == pytest.approx(1 / 3)
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import span_dedup
+
+    # span size 2: doc0 = [AB][CD], doc1 = [AB][EF] → doc1 loses [AB]
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b e f")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span_tokens=2).collect()}
+    assert out[0].n_spans == 2 and out[0].n_kept == 2
+    assert out[0].text_clean == "a b c d"
+    assert out[1].n_spans == 2 and out[1].n_kept == 1
+    assert out[1].text_clean == "e f"
+
+
+def test_span_dedup_line_mode(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "hello world\nsame line"), (1, "same line\nunique line")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(df, line_split="\n").collect()}
+    assert out[0].n_kept == 2
+    assert out[1].n_kept == 1 and out[1].text_clean == "unique line"
+
+
+def test_redact_pii_patterns(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@corp.io or visit https://x.io/a?b=1 from 10.1.2.3 ok"),
+         (1, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[0].n_url, out[0].n_email, out[0].n_ip) == (1, 1, 1)
+    assert out[0].text_redacted == "mail <EMAIL> or visit <URL> from <IP> ok"
+    assert (out[1].n_url, out[1].n_email, out[1].n_ip) == (0, 0, 0)
+    assert out[1].text_redacted == "no pii here at all"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import unigram_logprob
+
+    # corpus tokens: a×3, b×1 → p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[0].logprob_mean == pytest.approx(math.log(0.75))
+    assert out[1].logprob_mean == pytest.approx((math.log(0.75) + math.log(0.25)) / 2)
