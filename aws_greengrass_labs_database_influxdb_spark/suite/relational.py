@@ -251,7 +251,8 @@ def rel_supplier_part_agg(spark, sf_dir):
     "rel_shipping_priority",
     """
     SELECT l.l_orderkey,
-           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 2) as decimal(14,2))) as double) AS revenue,
+           cast(sum(cast(l.l_extendedprice as decimal(14,2))
+                    * (1 - cast(l.l_discount as decimal(4,2)))) as double) AS revenue,
            epoch_ms(o.o_orderdate) AS o_date_ms
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -277,8 +278,8 @@ def rel_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1998-06-01"
     )
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-        "decimal(14,2)"
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -321,4 +322,98 @@ def rel_top_order_per_segment(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "rel_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           cast(sum(cast(l.l_extendedprice as decimal(14,2))
+                    * (1 - cast(l.l_discount as decimal(4,2)))) as double) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation-to-nation trade-flow matrix. Two
+    broadcast dims (nation ×2, supplier at small SF), the fact joined
+    through orders→customer; cross-nation filter after the dim joins.
+    Shuffle only on the two fact-fact joins; everything else broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "rel_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           cast(sum(cast(l.l_extendedprice as decimal(14,2))
+                    * (1 - cast(l.l_discount as decimal(4,2)))) as double) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def rel_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue this year. Date
+    + returnflag predicates push to the scans; nation broadcasts;
+    global top-20 with an explicit key tie-break so the LIMIT is
+    deterministic on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
     )
