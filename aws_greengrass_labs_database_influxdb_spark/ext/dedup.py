@@ -205,14 +205,14 @@ def span_dedup(
     chunks the token stream into fixed ``span_tokens``-token spans
     (non-overlapping, so reassembly is unambiguous).
 
-    Scale shape: posexplode → ONE shuffle keyed by the span text
-    (row_number window picks the first occurrence) → one groupBy
-    ``doc_id`` to reassemble. No joins back to the corpus; state per
-    span is (id, idx, kept) — no all-pairs anything. Returns
-    ``(doc_id, n_spans, n_kept, text_clean)``.
+    Scale shape: posexplode → per-span winner via ``min(struct(id,
+    idx))`` **aggregation** (NOT a row_number window: partial
+    aggregation collapses a boilerplate span duplicated 10⁹ times to
+    one row per map task before the shuffle, and the winner join's
+    remaining hot keys are AQE-splittable — a sort-window partition is
+    neither) → winner join back → one groupBy ``doc_id`` to
+    reassemble. Returns ``(doc_id, n_spans, n_kept, text_clean)``.
     """
-    from pyspark.sql import Window as W
-
     if line_split is not None:
         spans = F.split(F.col(text_col), line_split)
     else:
@@ -229,10 +229,14 @@ def span_dedup(
         )
         .select(F.col(id_col), F.posexplode(spans).alias("span_idx", "span"))
     )
-    first = F.row_number().over(
-        W.partitionBy("span").orderBy(id_col, "span_idx")
+    winners = exploded.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_w")
     )
-    kept = exploded.withColumn("_keep", first == 1)
+    kept = exploded.join(winners, "span").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_w")[id_col])
+        & (F.col("span_idx") == F.col("_w")["span_idx"]),
+    )
     return (
         kept.groupBy(id_col)
         .agg(
