@@ -693,3 +693,53 @@ def ext_span_dedup(spark, sf_dir):
     return out.select(
         "doc_id", "n_spans", "n_kept", F.md5("text_clean").alias("clean_md5")
     )
+
+
+@q(
+    "ext_semantic_dedup",
+    """
+    WITH RECURSIVE prod AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             unnest(a.embedding)::double AS x, unnest(b.embedding)::double AS y
+      FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id),
+    dots AS (
+      SELECT a, b, sum(x * y) AS dot, sum(x * x) AS aa, sum(y * y) AS bb
+      FROM prod GROUP BY 1, 2),
+    p AS (SELECT a, b FROM dots
+          WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4),
+    e2 AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    r AS (
+      SELECT id, id AS label FROM (SELECT DISTINCT a AS id FROM e2)
+      UNION
+      SELECT e2.a AS id, r.label FROM e2 JOIN r ON r.id = e2.b),
+    lab AS (SELECT id, min(label) AS cluster_id FROM r GROUP BY id)
+    SELECT v.vec_id,
+           coalesce(lab.cluster_id, v.vec_id) AS cluster_id,
+           cast(coalesce(lab.cluster_id, v.vec_id) = v.vec_id AS int) AS is_representative
+    FROM embeddings v LEFT JOIN lab ON lab.id = v.vec_id
+    """,
+)
+def ext_semantic_dedup(spark, sf_dir):
+    """Semantic (embedding-space) dedup end-to-end: exact cosine
+    near-dup pairs → connected components → minimum-id representative
+    per cluster, singletons kept as their own representative. The
+    production path swaps the exact pair scan for the LSH-bucketed one
+    (same downstream); this exact composition runs under the full
+    recursive-CTE oracle."""
+    from ..ext.dedup import dedup_clusters
+    from ..ext.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.4, exact=True)
+    labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    return (
+        e.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
+            .cast("int")
+            .alias("is_representative"),
+        )
+    )
