@@ -56,7 +56,7 @@ from urllib.parse import parse_qs, urlsplit
 from pyspark.sql import functions as F
 
 from ..frontends.annotated_csv import iter_annotated_csv
-from ..frontends.flux import execute_flux
+from ..frontends.flux import execute_flux_multi
 from ..frontends.influxql import execute_influxql
 from ..sources.bucket import BucketMeta
 from ..sources.lineprotocol import parse_lines
@@ -366,13 +366,22 @@ class HttpApi:
                     org, target_bucket, canonicalize_result(df)
                 )
 
-            result = execute_flux(points, text, sink=_sink)
+            results = execute_flux_multi(points, text, sink=_sink)
         else:
-            result = execute_flux(points, text)
+            results = execute_flux_multi(points, text)
+
         # stream: chunked encoding over toLocalIterator — an
         # un-aggregated range() over a big bucket never materializes
-        # in facade memory
-        self._respond_chunks(handler, iter_annotated_csv(result))
+        # in facade memory. Multi-yield scripts emit one CSV block per
+        # yield, each tagged with its result name and separated by an
+        # empty row (InfluxDB multi-result annotated-CSV framing).
+        def _gen():
+            for i, (name, df) in enumerate(results.items()):
+                if i:
+                    yield "\r\n"
+                yield from iter_annotated_csv(df, result_name=name)
+
+        self._respond_chunks(handler, _gen())
 
     def _handle_query_v1(self, handler, q: dict, body: bytes) -> None:
         """InfluxQL compatibility: ``/query?db=<bucket>&q=<stmts>`` →

@@ -105,6 +105,34 @@ def test_write_then_flux_query(served):
     assert ",45.0" in body
 
 
+def test_flux_multi_yield_via_http(served):
+    base, _, tokens = served
+    lines = "\n".join(
+        f"memyield,host=h{1 + i % 2} used={float(i)} {T0 + i * 60_000_000_000}"
+        for i in range(8)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body=lines, ctype="text/plain")
+    assert status == 204
+    flux = (
+        'base = from(bucket: "greengrass-telemetry")\n'
+        "  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)\n"
+        '  |> filter(fn: (r) => r._measurement == "memyield")\n'
+        'base |> sum() |> yield(name: "total")\n'
+        'base |> count() |> yield(name: "n")\n'
+    )
+    status, body = _req(
+        base, "/api/v2/query", "POST",
+        token=tokens["RO"], body={"query": flux, "type": "flux"},
+    )
+    assert status == 200
+    # two result blocks, each tagged with its yield name in #default
+    assert "#default,total," in body
+    assert "#default,n," in body
+    assert ",28.0" in body  # sum of 0..7
+    assert ",8" in body  # count
+
+
 def test_lww_overwrite_via_http(served):
     base, engine, tokens = served
     # same series+timestamp written twice → last write wins at read
