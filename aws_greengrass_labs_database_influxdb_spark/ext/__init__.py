@@ -8,12 +8,14 @@ and avoid driver-side collection.
 """
 
 from .dedup import (  # noqa: F401
+    dedup_clusters,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
+    span_dedup,
 )
 from .similarity import (  # noqa: F401
     cosine_similarity_col,
@@ -22,8 +24,11 @@ from .similarity import (  # noqa: F401
     lsh_bucket_topk,
 )
 from .text import (  # noqa: F401
+    document_fingerprint,
     language_id,
     quality_score,
+    redact_pii,
+    repetition_signals,
     token_stats,
-    document_fingerprint,
+    unigram_logprob,
 )

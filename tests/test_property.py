@@ -220,3 +220,113 @@ def test_duration_parse_is_additive(h, m, s):
     if not compound:
         return
     assert duration_ns(compound) == (h * 3600 + m * 60 + s) * 10**9
+
+
+def test_span_dedup_matches_python_model(spark):
+    """span_dedup vs an independent first-occurrence model on random
+    small-vocab corpora (the regime where cross-doc span collisions are
+    dense): kept spans, counts, and reassembled text all match; every
+    distinct span survives exactly once corpus-wide."""
+    import random
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import span_dedup
+
+    rng = random.Random(7)
+    k = 3
+    for trial in range(4):
+        vocab = ["a", "b", "c", "d"][: 2 + trial % 3]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20))))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in span_dedup(df, span_tokens=k).collect()}
+
+        seen: set[str] = set()
+        model = {}
+        for i, text in docs:  # doc_id order == first-occurrence order
+            toks = text.split()
+            spans = [" ".join(toks[j : j + k]) for j in range(0, len(toks), k)]
+            kept = []
+            for s in spans:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            model[i] = (len(spans), len(kept), " ".join(kept))
+
+        assert set(got) == set(model)
+        for i, (n_spans, n_kept, clean) in model.items():
+            assert got[i].n_spans == n_spans, (trial, i)
+            assert got[i].n_kept == n_kept, (trial, i)
+            assert got[i].text_clean == clean, (trial, i)
+        assert sum(r.n_kept for r in got.values()) == len(seen)
+
+
+def test_repetition_signals_match_counter_model(spark):
+    """repetition_signals vs collections.Counter on random docs."""
+    import random
+    from collections import Counter
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import (
+        repetition_signals,
+    )
+
+    rng = random.Random(13)
+    docs = [
+        (i, " ".join(rng.choice("wxyz") for _ in range(rng.randrange(2, 40))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    for i, text in docs:
+        toks = text.split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])] or None
+        assert got[i].n_tokens == len(toks)
+        assert got[i].top_token_frac == max(Counter(toks).values()) / len(toks)
+        if bgs:
+            assert got[i].top_bigram_frac == max(Counter(bgs).values()) / len(bgs)
+            assert got[i].dup_bigram_frac == (len(bgs) - len(set(bgs))) / len(bgs)
+
+
+def test_redact_pii_idempotent_and_counts(spark):
+    """Redaction is idempotent (placeholders never re-match) and the
+    per-class counts equal the placeholders inserted."""
+    import random
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import redact_pii
+
+    rng = random.Random(23)
+    pii = [
+        ("u{}@ex{}.com", "<EMAIL>"), ("http://h{}.io/p{}", "<URL>"),
+        ("10.{}.0.{}", "<IP>"),
+    ]
+    rows = []
+    expect = []
+    for i in range(10):
+        words = [rng.choice(["lorem", "ipsum", "dolor"]) for _ in range(8)]
+        counts = {"<EMAIL>": 0, "<URL>": 0, "<IP>": 0}
+        for _ in range(rng.randrange(0, 4)):
+            tpl, ph = rng.choice(pii)
+            words.insert(rng.randrange(len(words)),
+                         tpl.format(rng.randrange(9), rng.randrange(9)))
+            counts[ph] += 1
+        rows.append((i, " ".join(words)))
+        expect.append(counts)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    for i, counts in enumerate(expect):
+        r = out[i]
+        assert (r.n_email, r.n_url, r.n_ip) == (
+            counts["<EMAIL>"], counts["<URL>"], counts["<IP>"]
+        ), i
+        for ph in counts:
+            assert r.text_redacted.count(ph) == counts[ph]
+    # idempotence: redacting the redacted text changes nothing
+    red = spark.createDataFrame(
+        [(r.doc_id, r.text_redacted) for r in out.values()],
+        "doc_id long, text string",
+    )
+    again = {r.doc_id: r for r in redact_pii(red).collect()}
+    for i in again:
+        assert again[i].text_redacted == out[i].text_redacted
+        assert (again[i].n_url, again[i].n_email, again[i].n_ip) == (0, 0, 0)
