@@ -47,6 +47,7 @@ from .windows import (  # noqa: F401
     aggregate_window,
     fill,
     interpolate_linear,
+    session_window,
     window,
     window_spine,
 )

@@ -257,3 +257,40 @@ def interpolate_linear(
         .drop("_grid")
         .withColumn("time", F.timestamp_micros((F.col(time_ns) / 1000).cast("long")))
     )
+
+
+def session_window(
+    df: DataFrame,
+    gap: str | int,
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Event sessionization (Spark extension beyond Flux/InfluxQL):
+    consecutive events closer than ``gap`` merge into one session per
+    series key; a session spans [first event, last event + gap).
+
+    Uses Spark's native ``F.session_window`` — the sort-merge session
+    aggregation Catalyst plans natively (and Structured Streaming
+    supports with state), so the same call works in both batch and
+    streaming mode. One shuffle on the series key.
+
+    Returns one row per (by..., session): ``session_start``,
+    ``session_end`` (last + gap), ``n_events``, ``first_event``,
+    ``last_event``, plus any ``extra_aggs``.
+    """
+    gap_ns = duration_ns(gap)
+    if gap_ns <= 0:
+        raise ValueError("session gap must be positive")
+    sw = F.session_window(F.col(time_col), f"{gap_ns // 10**9} seconds")
+    out = df.groupBy(*[F.col(c) for c in by], sw.alias("_session")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("first_event"),
+        F.max(time_col).alias("last_event"),
+        *extra_aggs,
+    )
+    return (
+        out.withColumn("session_start", F.col("_session.start"))
+        .withColumn("session_end", F.col("_session.end"))
+        .drop("_session")
+    )

@@ -1517,3 +1517,47 @@ def ts_asof_join(spark, sf_dir):
         F.col("err_value_right").alias("last_error_value"),
         F.expr("asof_time_ns div 1000000").alias("last_error_ms"),
     )
+
+
+@q(
+    "ts_session_window",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+    SELECT user_id,
+           epoch_ms(min(ts)) AS start_ms,
+           epoch_ms(max(ts) + INTERVAL 2 HOUR) AS end_ms,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def ts_session_window(spark, sf_dir):
+    """Event sessionization (native F.session_window — batch AND
+    streaming-capable): per-user sessions with a 2h inactivity gap;
+    an event exactly at the gap boundary merges (Spark semantics — the
+    gaps-and-islands oracle breaks strictly after the gap). Decimal
+    sums keep float parity."""
+    pts = _pts(spark, sf_dir)
+    out = ops.session_window(
+        pts, "2h", by=("user_id",),
+        extra_aggs=[
+            F.sum(F.col("f_float").cast("decimal(12,2)"))
+            .cast("double").alias("sum_value")
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("session_start").alias("start_ms"),
+        F.unix_millis("session_end").alias("end_ms"),
+        "n_events",
+        "sum_value",
+    )

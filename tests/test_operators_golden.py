@@ -251,3 +251,30 @@ def test_highest_max_keeps_whole_series(spark):
 )
 def test_duration_ns(tok, ns):
     assert duration_ns(tok) == ns
+
+
+def test_session_window_gap_boundary(spark):
+    """Sessionization semantics: an event exactly `gap` after the last
+    one MERGES into the session (Spark session_window end-inclusive
+    merge); one µs past the gap starts a new session. Session end =
+    last event + gap."""
+    import datetime as dt
+
+    from aws_greengrass_labs_database_influxdb_spark.operators import session_window
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        ("u", t0), ("u", t0 + 30 * m),            # exactly gap → merges
+        ("u", t0 + 45 * m),                        # in-session
+        ("u", t0 + 75 * m + dt.timedelta(microseconds=1)),  # past gap → new
+    ]
+    df = spark.createDataFrame(rows, "user string, time timestamp")
+    out = sorted(
+        session_window(df, "30m", by=("user",)).collect(),
+        key=lambda r: r.session_start,
+    )
+    assert [r.n_events for r in out] == [3, 1]
+    assert out[0].session_start == t0
+    assert out[0].session_end == t0 + 75 * m
+    assert out[1].session_start == t0 + 75 * m + dt.timedelta(microseconds=1)
