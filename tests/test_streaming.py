@@ -313,3 +313,62 @@ def test_streaming_state_count_continues_across_batches(spark, store, tmp_path):
         T0 + 3 * MIN_NS: -1,
         T0 + 4 * MIN_NS: 1,
     }
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The SAME session_window operator runs under Structured Streaming
+    (watermark + append mode): closed sessions emitted by the stream
+    equal the batch recompute over all the data — events split across
+    micro-batches merge into one session when within the gap."""
+    import json
+
+    from aws_greengrass_labs_database_influxdb_spark.operators import session_window
+
+    in_dir, ckpt, out_dir = tmp_path / "in", tmp_path / "ck", tmp_path / "out"
+    in_dir.mkdir()
+
+    def run_stream():
+        src = (
+            spark.readStream.schema("user string, time timestamp")
+            .json(str(in_dir))
+            .withWatermark("time", "10 minutes")
+        )
+        sessions = session_window(src, "5m", by=("user",))
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = "2024-01-01T00:{m:02d}:00.000Z"
+    rows1 = [{"user": "a", "time": t.format(m=0)},
+             {"user": "a", "time": t.format(m=3)},
+             {"user": "b", "time": t.format(m=1)}]
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    run_stream()
+    rows2 = [{"user": "a", "time": t.format(m=6)},   # within gap of m=3 → merges
+             {"user": "a", "time": t.format(m=30)},  # far future: closes all prior
+             {"user": "b", "time": t.format(m=45)}]
+    (in_dir / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    run_stream()
+    run_stream()  # one more empty pass lets the watermark close sessions
+
+    got = {
+        (r.user, r.session_start.isoformat(), r.n_events)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch = spark.read.schema("user string, time timestamp").json(str(in_dir))
+    expected_all = {
+        (r.user, r.session_start.isoformat(), r.n_events)
+        for r in session_window(batch, "5m", by=("user",)).collect()
+    }
+    # stream emits only watermark-closed sessions; everything it emitted
+    # must match the batch result exactly, and the first sessions of a/b
+    # (long closed) must be present
+    assert got <= expected_all
+    assert ("a", "2024-01-01T00:00:00", 3) in got
+    assert ("b", "2024-01-01T00:01:00", 1) in got
