@@ -159,7 +159,17 @@ class BucketStore:
         resolved = self.read_points(org, name, lww=True)
         tmp = data.with_name("data_compacting")
         (
-            resolved.write.mode("overwrite")
+            # one task per (measurement, day) → one file per partition
+            # (the LWW window leaves every task holding rows of many
+            # days; writing that directly sprays tasks×days small
+            # files), then cluster each file by (series, time): parquet
+            # row-group min/max on time_ns become tight (sub-day range
+            # pruning) and series_key/tags dictionary+RLE-compress —
+            # the TSM-file ordering equivalent, restored at every
+            # compaction
+            resolved.repartition("measurement", "day")
+            .sortWithinPartitions("series_key", "time_ns")
+            .write.mode("overwrite")
             .partitionBy("measurement", "day")
             .parquet(str(tmp))
         )

@@ -165,3 +165,34 @@ def test_bucket_delete_predicate_keeps_untagged_points(spark, tmp_path):
     )
     vals = sorted(r.f_float for r in store.read_points("o", "b").collect())
     assert vals == [2.0, 3.0]
+
+
+def test_compact_clusters_day_files(spark, tmp_path):
+    """Compaction consolidates each (measurement, day) into one file,
+    sorted by (series_key, time_ns) — tight parquet row-group time
+    stats + RLE-friendly series columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store = BucketStore(spark, str(tmp_path / "c"))
+    store.create_bucket("o", "b")
+    t = 1704067200_000_000_000
+    # three appends, shuffled order across hosts and times, one day
+    for batch in range(3):
+        lines = [
+            f"cpu,host=h{(batch * 7 + i) % 3} usage={float(i)} {t + ((i * 37) % 50) * 60_000_000_000}"
+            for i in range(20)
+        ]
+        store.write_points("o", "b", _points_df(spark, lines))
+    store.compact("o", "b")
+    files = glob.glob(
+        str(tmp_path / "c" / "o" / "b" / "data" / "measurement=cpu" / "day=*" / "*.parquet")
+    )
+    days = {f.rsplit("day=", 1)[1].split("/")[0] for f in files}
+    assert files, "compacted day files must exist"
+    assert len(files) == len(days)  # one file per day partition
+    for f in files:
+        tb = pq.read_table(f, columns=["series_key", "time_ns"]).to_pydict()
+        pairs = list(zip(tb["series_key"], tb["time_ns"]))
+        assert pairs == sorted(pairs)
