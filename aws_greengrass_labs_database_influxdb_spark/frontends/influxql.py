@@ -8,6 +8,8 @@ InfluxQL docs):
          | <transform>(<agg>(<field>)[, args])          -- nested (Grafana)
          | <agg-arithmetic: mean(v) * 8 + 1, max(v) - min(v)>
          | TOP/BOTTOM/DISTINCT/SAMPLE(...)              -- multi-row
+         | ABS/…/SQRT/LOG/POW(<field>[, x])             -- pointwise math
+         | EXPONENTIAL_MOVING_AVERAGE/RSI/CMO/KAMA/…(<field>, n)  -- TA
     FROM <measurement>[, <measurement> ...] | /regex/ | (SELECT ...)
     [WHERE <time predicates> [AND <tag> =|!=|=~|!~ ...] [AND (<t> OR <t>)]
            [AND <field> <op> <num>]]
@@ -36,7 +38,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..operators import aggregates as agg_ops
 from ..operators import selectors as sel_ops
@@ -65,6 +67,21 @@ _TRANSFORMS = {
     "difference", "non_negative_difference",
     "cumulative_sum", "moving_average", "elapsed",
 }
+# technical-analysis transforms (InfluxQL 1.8 family) — recursive per
+# series, dispatched to the analytics operators
+_TA_FNS = {
+    "exponential_moving_average", "double_exponential_moving_average",
+    "triple_exponential_moving_average", "relative_strength_index",
+    "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
+    "kaufmans_adaptive_moving_average",
+}
+# per-row math transforms: FN(field[, arg]) applied pointwise
+_MATH_1ARG = {
+    "abs", "acos", "asin", "atan", "ceil", "cos", "exp", "floor",
+    "ln", "log2", "log10", "round", "sin", "sqrt", "tan",
+}
+_MATH_2ARG = {"log", "pow", "atan2"}
+_MATH_FNS = _MATH_1ARG | _MATH_2ARG
 
 
 @dataclass
@@ -279,7 +296,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
             r"\s*(?:,\s*([^)]*))?\)(?:\s+AS\s+\"?(\w+)\"?)?$",
             part,
         )
-        if nm and nm.group(1).lower() in _TRANSFORMS:
+        if nm and nm.group(1).lower() in (_TRANSFORMS | _TA_FNS):
             outer, inner = nm.group(1).lower(), nm.group(2).lower()
             if inner not in _AGGS and inner not in _SELECTORS:
                 raise InfluxQLError(f"cannot nest {inner!r} inside {outer!r}")
@@ -299,7 +316,8 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         if fm:
             fn = fm.group(1).lower()
             if (fn not in _AGGS and fn not in _SELECTORS and fn not in _TRANSFORMS
-                    and fn not in _ARG_AGGS and fn not in _MULTI_ROW):
+                    and fn not in _ARG_AGGS and fn not in _MULTI_ROW
+                    and fn not in _TA_FNS and fn not in _MATH_FNS):
                 raise InfluxQLError(f"unsupported function {fn!r}")
             args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
             if not args:
@@ -401,6 +419,12 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
             return an_ops.elapsed(
                 df, unit_seconds=unit_s, by=by, alias=alias, order=order
             ).filter(F.col(alias).isNotNull())
+        if fn in _TA_FNS:
+            if not args:
+                raise InfluxQLError(f"{fn.upper()} needs a period argument")
+            return _apply_ta(fn, df, src, int(args[0]), by, alias).filter(
+                F.col(alias).isNotNull()
+            )
         raise InfluxQLError(f"unhandled transform {fn!r}")
 
     if len(transforms) == 1:
@@ -427,6 +451,50 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
         out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
                            desc=ast.order_desc)
     return out
+
+
+def _apply_ta(fn: str, df: DataFrame, src: str, n: int, by: list, alias: str) -> DataFrame:
+    """Dispatch an InfluxQL technical-analysis transform to its
+    analytics operator. applyInPandas needs ≥1 group column — merged
+    (ungrouped) queries fall back to the constant measurement column,
+    which is single-valued after the FROM filter."""
+    from ..operators import analytics as an_ops
+
+    f = {
+        "exponential_moving_average": an_ops.exponential_moving_average,
+        "double_exponential_moving_average": an_ops.double_ema,
+        "triple_exponential_moving_average": an_ops.triple_ema,
+        "relative_strength_index": an_ops.relative_strength_index,
+        "chande_momentum_oscillator": an_ops.chande_momentum_oscillator,
+        "kaufmans_efficiency_ratio": an_ops.kaufmans_er,
+        "kaufmans_adaptive_moving_average": an_ops.kaufmans_ama,
+    }[fn]
+    return f(df, n=n, value=src, by=by or ["measurement"], alias=alias)
+
+
+def _math_expr(fn: str, col: Column, args: list):
+    """Pointwise math transform (InfluxQL 1.8): ABS/.../LOG(b)/POW/ATAN2.
+    CEIL/FLOOR/ROUND return float64, as InfluxDB does."""
+    one = {
+        "abs": F.abs, "acos": F.acos, "asin": F.asin, "atan": F.atan,
+        "cos": F.cos, "exp": F.exp, "ln": F.log, "log2": F.log2,
+        "log10": F.log10, "sin": F.sin, "sqrt": F.sqrt, "tan": F.tan,
+        "ceil": lambda c: F.ceil(c).cast("double"),
+        "floor": lambda c: F.floor(c).cast("double"),
+        "round": lambda c: F.round(c).cast("double"),
+    }
+    if fn in one:
+        return one[fn](col)
+    if not args:
+        raise InfluxQLError(f"{fn.upper()} needs a second argument")
+    x = float(args[0])
+    if fn == "log":  # LOG(field, b): log base b
+        return F.log(x, col)
+    if fn == "pow":
+        return F.pow(col, F.lit(x))
+    if fn == "atan2":
+        return F.atan2(col, F.lit(x))
+    raise InfluxQLError(f"unhandled math function {fn!r}")
 
 
 _SUBQUERY_MEAS = "__subquery__"
@@ -740,7 +808,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     for t in by:
         if t not in df.columns:
             df = df.withColumn(t, tag_col(t))
-    transforms = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _TRANSFORMS]
+    transforms = [(fn, fld, al) for fn, fld, al in ast.fields
+                  if fn in _TRANSFORMS or fn in _TA_FNS]
     if transforms:
         return _execute_transform(df, ast, transforms, tag_col)
 
@@ -755,13 +824,19 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     if ast.nested:
         return _execute_nested(df, ast, by, tag_col)
 
-    has_agg = any(fn for fn, _, _ in ast.fields) or bool(ast.arith)
+    has_agg = (
+        any(fn and fn not in _MATH_FNS for fn, _, _ in ast.fields)
+        or bool(ast.arith)
+    )
 
     if not has_agg:
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
-        for _, fld, alias in ast.fields:
+        for fn, fld, alias in ast.fields:
             src = "f_float" if fld in ("*", "value") else fld
-            sel.append(F.col(src).alias(alias))
+            col = F.col(src)
+            if fn in _MATH_FNS:
+                col = _math_expr(fn, col, ast.fn_args.get(alias, []))
+            sel.append(col.alias(alias))
         out = df.select(*sel)
         if ast.limit is not None:
             order_cols = ["time"] + (
@@ -967,6 +1042,11 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
             unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
             aggd = an_ops.elapsed(aggd, unit_seconds=unit_s, by=by, alias=alias,
                                   order=["time_ns"])
+        elif outer in _TA_FNS:
+            # EMA(MEAN(v), 10) GROUP BY time(1h) — the Grafana TA shape
+            if not args:
+                raise InfluxQLError(f"{outer.upper()} needs a period argument")
+            aggd = _apply_ta(outer, aggd, src, int(args[0]), by, alias)
         else:
             raise InfluxQLError(f"unhandled nested transform {outer!r}")
         aliases.append(alias)

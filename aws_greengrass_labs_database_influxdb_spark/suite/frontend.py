@@ -662,3 +662,75 @@ def flux_schema_measurements(spark, sf_dir):
     return execute_flux(
         pts, 'schema.measurements(bucket: "greengrass-telemetry")'
     )
+
+
+@q(
+    "influxql_math_fns",
+    """
+    SELECT epoch_ms(ts) AS t_ms,
+           abs(value) AS a,
+           round(sqrt(value), 6) AS s,
+           round(pow(value, 2), 6) AS p,
+           round(log10(value), 6) AS l,
+           ceil(value)::DOUBLE AS c
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    """,
+)
+def influxql_math_fns(spark, sf_dir):
+    """InfluxQL 1.8 pointwise math transforms (ABS/SQRT/POW/LOG10/CEIL)
+    through the string frontend — per-row Column exprs, no shuffle;
+    transcendentals rounded on both sides (libm vs JVM last-ulp)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT ABS(value) AS a, SQRT(value) AS s, POW(value, 2) AS p, "
+        "LOG10(value) AS l, CEIL(value) AS c FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08'",
+    )
+    return out.select(
+        F.unix_millis("time").alias("t_ms"),
+        "a",
+        F.round("s", 6).alias("s"),
+        F.round("p", 6).alias("p"),
+        F.round("l", 6).alias("l"),
+        "c",
+    )
+
+
+@q(
+    "influxql_ema_text",
+    """
+    WITH p AS (
+      SELECT ts, event_type,
+             row_number() OVER w AS rn,
+             array_agg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, epoch_ms(ts) AS t_ms, round(ema, 6) AS ema FROM (
+      SELECT event_type, ts,
+             CASE WHEN rn >= 10 THEN list_reduce(
+               list_prepend(list_reduce(pre[1:10], (a, b) -> a + b) / 10.0,
+                            pre[11:rn]),
+               (acc, x) -> acc + (2.0/11.0) * (x - acc)) END AS ema
+      FROM p)
+    WHERE ema IS NOT NULL
+    """,
+)
+def influxql_ema_text(spark, sf_dir):
+    """EXPONENTIAL_MOVING_AVERAGE through the InfluxQL string frontend
+    (the 1.8 technical-analysis family reaches the text dialect) —
+    same sequential-fold oracle as the DSL ts_ema."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT EXPONENTIAL_MOVING_AVERAGE(value, 10) AS ema "
+        "FROM events GROUP BY event_type",
+    )
+    return out.select(
+        "event_type",
+        F.unix_millis("time").alias("t_ms"),
+        F.round("ema", 6).alias("ema"),
+    )

@@ -759,3 +759,52 @@ join(tables: {c: c, v: v}, on: ["_time"])
     assert rows, "hourly click and view windows must overlap"
     for r in rows:
         assert r.ratio == r.f_float_c / r.f_float_v
+
+
+def test_influxql_math_transforms(pts):
+    out = execute_influxql(
+        pts,
+        "SELECT ABS(value) AS a, SQRT(value) AS s, POW(value, 2) AS p, "
+        "LOG(value, 10) AS l, CEIL(value) AS c FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03'",
+    )
+    import math
+
+    rows = out.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.s == pytest.approx(math.sqrt(r.a))
+        assert r.p == pytest.approx(r.a * r.a)
+        assert r.l == pytest.approx(math.log10(r.a))
+        assert r.c == math.ceil(r.a) and isinstance(r.c, float)
+
+
+def test_influxql_technical_analysis_matches_operator(pts):
+    from aws_greengrass_labs_database_influxdb_spark.operators import analytics as an
+
+    out = execute_influxql(
+        pts,
+        "SELECT EXPONENTIAL_MOVING_AVERAGE(value, 10) AS ema "
+        "FROM events GROUP BY event_type",
+    )
+    direct = an.exponential_moving_average(pts, 10, by=["event_type"], alias="ema")
+    got = sorted(
+        (r.event_type, r.time, round(r.ema, 9)) for r in out.collect()
+    )
+    want = sorted(
+        (r.event_type, r.time, round(r.ema, 9))
+        for r in direct.filter(F.col("ema").isNotNull()).collect()
+    )
+    assert got == want
+
+
+def test_influxql_nested_ta_over_aggregate(pts):
+    out = execute_influxql(
+        pts,
+        "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 5) AS ema FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), event_type",
+    )
+    n_types = pts.select("event_type").distinct().count()
+    # 14 daily means per series, EMA(5) defined from the 5th window on
+    assert out.count() == (14 - 4) * n_types
