@@ -296,7 +296,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
             r"\s*(?:,\s*([^)]*))?\)(?:\s+AS\s+\"?(\w+)\"?)?$",
             part,
         )
-        if nm and nm.group(1).lower() in (_TRANSFORMS | _TA_FNS):
+        if nm and nm.group(1).lower() in (_TRANSFORMS | _TA_FNS | {"holt_winters"}):
             outer, inner = nm.group(1).lower(), nm.group(2).lower()
             if inner not in _AGGS and inner not in _SELECTORS:
                 raise InfluxQLError(f"cannot nest {inner!r} inside {outer!r}")
@@ -1016,6 +1016,29 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
     aggd = _execute_aggregate(df, inner_ast, by).withColumn(
         "time_ns", F.expr("unix_micros(time) * 1000")
     )
+    hw = [x for x in ast.nested if x[0] == "holt_winters"]
+    if hw:
+        # HOLT_WINTERS(agg(v), N[, S]) — forecast-only output (InfluxDB
+        # returns just the N predicted points), so it can't row-align
+        # with other transforms
+        if len(ast.nested) != 1:
+            raise InfluxQLError("HOLT_WINTERS must be the only selection")
+        _outer, _inner, _fld, alias = ast.nested[0]
+        args = ast.fn_args.get(alias, [])
+        if not args:
+            raise InfluxQLError("HOLT_WINTERS needs (N[, seasonality])")
+        out = an_ops.holt_winters(
+            aggd, n=int(args[0]),
+            interval_seconds=ast.group_time_ns / 1e9,
+            seasonality=int(args[1]) if len(args) > 1 else 0,
+            value="__n0", by=by,
+        )
+        out = (
+            out.withColumn("time", F.timestamp_micros(F.expr("time_ns div 1000")))
+            .withColumnRenamed("hw", alias)
+            .select("time", *by, alias)
+        )
+        return _finish(out, ast, by)
     aliases = []
     for i, (outer, _inner, _fld, alias) in enumerate(ast.nested):
         src, args = f"__n{i}", ast.fn_args.get(alias, [])

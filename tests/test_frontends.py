@@ -808,3 +808,35 @@ def test_influxql_nested_ta_over_aggregate(pts):
     n_types = pts.select("event_type").distinct().count()
     # 14 daily means per series, EMA(5) defined from the 5th window on
     assert out.count() == (14 - 4) * n_types
+
+
+def test_influxql_holt_winters_nested(pts):
+    from aws_greengrass_labs_database_influxdb_spark.operators import analytics as an
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+    )
+
+    out = execute_influxql(
+        pts,
+        "SELECT HOLT_WINTERS(MEAN(value), 4, 0) AS hw FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), event_type",
+    )
+    n_types = pts.select("event_type").distinct().count()
+    assert out.count() == 4 * n_types  # N forecast rows per series
+    # agrees with the direct operator over the same daily means
+    t0, t1 = T0, T0 + 14 * 86400 * 10**9
+    daily = aggregate_window(
+        pts.filter((F.col("time_ns") >= t0) & (F.col("time_ns") < t1)),
+        86400 * 10**9, "mean", by=("event_type",), time_src="_stop",
+    ).withColumnRenamed("mean", "v")
+    direct = an.holt_winters(daily, n=4, interval_seconds=86400,
+                             value="v", by=("event_type",))
+    got = sorted((r.event_type, r.time, round(r.hw, 9)) for r in out.collect())
+    want = sorted(
+        (r.event_type,
+         __import__("datetime").datetime.utcfromtimestamp(r.time_ns // 10**9),
+         round(r.hw, 9))
+        for r in direct.collect()
+    )
+    assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want]
