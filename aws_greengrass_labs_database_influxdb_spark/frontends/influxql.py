@@ -17,6 +17,7 @@ InfluxQL docs):
            [fill(null|none|0|<num>|previous|linear)]
     [ORDER BY time [ASC|DESC]]
     [LIMIT <n>] [OFFSET <n>] [SLIMIT <n>] [SOFFSET <n>]
+    [tz('America/Chicago')]   -- local window alignment + local literals
 
     SHOW MEASUREMENTS | TAG KEYS | TAG VALUES WITH KEY ... | FIELD KEYS
          | SERIES    [FROM ...] [WHERE ...] [LIMIT n]
@@ -117,6 +118,8 @@ class InfluxQLQuery:
     soffset: int = 0
     # extra positional args of transform fns, keyed by output alias
     fn_args: dict[str, list[str]] = field(default_factory=dict)
+    # tz('Zone'): GROUP BY time() windows align to local wall clock
+    tzname: str | None = None
 
 
 def _parse_duration(tok: str) -> int:
@@ -229,6 +232,17 @@ def _parse_where(where: str, out: InfluxQLQuery) -> None:
             op = tm.group(1)
             if tm.group(2):
                 ns = _ts_to_ns(tm.group(2))
+                if out.tzname:
+                    # with tz(), string time literals are local wall
+                    # clock (InfluxQL semantics); epoch literals stay
+                    # absolute
+                    import datetime as dt
+                    from zoneinfo import ZoneInfo
+
+                    local = dt.datetime.fromtimestamp(
+                        ns // 10**9, dt.timezone.utc
+                    ).replace(tzinfo=ZoneInfo(out.tzname))
+                    ns -= int(local.utcoffset().total_seconds()) * 10**9
             else:
                 mult = {"ns": 1, "u": 10**3, "µ": 10**3, "ms": 10**6, "s": 10**9}[
                     tm.group(4) or "ns"
@@ -266,6 +280,11 @@ def _parse_where(where: str, out: InfluxQLQuery) -> None:
 
 def parse_influxql(q: str) -> InfluxQLQuery:
     text = q.strip().rstrip(";")
+    tzname = None
+    tzm = re.search(r"(?i)\s+tz\(\s*'([^']+)'\s*\)\s*$", text)
+    if tzm:
+        tzname = tzm.group(1)
+        text = text[: tzm.start()]
     m = re.match(
         r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+"
         r"(?:/(?P<measrx>[^/]+)/|(?P<meas>\"?[\w.\-]+\"?(?:\s*,\s*\"?[\w.\-]+\"?)*))"
@@ -280,6 +299,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
     if not m:
         raise InfluxQLError(f"cannot parse: {q!r}")
     out = InfluxQLQuery(fields=[], measurement="")
+    out.tzname = tzname
     out.measurement_regex = m.group("measrx")
     if m.group("meas"):
         out.measurements = [
@@ -687,7 +707,7 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
-            window_start_ns(F.col("time_ns"), ast.group_time_ns,
+            window_start_ns(_window_src_ns(ast), ast.group_time_ns,
                             ast.group_time_offset_ns),
         )
         keys = [*by, "_ws"]
@@ -713,9 +733,7 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
     else:  # distinct
         out = df.select(*keys, F.col(src).alias(alias)).distinct()
         if ast.group_time_ns:
-            out = out.withColumn(
-                "time", F.timestamp_micros(F.expr("_ws div 1000"))
-            ).drop("_ws")
+            out = out.withColumn("time", _ws_time_expr(ast)).drop("_ws")
 
     if ast.order_desc and "time" in out.columns:
         out = out.orderBy(F.desc("time"))
@@ -914,6 +932,35 @@ def _tree_col(tree, names: dict):
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
 
+def _local_ns(ns: int, tzname: str) -> int:
+    """UTC epoch-ns → local wall-clock epoch-ns (driver-side, for the
+    constant spine bounds; the per-row shift is JVM-side)."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    d = dt.datetime.fromtimestamp(ns // 10**9, tz=dt.timezone.utc).astimezone(
+        ZoneInfo(tzname)
+    )
+    return ns + int(d.utcoffset().total_seconds()) * 10**9
+
+
+def _window_src_ns(ast: InfluxQLQuery) -> Column:
+    """Epoch-ns column the GROUP BY time() windows align on: UTC by
+    default; with ``tz('Zone')`` the *local* wall-clock epoch, so
+    window boundaries land on local midnights/hours (InfluxQL tz
+    semantics). DST-aware via the JVM tz database."""
+    if ast.tzname:
+        return F.unix_micros(F.from_utc_timestamp(F.col("time"), ast.tzname)) * 1000
+    return F.col("time_ns")
+
+
+def _ws_time_expr(ast: InfluxQLQuery) -> Column:
+    """Window-start (``_ws``) back to a UTC instant for the result's
+    ``time`` column (inverse of the tz shift when tz() is active)."""
+    t = F.timestamp_micros(F.expr("_ws div 1000"))
+    return F.to_utc_timestamp(t, ast.tzname) if ast.tzname else t
+
+
 def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
     """The aggregate/selector/arithmetic SELECT core: one groupBy over
     (tags[, window start]), arithmetic combined post-agg, fill over the
@@ -921,7 +968,7 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
-            window_start_ns(F.col("time_ns"), ast.group_time_ns,
+            window_start_ns(_window_src_ns(ast), ast.group_time_ns,
                             ast.group_time_offset_ns),
         )
         keys = [*by, "_ws"]
@@ -952,8 +999,12 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
     if ast.group_time_ns and ast.fill not in (None, "none"):
         if ast.time_start_ns is None or ast.time_stop_ns is None:
             raise InfluxQLError("fill() needs an explicit WHERE time range")
+        start, stop = ast.time_start_ns, ast.time_stop_ns
+        if ast.tzname:
+            # the spine lives in the local wall-clock epoch domain
+            start, stop = _local_ns(start, ast.tzname), _local_ns(stop, ast.tzname)
         spine = window_spine(
-            df, ast.time_start_ns, ast.time_stop_ns, ast.group_time_ns, by=by,
+            df, start, stop, ast.group_time_ns, by=by,
             offset=ast.group_time_offset_ns,
         ).withColumnRenamed("_start_ns", "_ws").drop("_stop_ns")
         out = spine.join(out, on=keys, how="left")
@@ -986,7 +1037,7 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
                 out = out.withColumn(c, lerp)
 
     if ast.group_time_ns:
-        out = out.withColumn("time", F.timestamp_micros(F.expr("_ws div 1000"))).drop("_ws")
+        out = out.withColumn("time", _ws_time_expr(ast)).drop("_ws")
     return out
 
 

@@ -734,3 +734,38 @@ def influxql_ema_text(spark, sf_dir):
         F.unix_millis("time").alias("t_ms"),
         F.round("ema", 6).alias("ema"),
     )
+
+
+@q(
+    "influxql_tz",
+    """
+    WITH loc AS (
+      SELECT event_type, value,
+             timezone('America/Chicago', timezone('UTC', ts)) AS lts
+      FROM events),
+    b AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 1 DAY, lts) AS lstart
+      FROM loc
+      WHERE lts >= TIMESTAMP '2024-01-05' AND lts < TIMESTAMP '2024-01-20')
+    SELECT event_type,
+           epoch_ms(timezone('UTC', timezone('America/Chicago', lstart))) AS t_ms,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def influxql_tz(spark, sf_dir):
+    """``tz('America/Chicago')``: GROUP BY time(1d) windows align to
+    local midnights and WHERE string literals are local wall clock
+    (InfluxQL tz semantics). January dates — no DST transitions, so the
+    JVM and ICU tz databases agree exactly."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM events "
+        "WHERE time >= '2024-01-05' AND time < '2024-01-20' "
+        "GROUP BY time(1d), event_type tz('America/Chicago')",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "n"
+    )

@@ -840,3 +840,23 @@ def test_influxql_holt_winters_nested(pts):
         for r in direct.collect()
     )
     assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want]
+
+
+def test_influxql_tz_local_day_alignment(pts):
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM events "
+        "WHERE time >= '2024-01-05' AND time < '2024-01-10' "
+        "GROUP BY time(1d), event_type tz('America/Chicago')",
+    )
+    rows = out.collect()
+    # Chicago is UTC-6 in January → local midnights sit at 06:00 UTC
+    assert rows and all(r.time.hour == 6 for r in rows)
+    n_types = pts.select("event_type").distinct().count()
+    # WHERE literals are local wall clock under tz(): 5 local days
+    assert len(rows) == 5 * n_types
+    # totals equal a direct count over the local-instant range
+    t0 = T0 + (4 * 86400 + 6 * 3600) * 10**9
+    t1 = T0 + (9 * 86400 + 6 * 3600) * 10**9
+    direct = pts.filter((F.col("time_ns") >= t0) & (F.col("time_ns") < t1)).count()
+    assert sum(r.n for r in rows) == direct
