@@ -583,7 +583,11 @@ def _run_pipeline(
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
             pipe = pipe.group(cols, mode=_lit(args.get("mode", '"by"')))
         elif name == "window":
-            pipe = pipe.window(args["every"])
+            pipe = pipe.window(
+                args["every"],
+                period=args.get("period"),
+                offset=args.get("offset", "0"),
+            )
         elif name == "aggregateWindow":
             pipe = pipe.aggregate_window(
                 args["every"],

@@ -860,3 +860,25 @@ def test_influxql_tz_local_day_alignment(pts):
     t1 = T0 + (9 * 86400 + 6 * 3600) * 10**9
     direct = pts.filter((F.col("time_ns") >= t0) & (F.col("time_ns") < t1)).count()
     assert sum(r.n for r in rows) == direct
+
+
+def test_flux_text_sliding_window(pts):
+    """window(every:, period:) with period > every through the text
+    frontend: each point appears in period/every windows."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)'
+        ' |> group(columns: ["event_type"])'
+        " |> window(every: 1h, period: 3h) |> count()",
+    )
+    direct = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)'
+        ' |> group(columns: ["event_type"])'
+        " |> window(every: 1h) |> count()",
+    )
+    n = pts.filter(
+        (F.col("time_ns") >= T0) & (F.col("time_ns") < T0 + 86400 * 10**9)
+    ).count()
+    assert sum(r["count"] for r in direct.collect()) == n
+    assert sum(r["count"] for r in out.collect()) == 3 * n
