@@ -36,6 +36,9 @@ RANGE_QUERIES = {
     "influxql_show_meta",
     "influxql_percentile_integral",
     "influxql_regex_or",
+    "influxql_multi_measurement",
+    "influxql_math_fns",
+    "influxql_tz",
     "flux_dashboard",
     "flux_text_quantile",
 }
