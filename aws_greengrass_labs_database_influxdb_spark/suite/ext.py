@@ -743,3 +743,84 @@ def ext_semantic_dedup(spark, sf_dir):
             .alias("is_representative"),
         )
     )
+
+
+@q(
+    "ext_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 1, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 3, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 5, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 7, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f3,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 9, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f4,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 11, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f5,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 13, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(CAST('0x' || substr(sha256(text), 15, 2) AS BIGINT) / 255.0 AS REAL) AS DOUBLE) AS f7
+    FROM documents
+    """,
+)
+def ext_multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing, oracle-gated.
+
+    Documents' UTF-8 bytes stand in for opaque media blobs (the
+    container has no codec libs — the deterministic ``fake_decode``
+    is sha256-derived, so DuckDB can reproduce it exactly). The
+    pipeline exercised is the REAL one: binary column → Arrow-batched
+    ``mapInPandas`` decode (``ext/multimodal.py:extract_features``)
+    → flat float32 feature columns. Mirrors the reference's role as
+    the data plane for arbitrary sensor payloads
+    (reference: README.md "Sending data to InfluxDB").
+    """
+    from ..ext.multimodal import extract_features, fake_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = extract_features(media, decode_fn=fake_decode)
+    sel = [F.col("media_id"), F.col("kind"), F.col("n_bytes")]
+    sel += [
+        F.element_at("feature", i + 1).cast("double").alias(f"f{i}") for i in range(8)
+    ]
+    return feats.select(*sel)
+
+
+@q(
+    "ext_frame_sample",
+    """
+    SELECT doc_id AS media_id, unnest(generate_series(0, greatest(n_chars * 7 - 1, 0), 1000)) AS frame_ms
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def ext_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled timestamp.
+
+    The frame grid (``ext/multimodal.py:sample_frames``) derives
+    JVM-side from ``meta.duration_ms`` via ``sequence`` + ``explode``
+    — no Python, no shuffle, output rows ∝ total video duration (the
+    actual frame decode is the documented codec stub). Durations are
+    synthesized deterministically from ``n_chars`` so the grid is
+    oracle-checkable.
+    """
+    from ..ext.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit("video/x-fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 7).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000).select("media_id", "frame_ms")
