@@ -764,7 +764,8 @@ def _run_pipeline(
                 range_start=range_bounds[0], range_stop=range_bounds[1],
             ))
         elif name in ("doubleEMA", "tripleEMA", "kaufmansER", "kaufmansAMA",
-                      "chandeMomentumOscillator", "relativeStrengthIndex"):
+                      "chandeMomentumOscillator", "relativeStrengthIndex",
+                      "tripleExponentialDerivative"):
             from ..operators import analytics as _an
 
             fn = {
@@ -772,8 +773,19 @@ def _run_pipeline(
                 "kaufmansER": _an.kaufmans_er, "kaufmansAMA": _an.kaufmans_ama,
                 "chandeMomentumOscillator": _an.chande_momentum_oscillator,
                 "relativeStrengthIndex": _an.relative_strength_index,
+                "tripleExponentialDerivative": _an.triple_exponential_derivative,
             }[name]
             pipe = pipe._with(fn(df, int(_lit(args["n"])), by=pipe.group_key))
+        elif name == "hourSelection":
+            from ..operators.core import hour_selection
+
+            pipe = pipe._with(hour_selection(
+                df, int(_lit(args["start"])), int(_lit(args["stop"]))
+            ))
+        elif name == "timeWeightedAvg":
+            from ..operators.aggregates import time_weighted_avg as _twa
+
+            pipe = pipe._with(_twa(df, by=pipe.group_key))
         elif name == "holtWinters":
             from ..operators.analytics import holt_winters as _hw
 

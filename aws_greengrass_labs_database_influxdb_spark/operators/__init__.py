@@ -15,6 +15,7 @@ from .core import (  # noqa: F401
     duplicate,
     fields_as_cols,
     filter_expr,
+    hour_selection,
     keep,
     map_columns,
     pivot,
@@ -25,7 +26,14 @@ from .core import (  # noqa: F401
     time_shift,
     truncate_time,
 )
-from .aggregates import aggregate, spread, integral, mode_value, quantile  # noqa: F401
+from .aggregates import (  # noqa: F401
+    aggregate,
+    integral,
+    mode_value,
+    quantile,
+    spread,
+    time_weighted_avg,
+)
 from .selectors import (  # noqa: F401
     bottom,
     distinct_rows,
@@ -73,6 +81,7 @@ from .analytics import (  # noqa: F401
     state_duration,
     timed_moving_average,
     triple_ema,
+    triple_exponential_derivative,
 )
 from .sortlimit import limit, sort, tail, slimit  # noqa: F401
 from .joins import asof_join  # noqa: F401

@@ -132,3 +132,31 @@ def integral(
         .groupBy(*by)
         .agg(F.sum("_area").alias("integral"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value: str = "f_float",
+    time_ns: str = "time_ns",
+    by: Sequence[str] = ("measurement", "field"),
+    alias: str = "time_weighted_avg",
+) -> DataFrame:
+    """Flux ``timeWeightedAvg(unit:)`` — trapezoid integral over the
+    table divided by the table's total elapsed time (the ``unit``
+    cancels between numerator and denominator, so the result is
+    unit-free). Same one-shuffle shape as :func:`integral`: a lag
+    window per series, then a single hash aggregate with map-side
+    partials. Series with a single point yield NULL (zero elapsed).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*by).orderBy(time_ns)
+    prev_v = F.lag(value).over(w)
+    prev_t = F.lag(time_ns).over(w)
+    area = (F.col(value) + prev_v) / 2.0 * ((F.col(time_ns) - prev_t) / 1e9)
+    span = (F.max(time_ns) - F.min(time_ns)) / F.lit(1e9)
+    return (
+        df.withColumn("_area", area)
+        .groupBy(*by)
+        .agg((F.sum("_area") / span).alias(alias))
+    )

@@ -268,6 +268,30 @@ def triple_ema(df, n, value="f_float", by=("measurement", "field"),
     )
 
 
+def triple_exponential_derivative(df, n, value="f_float", by=("measurement", "field"),
+                                  time_ns="time_ns", alias="trix"):
+    """Flux ``tripleExponentialDerivative(n:)`` — TRIX oscillator.
+
+    One-period percent change (×100) of the *triple-smoothed* EMA
+    (EMA∘EMA∘EMA — not TEMA): three stacked recursive folds, then a
+    lag window per series. Each EMA stage drops its warm-up rows
+    before feeding the next, matching the Flux stdlib's chaining.
+    """
+    e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
+    e1f = e1.filter(F.col("_e1").isNotNull())
+    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
+    e2f = e2.filter(F.col("_e2").isNotNull())
+    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3")
+    e3f = e3.filter(F.col("_e3").isNotNull())
+    order = [time_ns] + (["ingest_seq"] if "ingest_seq" in df.columns else [])
+    prev = F.lag("_e3").over(_series_window(by, order))
+    return (
+        e3f.withColumn(alias, (F.col("_e3") - prev) / prev * 100.0)
+        .filter(F.col(alias).isNotNull())
+        .drop("_e1", "_e2", "_e3")
+    )
+
+
 def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
                             time_ns="time_ns", alias="rsi"):
     """Flux ``relativeStrengthIndex(n:)`` (Wilder smoothing — recursive).

@@ -138,6 +138,23 @@ def truncate_time(df: DataFrame, unit: str, time_col: str = "time") -> DataFrame
     return df.withColumn(time_col, F.date_trunc(unit, F.col(time_col)))
 
 
+def hour_selection(
+    df: DataFrame, start: int, stop: int, time_ns: str = "time_ns"
+) -> DataFrame:
+    """Flux ``hourSelection(start:, stop:)`` — keep rows whose UTC hour
+    of day lies in ``[start, stop]`` (inclusive both ends; a wrapped
+    range like ``start: 22, stop: 2`` selects the overnight hours).
+
+    Pure integer arithmetic on epoch-ns, so the predicate stays inside
+    whole-stage codegen and (unlike a timestamp-function rewrite) can
+    combine with the range() pushdown.
+    """
+    hour = F.expr(f"`{time_ns}` div {3600 * 10**9}") % 24
+    if start <= stop:
+        return df.filter((hour >= start) & (hour <= stop))
+    return df.filter((hour >= start) | (hour <= stop))
+
+
 def pivot(
     df: DataFrame,
     row_key: Sequence[str],

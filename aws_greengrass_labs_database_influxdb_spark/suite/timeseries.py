@@ -1561,3 +1561,130 @@ def ts_session_window(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@q(
+    "ts_trix",
+    f"""
+    WITH p AS (
+      SELECT event_id, event_type, ts,
+             row_number() OVER w AS rn,
+             array_agg(value) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e1 AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN rn >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn]), {_EMA_FOLD}) END AS e1
+      FROM p
+    ),
+    p2 AS (
+      SELECT event_id, event_type, ts,
+             row_number() OVER w2 AS rn2,
+             array_agg(e1) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e1 WHERE e1 IS NOT NULL
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e2 AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN rn2 >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn2]), {_EMA_FOLD}) END AS e2
+      FROM p2
+    ),
+    p3 AS (
+      SELECT event_id, event_type, ts,
+             row_number() OVER w3 AS rn3,
+             array_agg(e2) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e2 WHERE e2 IS NOT NULL
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY {SQL_ORDER})
+    ),
+    e3 AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN rn3 >= 10 THEN list_reduce(
+               list_prepend({_EMA_SEED}, pre[11:rn3]), {_EMA_FOLD}) END AS e3
+      FROM p3
+    ),
+    l AS (
+      SELECT event_id, event_type, e3,
+             lag(e3) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}) AS pe
+      FROM e3 WHERE e3 IS NOT NULL
+    )
+    SELECT event_id, event_type, round((e3 - pe) / pe * 100.0, 6) AS trix
+    FROM l WHERE pe IS NOT NULL
+    """,
+)
+def ts_trix(spark, sf_dir):
+    """tripleExponentialDerivative(n:10) — TRIX: percent change of the
+    triple-smoothed EMA (three stacked sequential folds + a lag),
+    oracled with the same DuckDB list_reduce chain as the EMA family."""
+    p = _pts(spark, sf_dir)
+    t = ops.triple_exponential_derivative(p, 10, by=["event_type"])
+    return t.select(
+        F.col("ingest_seq").alias("event_id"), "event_type",
+        F.round("trix", 6).alias("trix"),
+    )
+
+
+@q(
+    "ts_hour_selection",
+    f"""
+    SELECT event_type, count(*) AS n, {DEC_SUM} / count(*) AS mean_value
+    FROM events
+    WHERE (({SQL_TNS}) // 3600000000000) % 24 BETWEEN 9 AND 17
+    GROUP BY 1
+    """,
+)
+def ts_hour_selection(spark, sf_dir):
+    """hourSelection(start:9, stop:17) — business-hours filter via
+    integer epoch-ns arithmetic (codegen-friendly, composes with the
+    range() pushdown), then a per-series mean."""
+    p = _pts(spark, sf_dir)
+    h = ops.hour_selection(p, 9, 17)
+    return h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_value"),
+    )
+
+
+@q(
+    "ts_time_weighted_avg",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             cast(round(value * 100) as bigint) AS wv,
+             lag(cast(round(value * 100) as bigint)) OVER w AS pwv,
+             {SQL_TNS} AS tns,
+             {SQL_TNS} - lag({SQL_TNS}) OVER w AS dt_ns
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER}))
+    SELECT event_type,
+           cast(sum((wv + pwv) * dt_ns) as double)
+             / cast(max(tns) - min(tns) as double) / 200.0 AS twa
+    FROM d GROUP BY 1
+    """,
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """timeWeightedAvg() — trapezoid integral / total elapsed span per
+    series (exact integer area terms ×100×Δns, one double division at
+    the end, mirroring the ts_integral parity recipe). Same plan shape
+    as operators.aggregates.time_weighted_avg: lag window + single
+    hash aggregate."""
+    from pyspark.sql import Window as W
+
+    p = _pts(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("time_ns", "ingest_seq")
+    wv = F.round(F.col("f_float") * 100).cast("long")
+    d = (
+        p.withColumn("_wv", wv)
+        .withColumn("_pwv", F.lag("_wv").over(w))
+        .withColumn("_dt", F.col("time_ns") - F.lag("time_ns").over(w))
+    )
+    area = ((F.col("_wv") + F.col("_pwv")) * F.col("_dt")).cast("decimal(38,0)")
+    span = (F.max("time_ns") - F.min("time_ns")).cast("double")
+    return d.groupBy("event_type").agg(
+        (F.sum(area).cast("double") / span / F.lit(200.0)).alias("twa")
+    )

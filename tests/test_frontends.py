@@ -882,3 +882,36 @@ def test_flux_text_sliding_window(pts):
     ).count()
     assert sum(r["count"] for r in direct.collect()) == n
     assert sum(r["count"] for r in out.collect()) == 3 * n
+
+
+def test_flux_hour_selection_twa_trix(pts):
+    """hourSelection / timeWeightedAvg / tripleExponentialDerivative
+    through the Flux string frontend, vs the direct operators."""
+    from aws_greengrass_labs_database_influxdb_spark import operators as ops
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> hourSelection(start: 9, stop: 17)",
+    )
+    assert out.count() == ops.hour_selection(pts, 9, 17).count() > 0
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> timeWeightedAvg(unit: 1s)",
+    )
+    got = {(r.event_type, round(r.time_weighted_avg, 9)) for r in out.collect()}
+    direct = {
+        (r.event_type, round(r.time_weighted_avg, 9))
+        for r in ops.time_weighted_avg(pts, by=["event_type"]).collect()
+    }
+    assert got == direct
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> tripleExponentialDerivative(n: 10)",
+    )
+    direct_n = ops.triple_exponential_derivative(pts, 10, by=["event_type"]).count()
+    assert out.count() == direct_n > 0

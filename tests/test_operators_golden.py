@@ -278,3 +278,50 @@ def test_session_window_gap_boundary(spark):
     assert out[0].session_start == t0
     assert out[0].session_end == t0 + 75 * m
     assert out[1].session_start == t0 + 75 * m + dt.timedelta(microseconds=1)
+
+
+# -------------------------------------------------- TRIX / hourSelection / TWA
+
+def test_trix_matches_hand_ema_chain(spark):
+    """TRIX(n=2) over a short ramp: hand-run the three EMA stages
+    (SMA-seeded, k=2/3) and the final percent change."""
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = ops.triple_exponential_derivative(df, 2, by=["series"]).orderBy("time_ns").collect()
+
+    def ema(xs, n=2):
+        k = 2.0 / (n + 1)
+        e = sum(xs[:n]) / n
+        res = [e]
+        for x in xs[n:]:
+            e = e + k * (x - e)
+            res.append(e)
+        return res
+
+    e1 = ema(vals)            # len 6, starts at row 1
+    e2 = ema(e1)              # len 5, starts at row 2
+    e3 = ema(e2)              # len 4, starts at row 3
+    expect = [(b - a) / a * 100.0 for a, b in zip(e3, e3[1:])]  # rows 4..6
+    assert len(out) == len(expect)
+    for row, want in zip(out, expect):
+        assert row.trix == pytest.approx(want)
+
+
+def test_hour_selection_inclusive_and_wrapped(spark):
+    hour_ns = 3600 * S
+    df = mk(spark, [("a", h * hour_ns, float(h), h) for h in range(24)])
+    kept = {r.f_float for r in ops.hour_selection(df, 9, 17).collect()}
+    assert kept == {float(h) for h in range(9, 18)}  # inclusive both ends
+    wrapped = {r.f_float for r in ops.hour_selection(df, 22, 2).collect()}
+    assert wrapped == {22.0, 23.0, 0.0, 1.0, 2.0}
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    # value 0 for 10s then 10 for 90s: plain mean of points is misleading,
+    # trapezoid TWA = (0+10)/2*10 + 10*90 over 100s = 9.5
+    df = mk(spark, [("a", 0, 0.0, 0), ("a", 10 * S, 10.0, 1), ("a", 100 * S, 10.0, 2)])
+    out = ops.time_weighted_avg(df, by=["series"]).collect()
+    assert out[0].time_weighted_avg == pytest.approx(9.5)
+    # single-point series: undefined (zero elapsed) → NULL
+    one = mk(spark, [("b", 0, 5.0, 0)])
+    assert ops.time_weighted_avg(one, by=["series"]).collect()[0].time_weighted_avg is None

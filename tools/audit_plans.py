@@ -65,16 +65,31 @@ def main() -> int:
     for name in names:
         try:
             df = qs[name](spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # formatted explain, NOT executedPlan().toString(): the
+            # latter truncates long PushedFilters lists mid-list, which
+            # made range-pushdown detection depend on filter order
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             rows.append((name, "ERR", "", "", "", str(e)[:60]))
             failures.append(name)
             continue
-        shuffles = len(re.findall(r"\bExchange\b", plan))
-        codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
-                      or set(re.findall(r"\*\((\d+)\)", plan)))
-        py_eval = len(re.findall(r"(?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|BatchEvalPython)", plan))
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        # formatted explain lists every node twice (tree + details);
+        # count the details-section headers "(N) NodeName" once each
+        shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+        py_eval = len(re.findall(
+            r"^\(\d+\) (?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|BatchEvalPython)",
+            plan, re.M,
+        ))
+        # greedy to end-of-line: a nested ']' (e.g. In(col, [a,b])) must
+        # not truncate the filter list before a later range predicate
+        pushed = re.findall(r"PushedFilters: \[(.*)\]", plan)
         has_range_push = any(
             re.search(r"GreaterThan|LessThan|EqualTo", p) for p in pushed
         )
