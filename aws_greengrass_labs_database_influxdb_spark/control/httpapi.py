@@ -184,6 +184,27 @@ class HttpApi:
         self.cert_file: str | None = None
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self._cq_registries: dict = {}
+
+    def _cq_registry(self, org: str):
+        """Per-org continuous-query registry (lazy; see streaming/cq.py)."""
+        if org not in self._cq_registries:
+            from ..streaming.cq import CQRegistry
+
+            self._cq_registries[org] = CQRegistry(self.engine.store, org)
+        return self._cq_registries[org]
+
+    def run_continuous_queries(self, now_ns: int | None = None) -> dict[str, int]:
+        """Run every registered CQ once (idempotent; callers own the
+        cadence — a production deployment wraps this in a timer at the
+        finest CQ grain, matching InfluxDB's own CQ scheduler)."""
+        import time as _time
+
+        now = now_ns if now_ns is not None else _time.time_ns()
+        out: dict[str, int] = {}
+        for reg in self._cq_registries.values():
+            out.update(reg.run_due(self.engine.spark, now))
+        return out
 
     # ------------------------------------------------------------ lifecycle
 
@@ -431,6 +452,27 @@ class HttpApi:
                  "columns": ["name", "duration", "shardGroupDuration",
                              "replicaN", "default"],
                  "values": rp}]}
+
+        # continuous-query DDL: CREATE/DROP/SHOW CONTINUOUS QUERIES
+        # (the v1 downsampling idiom; streaming/cq.py owns semantics)
+        if re.match(r"(?is)^\s*(CREATE|DROP)\s+CONTINUOUS\s+QUERY\b", text):
+            self._authorize(handler, "write", org, db)
+            reg = self._cq_registry(org)
+            if re.match(r"(?is)^\s*CREATE\b", text):
+                reg.create(text)
+            else:
+                reg.drop(text)
+            return {}
+        if re.match(r"(?is)^\s*SHOW\s+CONTINUOUS\s+QUERIES\s*$", text):
+            self._authorize(handler, "read", org, db)
+            reg = self._cq_registry(org)
+            by_db: dict[str, list] = {}
+            for row in reg.show():
+                by_db.setdefault(row["db"], []).append([row["name"], row["query"]])
+            return {"series": [
+                {"name": d, "columns": ["name", "query"], "values": v}
+                for d, v in sorted(by_db.items())
+            ] or [{"name": db, "columns": ["name", "query"], "values": []}]}
 
         # v1 DELETE statement (Grafana/CLI compat): DELETE FROM m WHERE ...
         dm = re.match(

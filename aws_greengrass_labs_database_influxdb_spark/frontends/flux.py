@@ -250,8 +250,48 @@ def _strlist(v: str) -> list[str]:
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
 _ARITH_TOKEN_RX = re.compile(
-    r'r\.\w+|r\["[^"]+"\]|\d+\.\d+|\d+|"(?:[^"\\]|\\.)*"|[()+\-*/%]'
+    r'r\.\w+|r\["[^"]+"\]|\d+\.\d+|\d+|"(?:[^"\\]|\\.)*"'
+    r"|(?:strings|math)\.\w+|\b(?:float|int|uint|string)\b|\w+:|[(),+\-*/%]"
 )
+
+# Flux stdlib functions usable inside map(): labeled-argument calls
+# compiled to JVM-side Column expressions (no UDF). Each entry maps
+# (ordered arg labels) -> Column builder.
+_MAP_FUNCS: dict = {
+    "strings.toUpper": (("v",), lambda v: F.upper(v)),
+    "strings.toLower": (("v",), lambda v: F.lower(v)),
+    "strings.trimSpace": (("v",), lambda v: F.trim(v)),
+    "strings.trim": (("v", "cutset"), lambda v, c: F.btrim(v, c)),
+    "strings.trimLeft": (("v", "cutset"), lambda v, c: F.ltrim(v, c)),
+    "strings.trimRight": (("v", "cutset"), lambda v, c: F.rtrim(v, c)),
+    "strings.strlen": (("v",), lambda v: F.length(v).cast("long")),
+    "strings.replaceAll": (("v", "t", "u"), lambda v, t, u: F.replace(v, t, u)),
+    "strings.substring": (
+        ("v", "start", "end"),
+        lambda v, s, e: F.substring(v, s + F.lit(1), e - s),
+    ),
+    "strings.containsStr": (("v", "substr"), lambda v, s: F.contains(v, s)),
+    "strings.repeat": (("v", "i"), lambda v, i: F.repeat(v, i)),
+    "math.abs": (("x",), lambda x: F.abs(x)),
+    "math.sqrt": (("x",), lambda x: F.sqrt(x)),
+    "math.exp": (("x",), lambda x: F.exp(x)),
+    "math.log": (("x",), lambda x: F.log(x)),
+    "math.log2": (("x",), lambda x: F.log2(x)),
+    "math.log10": (("x",), lambda x: F.log10(x)),
+    "math.pow": (("x", "y"), lambda x, y: F.pow(x, y)),
+    "math.floor": (("x",), lambda x: F.floor(x).cast("double")),
+    "math.ceil": (("x",), lambda x: F.ceil(x).cast("double")),
+    "math.round": (("x",), lambda x: F.round(x, 0)),
+    "math.trunc": (("x",), lambda x: x.cast("long").cast("double")),
+    "math.mMax": (("x", "y"), lambda x, y: F.greatest(x, y)),
+    "math.mMin": (("x", "y"), lambda x, y: F.least(x, y)),
+    # type conversions: float()/int()/uint()/string() — Flux int()
+    # truncates toward zero (Spark cast semantics, unlike SQL round)
+    "float": (("v",), lambda v: v.cast("double")),
+    "int": (("v",), lambda v: v.cast("long")),
+    "uint": (("v",), lambda v: v.cast("long")),
+    "string": (("v",), lambda v: v.cast("string")),
+}
 
 
 def _parse_map_value(df: DataFrame, s: str) -> Column:
@@ -300,6 +340,25 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
         if t == "-":
             eat()
             return -factor()
+        if t in _MAP_FUNCS:
+            eat()
+            labels, builder = _MAP_FUNCS[t]
+            if peek() != "(":
+                raise FluxError(f"expected '(' after {t} in {s!r}")
+            eat()
+            got: dict[str, Column] = {}
+            while peek() != ")":
+                lab = eat()
+                if not lab.endswith(":"):
+                    raise FluxError(f"expected label in {t} call in {s!r}")
+                got[lab[:-1]] = expr()
+                if peek() == ",":
+                    eat()
+            eat()  # ")"
+            try:
+                return builder(*[got[l] for l in labels])
+            except KeyError as missing:
+                raise FluxError(f"{t} missing argument {missing} in {s!r}")
         eat()
         if t.startswith('r["'):
             return _col(df, t[3:-2])

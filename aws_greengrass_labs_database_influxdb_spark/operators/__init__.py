@@ -63,6 +63,7 @@ from .analytics import (  # noqa: F401
     chande_momentum_oscillator,
     covariance,
     cumulative_sum,
+    deadman,
     derivative,
     difference,
     double_ema,

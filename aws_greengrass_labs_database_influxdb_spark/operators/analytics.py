@@ -268,6 +268,35 @@ def triple_ema(df, n, value="f_float", by=("measurement", "field"),
     )
 
 
+def deadman(
+    df: DataFrame,
+    every: str | int,
+    range_start: int,
+    range_stop: int,
+    by: Sequence[str] = ("measurement", "field"),
+) -> DataFrame:
+    """Flux ``monitor.deadman`` — per (series × window), flag windows
+    that received no data. The alerting primitive behind InfluxDB
+    checks ("host stopped reporting").
+
+    Composition of existing scale-safe pieces: window-assign + count
+    (one hash aggregate with map-side partials) left-joined onto the
+    createEmpty spine (|series| × |windows| rows — independent of data
+    volume). ``dead`` = zero points in the window.
+    """
+    from .windows import duration_ns, window, window_spine
+
+    every_n = duration_ns(every)
+    w = window(df, every_n)
+    counts = w.groupBy(*by, "_start_ns").agg(F.count(F.lit(1)).alias("n"))
+    spine = window_spine(df, range_start, range_stop, every_n, by=list(by))
+    j = spine.join(counts, on=[*by, "_start_ns"], how="left")
+    return (
+        j.withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("dead", F.col("n") == 0)
+    )
+
+
 def triple_exponential_derivative(df, n, value="f_float", by=("measurement", "field"),
                                   time_ns="time_ns", alias="trix"):
     """Flux ``tripleExponentialDerivative(n:)`` — TRIX oscillator.

@@ -769,3 +769,46 @@ def influxql_tz(spark, sf_dir):
     return out.select(
         "event_type", F.unix_millis("time").alias("t_ms"), "n"
     )
+
+
+@q(
+    "flux_text_map_funcs",
+    """
+    SELECT event_id,
+           upper(event_type) AS up,
+           substr(event_type, 1, 3) AS pre,
+           replace(event_type, 'c', 'K') AS repl,
+           length(event_type) AS slen,
+           round(ln(value + 1.0), 6) AS vlog,
+           CAST(trunc(value) AS BIGINT) AS vint,
+           greatest(ceil(value), 100.0) AS cl
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    """,
+)
+def flux_text_map_funcs(spark, sf_dir):
+    """Flux stdlib inside ``map()`` through the string frontend:
+    ``strings.*`` / ``math.*`` / type conversions, all compiled to
+    JVM-side Column expressions (zero Python eval in the plan).
+    ``int()`` truncates toward zero (Flux semantics — the oracle uses
+    trunc, not SQL's round-on-cast); transcendentals rounded on both
+    sides (libm vs JVM last ulp)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)'
+        " |> map(fn: (r) => ({ r with"
+        "   up: strings.toUpper(v: r.event_type),"
+        "   pre: strings.substring(v: r.event_type, start: 0, end: 3),"
+        "   repl: strings.replaceAll(v: r.event_type, t: \"c\", u: \"K\"),"
+        "   slen: strings.strlen(v: r.event_type),"
+        "   vlog: math.log(x: r._value + 1.0),"
+        "   vint: int(v: r._value),"
+        "   cl: math.mMax(x: math.ceil(x: r._value), y: 100.0) }))",
+    )
+    return out.select(
+        F.col("ingest_seq").alias("event_id"),
+        "up", "pre", "repl", "slen",
+        F.round("vlog", 6).alias("vlog"),
+        "vint", "cl",
+    )

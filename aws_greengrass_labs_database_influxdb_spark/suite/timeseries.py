@@ -1688,3 +1688,40 @@ def ts_time_weighted_avg(spark, sf_dir):
     return d.groupBy("event_type").agg(
         (F.sum(area).cast("double") / span / F.lit(200.0)).alias("twa")
     )
+
+
+@q(
+    "ts_deadman",
+    """
+    WITH f AS (
+      SELECT event_type, ts FROM events
+      WHERE value > 190
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+    grid AS (
+      SELECT g AS wstart
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(g)),
+    et AS (SELECT DISTINCT event_type FROM f),
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n
+      FROM f GROUP BY 1, 2)
+    SELECT et.event_type, epoch_ms(grid.wstart) AS w_ms,
+           coalesce(agg.n, 0) AS n,
+           CAST(coalesce(agg.n, 0) = 0 AS INT) AS dead
+    FROM et CROSS JOIN grid
+    LEFT JOIN agg ON agg.event_type = et.event_type AND agg.wstart = grid.wstart
+    """,
+)
+def ts_deadman(spark, sf_dir):
+    """monitor.deadman over a sparse signal (value > 190): per
+    (series × hour) windows flagged dead when no points arrived —
+    the InfluxDB alerting primitive, built from window-count + the
+    createEmpty spine (spine size ∝ |series|×|windows|, not data)."""
+    p = _pts(spark, sf_dir)
+    r = ops.push_time_filter(p, RANGE_START_NS, RANGE_STOP_NS)
+    rare = r.filter(F.col("f_float") > 190)
+    d = ops.deadman(rare, HOUR_NS, RANGE_START_NS, RANGE_STOP_NS, by=["event_type"])
+    return d.select(
+        "event_type", _w_ms().alias("w_ms"), "n",
+        F.col("dead").cast("int").alias("dead"),
+    )

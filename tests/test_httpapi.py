@@ -391,3 +391,63 @@ def test_https_serve_with_self_signed_cert(served, tmp_path):
         assert urllib.request.urlopen(req, context=pin).status == 204
     finally:
         api.stop()
+
+
+def test_v1_continuous_query_ddl_and_run(served):
+    """CREATE/SHOW/DROP CONTINUOUS QUERY over v1 /query, plus an
+    idempotent run via CQRegistry: the downsample lands in the target
+    measurement and re-running writes the same rows (LWW)."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body="\n".join(
+             f"cpu,host=h{j} busy={j + i / 100} {T0 + i * 60 * 10**9}"
+             for j in (1, 2) for i in range(180)
+         ),
+         ctype="text/plain")
+
+    cq = urllib.parse.quote(
+        'CREATE CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry" BEGIN '
+        "SELECT MEAN(value) AS busy_avg INTO cpu_hourly FROM cpu "
+        "GROUP BY time(1h), host END"
+    )
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={cq}",
+                     token=tokens["RW"])
+    assert status == 200
+
+    show = urllib.parse.quote("SHOW CONTINUOUS QUERIES")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={show}",
+                   token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"]
+    assert any(v[0] == "cq_cpu" for s in series for v in s["values"])
+
+    # run the same definition against the shared store; now = T0+3h so
+    # the recompute window covers [T0+1h, T0+3h)
+    from aws_greengrass_labs_database_influxdb_spark.streaming.cq import CQRegistry
+
+    reg = CQRegistry(engine.store, engine.config.org)
+    reg.create(
+        'CREATE CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry" BEGIN '
+        "SELECT MEAN(value) AS busy_avg INTO cpu_hourly FROM cpu "
+        "GROUP BY time(1h), host END"
+    )
+    now_ns = T0 + 3 * 3600 * 10**9
+    written = reg.run_due(engine.spark, now_ns)
+    assert written["cq_cpu"] == 4  # 2 hosts x 2 hours
+    again = reg.run_due(engine.spark, now_ns)  # idempotent re-run
+    assert again["cq_cpu"] == 4
+
+    sel = urllib.parse.quote("SELECT value FROM cpu_hourly GROUP BY host")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}",
+                   token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert len(vals) == 4
+
+    drop = urllib.parse.quote('DROP CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry"')
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={drop}",
+                     token=tokens["RW"])
+    assert status == 200
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={show}",
+                   token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"]
+    assert not any(v[0] == "cq_cpu" for s in series for v in s["values"])
