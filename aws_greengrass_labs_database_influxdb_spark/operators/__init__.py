@@ -78,6 +78,8 @@ from .analytics import (  # noqa: F401
     moving_average,
     pearsonr,
     relative_strength_index,
+    events_duration,
+    state_changes,
     state_count,
     state_duration,
     timed_moving_average,

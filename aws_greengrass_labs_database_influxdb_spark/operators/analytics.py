@@ -542,6 +542,74 @@ def state_duration(
     )
 
 
+def state_changes(
+    df: DataFrame,
+    level,
+    from_level: str | None = None,
+    to_level: str | None = None,
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "_level",
+    from_alias: str | None = None,
+    order=None,
+) -> DataFrame:
+    """Flux ``monitor.stateChanges(fromLevel:, toLevel:)`` /
+    ``monitor.stateChangesOnly()``: keep rows whose level differs from
+    the previous row's level in the same series.
+
+    ``level`` is a Column (or column name) carrying the state label.
+    With ``from_level``/``to_level`` set, only that specific transition
+    survives; with both None, every transition does (stateChangesOnly).
+    The first row of a series is never a transition (reference
+    semantics: a change needs a predecessor). ``from_alias`` keeps the
+    predecessor's level as an output column.
+
+    One ``lag`` over the series window — single shuffle on the series
+    key, whole-stage codegen, no UDFs.
+    """
+    lvl = F.col(level) if isinstance(level, str) else level
+    w = _series_window(by, order or time_ns)
+    df2 = df.withColumn(alias, lvl).withColumn(
+        "_prev_level", F.lag(alias).over(w)
+    )
+    cond = F.col("_prev_level").isNotNull() & (
+        F.col("_prev_level") != F.col(alias)
+    )
+    if from_level is not None:
+        cond = cond & (F.col("_prev_level") == from_level)
+    if to_level is not None:
+        cond = cond & (F.col(alias) == to_level)
+    out = df2.filter(cond)
+    if from_alias:
+        return out.withColumnRenamed("_prev_level", from_alias)
+    return out.drop("_prev_level")
+
+
+def events_duration(
+    df: DataFrame,
+    unit_seconds: float = 1.0,
+    stop_ns: int | None = None,
+    by: Sequence[str] = ("measurement", "field"),
+    time_ns: str = "time_ns",
+    alias: str = "duration",
+    order=None,
+) -> DataFrame:
+    """Flux ``contrib/tomhollingworth/events.duration(unit:, stop:)``:
+    for each row, the time until the *next* row in the same series;
+    the last row measures against ``stop_ns`` (when given) else keeps
+    its own timestamp (duration 0 — the Flux ``columnName`` default
+    degenerates to this when no stop column exists).
+
+    One ``lead`` over the series window; truncation toward zero in
+    whole units matches the reference's integer duration output.
+    """
+    w = _series_window(by, order or time_ns)
+    nxt = F.lead(time_ns).over(w)
+    bound = F.coalesce(nxt, F.lit(stop_ns) if stop_ns is not None else F.col(time_ns))
+    dur = ((bound - F.col(time_ns)) / F.lit(1e9 * unit_seconds)).cast("long")
+    return df.withColumn(alias, dur)
+
+
 # ---------------------------------------------------------------- histogram
 
 def histogram(

@@ -41,6 +41,8 @@ RANGE_QUERIES = {
     "influxql_tz",
     "flux_dashboard",
     "flux_text_quantile",
+    "flux_text_map_funcs",
+    "ts_deadman",
 }
 
 
