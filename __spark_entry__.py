@@ -20,6 +20,84 @@ from aws_greengrass_labs_database_influxdb_spark import suite
 
 suite.load_all()
 
+# The driver's correctness artifact covers the FIRST 50 entries of
+# ``queries()`` in dict order. Registration order alone would fill the
+# whole window with ts_* queries (timeseries registers first), leaving
+# rel/ext/frontend with no driver-visible row. Curate the first 50 to
+# span all four surfaces: 15 flagship timeseries (ts_agg_window_mean
+# first — ``entry()`` uses it), all 12 relational, the 10 hardest
+# ext (dedup / similarity / corpus-clean), and 13 frontend
+# (InfluxQL-text + Flux-text). Everything else follows in
+# registration order and stays verified by tools/check_correctness.py
+# and tests/test_suite_oracles.py.
+CURATED_FIRST_50: list[str] = [
+    # timeseries flagships (15)
+    "ts_agg_window_mean",
+    "ts_asof_join",
+    "ts_holt_winters",
+    "ts_interpolate_linear",
+    "ts_session_window",
+    "ts_ema",
+    "ts_kama",
+    "ts_fill_previous",
+    "ts_pivot",
+    "ts_join_hourly",
+    "ts_histogram_quantile",
+    "ts_time_weighted_avg",
+    "ts_deadman",
+    "ts_integral",
+    "ts_window_sliding",
+    # relational — all 12
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_top_orders",
+    "rel_semi_anti",
+    "rel_subquery_avg",
+    "rel_rollup",
+    "rel_events_customer_join",
+    "rel_supplier_part_agg",
+    "rel_shipping_priority",
+    "rel_top_order_per_segment",
+    "rel_volume_shipping",
+    "rel_returned_items",
+    # ext — the 10 hardest LLM-pipeline operators
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_clusters",
+    "ext_span_dedup",
+    "ext_semantic_dedup",
+    "ext_similarity_topk",
+    "ext_similarity_ivf",
+    "ext_corpus_clean",
+    "ext_contamination",
+    "ext_multimodal_features",
+    # frontend — InfluxQL text + Flux text (13)
+    "influxql_nested_grafana",
+    "flux_join_ratio",
+    "influxql_tz",
+    "flux_dashboard",
+    "influxql_subquery",
+    "influxql_count_fill0",
+    "influxql_percentile_integral",
+    "influxql_multi_transform",
+    "flux_text_quantile",
+    "flux_text_statecount",
+    "flux_text_map_funcs",
+    "influxql_ema_text",
+    "influxql_selectors",
+]
+
+
+def _curated(mapping: dict) -> dict:
+    """Reorder ``mapping`` so CURATED_FIRST_50 leads, rest follow in
+    registration order. Missing curated names fail loudly."""
+    missing = [n for n in CURATED_FIRST_50 if n not in suite.QUERIES]
+    if missing:
+        raise KeyError(f"curated queries not registered: {missing}")
+    head = {n: mapping[n] for n in CURATED_FIRST_50 if n in mapping}
+    tail = {n: v for n, v in mapping.items() if n not in head}
+    return {**head, **tail}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the telemetry-dashboard
@@ -28,10 +106,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(suite.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query correctness window spans all four surfaces."""
+    return _curated(dict(suite.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (omitted → rows-only check)."""
-    return dict(suite.ORACLES)
+    return _curated(dict(suite.ORACLES))
