@@ -72,16 +72,21 @@ def contamination(
     hits = corp_sh.join(
         F.broadcast(bench_sh).withColumn("_hit", F.lit(1)), "shingle", "left"
     )
+    # explicit long casts + 6dp ratio: keeps the result hash-stable
+    # against SQL oracles whose sum() widens (DuckDB HUGEINT) or whose
+    # float formatting differs in the last ulp
     return (
         hits.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
         )
         .select(
             F.col("_id").alias(id_col),
             "n_shingles",
             "n_contaminated",
-            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
         )
     )

@@ -63,15 +63,35 @@ def push_time_filter(
     pruning work again. The exact ``time_ns`` predicate still applies,
     so results are unchanged.
     """
+    # The raw column's dtype tracks whatever the parquet shipped
+    # (epoch-ns LONG or TIMESTAMP(_NTZ) — see sources.io); literals are
+    # emitted in that same type so the predicate stays a plain
+    # column-vs-constant comparison the scan can use (a cast on the
+    # *literal* constant-folds; a cast on the *column* would not push).
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    def _raw_lit(ns: int, raw_type):
+        if isinstance(raw_type, T.LongType):
+            return F.lit(int(ns))
+        us = int(ns) // 1000  # floor to µs: superset of the exact ns bound
+        dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        lit = F.lit(dt)  # naive datetime → TIMESTAMP, UTC session tz
+        if isinstance(raw_type, T.TimestampNTZType):
+            lit = lit.cast("timestamp_ntz")
+        return lit
+
+    raw_type = df.schema[raw_col].dataType if raw_col in df.columns else None
     c = F.col(time_ns_col)
     if start_ns is not None:
         df = df.filter(c >= F.lit(start_ns))
-        if raw_col in df.columns:
-            df = df.filter(F.col(raw_col) >= F.lit(int(start_ns)))
+        if raw_type is not None:
+            df = df.filter(F.col(raw_col) >= _raw_lit(start_ns, raw_type))
     if stop_ns is not None:
         df = df.filter(c < F.lit(stop_ns))
-        if raw_col in df.columns:
-            df = df.filter(F.col(raw_col) < F.lit(int(stop_ns) + 1000))
+        if raw_type is not None:
+            df = df.filter(F.col(raw_col) < _raw_lit(int(stop_ns) + 1000, raw_type))
     return df
 
 

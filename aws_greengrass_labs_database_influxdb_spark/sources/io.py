@@ -1,20 +1,27 @@
 """Table loaders for the driver-generated test data.
 
-``events.parquet`` carries parquet TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects by default. We flip
-``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so the
-column arrives as epoch-ns LONG — which is exactly our authoritative
-``time_ns`` representation. Scan pushdown/pruning is unaffected.
+``events.parquet``'s ``ts`` column has shipped as BOTH parquet
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver regenerations
+(round 3 flipped it under us mid-round), so the loader is
+schema-adaptive:
 
-Note on oracle parity: DuckDB's TIMESTAMP is µs — it silently truncates
-the same parquet column. ``events_points`` therefore µs-truncates
+- TIMESTAMP(NANOS): Spark's vectorized reader rejects it by default; we
+  flip ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so
+  the column arrives as epoch-ns LONG — exactly our authoritative
+  ``time_ns`` representation.
+- TIMESTAMP(MICROS): arrives as TIMESTAMP_NTZ (or TIMESTAMP when
+  isAdjustedToUTC); ``nanosAsLong`` ignores it. We derive ``time_ns``
+  as ``unix_micros * 1000``.
+
+Note on oracle parity: DuckDB's TIMESTAMP is µs — it truncates/reads
+the same parquet column at µs. ``events_points`` therefore µs-truncates
 ``time_ns`` so both engines compute on identical values; the engine
 itself remains ns-capable (the parser/store keep full ns).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schema import FT_FLOAT
 
@@ -37,12 +44,25 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags").
     """
     ev = load_table(spark, sf_dir, "events")
-    # µs-truncate with *integer* arithmetic — double division of epoch-ns
-    # (~1.7e18) loses precision (ulp=256 ns) and silently shifts values.
-    time_ns = (F.col("ts") - F.col("ts") % 1000).cast("long")
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as epoch-ns LONG via nanosAsLong.
+        # µs-truncate with *integer* arithmetic — double division of
+        # epoch-ns (~1.7e18) loses precision (ulp=256 ns) and silently
+        # shifts values.
+        time = F.timestamp_micros(F.expr("ts div 1000"))
+        time_ns = (F.col("ts") - F.col("ts") % 1000).cast("long")
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # TIMESTAMP(MICROS): already µs precision, no truncation needed.
+        # NTZ→LTZ cast is value-identity under the UTC session timezone
+        # (session.py pins spark.sql.session.timeZone=UTC).
+        time = F.col("ts").cast("timestamp")
+        time_ns = (F.unix_micros(time) * F.lit(1000)).cast("long")
+    else:  # pragma: no cover - future driver regenerations
+        raise TypeError(f"events.ts has unsupported dtype {ts_type}")
     return ev.select(
         F.lit("events").alias("measurement"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
+        time.alias("time"),
         time_ns.alias("time_ns"),
         F.col("event_type"),
         F.col("user_id"),

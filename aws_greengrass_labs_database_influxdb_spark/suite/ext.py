@@ -258,8 +258,8 @@ def ext_train_split(spark, sf_dir):
         FROM t)),
     bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
     SELECT s.doc_id, count(*) AS n_shingles,
-           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS contamination
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
     FROM sh s LEFT JOIN bsh b USING (shingle)
     GROUP BY 1
     """,

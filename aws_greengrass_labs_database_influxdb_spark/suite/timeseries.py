@@ -562,13 +562,15 @@ def ts_increase(spark, sf_dir):
              {SQL_TNS} - lag({SQL_TNS}) OVER w AS dt_ns
       FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER}))
     SELECT event_type,
-           cast(cast(sum((wv + pwv) * dt_ns) as double) / 2e11 as double) AS integral_s
+           round(cast(cast(sum((wv + pwv) * dt_ns) as double) / 2e11 as double), 6) AS integral_s
     FROM d WHERE pwv IS NOT NULL GROUP BY 1
     """,
 )
 def ts_integral(spark, sf_dir):
     """integral(unit:1s): trapezoid sum — exact via integer area terms
-    (value×100 as bigint × Δns), one final double division."""
+    (value×100 as bigint × Δns), one final double division, 6dp-rounded
+    (DuckDB's HUGEINT→double cast can be 1 ulp off the correctly-rounded
+    value Spark's decimal→double produces)."""
     p = _pts(spark, sf_dir)
     from pyspark.sql import Window as W
 
@@ -583,7 +585,11 @@ def ts_integral(spark, sf_dir):
     return (
         d.filter(F.col("_pwv").isNotNull())
         .groupBy("event_type")
-        .agg((F.sum(area.cast("decimal(38,0)")).cast("double") / F.lit(2e11)).cast("double").alias("integral_s"))
+        .agg(
+            F.round(
+                (F.sum(area.cast("decimal(38,0)")).cast("double") / F.lit(2e11)).cast("double"), 6
+            ).alias("integral_s")
+        )
     )
 
 
@@ -1662,8 +1668,8 @@ def ts_hour_selection(spark, sf_dir):
              {SQL_TNS} - lag({SQL_TNS}) OVER w AS dt_ns
       FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER}))
     SELECT event_type,
-           cast(sum((wv + pwv) * dt_ns) as double)
-             / cast(max(tns) - min(tns) as double) / 200.0 AS twa
+           round(cast(sum((wv + pwv) * dt_ns) as double)
+             / cast(max(tns) - min(tns) as double) / 200.0, 6) AS twa
     FROM d GROUP BY 1
     """,
 )
@@ -1685,8 +1691,10 @@ def ts_time_weighted_avg(spark, sf_dir):
     )
     area = ((F.col("_wv") + F.col("_pwv")) * F.col("_dt")).cast("decimal(38,0)")
     span = (F.max("time_ns") - F.min("time_ns")).cast("double")
+    # 6dp round on both sides: DuckDB's HUGEINT→double cast can land
+    # 1 ulp off Spark's decimal→double (see ts_integral)
     return d.groupBy("event_type").agg(
-        (F.sum(area).cast("double") / span / F.lit(200.0)).alias("twa")
+        F.round(F.sum(area).cast("double") / span / F.lit(200.0), 6).alias("twa")
     )
 
 

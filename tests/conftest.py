@@ -13,9 +13,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from aws_greengrass_labs_database_influxdb_spark.session import get_spark
 
+    # NOTE: no extra conf here — pytest must exercise the exact session
+    # config the external driver uses (ADVICE r3: a conftest-only
+    # nanosAsLong override masked the r3 loader crash).
     s = get_spark(app_name="tests", shuffle_partitions=4)
-    # events.parquet carries TIMESTAMP(NANOS); read as epoch-ns LONG
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield s
 
 

@@ -40,9 +40,27 @@ class TestCuratedOrdering:
         assert counts["ext"] >= 8
         assert counts["frontend"] >= 10
 
-    def test_first_50_all_oracled(self):
-        # rows-only queries (LSH family) must not occupy a verified slot
-        assert [n for n in list(QUERIES)[:50] if n not in ORACLES] == []
+    def test_first_50_oracled_or_declared_rows_only(self):
+        # every windowed query is either oracled or explicitly declared
+        # rows-only (disclosed policy — see __spark_entry__ docstring)
+        unexplained = [
+            n
+            for n in list(QUERIES)[:50]
+            if n not in ORACLES and n not in entry_mod.ROWS_ONLY_OK
+        ]
+        assert unexplained == []
+
+    def test_no_single_loader_feeds_most_of_window(self):
+        # VERDICT r3 item 7: a single events-loader failure must not be
+        # able to zero out most of the window. ts_* and frontend rows
+        # (plus rel_events_customer_join) all read events.parquet.
+        first50 = list(QUERIES)[:50]
+        events_dependent = sum(
+            1
+            for n in first50
+            if _surface(n) in ("ts", "frontend") or n == "rel_events_customer_join"
+        )
+        assert events_dependent <= 30, f"{events_dependent}/50 share the events loader"
 
     def test_entry_query_is_first(self):
         assert next(iter(QUERIES)) == "ts_agg_window_mean"
@@ -69,8 +87,12 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
         # rows-only queries: LSH hash streams with no SQL equivalent;
-        # recall-tested against exact counterparts in test_ext.py
-        assert len(spark_pdf) >= 0
+        # recall-tested against exact counterparts in test_ext.py.
+        # Still assert a meaningful invariant: non-empty with named cols
+        assert len(spark_pdf) > 0, f"{name}: rows-only query returned 0 rows"
+        assert all(c and not c.startswith("_") for c in spark_pdf.columns), (
+            f"{name}: unnamed/internal columns leaked: {list(spark_pdf.columns)}"
+        )
         return
     duck_pdf = duck.execute(ORACLES[name]).fetchdf()
     problems = compare(name, spark_pdf, duck_pdf)
