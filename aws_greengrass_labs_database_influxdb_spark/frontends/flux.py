@@ -390,6 +390,162 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
     return out
 
 
+def _split_additive(src: str) -> list[tuple[str, str]]:
+    """Split an arithmetic expression into top-level signed additive
+    terms: ``"a + b*c - d"`` → ``[("+","a"), ("+","b*c"), ("-","d")]``.
+    Respects parens/brackets/strings; used to detect the linear-fold
+    shape of reduce() field updates."""
+    terms: list[tuple[str, str]] = []
+    sign, depth, instr, buf = "+", 0, False, []
+    for c in src:
+        if instr:
+            buf.append(c)
+            if c == '"':
+                instr = False
+            continue
+        if c == '"':
+            instr = True
+            buf.append(c)
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c in "+-" and depth == 0 and "".join(buf).strip():
+            terms.append((sign, "".join(buf).strip()))
+            sign, buf = c, []
+        elif c in "+-" and depth == 0:
+            # leading/unary sign folds into the pending sign
+            sign = "-" if (sign == "-") != (c == "-") else "+"
+        else:
+            buf.append(c)
+    if "".join(buf).strip():
+        terms.append((sign, "".join(buf).strip()))
+    return terms
+
+
+def _linear_increment(df: DataFrame, key: str, src: str) -> Column | None:
+    """If the reduce() field update ``src`` has the associative shape
+    ``accumulator.key + f(r)`` (in any additive arrangement, incl.
+    conditional branches), return the per-row increment Column f(r);
+    else None (→ the general pandas fold runs instead)."""
+    src = src.strip()
+    acc_ref = f"accumulator.{key}"
+    if src == acc_ref:
+        return F.lit(0.0)
+    m = re.match(r"(?s)^if\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+)$", src)
+    if m:
+        inc_t = _linear_increment(df, key, m.group(2))
+        inc_e = _linear_increment(df, key, m.group(3))
+        if inc_t is None or inc_e is None:
+            return None
+        try:
+            cond = _parse_predicate(df, m.group(1))
+        except FluxError:
+            return None
+        return F.when(cond, inc_t).otherwise(inc_e)
+    terms = _split_additive(src)
+    acc_terms = [(s, t) for s, t in terms if t == acc_ref]
+    if len(acc_terms) != 1 or acc_terms[0][0] != "+":
+        return None
+    rest = [(s, t) for s, t in terms if t != acc_ref]
+    if any("accumulator." in t for _, t in rest):
+        return None
+    if not rest:
+        return F.lit(0.0)
+    expr = " ".join(
+        (f"- {t}" if s == "-" else (t if i == 0 else f"+ {t}"))
+        for i, (s, t) in enumerate(rest)
+    )
+    try:
+        return _parse_map_value(df, expr)
+    except FluxError:
+        return None
+
+
+_MINMAX_FOLD_RX = re.compile(
+    r"^math\.(mMax|mMin)\(\s*(x|y):\s*(.+?)\s*,\s*(x|y):\s*(.+?)\s*\)$", re.DOTALL
+)
+
+
+def _reduce_stage(df: DataFrame, args: dict[str, str], pipe) -> DataFrame:
+    """Flux ``reduce(fn: (r, accumulator) => ({...}), identity: {...})``.
+
+    Fast path: every accumulator field whose update is ``acc + f(r)``
+    (incl. conditional increments) or ``math.mMax/mMin(acc, f(r))``
+    compiles to ONE ``groupBy().agg()`` — map-side combine, no Python.
+    Note the fast path folds in unordered (associative) fashion: for
+    float sums this can differ from Flux's sequential fold by last-ulp
+    rounding; integer-valued accumulators are exact.
+
+    Fallback: any non-associative field (products, string builds,
+    order-dependent logic) sends the WHOLE fold to
+    ``operators.fold.pandas_fold`` — a literal per-group sequential
+    fold in one Arrow batch per group.
+    """
+    from ..operators import fold as _fold
+
+    if "fn" not in args or "identity" not in args:
+        raise FluxError("reduce() requires fn: and identity:")
+    identity = {k: _lit(v) for k, v in _record_refs(args["identity"])}
+    fn_body = args["fn"].partition("=>")[2].strip()
+    m = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", fn_body, re.DOTALL)
+    if not m:
+        raise FluxError(f"cannot parse reduce fn {fn_body!r}")
+    updates = _split_args(m.group(1).strip())
+    unknown = set(updates) - set(identity)
+    if unknown:
+        raise FluxError(f"reduce fn writes fields missing from identity: {unknown}")
+
+    by = list(pipe.group_key)
+    terms: dict = {}
+    for k in identity:
+        src = updates.get(k)
+        if src is None or src.strip() == f"accumulator.{k}":
+            terms[k] = (identity[k], None, "const")
+            continue
+        mm = _MINMAX_FOLD_RX.match(src.strip())
+        if mm:
+            a = {mm.group(2): mm.group(3), mm.group(4): mm.group(5)}
+            acc_ref = f"accumulator.{k}"
+            other = a["y"] if a.get("x") == acc_ref else (
+                a["x"] if a.get("y") == acc_ref else None
+            )
+            if other is not None and "accumulator." not in other:
+                op = "max" if mm.group(1) == "mMax" else "min"
+                terms[k] = (identity[k], _parse_map_value(df, other), op)
+                continue
+        inc = _linear_increment(df, k, src)
+        if inc is None:
+            terms = None  # type: ignore[assignment]
+            break
+        terms[k] = (identity[k], inc, "sum")
+
+    if terms is not None:
+        return _fold.linear_fold(df, by, terms)
+
+    # general sequential fold (applyInPandas)
+    steps = {
+        k: _fold.compile_scalar(updates.get(k, f"accumulator.{k}"),
+                                lambda n: _colname(df, n))
+        for k in identity
+    }
+
+    def step(acc: dict, row: dict) -> dict:
+        return {k: fn(row, acc) for k, fn in steps.items()}
+
+    needed = by + sorted(
+        {c for c in df.columns if c in ("f_float", "time_ns", "ingest_seq")}
+        | {_colname(df, n[2:]) for src in updates.values()
+           for n in re.findall(r"r\.\w+", src) if _colname(df, n[2:]) in df.columns}
+    )
+    pruned = df.select(*dict.fromkeys(needed))
+    return _fold.pandas_fold(
+        pruned, by, [c for c in pipe.order if c in pruned.columns], identity, step
+    )
+
+
 def _split_statements(q: str) -> list[str]:
     """Top-level statements of a Flux script: ``name = <pipeline>``
     assignments and the final result pipeline. A statement continues on
@@ -752,6 +908,8 @@ def _run_pipeline(
                 target = _colname(df, k)
                 updates[target if target in df.columns else k] = _parse_map_value(df, expr_src)
             pipe = pipe._with(df.withColumns(updates))
+        elif name == "reduce":
+            pipe = pipe._with(_reduce_stage(df, args, pipe))
         elif name == "timeShift":
             from ..operators.core import time_shift
 

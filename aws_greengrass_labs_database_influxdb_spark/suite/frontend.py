@@ -553,6 +553,39 @@ def flux_text_quantile(spark, sf_dir):
 
 
 @q(
+    "flux_text_reduce",
+    """
+    SELECT event_type,
+           cast(count(*) as double) AS n,
+           cast(sum(round(value * 100)) as double) AS total,
+           cast(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) as double) AS errors
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1
+    """,
+)
+def flux_text_reduce(spark, sf_dir):
+    """Flux ``reduce(fn:, identity:)`` through the text frontend
+    (SURVEY §2.2.10 — the last UDF-surface row). This fold is
+    linear-classifiable (count + integer-valued sum + conditional
+    count), so it compiles to ONE groupBy().agg() — map-side combine,
+    no Python; the oracle is the equivalent SQL aggregate. Integer-
+    valued double accumulators make the unordered Spark fold exact vs
+    Flux's sequential fold."""
+    pts = events_points(spark, sf_dir)
+    return execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> reduce(fn: (r, accumulator) => ({n: accumulator.n + 1.0,"
+        " total: accumulator.total + math.round(x: r._value * 100.0),"
+        " errors: if r._value > 150.0 then accumulator.errors + 1.0 else accumulator.errors}),"
+        " identity: {n: 0.0, total: 0.0, errors: 0.0})",
+    )
+
+
+@q(
     "flux_text_statecount",
     """
     WITH b AS (
