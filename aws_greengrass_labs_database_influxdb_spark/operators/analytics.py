@@ -426,8 +426,51 @@ def chande_momentum_oscillator(df, n, value="f_float", by=("measurement", "field
     )
 
 
+def _nelder_mead(f, x0, max_iter=250, tol=1e-12):
+    """Scipy-free Nelder-Mead simplex minimizer (standard coefficients
+    α=1, γ=2, ρ=0.5, σ=0.5) — the same optimizer family InfluxDB's
+    holtWinters uses to fit smoothing coefficients. Deterministic:
+    fixed initial simplex, no randomness."""
+    x0 = np.asarray(x0, dtype=float)
+    k = len(x0)
+    simplex = [x0]
+    for i in range(k):
+        p = x0.copy()
+        p[i] = p[i] + 0.1 if p[i] + 0.1 < 1 else p[i] - 0.1
+        simplex.append(p)
+    vals = [f(p) for p in simplex]
+    for _ in range(max_iter):
+        order = np.argsort(vals, kind="stable")
+        simplex = [simplex[i] for i in order]
+        vals = [vals[i] for i in order]
+        if abs(vals[-1] - vals[0]) < tol:
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        refl = centroid + (centroid - simplex[-1])
+        f_refl = f(refl)
+        if vals[0] <= f_refl < vals[-2]:
+            simplex[-1], vals[-1] = refl, f_refl
+        elif f_refl < vals[0]:
+            exp = centroid + 2.0 * (centroid - simplex[-1])
+            f_exp = f(exp)
+            if f_exp < f_refl:
+                simplex[-1], vals[-1] = exp, f_exp
+            else:
+                simplex[-1], vals[-1] = refl, f_refl
+        else:
+            contr = centroid + 0.5 * (simplex[-1] - centroid)
+            f_contr = f(contr)
+            if f_contr < vals[-1]:
+                simplex[-1], vals[-1] = contr, f_contr
+            else:
+                simplex = [simplex[0] + 0.5 * (p - simplex[0]) for p in simplex]
+                vals = [f(p) for p in simplex]
+    best = int(np.argmin(vals))
+    return simplex[best]
+
+
 def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
-                 by=("measurement", "field"), time_ns="time_ns"):
+                 by=("measurement", "field"), time_ns="time_ns", fit=False):
     """Flux/InfluxQL ``holtWinters(n:, interval:, seasonality:)`` —
     forecast n points per series.
 
@@ -435,11 +478,14 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
     α=β=0.5, explicit sequential arithmetic (DuckDB-oracle-matchable).
     ``seasonality == s > 0``: additive triple exponential smoothing
     (Holt-Winters proper): seasonal components seeded from the first
-    season against the first-season mean, γ=0.5. Parity note vs the
-    reference engine: InfluxDB fits α/β/γ by loss minimization
-    (Nelder-Mead); we use fixed coefficients — documented divergence,
-    deterministic and golden-tested instead. Needs ≥ 2·s points, else
-    falls back to the non-seasonal path.
+    season against the first-season mean, γ=0.5.
+
+    ``fit=True``: fit α/β(/γ) per series by minimizing one-step-ahead
+    SSE with a scipy-free Nelder-Mead — matching the reference
+    engine's behavior (InfluxDB 2.0.9 fits coefficients the same way;
+    exact forecasts still differ since its loss/seeding details are
+    unpublished). Default ``fit=False`` keeps the deterministic
+    fixed-coefficient path the DuckDB oracle can reproduce.
     """
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType, True) for c in by]
@@ -456,19 +502,44 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
             return pd.DataFrame(columns=[*by, "time_ns", "hw"])
         t0 = int(pdf[time_ns].iloc[-1])
         step = int(interval_seconds * 1e9)
-        alpha = beta = gamma = 0.5
         s = int(seasonality or 0)
-        if s > 0 and m >= 2 * s:
+
+        def run_holt(alpha, beta):
+            # returns (one-step-ahead SSE, final level, final trend)
+            if not (0 < alpha < 1 and 0 < beta < 1):
+                return float("inf"), None, None
+            level, trend, sse = v[0], v[1] - v[0], 0.0
+            for x in v[1:]:
+                sse += (x - (level + trend)) ** 2
+                prev = level
+                level = alpha * x + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1 - beta) * trend
+            return sse, level, trend
+
+        def run_hw(alpha, beta, gamma):
+            if not (0 < alpha < 1 and 0 < beta < 1 and 0 < gamma < 1):
+                return float("inf"), None, None, None
             mean1 = float(np.mean(v[:s]))
             mean2 = float(np.mean(v[s : 2 * s]))
-            level = mean1
-            trend = (mean2 - mean1) / s
+            level, trend = mean1, (mean2 - mean1) / s
             seas = [v[i] - mean1 for i in range(s)]
+            sse = 0.0
             for t in range(s, m):
+                sse += (v[t] - (level + trend + seas[t % s])) ** 2
                 prev = level
                 level = alpha * (v[t] - seas[t % s]) + (1 - alpha) * (level + trend)
                 trend = beta * (level - prev) + (1 - beta) * trend
                 seas[t % s] = gamma * (v[t] - level) + (1 - gamma) * seas[t % s]
+            return sse, level, trend, seas
+
+        if s > 0 and m >= 2 * s:
+            if fit:
+                best = _nelder_mead(lambda p: run_hw(*p)[0], [0.5, 0.5, 0.5])
+                _, level, trend, seas = run_hw(*best)
+                if level is None:  # degenerate series: fall back to fixed
+                    _, level, trend, seas = run_hw(0.5, 0.5, 0.5)
+            else:
+                _, level, trend, seas = run_hw(0.5, 0.5, 0.5)
             rows = [
                 {
                     **keys,
@@ -478,11 +549,13 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
                 for i in range(n)
             ]
             return pd.DataFrame(rows)
-        level, trend = v[0], v[1] - v[0]
-        for x in v[1:]:
-            prev = level
-            level = alpha * x + (1 - alpha) * (level + trend)
-            trend = beta * (level - prev) + (1 - beta) * trend
+        if fit:
+            best = _nelder_mead(lambda p: run_holt(*p)[0], [0.5, 0.5])
+            _, level, trend = run_holt(*best)
+            if level is None:
+                _, level, trend = run_holt(0.5, 0.5)
+        else:
+            _, level, trend = run_holt(0.5, 0.5)
         rows = [
             {**keys, "time_ns": t0 + (i + 1) * step, "hw": level + (i + 1) * trend}
             for i in range(n)

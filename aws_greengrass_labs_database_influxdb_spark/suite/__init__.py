@@ -37,3 +37,4 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import ext  # noqa: F401
     from . import frontend  # noqa: F401
+    from . import bench_ops  # noqa: F401

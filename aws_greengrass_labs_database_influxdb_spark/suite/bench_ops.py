@@ -1,0 +1,83 @@
+"""Bench-only operational queries (VERDICT r2/r3: bench breadth).
+
+These exercise the WRITE/maintenance paths the read-only suite can't:
+materialized-rollup refresh, and a full continuous-query run through
+the LWW bucket store. They register as rows-only suite entries (no SQL
+oracle — each is a side-effecting pipeline whose correctness is pinned
+by dedicated pytest modules: tests/test_rollup.py, tests/test_streaming.py)
+and are picked up by bench.py's ``bench_`` prefix scan.
+
+Both write ONLY under /tmp/spark_graft_bench — never the testdata dir —
+and are idempotent: re-runs overwrite (rollup) or LWW-dedupe (CQ), so
+best-of-2 bench timing measures steady-state maintenance cost.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from ..sources.io import events_points
+from . import q
+
+_BENCH_ROOT = "/tmp/spark_graft_bench"
+
+
+@q("bench_rollup_refresh")
+def bench_rollup_refresh(spark, sf_dir):
+    """Incremental rollup maintenance: full 1-minute materialize, then
+    a 2-day partition-overwrite refresh (the steady-state op a
+    downsample task performs per micro-batch), then the routed hourly
+    read served from the refreshed partials."""
+    from ..plans.rollup import DAY_NS, RollupCatalog, reaggregate
+
+    p = events_points(spark, sf_dir)
+    cat = RollupCatalog(spark, f"{_BENCH_ROOT}/rollup")
+    cat.materialize("ev_1m", p, "1m", by=("event_type",))
+    # refresh the two most recent days only — partition overwrite
+    days = [r[0] for r in
+            p.select(F.expr(f"time_ns div {DAY_NS}").alias("d")).distinct()
+            .orderBy(F.desc("d")).limit(2).collect()]
+    cat.refresh_days("ev_1m", p.filter(F.expr(f"time_ns div {DAY_NS}").isin(days)), days)
+    hourly = reaggregate(
+        cat.read("ev_1m"), 3600 * 10**9, "mean", by=("event_type",), alias="mean_value"
+    )
+    return hourly.select(
+        "event_type", F.col("_start_ns").alias("w_start_ns"), "mean_value"
+    )
+
+
+@q("bench_cq_run")
+def bench_cq_run(spark, sf_dir):
+    """One continuous-query cycle end-to-end: write the events points
+    into a fresh LWW bucket, register a 1h-downsample CQ, run it, and
+    read the downsampled target measurement back. Measures the store
+    write path + CQ recompute window + LWW read resolution."""
+    from ..sources.bucket import BucketStore
+    from ..streaming.cq import CQRegistry
+
+    root = f"{_BENCH_ROOT}/cqstore"
+    shutil.rmtree(root, ignore_errors=True)
+    store = BucketStore(spark, root)
+    store.create_bucket("org", "db")
+    from ..sources.io import result_to_points
+
+    p = events_points(spark, sf_dir)
+    pts = result_to_points(
+        p.select("time", F.col("event_type"), F.col("f_float").alias("value")),
+        "events",
+    )
+    store.write_points("org", "db", pts)
+
+    reg = CQRegistry(store, "org")
+    reg.create(
+        'CREATE CONTINUOUS QUERY cq_hourly ON db RESAMPLE FOR 2d BEGIN '
+        'SELECT mean(value) AS value INTO events_1h FROM events '
+        "GROUP BY time(1h), event_type END"
+    )
+    now_ns = p.agg(F.max("time_ns")).first()[0] + 1
+    reg.run_due(spark, now_ns)
+    out = store.read_points("org", "db").filter(F.col("measurement") == "events_1h")
+    return out.select("time_ns", F.col("tags")["event_type"].alias("event_type"),
+                      "f_float")

@@ -113,6 +113,26 @@ def test_interpolate_midpoint_exact(spark):
     assert got[5 * S] == 5.0
 
 
+def test_interpolate_omitted_bounds_is_lazy_and_matches_explicit(spark):
+    """VERDICT r3 item 6: the bounds-omitted path must not run a
+    driver-side pre-scan job at plan-construction time, and its result
+    must equal the explicit-bounds run (out-of-range grid rows
+    self-filter)."""
+    df = mk(spark, [("a", 0, 0.0, 0), ("a", 10 * S, 10.0, 1),
+                    ("b", 5 * S, 4.0, 2), ("b", 15 * S, 8.0, 3)])
+    sc = spark.sparkContext
+    before = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    lazy = ops.interpolate_linear(df, "5s", by=["series"])  # plan only
+    after = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a Spark job (pre-scan)"
+    explicit = ops.interpolate_linear(
+        df, "5s", by=["series"], range_start=0, range_stop=16 * S
+    )
+    got_lazy = {(r.series, r.time_ns): r.f_float for r in lazy.collect()}
+    got_explicit = {(r.series, r.time_ns): r.f_float for r in explicit.collect()}
+    assert got_lazy == got_explicit
+
+
 # ---------------------------------------------------------- per-series limit
 
 def test_limit_is_per_series_not_global(spark):
@@ -156,6 +176,39 @@ def test_holt_winters_seasonal_matches_hand_computation(spark):
     exp = [level + (i + 1) * trend + seas[(6 + i) % 2] for i in range(2)]
     assert [r.hw for r in out] == pytest.approx(exp)
     assert [r.time_ns for r in out] == [6 * S, 7 * S]
+
+
+def test_holt_winters_fit_beats_fixed_coefficients(spark):
+    """fit=True (Nelder-Mead over α/β/γ, one-step-ahead SSE) must
+    forecast a clean seasonal series at least as well as the fixed
+    α=β=γ=0.5 path — measured as squared error against the series'
+    true continuation."""
+    import math
+
+    period = 4
+    series = [10.0 + 0.5 * i + 6.0 * math.sin(2 * math.pi * i / period)
+              for i in range(44)]
+    train, future = series[:36], series[36:]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(train)])
+    fixed = ops.holt_winters(df, 8, 1, seasonality=period, by=["series"])
+    fitted = ops.holt_winters(df, 8, 1, seasonality=period, by=["series"], fit=True)
+    err_fixed = sum(
+        (r.hw - f) ** 2
+        for r, f in zip(fixed.orderBy("time_ns").collect(), future)
+    )
+    err_fit = sum(
+        (r.hw - f) ** 2
+        for r, f in zip(fitted.orderBy("time_ns").collect(), future)
+    )
+    assert err_fit < err_fixed
+
+
+def test_holt_winters_fit_nonseasonal_runs(spark):
+    vals = [10.0, 12.0, 14.0, 16.0, 18.0, 20.0]
+    df = mk(spark, [("a", i * S, v, i) for i, v in enumerate(vals)])
+    out = ops.holt_winters(df, 3, 1, by=["series"], fit=True).orderBy("time_ns").collect()
+    # a perfect linear trend: any sane (α, β) forecasts the line
+    assert [r.hw for r in out] == pytest.approx([22.0, 24.0, 26.0], abs=1e-6)
 
 
 def test_holt_winters_seasonal_falls_back_without_two_seasons(spark):
