@@ -824,3 +824,62 @@ def ext_frame_sample(spark, sf_dir):
         ).alias("meta"),
     )
     return sample_frames(media, every_ms=1000).select("media_id", "frame_ms")
+
+
+@q(
+    "ext_doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 96)) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST(start / 96 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 128], ' ') AS chunk_text,
+           CAST(least(128, len(toks) - start) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def ext_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (128-token chunks, stride 96)
+    — the long-context training prep step. Pure Column pipeline
+    (split → sequence → posexplode → slice), zero shuffle: at 100 TB
+    this is a map stage whose output is Σ ceil(len/stride) rows."""
+    from ..ext.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, size=128, stride=96)
+
+
+@q(
+    "ext_pack_sequences",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t)
+    SELECT source, doc_id, n_tokens,
+           CAST(floor(cum_prev / 2048) AS BIGINT) AS pack_id,
+           CAST(cum_prev % 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: contiguous fill of 2048-token
+    training sequences within each source shard (running token count →
+    pack_id/pack_offset). Per-shard windows keep the cumulative sum
+    parallel — no global ordering, reproducible run-to-run (the
+    property resumable dataset builds need)."""
+    from ..ext.chunking import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=2048, by=("source",))
