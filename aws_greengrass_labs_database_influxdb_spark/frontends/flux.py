@@ -993,6 +993,16 @@ def _run_pipeline(
                 "tripleExponentialDerivative": _an.triple_exponential_derivative,
             }[name]
             pipe = pipe._with(fn(df, int(_lit(args["n"])), by=pipe.group_key))
+        elif name in ("covariance", "pearsonr"):
+            from ..operators import analytics as _an
+
+            cols = [_colname(df, c) for c in _strlist(args.get("columns", '["_value"]'))]
+            if len(cols) != 2:
+                raise FluxError(f"{name} needs columns: [x, y]")
+            use_pearson = name == "pearsonr" or _lit(args.get("pearsonr", "false")) is True
+            fn = _an.pearsonr if use_pearson else _an.covariance
+            dst = COLMAP.get(_lit(args.get("valueDst", '"_value"')), "f_float")
+            pipe = pipe._with(fn(df, cols[0], cols[1], by=pipe.group_key, alias=dst))
         elif name == "hourSelection":
             from ..operators.core import hour_selection
 

@@ -553,6 +553,46 @@ def flux_text_quantile(spark, sf_dir):
 
 
 @q(
+    "flux_text_covariance",
+    """
+    SELECT event_type,
+           round(covar_samp(value, value * value), 6) AS cov,
+           round(corr(value, value * value), 9) AS rho
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1
+    """,
+)
+def flux_text_covariance(spark, sf_dir):
+    """Flux covariance()/pearsonr() through the text frontend: a
+    map() derives the second column, then one groupBy aggregate
+    (covar_samp / corr are JVM built-ins — single-pass, map-side
+    partials). Rounded on both sides: the two engines' covariance
+    update formulas differ in the last ulp."""
+    pts = events_points(spark, sf_dir)
+    cov = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> map(fn: (r) => ({r with y: r._value * r._value}))"
+        ' |> covariance(columns: ["_value", "y"])',
+    )
+    rho = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> map(fn: (r) => ({r with y: r._value * r._value}))"
+        ' |> pearsonr(columns: ["_value", "y"])',
+    )
+    return (
+        cov.select("event_type", F.round("f_float", 6).alias("cov"))
+        .join(rho.select("event_type", F.round("f_float", 9).alias("rho")), "event_type")
+    )
+
+
+@q(
     "flux_text_reduce",
     """
     SELECT event_type,

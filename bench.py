@@ -48,6 +48,8 @@ HEADLINE = [
     "ext_unigram_logprob",
     "ext_contamination",
     "ext_train_split",
+    "ext_doc_chunks",
+    "ext_pack_sequences",
     "influxql_count_fill0",
     "influxql_nested_grafana",
     "influxql_show_meta",
@@ -93,6 +95,12 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # split totals: bench_* entries are WRITE/maintenance-path pipelines
+    # (rollup refresh, CQ run) added for breadth in r4 — keep the
+    # read-query total separately comparable round-over-round.
+    read_total = round(
+        sum(v for k, v in timings.items() if not k.startswith("bench_")), 3
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -100,6 +108,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "read_queries_total": read_total,
+                "maintenance_total": round(total - read_total, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
