@@ -316,7 +316,9 @@ def parse_influxql(q: str) -> InfluxQLQuery:
             r"\s*(?:,\s*([^)]*))?\)(?:\s+AS\s+\"?(\w+)\"?)?$",
             part,
         )
-        if nm and nm.group(1).lower() in (_TRANSFORMS | _TA_FNS | {"holt_winters"}):
+        if nm and nm.group(1).lower() in (
+            _TRANSFORMS | _TA_FNS | {"holt_winters", "holt_winters_with_fit"}
+        ):
             outer, inner = nm.group(1).lower(), nm.group(2).lower()
             if inner not in _AGGS and inner not in _SELECTORS:
                 raise InfluxQLError(f"cannot nest {inner!r} inside {outer!r}")
@@ -1067,14 +1069,18 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
     aggd = _execute_aggregate(df, inner_ast, by).withColumn(
         "time_ns", F.expr("unix_micros(time) * 1000")
     )
-    hw = [x for x in ast.nested if x[0] == "holt_winters"]
+    hw = [x for x in ast.nested if x[0] in ("holt_winters", "holt_winters_with_fit")]
     if hw:
         # HOLT_WINTERS(agg(v), N[, S]) — forecast-only output (InfluxDB
         # returns just the N predicted points), so it can't row-align
-        # with other transforms
+        # with other transforms. HOLT_WINTERS_WITH_FIT additionally
+        # emits the in-sample one-step predictions, and fits α/β(/γ)
+        # by Nelder-Mead like the reference engine (forecast values are
+        # engine-specific → rows-only checkable).
         if len(ast.nested) != 1:
             raise InfluxQLError("HOLT_WINTERS must be the only selection")
-        _outer, _inner, _fld, alias = ast.nested[0]
+        outer, _inner, _fld, alias = ast.nested[0]
+        with_fit = outer == "holt_winters_with_fit"
         args = ast.fn_args.get(alias, [])
         if not args:
             raise InfluxQLError("HOLT_WINTERS needs (N[, seasonality])")
@@ -1083,6 +1089,7 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
             interval_seconds=ast.group_time_ns / 1e9,
             seasonality=int(args[1]) if len(args) > 1 else 0,
             value="__n0", by=by,
+            fit=with_fit, include_fitted=with_fit,
         )
         out = (
             out.withColumn("time", F.timestamp_micros(F.expr("time_ns div 1000")))

@@ -470,7 +470,8 @@ def _nelder_mead(f, x0, max_iter=250, tol=1e-12):
 
 
 def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
-                 by=("measurement", "field"), time_ns="time_ns", fit=False):
+                 by=("measurement", "field"), time_ns="time_ns", fit=False,
+                 include_fitted=False):
     """Flux/InfluxQL ``holtWinters(n:, interval:, seasonality:)`` —
     forecast n points per series.
 
@@ -486,6 +487,11 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
     exact forecasts still differ since its loss/seeding details are
     unpublished). Default ``fit=False`` keeps the deterministic
     fixed-coefficient path the DuckDB oracle can reproduce.
+
+    ``include_fitted=True`` (InfluxQL ``HOLT_WINTERS_WITH_FIT``): also
+    emit the in-sample one-step-ahead predictions at each input
+    timestamp the recursion predicts (index ≥ 1 non-seasonal, ≥ s
+    seasonal), ahead of the n forecast rows.
     """
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType, True) for c in by]
@@ -504,43 +510,56 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
         step = int(interval_seconds * 1e9)
         s = int(seasonality or 0)
 
+        tns = pdf[time_ns].astype("int64").to_numpy()
+
         def run_holt(alpha, beta):
-            # returns (one-step-ahead SSE, final level, final trend)
+            # returns (one-step SSE, final level, final trend, preds);
+            # preds[i] is the one-step prediction for v[i+1]
             if not (0 < alpha < 1 and 0 < beta < 1):
-                return float("inf"), None, None
+                return float("inf"), None, None, None
             level, trend, sse = v[0], v[1] - v[0], 0.0
+            preds = []
             for x in v[1:]:
-                sse += (x - (level + trend)) ** 2
+                pred = level + trend
+                preds.append(pred)
+                sse += (x - pred) ** 2
                 prev = level
                 level = alpha * x + (1 - alpha) * (level + trend)
                 trend = beta * (level - prev) + (1 - beta) * trend
-            return sse, level, trend
+            return sse, level, trend, preds
 
         def run_hw(alpha, beta, gamma):
             if not (0 < alpha < 1 and 0 < beta < 1 and 0 < gamma < 1):
-                return float("inf"), None, None, None
+                return float("inf"), None, None, None, None
             mean1 = float(np.mean(v[:s]))
             mean2 = float(np.mean(v[s : 2 * s]))
             level, trend = mean1, (mean2 - mean1) / s
             seas = [v[i] - mean1 for i in range(s)]
             sse = 0.0
+            preds = []  # preds[j] predicts v[s + j]
             for t in range(s, m):
-                sse += (v[t] - (level + trend + seas[t % s])) ** 2
+                pred = level + trend + seas[t % s]
+                preds.append(pred)
+                sse += (v[t] - pred) ** 2
                 prev = level
                 level = alpha * (v[t] - seas[t % s]) + (1 - alpha) * (level + trend)
                 trend = beta * (level - prev) + (1 - beta) * trend
                 seas[t % s] = gamma * (v[t] - level) + (1 - gamma) * seas[t % s]
-            return sse, level, trend, seas
+            return sse, level, trend, seas, preds
 
         if s > 0 and m >= 2 * s:
             if fit:
                 best = _nelder_mead(lambda p: run_hw(*p)[0], [0.5, 0.5, 0.5])
-                _, level, trend, seas = run_hw(*best)
+                _, level, trend, seas, preds = run_hw(*best)
                 if level is None:  # degenerate series: fall back to fixed
-                    _, level, trend, seas = run_hw(0.5, 0.5, 0.5)
+                    _, level, trend, seas, preds = run_hw(0.5, 0.5, 0.5)
             else:
-                _, level, trend, seas = run_hw(0.5, 0.5, 0.5)
+                _, level, trend, seas, preds = run_hw(0.5, 0.5, 0.5)
             rows = [
+                {**keys, "time_ns": int(tns[s + j]), "hw": p}
+                for j, p in enumerate(preds)
+            ] if include_fitted else []
+            rows += [
                 {
                     **keys,
                     "time_ns": t0 + (i + 1) * step,
@@ -551,12 +570,16 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
             return pd.DataFrame(rows)
         if fit:
             best = _nelder_mead(lambda p: run_holt(*p)[0], [0.5, 0.5])
-            _, level, trend = run_holt(*best)
+            _, level, trend, preds = run_holt(*best)
             if level is None:
-                _, level, trend = run_holt(0.5, 0.5)
+                _, level, trend, preds = run_holt(0.5, 0.5)
         else:
-            _, level, trend = run_holt(0.5, 0.5)
+            _, level, trend, preds = run_holt(0.5, 0.5)
         rows = [
+            {**keys, "time_ns": int(tns[i + 1]), "hw": p}
+            for i, p in enumerate(preds)
+        ] if include_fitted else []
+        rows += [
             {**keys, "time_ns": t0 + (i + 1) * step, "hw": level + (i + 1) * trend}
             for i in range(n)
         ]

@@ -842,6 +842,32 @@ def test_influxql_holt_winters_nested(pts):
     assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want]
 
 
+def test_influxql_holt_winters_with_fit(pts):
+    """HOLT_WINTERS_WITH_FIT emits in-sample one-step predictions at
+    the input window timestamps, then the N forecasts — per series."""
+    out = execute_influxql(
+        pts,
+        "SELECT HOLT_WINTERS_WITH_FIT(MEAN(value), 4, 0) AS hw FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+        "GROUP BY time(1d), event_type",
+    )
+    n_types = pts.select("event_type").distinct().count()
+    # 7 daily windows → 6 fitted (recursion predicts from index 1) + 4 forecast
+    assert out.count() == (6 + 4) * n_types
+    plain = execute_influxql(
+        pts,
+        "SELECT HOLT_WINTERS(MEAN(value), 4, 0) AS hw FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+        "GROUP BY time(1d), event_type",
+    )
+    assert plain.count() == 4 * n_types
+    # fitted rows carry the input timestamps (inside the queried range)
+    import datetime as dt
+
+    in_range = out.filter(F.col("time") < dt.datetime(2024, 1, 8)).count()
+    assert in_range == 6 * n_types
+
+
 def test_influxql_tz_local_day_alignment(pts):
     out = execute_influxql(
         pts,
