@@ -250,7 +250,9 @@ def _strlist(v: str) -> list[str]:
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
 _ARITH_TOKEN_RX = re.compile(
-    r'r\.\w+|r\["[^"]+"\]|\d+\.\d+|\d+|"(?:[^"\\]|\\.)*"'
+    r'r\.\w+|r\["[^"]+"\]'
+    r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # incl. scientific notation
+    r'|"(?:[^"\\]|\\.)*"'
     r"|(?:strings|math)\.\w+|\b(?:float|int|uint|string)\b|\w+:|[(),+\-*/%]"
 )
 
@@ -366,7 +368,7 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             return _col(df, t[2:])
         if t.startswith('"'):
             return F.lit(t[1:-1])
-        return F.lit(float(t) if "." in t else int(t))
+        return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
 
     def term() -> Column:
         e = factor()

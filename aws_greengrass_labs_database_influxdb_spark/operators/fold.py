@@ -119,7 +119,9 @@ def pandas_fold(
 # sequential by nature.
 
 _SCALAR_TOKEN_RX = re.compile(
-    r'accumulator\.\w+|r\.\w+|r\["[^"]+"\]|\d+\.\d+|\d+|"(?:[^"\\]|\\.)*"'
+    r'accumulator\.\w+|r\.\w+|r\["[^"]+"\]'
+    r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # incl. scientific notation
+    r'|"(?:[^"\\]|\\.)*"'
     r"|==|!=|>=|<=|>|<|\b(?:if|then|else|and|or)\b|[(),+\-*/%]"
 )
 
@@ -177,7 +179,7 @@ def compile_scalar(src: str, colname: Callable[[str], str]):
         if t.startswith('"'):
             v = t[1:-1]
             return lambda row, acc: v
-        v = float(t) if "." in t else int(t)
+        v = float(t) if ("." in t or "e" in t or "E" in t) else int(t)
         return lambda row, acc: v
 
     def term():

@@ -32,6 +32,10 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a vanilla session (no engine conf): pin
+    # UTC so the NTZ->LTZ cast in events_points is value-identity on
+    # any host timezone. Runtime-settable; a no-op under get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -330,3 +330,94 @@ def test_redact_pii_idempotent_and_counts(spark):
     for i in again:
         assert again[i].text_redacted == out[i].text_redacted
         assert (again[i].n_url, again[i].n_email, again[i].n_ip) == (0, 0, 0)
+
+
+# --------------------------------------------------------- reduce grammar
+
+# random Flux scalar expression TREES rendered to source, evaluated two
+# ways: by operators.fold.compile_scalar (the production parser for the
+# reduce() pandas fallback) and by direct tree walking — they must agree
+# for every generated expression.
+
+_R_FIELDS = ("v", "w")
+_ACC_FIELDS = ("s", "n")
+
+
+def _leaf():
+    return st.one_of(
+        st.integers(min_value=0, max_value=99).map(lambda x: ("num", x)),
+        st.floats(min_value=0.0, max_value=9.0, allow_nan=False).map(
+            lambda x: ("num", round(x, 3))
+        ),
+        st.sampled_from(_R_FIELDS).map(lambda f: ("r", f)),
+        st.sampled_from(_ACC_FIELDS).map(lambda f: ("acc", f)),
+    )
+
+
+def _expr_tree(depth=3):
+    if depth == 0:
+        return _leaf()
+    return st.one_of(
+        _leaf(),
+        st.tuples(
+            st.sampled_from("+-*"),
+            st.deferred(lambda: _expr_tree(depth - 1)),
+            st.deferred(lambda: _expr_tree(depth - 1)),
+        ).map(lambda t: ("bin", *t)),
+    )
+
+
+def _render(t) -> str:
+    kind = t[0]
+    if kind == "num":
+        return repr(t[1])
+    if kind == "r":
+        return f"r.{t[1]}"
+    if kind == "acc":
+        return f"accumulator.{t[1]}"
+    _, op, a, b = t
+    return f"({_render(a)} {op} {_render(b)})"
+
+
+def _eval(t, row, acc):
+    kind = t[0]
+    if kind == "num":
+        return t[1]
+    if kind == "r":
+        return row[t[1]]
+    if kind == "acc":
+        return acc[t[1]]
+    _, op, a, b = t
+    x, y = _eval(a, row, acc), _eval(b, row, acc)
+    return x + y if op == "+" else (x - y if op == "-" else x * y)
+
+
+@given(
+    tree=_expr_tree(),
+    row=st.fixed_dictionaries({f: st.floats(-5, 5, allow_nan=False) for f in _R_FIELDS}),
+    acc=st.fixed_dictionaries({f: st.floats(-5, 5, allow_nan=False) for f in _ACC_FIELDS}),
+)
+@settings(max_examples=300, deadline=None)
+def test_reduce_scalar_compiler_matches_tree_eval(tree, row, acc):
+    from aws_greengrass_labs_database_influxdb_spark.operators.fold import compile_scalar
+
+    fn = compile_scalar(_render(tree), lambda n: n)
+    assert fn(row, acc) == _eval(tree, row, acc)
+
+
+@given(
+    cond_field=st.sampled_from(_R_FIELDS),
+    thr=st.floats(-2, 2, allow_nan=False),
+    then_t=_expr_tree(2),
+    else_t=_expr_tree(2),
+    row=st.fixed_dictionaries({f: st.floats(-5, 5, allow_nan=False) for f in _R_FIELDS}),
+    acc=st.fixed_dictionaries({f: st.floats(-5, 5, allow_nan=False) for f in _ACC_FIELDS}),
+)
+@settings(max_examples=200, deadline=None)
+def test_reduce_scalar_compiler_if_then_else(cond_field, thr, then_t, else_t, row, acc):
+    from aws_greengrass_labs_database_influxdb_spark.operators.fold import compile_scalar
+
+    src = f"if r.{cond_field} > {thr!r} then {_render(then_t)} else {_render(else_t)}"
+    fn = compile_scalar(src, lambda n: n)
+    want = _eval(then_t if row[cond_field] > thr else else_t, row, acc)
+    assert fn(row, acc) == want
