@@ -696,6 +696,108 @@ def execute_show(points: DataFrame, query: str) -> DataFrame:
     return out
 
 
+_SHOW_CARD_RX = re.compile(
+    r"(?is)^SHOW\s+(?P<what>MEASUREMENT|SERIES|FIELD\s+KEY|TAG\s+KEY|TAG\s+VALUES)\s+"
+    r"(?:(?P<exact>EXACT)\s+)?CARDINALITY"
+    r"(?:\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?))?"
+    r'(?:\s+WITH\s+KEY\s*=\s*"?(?P<key>\w+)"?)?'
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$"
+)
+
+
+def execute_show_cardinality(points: DataFrame, query: str) -> DataFrame:
+    """InfluxQL ``SHOW <x> [EXACT] CARDINALITY`` — the series-growth
+    monitoring queries (public InfluxQL 1.8 surface):
+
+        SHOW MEASUREMENT CARDINALITY | SERIES CARDINALITY
+        SHOW FIELD KEY CARDINALITY | TAG KEY CARDINALITY
+        SHOW TAG VALUES CARDINALITY WITH KEY = "k"
+
+    Without ``EXACT`` this maps to ``approx_count_distinct`` — the
+    same estimated-by-sketch contract InfluxDB documents (it serves a
+    HyperLogLog estimate), and at 100 TB the only sane default: one
+    pass, fixed memory, mergeable partials. ``EXACT`` uses a real
+    countDistinct (one shuffle of distinct keys). Output: ``count``.
+    """
+    m = _SHOW_CARD_RX.match(query.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"cannot parse SHOW CARDINALITY query: {query!r}")
+    what = re.sub(r"\s+", " ", m.group("what").upper())
+    exact = m.group("exact") is not None
+
+    df = points
+    if m.group("measrx"):
+        df = df.filter(F.col("measurement").rlike(m.group("measrx")))
+    elif m.group("meas"):
+        df = df.filter(F.col("measurement") == m.group("meas"))
+    flt = InfluxQLQuery(fields=[], measurement="")
+    _parse_where(m.group("where") or "", flt)
+    if flt.field_filters:
+        raise InfluxQLError("SHOW CARDINALITY does not support field conditions")
+    from ..operators.core import push_time_filter
+
+    df = push_time_filter(df, flt.time_start_ns, flt.time_stop_ns)
+
+    def tag_expr(name):
+        return F.col(name) if name in df.columns else F.col("tags")[name]
+
+    for name, op, val in flt.tag_filters:
+        c = tag_expr(name)
+        df = df.filter({"=": c == val, "!=": c != val,
+                        "=~": c.rlike(val), "!~": ~c.rlike(val)}[op])
+
+    promoted = [c for c in df.columns
+                if c not in _NON_TAG_COLS and not c.startswith("_")]
+    has_map = "tags" in df.columns
+
+    def count_distinct_of(frame: DataFrame, col) -> DataFrame:
+        agg = (F.count_distinct(col) if exact
+               else F.approx_count_distinct(col)).cast("long").alias("count")
+        return frame.agg(agg)
+
+    if what == "MEASUREMENT":
+        return count_distinct_of(df, F.col("measurement"))
+    if what == "FIELD KEY":
+        return count_distinct_of(
+            df, F.concat_ws("\u001f", "measurement", "field")
+        )
+    if what == "TAG KEY":
+        parts = [
+            df.filter(tag_expr(c).isNotNull()).select(F.lit(c).alias("tagKey"))
+            for c in promoted
+        ]
+        if has_map:
+            parts.append(df.select(F.explode(F.map_keys("tags")).alias("tagKey")))
+        if not parts:
+            raise InfluxQLError("points DF has no tag columns")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return count_distinct_of(out, F.col("tagKey"))
+    if what == "TAG VALUES":
+        if not m.group("key"):
+            raise InfluxQLError("SHOW TAG VALUES CARDINALITY requires WITH KEY")
+        return count_distinct_of(
+            df.filter(tag_expr(m.group("key")).isNotNull()),
+            tag_expr(m.group("key")),
+        )
+    # SERIES: same key construction as SHOW SERIES
+    pairs = [
+        F.when(tag_expr(c).isNotNull(),
+               F.concat(F.lit(c), F.lit("="), tag_expr(c).cast("string")))
+        for c in promoted
+    ]
+    arr = F.array_compact(F.array(*pairs)) if pairs else F.array()
+    if has_map:
+        map_pairs = F.transform(
+            F.map_entries(F.coalesce(F.col("tags"), F.create_map())),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        )
+        arr = F.concat(arr, map_pairs)
+    key = F.concat_ws(",", F.concat(F.array("measurement"), F.array_sort(arr)))
+    return count_distinct_of(df, key)
+
+
 def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataFrame:
     """TOP / BOTTOM / DISTINCT / SAMPLE — InfluxQL functions that emit
     multiple rows per group (so they can't join the single-row
@@ -758,6 +860,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     feeds the outer directly, no materialization).
     """
     if re.match(r"(?is)^\s*SHOW\b", query):
+        if re.search(r"(?i)\bCARDINALITY\b", query):
+            return execute_show_cardinality(points, query)
         return execute_show(points, query)
     sub = _extract_subquery(query.strip().rstrip(";"))
     if sub is not None:

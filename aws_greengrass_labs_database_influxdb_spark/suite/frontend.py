@@ -553,6 +553,40 @@ def flux_text_quantile(spark, sf_dir):
 
 
 @q(
+    "influxql_cardinality",
+    """
+    SELECT CAST(1 AS BIGINT) AS n_measurements,
+           CAST(count(DISTINCT event_type || ',' || user_id) AS BIGINT) AS n_series,
+           CAST(2 AS BIGINT) AS n_tag_keys,
+           CAST(1 AS BIGINT) AS n_field_keys,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM events
+    """,
+)
+def influxql_cardinality(spark, sf_dir):
+    """SHOW ... EXACT CARDINALITY family (series-growth monitoring).
+    The estimated (no-EXACT) forms map to approx_count_distinct (HLL,
+    one pass, mergeable partials — the 100 TB default) and are covered
+    rows-only in tests; the EXACT forms here are oracle-checked."""
+    from ..frontends.influxql import execute_influxql as ex
+
+    pts = events_points(spark, sf_dir)
+    out = (
+        ex(pts, "SHOW MEASUREMENT EXACT CARDINALITY")
+        .select(F.col("count").alias("n_measurements"))
+        .crossJoin(ex(pts, "SHOW SERIES EXACT CARDINALITY")
+                   .select(F.col("count").alias("n_series")))
+        .crossJoin(ex(pts, "SHOW TAG KEY EXACT CARDINALITY")
+                   .select(F.col("count").alias("n_tag_keys")))
+        .crossJoin(ex(pts, "SHOW FIELD KEY EXACT CARDINALITY")
+                   .select(F.col("count").alias("n_field_keys")))
+        .crossJoin(ex(pts, 'SHOW TAG VALUES EXACT CARDINALITY WITH KEY = "event_type"')
+                   .select(F.col("count").alias("n_event_types")))
+    )
+    return out
+
+
+@q(
     "flux_text_covariance",
     """
     SELECT event_type,

@@ -868,6 +868,33 @@ def test_influxql_holt_winters_with_fit(pts):
     assert in_range == 6 * n_types
 
 
+def test_influxql_show_cardinality(pts):
+    """SHOW ... CARDINALITY: EXACT counts match direct distinct
+    queries; the estimated (HLL) form lands within its documented
+    relative error of the exact count."""
+    n_types = pts.select("event_type").distinct().count()
+    got = execute_influxql(
+        pts, 'SHOW TAG VALUES EXACT CARDINALITY WITH KEY = "event_type"'
+    ).first()["count"]
+    assert got == n_types
+    n_series = (
+        pts.select("measurement", "event_type", "user_id").distinct().count()
+    )
+    assert execute_influxql(pts, "SHOW SERIES EXACT CARDINALITY").first()["count"] == n_series
+    est = execute_influxql(pts, "SHOW SERIES CARDINALITY").first()["count"]
+    assert abs(est - n_series) <= max(2, 0.1 * n_series)  # HLL ~2% rsd
+    # scoping: FROM + WHERE narrow the counted set
+    one = execute_influxql(
+        pts,
+        "SHOW SERIES EXACT CARDINALITY FROM events WHERE event_type = 'click'",
+    ).first()["count"]
+    want = (
+        pts.filter(F.col("event_type") == "click")
+        .select("user_id").distinct().count()
+    )
+    assert one == want
+
+
 def test_influxql_tz_local_day_alignment(pts):
     out = execute_influxql(
         pts,
