@@ -87,7 +87,10 @@ CURATED_FIRST_50: list[str] = [
     "flux_text_quantile",
     "flux_text_statecount",
     "flux_text_map_funcs",
-    "influxql_ema_text",
+    # r4: reduce() was r3's one open §2.2.10 gap — surface its oracle
+    # row in the driver window (EMA stays covered by ts_ema above and
+    # the full-suite gates)
+    "flux_text_reduce",
     "influxql_selectors",
 ]
 
