@@ -1018,11 +1018,16 @@ def _run_pipeline(
         elif name == "holtWinters":
             from ..operators.analytics import holt_winters as _hw
 
+            with_fit = _lit(args.get("withFit", "false")) is True
             pipe = pipe._with(_hw(
                 df, int(_lit(args["n"])),
                 duration_ns(args["interval"]) / 1e9,
                 seasonality=int(_lit(args.get("seasonality", "0"))),
                 by=pipe.group_key,
+                # withFit (public Flux arg): emit in-sample one-step
+                # predictions too; coefficients Nelder-Mead-fitted like
+                # the reference engine (rows-only checkable by nature)
+                fit=with_fit, include_fitted=with_fit,
             ))
         elif name in ("highestMax", "highestAverage", "highestCurrent",
                       "lowestMin", "lowestAverage", "lowestCurrent"):

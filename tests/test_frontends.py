@@ -868,6 +868,21 @@ def test_influxql_holt_winters_with_fit(pts):
     assert in_range == 6 * n_types
 
 
+def test_flux_holt_winters_with_fit(pts):
+    base = (
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1d, fn: mean)"
+    )
+    n_types = pts.select("event_type").distinct().count()
+    plain = execute_flux(pts, base + " |> holtWinters(n: 3, interval: 1d)")
+    fit = execute_flux(pts, base + " |> holtWinters(n: 3, interval: 1d, withFit: true)")
+    assert plain.count() == 3 * n_types
+    # 7 daily windows -> 6 in-sample predictions per series + 3 forecasts
+    assert fit.count() == (6 + 3) * n_types
+
+
 def test_influxql_show_cardinality(pts):
     """SHOW ... CARDINALITY: EXACT counts match direct distinct
     queries; the estimated (HLL) form lands within its documented
