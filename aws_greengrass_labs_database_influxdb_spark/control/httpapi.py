@@ -475,8 +475,13 @@ class HttpApi:
             ] or [{"name": db, "columns": ["name", "query"], "values": []}]}
 
         # v1 DELETE statement (Grafana/CLI compat): DELETE FROM m WHERE ...
+        # DROP SERIES FROM m [WHERE tag=...] is the same store operation
+        # with no time bounds (v1 docs: both delete points; DROP SERIES
+        # additionally drops the series key — equivalent here, where a
+        # series with no points no longer exists)
         dm = re.match(
-            r'(?is)^\s*DELETE\s+FROM\s+"?([\w.\-]+)"?(?:\s+WHERE\s+(.+))?\s*$',
+            r'(?is)^\s*(?:DELETE|DROP\s+SERIES)\s+FROM\s+"?([\w.\-]+)"?'
+            r"(?:\s+WHERE\s+(.+))?\s*$",
             text,
         )
         if dm:

@@ -225,6 +225,23 @@ def test_v1_delete_statement(served):
     assert len(vals) == 1  # only host=b survives
 
 
+def test_v1_drop_series(served):
+    """DROP SERIES FROM m WHERE tag=... — same store delete with no
+    time bounds; the matching series disappears entirely."""
+    base, _, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"dropme,host=a rx=1.0 {T0}\ndropme,host=b rx=2.0 {T0}",
+         ctype="text/plain")
+    q = urllib.parse.quote("DROP SERIES FROM dropme WHERE host = 'a'")
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RW"])
+    assert status == 200
+    sel = urllib.parse.quote("SELECT value FROM dropme GROUP BY host")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert len(vals) == 1 and vals[0][-1] == 2.0  # only host=b survives
+
+
 def test_v1_multi_statement(served):
     """Semicolon-batched statements → one results entry each with
     sequential statement_ids (Grafana's init batch)."""
