@@ -817,7 +817,8 @@ def _run_pipeline(
             )
             pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
-            pipe = pipe.aggregate(name, alias=name)
+            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            pipe = pipe.aggregate(name, column=col, alias=name)
         elif name == "min":
             pipe = pipe.min()
         elif name == "max":
