@@ -187,6 +187,78 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert got == {1, 2, 4}
 
 
+def test_streaming_lsh_dedup_across_batches(spark, tmp_path):
+    """Near-duplicate (not just exact) documents arriving in later
+    micro-batches are rejected against the persisted signature store;
+    in-batch near-dup collisions resolve min-id; distinct docs pass."""
+    import json
+
+    from aws_greengrass_labs_database_influxdb_spark.streaming.lsh_dedup import LshDedupStore
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    near = base.replace("green", "dark")  # 1-token edit → near-dup
+    other = (
+        "completely different content about spark query planning and "
+        "shuffle partitioning with adaptive execution at large scale"
+    )
+    in_dir, ckpt, out_dir = tmp_path / "in", tmp_path / "ck", tmp_path / "out"
+    in_dir.mkdir()
+    store = LshDedupStore(spark, str(tmp_path / "sigs"), n=3, num_hashes=32, bands=16)
+
+    def run_batch():
+        src = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        q = (
+            src.writeStream.foreachBatch(
+                store.foreach_batch(
+                    lambda df, _bid: df.write.mode("append").parquet(str(out_dir))
+                )
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": other},
+        ])
+    )
+    run_batch()
+    (in_dir / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"doc_id": 3, "text": near},          # near-dup of admitted 1
+            {"doc_id": 4, "text": "tiny fresh doc about nothing else"},
+        ])
+    )
+    run_batch()
+    got = {r.doc_id for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_lsh_dedup_in_batch_collision_keeps_min_id(spark, tmp_path):
+    from aws_greengrass_labs_database_influxdb_spark.streaming.lsh_dedup import LshDedupStore
+
+    text = (
+        "one shared document body repeated across two ids in the same "
+        "incoming batch so the bucket winner rule decides who is kept"
+    )
+    df = spark.createDataFrame(
+        [(7, text), (5, text), (9, "an unrelated little text body here")],
+        "doc_id long, text string",
+    )
+    store = LshDedupStore(spark, str(tmp_path / "sigs"))
+    out = {r.doc_id for r in store.process_batch(df).collect()}
+    assert out == {5, 9}  # min-id wins its bucket
+    # replay of the same content later is rejected by the store
+    df2 = spark.createDataFrame([(11, text)], "doc_id long, text string")
+    assert store.process_batch(df2).count() == 0
+
+
 def test_downsample_task_matches_batch_recompute(spark, store, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
