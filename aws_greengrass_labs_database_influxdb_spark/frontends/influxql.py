@@ -863,6 +863,26 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         if re.search(r"(?i)\bCARDINALITY\b", query):
             return execute_show_cardinality(points, query)
         return execute_show(points, query)
+    em = re.match(r"(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$", query.strip())
+    if em:
+        # v1 EXPLAIN/EXPLAIN ANALYZE: in this engine the truthful answer
+        # is the Catalyst plan — EXPLAIN returns the optimized logical +
+        # physical plan for the statement; ANALYZE executes it first so
+        # AQE's final (adaptive) physical plan is shown.
+        inner = execute_influxql(points, em.group(2), tag_cols)
+        if em.group(1):
+            inner.count()  # drive execution so AQE finalizes the plan
+        qe = inner._jdf.queryExecution()
+        text = qe.explainString(
+            inner._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [(i, line) for i, line in enumerate(text.splitlines())],
+            "line int, plan string",
+        )
     sub = _extract_subquery(query.strip().rstrip(";"))
     if sub is not None:
         inner_text, outer_text = sub

@@ -883,6 +883,20 @@ def test_flux_holt_winters_with_fit(pts):
     assert fit.count() == (6 + 3) * n_types
 
 
+def test_influxql_explain(pts):
+    """EXPLAIN / EXPLAIN ANALYZE return the Catalyst plan as rows; the
+    plan names the physical operators, and ANALYZE shows the
+    AQE-finalized plan."""
+    out = execute_influxql(
+        pts, "EXPLAIN SELECT mean(value) FROM events GROUP BY time(1h), event_type"
+    )
+    text = "\n".join(r.plan for r in out.orderBy("line").collect())
+    assert "Physical Plan" in text and "HashAggregate" in text
+    out2 = execute_influxql(pts, "EXPLAIN ANALYZE SELECT count(value) FROM events")
+    text2 = "\n".join(r.plan for r in out2.orderBy("line").collect())
+    assert "AdaptiveSparkPlan" in text2
+
+
 def test_influxql_show_cardinality(pts):
     """SHOW ... CARDINALITY: EXACT counts match direct distinct
     queries; the estimated (HLL) form lands within its documented
