@@ -194,6 +194,16 @@ class HttpApi:
             self._cq_registries[org] = CQRegistry(self.engine.store, org)
         return self._cq_registries[org]
 
+    def _task_registry(self, org: str):
+        """Per-org Flux task registry (lazy; see streaming/flux_tasks.py)."""
+        if not hasattr(self, "_task_registries"):
+            self._task_registries = {}
+        if org not in self._task_registries:
+            from ..streaming.flux_tasks import FluxTaskRegistry
+
+            self._task_registries[org] = FluxTaskRegistry(self.engine.store, org)
+        return self._task_registries[org]
+
     def run_continuous_queries(self, now_ns: int | None = None) -> dict[str, int]:
         """Run every registered CQ once (idempotent; callers own the
         cadence — a production deployment wraps this in a timer at the
@@ -220,6 +230,9 @@ class HttpApi:
 
             def do_POST(self):
                 api._dispatch(self, "POST")
+
+            def do_DELETE(self):
+                api._dispatch(self, "DELETE")
 
         self._server = ThreadingHTTPServer((self.host, self.port), Handler)
         if self.tls:
@@ -298,6 +311,8 @@ class HttpApi:
                 self._handle_query_v1(handler, q, body)
             elif route == ("POST", "/api/v2/delete"):
                 self._handle_delete(handler, q, body)
+            elif url.path == "/api/v2/tasks" or url.path.startswith("/api/v2/tasks/"):
+                self._handle_tasks(handler, method, url.path, q, body)
             else:
                 raise ApiError(404, "not found", f"path not found: {url.path}")
         except ApiError as e:
@@ -361,6 +376,66 @@ class HttpApi:
         )
         self.engine.store.write_points(org, bucket, df)
         self._respond(handler, 204, None)
+
+    def _handle_tasks(self, handler, method: str, path: str, q: dict,
+                      body: bytes) -> None:
+        """``/api/v2/tasks`` — the 2.x downsampling-task API surface:
+
+            POST   /api/v2/tasks             {"flux": "option task = ..."}
+            GET    /api/v2/tasks             → {"tasks": [...]}
+            DELETE /api/v2/tasks/<id>        → 204
+            POST   /api/v2/tasks/<id>/runs   → run now (aligned `now`)
+
+        Mutations require write scope on the task's SOURCE bucket (the
+        ``to()`` sink re-checks nothing: a task writes derived data to
+        a bucket the org owns, as the engine's CQ path does).
+        """
+        org = q.get("org") or self.engine.config.org
+        reg = self._task_registry(org)
+
+        def _json(task) -> dict:
+            return {"id": task.id, "name": task.name, "status": task.status,
+                    "flux": task.flux, "everySeconds": task.every_ns // 10**9,
+                    "offsetSeconds": task.offset_ns // 10**9}
+
+        m = re.match(r"^/api/v2/tasks(?:/([0-9a-f]+))?(/runs)?$", path)
+        if not m:
+            raise ApiError(404, "not found", f"path not found: {path}")
+        task_id, runs = m.group(1), m.group(2)
+        if task_id is not None:
+            try:
+                reg.get(task_id)
+            except KeyError:
+                raise ApiError(404, "not found", f"task {task_id!r} not found")
+
+        if method == "POST" and task_id is None:
+            payload = json.loads(body.decode() or "{}")
+            flux = payload.get("flux", "")
+            from ..streaming.flux_tasks import FluxTaskRegistry as _R  # noqa: F401
+            # parse first (cheap, no side effects) to learn the source
+            # bucket, then authorize against it before registering
+            probe = type(reg)(self.engine.store, org).create(flux)
+            self._authorize(handler, "write", org, probe.source_bucket)
+            task = reg.create(flux)
+            self._respond(handler, 201, _json(task))
+        elif method == "GET" and task_id is None:
+            self._authorize(handler, "read", org, self.engine.config.bucket)
+            self._respond(handler, 200, {"tasks": [_json(t) for t in reg.list()]})
+        elif method == "DELETE" and task_id and not runs:
+            task = reg.get(task_id)
+            self._authorize(handler, "write", org, task.source_bucket)
+            reg.delete(task_id)
+            self._respond(handler, 204, None)
+        elif method == "POST" and task_id and runs:
+            import time as _time
+
+            task = reg.get(task_id)
+            self._authorize(handler, "write", org, task.source_bucket)
+            rows = reg.run(self.engine.spark, task_id, _time.time_ns())
+            self._respond(handler, 200,
+                          {"taskID": task_id, "status": "success", "rows": rows})
+        else:
+            raise ApiError(404, "not found", f"unsupported tasks call {method} {path}")
 
     def _handle_query_flux(self, handler, q: dict, body: bytes) -> None:
         org = q.get("org") or self.engine.config.org

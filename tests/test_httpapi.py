@@ -468,3 +468,52 @@ def test_v1_continuous_query_ddl_and_run(served):
                    token=tokens["RO"])
     series = json.loads(body)["results"][0]["series"]
     assert not any(v[0] == "cq_cpu" for s in series for v in s["values"])
+
+
+def test_v2_tasks_lifecycle(served):
+    """Flux task API: create (option task = {...}), list, run now
+    (aggregateWindow |> to() downsample lands in the target bucket),
+    delete; RO tokens can't mutate."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body="\n".join(
+             f"taskm,host=h{1 + i % 2} load={float(i)} {T0 + i * 60_000_000_000}"
+             for i in range(120)
+         ),
+         ctype="text/plain")
+    flux = (
+        'option task = {name: "downsample-taskm", every: 1h}\n'
+        'from(bucket: "greengrass-telemetry")\n'
+        "  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)\n"
+        '  |> filter(fn: (r) => r._measurement == "taskm")\n'
+        '  |> group(columns: ["_measurement", "_field"])\n'
+        "  |> aggregateWindow(every: 1h, fn: mean)\n"
+        '  |> to(bucket: "taskm-hourly")'
+    )
+    try:
+        _req(base, "/api/v2/tasks", "POST", token=tokens["RO"], body={"flux": flux})
+        raise AssertionError("RO token must not create tasks")
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+    status, body = _req(base, "/api/v2/tasks", "POST", token=tokens["RW"],
+                        body={"flux": flux})
+    assert status == 201
+    task = json.loads(body)
+    assert task["name"] == "downsample-taskm" and task["everySeconds"] == 3600
+
+    status, body = _req(base, "/api/v2/tasks", token=tokens["RO"])
+    assert status == 200
+    assert [t["id"] for t in json.loads(body)["tasks"]] == [task["id"]]
+
+    status, body = _req(base, f"/api/v2/tasks/{task['id']}/runs", "POST",
+                        token=tokens["RW"], body={})
+    assert status == 200 and json.loads(body)["status"] == "success"
+    hourly = engine.store.read_points("greengrass", "taskm-hourly")
+    assert hourly.count() == 2  # 2 windows of the 2h of data
+
+    status, _ = _req(base, f"/api/v2/tasks/{task['id']}", "DELETE",
+                     token=tokens["RW"], body=None)
+    assert status == 204
+    _, body = _req(base, "/api/v2/tasks", token=tokens["RO"])
+    assert json.loads(body)["tasks"] == []
