@@ -313,6 +313,25 @@ class HttpApi:
                 self._handle_delete(handler, q, body)
             elif url.path == "/api/v2/tasks" or url.path.startswith("/api/v2/tasks/"):
                 self._handle_tasks(handler, method, url.path, q, body)
+            elif route == ("GET", "/api/v2/buckets"):
+                # the discovery call clients (influx CLI, Grafana Flux
+                # datasource) issue first; read scope on the org's
+                # provisioned bucket gates it
+                org = q.get("org") or self.engine.config.org
+                self._authorize(handler, "read", org, self.engine.config.bucket)
+                name_filter = q.get("name")
+                metas = self.engine.store.list_buckets(org)
+                if name_filter:
+                    metas = [b for b in metas if b.name == name_filter]
+                self._respond(handler, 200, {"buckets": [
+                    {"id": b.id, "orgID": org, "name": b.name, "type": "user",
+                     "retentionRules": (
+                         [{"type": "expire",
+                           "everySeconds": b.retention_ns // 10**9}]
+                         if b.retention_ns else []
+                     )}
+                    for b in metas
+                ]})
             else:
                 raise ApiError(404, "not found", f"path not found: {url.path}")
         except ApiError as e:

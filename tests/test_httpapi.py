@@ -517,3 +517,22 @@ def test_v2_tasks_lifecycle(served):
     assert status == 204
     _, body = _req(base, "/api/v2/tasks", token=tokens["RO"])
     assert json.loads(body)["tasks"] == []
+
+
+def test_v2_buckets_listing(served):
+    base, engine, tokens = served
+    try:
+        _req(base, "/api/v2/buckets")
+        raise AssertionError("buckets listing requires a token")
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+    status, body = _req(base, "/api/v2/buckets", token=tokens["RO"])
+    assert status == 200
+    names = {b["name"] for b in json.loads(body)["buckets"]}
+    assert "greengrass-telemetry" in names
+    status, body = _req(
+        base, "/api/v2/buckets?name=greengrass-telemetry", token=tokens["RO"]
+    )
+    got = json.loads(body)["buckets"]
+    assert len(got) == 1 and got[0]["name"] == "greengrass-telemetry"
+    assert got[0]["id"]
