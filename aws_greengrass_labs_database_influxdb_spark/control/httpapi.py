@@ -234,6 +234,9 @@ class HttpApi:
             def do_DELETE(self):
                 api._dispatch(self, "DELETE")
 
+            def do_PATCH(self):
+                api._dispatch(self, "PATCH")
+
         self._server = ThreadingHTTPServer((self.host, self.port), Handler)
         if self.tls:
             cert_dir = self.cert_dir or str(
@@ -453,6 +456,17 @@ class HttpApi:
             rows = reg.run(self.engine.spark, task_id, _time.time_ns())
             self._respond(handler, 200,
                           {"taskID": task_id, "status": "success", "rows": rows})
+        elif method == "PATCH" and task_id and not runs:
+            # pause/resume: {"status": "active" | "inactive"} — paused
+            # tasks are skipped by run_due (the 2.x task toggle)
+            task = reg.get(task_id)
+            self._authorize(handler, "write", org, task.source_bucket)
+            payload = json.loads(body.decode() or "{}")
+            status = payload.get("status")
+            if status not in ("active", "inactive"):
+                raise ApiError(400, "invalid", "status must be active|inactive")
+            task.status = status
+            self._respond(handler, 200, _json(task))
         else:
             raise ApiError(404, "not found", f"unsupported tasks call {method} {path}")
 

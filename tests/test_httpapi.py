@@ -536,3 +536,26 @@ def test_v2_buckets_listing(served):
     got = json.loads(body)["buckets"]
     assert len(got) == 1 and got[0]["name"] == "greengrass-telemetry"
     assert got[0]["id"]
+
+
+def test_v2_tasks_pause_resume(served, spark):
+    base, engine, tokens = served
+    flux = (
+        'option task = {name: "paused-task", every: 1h}\n'
+        'from(bucket: "greengrass-telemetry") |> range(start: -2h)\n'
+        "  |> aggregateWindow(every: 1h, fn: mean)\n"
+        '  |> to(bucket: "paused-out")'
+    )
+    _, body = _req(base, "/api/v2/tasks", "POST", token=tokens["RW"],
+                   body={"flux": flux})
+    tid = json.loads(body)["id"]
+    status, body = _req(base, f"/api/v2/tasks/{tid}", "PATCH",
+                        token=tokens["RW"], body={"status": "inactive"})
+    assert status == 200 and json.loads(body)["status"] == "inactive"
+    _, body = _req(base, "/api/v2/tasks", token=tokens["RO"])
+    listed = {t["id"]: t["status"] for t in json.loads(body)["tasks"]}
+    assert listed[tid] == "inactive"
+    status, body = _req(base, f"/api/v2/tasks/{tid}", "PATCH",
+                        token=tokens["RW"], body={"status": "active"})
+    assert json.loads(body)["status"] == "active"
+    _req(base, f"/api/v2/tasks/{tid}", "DELETE", token=tokens["RW"], body=None)
