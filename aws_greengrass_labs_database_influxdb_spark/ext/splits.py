@@ -51,6 +51,48 @@ def train_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each source at its target
+    sampling fraction (``weights[source]`` ∈ [0, 1]; unlisted sources
+    keep ``default``). The keep decision is
+    ``md5(salt || id)-bucket < fraction·10⁴`` — the same hash-bucket
+    recipe as :func:`train_split`, so it is
+
+    - a pure Column filter (no shuffle, no RNG state, map-side only),
+    - exact over the bucket space rather than Bernoulli-approximate,
+    - **stable**: a doc's keep/drop never changes as the corpus grows
+      or the job re-runs, and composing with train_split stays
+      unbiased (different salt → independent buckets).
+
+    This is the "mix Common Crawl at 60%, books at 30%, code at 10%"
+    step of training-data assembly, as a one-line declarative filter.
+    """
+    for s, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    frac = F.lit(default * 10000)
+    for s, w in sorted(weights.items()):
+        frac = F.when(F.col(source_col) == s, F.lit(int(w * 10000))).otherwise(frac)
+    return df.filter(bucket < frac)
+
+
 def contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

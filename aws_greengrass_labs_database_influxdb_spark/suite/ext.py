@@ -883,3 +883,33 @@ def ext_pack_sequences(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, budget=2048, by=("source",))
+
+
+@q(
+    "ext_weighted_mix",
+    """
+    WITH b AS (
+      SELECT doc_id, source, lang,
+             CAST(concat('0x', substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, source, lang
+    FROM b
+    WHERE bucket < (CASE source
+                    WHEN 'src0' THEN 8000
+                    WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500
+                    ELSE 1000 END)
+    """,
+)
+def ext_weighted_mix(spark, sf_dir):
+    """Deterministic corpus mixing: per-source sampling fractions via
+    the md5-bucket recipe (src0 80%, src1 50%, src2 25%, rest 10%) —
+    a pure Column filter: no shuffle, no RNG state, exact over the
+    bucket space, and stable under corpus growth/re-runs."""
+    from ..ext.splits import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_mix(
+        d, {"src0": 0.8, "src1": 0.5, "src2": 0.25}, default=0.1
+    ).select("doc_id", "source", "lang")

@@ -392,3 +392,35 @@ def test_unigram_logprob_hand_computed(spark):
     out = {r.doc_id: r for r in unigram_logprob(df).collect()}
     assert out[0].logprob_mean == pytest.approx(math.log(0.75))
     assert out[1].logprob_mean == pytest.approx((math.log(0.75) + math.log(0.25)) / 2)
+
+
+def test_weighted_mix_stable_and_bounded(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.splits import weighted_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    kept = weighted_mix(df, {"a": 0.5, "b": 0.1})
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 400 <= counts["a"] <= 600      # ~50% of 1000
+    assert 50 <= counts["b"] <= 150       # ~10% of 1000
+    # stability: same decision on re-run and on a grown corpus
+    again = {r.doc_id for r in weighted_mix(df, {"a": 0.5, "b": 0.1}).collect()}
+    grown = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    grown_kept = {r.doc_id for r in
+                  weighted_mix(grown, {"a": 0.5, "b": 0.1}).collect()}
+    first = {r.doc_id for r in kept.collect()}
+    assert first == again
+    assert first == {d for d in grown_kept if d < 2000}
+    # weight 0 drops everything from that source; 1 keeps everything
+    allb = weighted_mix(df, {"a": 0.0, "b": 1.0})
+    assert allb.filter(F.col("source") == "a").count() == 0
+    assert allb.filter(F.col("source") == "b").count() == 1000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_mix(df, {"a": 1.5})
