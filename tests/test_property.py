@@ -421,3 +421,48 @@ def test_reduce_scalar_compiler_if_then_else(cond_field, thr, then_t, else_t, ro
     fn = compile_scalar(src, lambda n: n)
     want = _eval(then_t if row[cond_field] > thr else else_t, row, acc)
     assert fn(row, acc) == want
+
+
+# ------------------------------------------------------- frontend fuzzing
+
+# the frontends' failure contract: malformed query text raises the
+# frontend's typed error (InfluxQLError / FluxError) — never an
+# arbitrary exception that would surface as a 500/stack trace.
+
+_QUERY_CHARS = st.text(
+    alphabet="SELECT FROMWHER GROUPBYtime()abc0123,.*=~'\"|><-+/%;\n",
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(q=_QUERY_CHARS)
+@settings(max_examples=150, deadline=None)
+def test_influxql_parse_raises_typed_errors_only(q):
+    from aws_greengrass_labs_database_influxdb_spark.frontends.influxql import (
+        InfluxQLError,
+        parse_influxql,
+    )
+
+    try:
+        parse_influxql(q)
+    except InfluxQLError:
+        pass  # the contract
+    # parsed successfully is fine too — execution may still reject it
+
+
+@given(q=_QUERY_CHARS)
+@settings(max_examples=150, deadline=None)
+def test_flux_statement_split_total(q):
+    """_split_statements/_parse_stage never hang or crash on noise."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import (
+        FluxError,
+        _parse_stage,
+        _split_statements,
+    )
+
+    for stmt in _split_statements(q):
+        try:
+            _parse_stage(stmt)
+        except FluxError:
+            pass
