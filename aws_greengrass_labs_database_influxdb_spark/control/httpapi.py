@@ -543,6 +543,20 @@ class HttpApi:
             names = [[b.name] for b in self.engine.store.list_buckets(org)]
             return {"series": [
                 {"name": "databases", "columns": ["name"], "values": names}]}
+        cm = re.match(r'(?is)^\s*CREATE\s+DATABASE\s+"?([\w.\-]+)"?\s*$', text)
+        if cm:
+            # v1 DATABASE ≡ v2 bucket here (1:1 DBRP); idempotent like
+            # the store's create_bucket (reference A6)
+            self._authorize(handler, "write", org, db)
+            self.engine.store.create_bucket(org, cm.group(1))
+            return {}
+        dm = re.match(r'(?is)^\s*DROP\s+MEASUREMENT\s+"?([\w.\-]+)"?\s*$', text)
+        if dm:
+            self._authorize(handler, "write", org, db)
+            self.engine.store.delete_predicate(
+                org, db, 0, 2**62, F.col("measurement") == dm.group(1)
+            )
+            return {}
         if re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",
                     text):
             self._authorize(handler, "read", org, db)

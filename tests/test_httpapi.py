@@ -559,3 +559,30 @@ def test_v2_tasks_pause_resume(served, spark):
                         token=tokens["RW"], body={"status": "active"})
     assert json.loads(body)["status"] == "active"
     _req(base, f"/api/v2/tasks/{tid}", "DELETE", token=tokens["RW"], body=None)
+
+
+def test_v1_create_database_and_drop_measurement(served):
+    base, engine, tokens = served
+    q = urllib.parse.quote("CREATE DATABASE newdb")
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}",
+                     token=tokens["RW"])
+    assert status == 200
+    assert any(b.name == "newdb"
+               for b in engine.store.list_buckets("greengrass"))
+    # idempotent re-create
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}",
+                     token=tokens["RW"])
+    assert status == 200
+
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"gone,host=a v=1.0 {T0}\nstays,host=a v=2.0 {T0}",
+         ctype="text/plain")
+    dq = urllib.parse.quote("DROP MEASUREMENT gone")
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={dq}",
+                     token=tokens["RW"])
+    assert status == 200
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    from pyspark.sql import functions as F
+    assert pts.filter(F.col("measurement") == "gone").count() == 0
+    assert pts.filter(F.col("measurement") == "stays").count() == 1
