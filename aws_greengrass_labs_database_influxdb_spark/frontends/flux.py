@@ -596,8 +596,10 @@ def _record_refs(s: str) -> list[tuple[str, str]]:
     return out
 
 
+#: schema.* (2.x) and v1.* (the influxdata/influxdb/v1 package Grafana's
+#: Flux datasource emits) introspection calls — same dispatcher
 _SCHEMA_RX = re.compile(
-    r'^\s*(?:import\s+"[^"]+"\s*)*schema\.(\w+)\s*\((.*)\)\s*$', re.DOTALL
+    r'^\s*(?:import\s+"[^"]+"\s*)*(?:schema|v1)\.(\w+)\s*\((.*)\)\s*$', re.DOTALL
 )
 
 

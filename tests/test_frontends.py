@@ -997,3 +997,18 @@ def test_flux_hour_selection_twa_trix(pts):
     )
     direct_n = ops.triple_exponential_derivative(pts, 10, by=["event_type"]).count()
     assert out.count() == direct_n > 0
+
+
+def test_flux_v1_package_aliases(pts):
+    """Grafana's Flux datasource emits influxdata/influxdb/v1 calls
+    (v1.tagValues / v1.measurements) — same dispatcher as schema.*."""
+    out = execute_flux(
+        pts,
+        'import "influxdata/influxdb/v1"\n'
+        'v1.tagValues(bucket: "b", tag: "event_type")',
+        tag_cols=("event_type", "user_id"),
+    )
+    got = [r._value for r in out.collect()]
+    assert got == sorted(got) and "click" in got
+    out2 = execute_flux(pts, 'v1.measurements(bucket: "b")')
+    assert [r._value for r in out2.collect()] == ["events"]
