@@ -754,13 +754,21 @@ def _source_stage(
                 raise FluxError(f"unknown table variable {v!r}")
         left, right = env[lv], env[rv]
         on = [COLMAP.get(c, c) for c in _strlist(args["on"])]
+        # method: (public Flux join arg) — inner default; left/right/
+        # full map 1:1 onto Spark join types (cross is rejected: a
+        # cross join on a time-series stream is a mistake at any scale)
+        method = _lit(args.get("method", '"inner"'))
+        if method not in ("inner", "left", "right", "full"):
+            raise FluxError(f"unsupported join method {method!r}")
+        spark_how = {"inner": "inner", "left": "left_outer",
+                     "right": "right_outer", "full": "full_outer"}[method]
         # Flux suffixes colliding non-join columns with the record keys
         overlap = sorted((set(left.df.columns) & set(right.df.columns)) - set(on))
         ldf, rdf = left.df, right.df
         for c in overlap:
             ldf = ldf.withColumnRenamed(c, f"{c}_{lk}")
             rdf = rdf.withColumnRenamed(c, f"{c}_{rk}")
-        joined = ldf.join(rdf, on, "inner")
+        joined = ldf.join(rdf, on, spark_how)
         gk = tuple(c for c in left.group_key if c in joined.columns) or tuple(on)
         order = tuple(
             c for c in ("time_ns", "time") if c in joined.columns

@@ -1012,3 +1012,37 @@ def test_flux_v1_package_aliases(pts):
     assert got == sorted(got) and "click" in got
     out2 = execute_flux(pts, 'v1.measurements(bucket: "b")')
     assert [r._value for r in out2.collect()] == ["events"]
+
+
+def test_flux_join_methods(pts):
+    """join(method:) — left/full keep unmatched windows (null other
+    side); inner drops them; bad methods are typed errors."""
+    base = (
+        'a = from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> filter(fn: (r) => r.event_type == "click")'
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 6h, fn: count)\n"
+        'b = from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-15T00:00:00Z)"
+        ' |> filter(fn: (r) => r.event_type == "view")'
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 6h, fn: count)\n"
+    )
+    inner = execute_flux(pts, base + 'join(tables: {l: a, r: b}, on: ["_time"])')
+    left = execute_flux(
+        pts, base + 'join(tables: {l: a, r: b}, on: ["_time"], method: "left")'
+    )
+    full = execute_flux(
+        pts, base + 'join(tables: {l: a, r: b}, on: ["_time"], method: "full")'
+    )
+    n_inner, n_left, n_full = inner.count(), left.count(), full.count()
+    # b covers half of a's range → left keeps a's extra windows
+    assert n_inner < n_left <= n_full
+    # unmatched right-side values are null in the left join (the
+    # aggregate value column carries the Flux _value slot: f_float)
+    assert left.filter(F.col("f_float_r").isNull()).count() == n_left - n_inner
+    with pytest.raises(FluxError):
+        execute_flux(
+            pts, base + 'join(tables: {l: a, r: b}, on: ["_time"], method: "cross")'
+        )
