@@ -105,8 +105,11 @@ class InfluxQLQuery:
     # (outer_transform, inner_agg, field, alias) — DERIVATIVE(MEAN(v), 1s)
     nested: list[tuple[str, str, str, str]] = field(default_factory=list)
     # arithmetic selections: (expr_tree, alias); tree nodes are
-    # ("num", x) | ("agg", fn, field, args) | ("bin", op, l, r)
+    # ("num", x) | ("agg", fn, field, args) | ("field", name)
+    # | ("bin", op, l, r)
     arith: list[tuple[tuple, str]] = field(default_factory=list)
+    # per-row (non-aggregate) arithmetic projections: value * 8 / 1024
+    raw_arith: list[tuple[tuple, str]] = field(default_factory=list)
     group_time_ns: int | None = None
     group_time_offset_ns: int = 0
     group_tags: list[str] = field(default_factory=list)
@@ -152,7 +155,7 @@ def _ts_to_ns(lit: str) -> int:
 
 
 _ARITH_TOKEN_RX = re.compile(
-    r"\s*(\w+\s*\(\s*[^()]*\s*\)|\d+\.\d+|\d+|[+\-*/])"
+    r"\s*(\w+\s*\(\s*[^()]*\s*\)|\d+\.\d+|\d+|[+\-*/]|\"[\w]+\"|\w+)"
 )
 
 
@@ -183,6 +186,10 @@ def _parse_select_arith(src: str):
             return ("agg", fn, fm.group(2), tuple(args)), i + 1
         if re.match(r"^\d", t):
             return ("num", float(t)), i + 1
+        if re.match(r'^"?\w+"?$', t):
+            # bare field reference: SELECT value * 8 / 1024 (the
+            # Grafana unit-conversion idiom) — per-row projection atom
+            return ("field", t.strip('"')), i + 1
         raise InfluxQLError(f"cannot parse expression token {t!r}")
 
     def mul(i):
@@ -210,9 +217,18 @@ def _parse_select_arith(src: str):
     return tree
 
 
+def _tree_atom_kinds(tree) -> set[str]:
+    """Atom kinds ('agg'/'field'/'num') present in an expression tree."""
+    if tree[0] == "bin":
+        return _tree_atom_kinds(tree[2]) | _tree_atom_kinds(tree[3])
+    return {tree[0]}
+
+
 def _default_arith_alias(tree) -> str:
     """InfluxQL names unaliased expressions after the first function."""
     if tree[0] == "agg":
+        return tree[1]
+    if tree[0] == "field":
         return tree[1]
     if tree[0] == "bin":
         return _default_arith_alias(tree[2])
@@ -332,7 +348,17 @@ def parse_influxql(q: str) -> InfluxQLQuery:
         expr_src, expr_alias = am.group(1).strip(), am.group(2)
         tree = _parse_select_arith(expr_src)
         if tree is not None and tree[0] == "bin":
-            out.arith.append((tree, expr_alias or _default_arith_alias(tree)))
+            kinds = _tree_atom_kinds(tree)
+            if "agg" in kinds and "field" in kinds:
+                raise InfluxQLError(
+                    f"cannot mix aggregate and raw field references in {part!r}"
+                )
+            if "field" in kinds:
+                out.raw_arith.append(
+                    (tree, expr_alias or _default_arith_alias(tree))
+                )
+            else:
+                out.arith.append((tree, expr_alias or _default_arith_alias(tree)))
             continue
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
@@ -974,6 +1000,17 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     )
 
     if not has_agg:
+        def _raw_col(tree):
+            kind = tree[0]
+            if kind == "num":
+                return F.lit(tree[1])
+            if kind == "field":
+                return F.col("f_float" if tree[1] in ("*", "value") else tree[1])
+            _, op, l, r = tree
+            lc, rc = _raw_col(l), _raw_col(r)
+            return {"+": lc + rc, "-": lc - rc,
+                    "*": lc * rc, "/": lc / rc}[op]
+
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
             src = "f_float" if fld in ("*", "value") else fld
@@ -981,6 +1018,10 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             if fn in _MATH_FNS:
                 col = _math_expr(fn, col, ast.fn_args.get(alias, []))
             sel.append(col.alias(alias))
+        for tree, alias in ast.raw_arith:
+            # per-row field arithmetic (SELECT value * 8 / 1024 ...) —
+            # a plain Column projection, whole-stage-codegen'd
+            sel.append(_raw_col(tree).alias(alias))
         out = df.select(*sel)
         if ast.limit is not None:
             order_cols = ["time"] + (

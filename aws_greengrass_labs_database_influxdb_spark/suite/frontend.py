@@ -553,6 +553,31 @@ def flux_text_quantile(spark, sf_dir):
 
 
 @q(
+    "influxql_raw_field_arith",
+    """
+    SELECT epoch_ms(ts) AS t_ms,
+           round(value * 8 / 1024 + 1, 9) AS kib
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def influxql_raw_field_arith(spark, sf_dir):
+    """Per-row field arithmetic without aggregates — the Grafana
+    unit-conversion idiom (SELECT value * 8 / 1024 ...). Compiles to a
+    plain Column projection (whole-stage codegen, no shuffle)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT value * 8 / 1024 + 1 AS kib FROM events "
+        "WHERE event_type = 'click'",
+    )
+    return out.select(
+        F.unix_millis(F.col("time")).alias("t_ms"),
+        F.round("kib", 9).alias("kib"),
+    )
+
+
+@q(
     "influxql_cardinality",
     """
     SELECT CAST(1 AS BIGINT) AS n_measurements,

@@ -1046,3 +1046,17 @@ def test_flux_join_methods(pts):
         execute_flux(
             pts, base + 'join(tables: {l: a, r: b}, on: ["_time"], method: "cross")'
         )
+
+
+def test_influxql_raw_field_arithmetic(pts):
+    out = execute_influxql(
+        pts, "SELECT value * 2 + 1 AS v2 FROM events WHERE event_type = 'click'"
+    )
+    direct = pts.filter(F.col("event_type") == "click")
+    assert out.count() == direct.count()
+    got = sorted(r.v2 for r in out.collect())
+    want = sorted(r.f_float * 2 + 1 for r in direct.collect())
+    assert got == pytest.approx(want)
+    # mixing raw fields with aggregates is rejected like real InfluxQL
+    with pytest.raises(InfluxQLError):
+        execute_influxql(pts, "SELECT mean(value) * value FROM events")
