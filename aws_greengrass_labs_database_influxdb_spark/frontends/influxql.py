@@ -998,6 +998,12 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         any(fn and fn not in _MATH_FNS for fn, _, _ in ast.fields)
         or bool(ast.arith)
     )
+    if ast.raw_arith and has_agg:
+        # InfluxQL rejects mixing raw projections with aggregates
+        # query-wide; dropping either silently would be worse
+        raise InfluxQLError(
+            "cannot mix raw field expressions with aggregate selections"
+        )
 
     if not has_agg:
         def _raw_col(tree):
