@@ -138,13 +138,15 @@ def rel_subquery_avg(spark, sf_dir):
     """Scalar subquery (InfluxQL nested-query analog): customers above
     the global mean balance.
 
-    The scalar aggregates once and broadcasts into the filter — exactly
-    what a hand-rolled two-pass would do, for free.
+    The scalar stays IN the plan: a broadcast crossJoin of the 1-row
+    aggregate feeds the filter — one Spark job, no driver-side
+    ``first()`` pre-scan blocking plan construction.
     """
     c = load_table(spark, sf_dir, "customer")
-    avg_bal = c.agg(F.avg("c_acctbal")).first()[0]
+    avg_df = c.agg(F.avg("c_acctbal").alias("_avg_bal"))
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
