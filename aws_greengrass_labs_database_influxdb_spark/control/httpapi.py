@@ -443,6 +443,11 @@ class HttpApi:
         elif method == "GET" and task_id is None:
             self._authorize(handler, "read", org, self.engine.config.bucket)
             self._respond(handler, 200, {"tasks": [_json(t) for t in reg.list()]})
+        elif method == "GET" and task_id and not runs:
+            # fetch single task by id (influx CLI issues this after create)
+            task = reg.get(task_id)
+            self._authorize(handler, "read", org, task.source_bucket)
+            self._respond(handler, 200, _json(task))
         elif method == "DELETE" and task_id and not runs:
             task = reg.get(task_id)
             self._authorize(handler, "write", org, task.source_bucket)
@@ -553,8 +558,10 @@ class HttpApi:
         dm = re.match(r'(?is)^\s*DROP\s+MEASUREMENT\s+"?([\w.\-]+)"?\s*$', text)
         if dm:
             self._authorize(handler, "write", org, db)
+            # full signed ns range (reference drops MinNanoTime..MaxNanoTime,
+            # so pre-1970 points must not survive the drop)
             self.engine.store.delete_predicate(
-                org, db, 0, 2**62, F.col("measurement") == dm.group(1)
+                org, db, -(2**62), 2**62, F.col("measurement") == dm.group(1)
             )
             return {}
         if re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",

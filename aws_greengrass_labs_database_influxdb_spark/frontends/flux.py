@@ -518,7 +518,12 @@ def _reduce_stage(df: DataFrame, args: dict[str, str], pipe) -> DataFrame:
                 op = "max" if mm.group(1) == "mMax" else "min"
                 terms[k] = (identity[k], _parse_map_value(df, other), op)
                 continue
-        inc = _linear_increment(df, k, src)
+        # the "sum" fast path is only valid for numeric accumulators:
+        # a string identity (e.g. {s: ""} built via accumulator.s + r.host)
+        # matches the same syntactic shape but must fold sequentially
+        inc = None
+        if isinstance(identity[k], (int, float)) and not isinstance(identity[k], bool):
+            inc = _linear_increment(df, k, src)
         if inc is None:
             terms = None  # type: ignore[assignment]
             break
@@ -541,6 +546,9 @@ def _reduce_stage(df: DataFrame, args: dict[str, str], pipe) -> DataFrame:
         {c for c in df.columns if c in ("f_float", "time_ns", "ingest_seq")}
         | {_colname(df, n[2:]) for src in updates.values()
            for n in re.findall(r"r\.\w+", src) if _colname(df, n[2:]) in df.columns}
+        # compile_scalar also accepts r["..."] bracket field references
+        | {_colname(df, n) for src in updates.values()
+           for n in re.findall(r'r\["([^"]+)"\]', src) if _colname(df, n) in df.columns}
     )
     pruned = df.select(*dict.fromkeys(needed))
     return _fold.pandas_fold(
@@ -827,7 +835,9 @@ def _run_pipeline(
             )
             pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
-            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            col = _colname(df, _lit(args.get("column", '"_value"')))
+            if col not in df.columns:
+                raise FluxError(f"{name}(column:) references unknown column {col!r}")
             pipe = pipe.aggregate(name, column=col, alias=name)
         elif name == "min":
             pipe = pipe.min()
@@ -871,7 +881,9 @@ def _run_pipeline(
         elif name == "exponentialMovingAverage":
             pipe = pipe.exponential_moving_average(int(_lit(args["n"])))
         elif name == "fill":
-            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            col = _colname(df, _lit(args.get("column", '"_value"')))
+            if col not in df.columns:
+                raise FluxError(f"fill(column:) references unknown column {col!r}")
             if _lit(args.get("usePrevious", "false")) is True:
                 pipe = pipe.fill(use_previous=True, column=col)
             else:

@@ -1060,3 +1060,21 @@ def test_influxql_raw_field_arithmetic(pts):
     # mixing raw fields with aggregates is rejected like real InfluxQL
     with pytest.raises(InfluxQLError):
         execute_influxql(pts, "SELECT mean(value) * value FROM events")
+
+
+def test_flux_aggregate_honors_map_derived_column(pts):
+    # ADVICE r4 (high): sum(column: "y") on a map()-derived column must
+    # aggregate y, not silently fall back to _value
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import FluxError, execute_flux
+
+    sub = pts.orderBy("time_ns").limit(3).cache()
+    vals = [r.f_float for r in sub.collect()]
+    out = execute_flux(
+        sub,
+        'from(bucket:"b") |> map(fn: (r) => ({ r with y: r._value * 10.0 }))'
+        ' |> sum(column: "y")',
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["sum"] == pytest.approx(sum(v * 10.0 for v in vals), rel=1e-12)
+    with pytest.raises(FluxError):
+        execute_flux(sub, 'from(bucket:"b") |> sum(column: "nope")')

@@ -586,3 +586,50 @@ def test_v1_create_database_and_drop_measurement(served):
     from pyspark.sql import functions as F
     assert pts.filter(F.col("measurement") == "gone").count() == 0
     assert pts.filter(F.col("measurement") == "stays").count() == 1
+
+
+def test_v2_tasks_get_by_id(served):
+    """GET /api/v2/tasks/<id> returns the single task (influx CLI
+    issues this after create); unknown id is a 404."""
+    base, engine, tokens = served
+    flux = (
+        'option task = {name: "getbyid-task", every: 1h}\n'
+        'from(bucket: "greengrass-telemetry")\n'
+        "  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)\n"
+        "  |> aggregateWindow(every: 1h, fn: mean)\n"
+        '  |> to(bucket: "getbyid-out")'
+    )
+    _, body = _req(base, "/api/v2/tasks", "POST", token=tokens["RW"],
+                   body={"flux": flux})
+    task = json.loads(body)
+    status, body = _req(base, f"/api/v2/tasks/{task['id']}", token=tokens["RO"])
+    assert status == 200
+    got = json.loads(body)
+    assert got["id"] == task["id"] and got["name"] == "getbyid-task"
+    try:
+        _req(base, "/api/v2/tasks/deadbeef", token=tokens["RO"])
+        raise AssertionError("unknown task id must 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    _req(base, f"/api/v2/tasks/{task['id']}", "DELETE", token=tokens["RW"],
+         body=None)
+
+
+def test_v1_drop_measurement_includes_pre_epoch_points(served):
+    """DROP MEASUREMENT covers the full signed int64 time range — points
+    with negative (pre-1970) timestamps must not survive (reference
+    deletes MinNanoTime..MaxNanoTime)."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"oldgone,host=a v=1.0 -86400000000000\noldgone,host=a v=2.0 {T0}",
+         ctype="text/plain")
+    from pyspark.sql import functions as F
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    assert pts.filter(F.col("measurement") == "oldgone").count() == 2
+    dq = urllib.parse.quote("DROP MEASUREMENT oldgone")
+    status, _ = _req(base, f"/query?db=greengrass-telemetry&q={dq}",
+                     token=tokens["RW"])
+    assert status == 200
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    assert pts.filter(F.col("measurement") == "oldgone").count() == 0

@@ -125,3 +125,32 @@ def test_reduce_missing_identity_field_raises(points):
 
     with pytest.raises(FluxError):
         _flux_reduce(points, "bad: accumulator.bad + 1.0", "n: 0.0")
+
+
+def test_string_concat_accumulator_uses_sequential_fold(points):
+    # string identity matches the `acc + f(r)` syntactic shape but must
+    # NOT take the numeric-sum fast path (ADVICE r4): fold sequentially
+    out = {
+        r.event_type: r.s
+        for r in _flux_reduce(
+            points, "s: accumulator.s + r.event_type", 's: ""'
+        ).collect()
+    }
+    rows = points.select("event_type", "time_ns", "ingest_seq").collect()
+    exact: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: (r.time_ns, r.ingest_seq)):
+        exact[r.event_type] = exact.get(r.event_type, "") + r.event_type
+    assert out == exact
+
+
+def test_bracket_field_ref_survives_column_pruning(points):
+    # r["..."] references must be kept by the pandas-fallback pruning
+    out = {
+        r.event_type: r.s
+        for r in _flux_reduce(
+            points, 's: accumulator.s + r["event_type"]', 's: ""'
+        ).collect()
+    }
+    assert all(v and set(v) for v in out.values())
+    for et, s in out.items():
+        assert s == et * (len(s) // len(et))
