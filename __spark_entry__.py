@@ -95,11 +95,11 @@ CURATED_FIRST_50: list[str] = [
 ]
 
 
-# Curated entries with NO oracle by deliberate design (probabilistic
-# LSH bucketing has no SQL equivalent; the driver records a rows-only
-# check and the judge sees which). Any OTHER curated name missing from
-# ORACLES is a wiring bug and fails loudly below.
-ROWS_ONLY_OK = {"ext_dedup_minhash_lsh"}
+# Curated entries with NO oracle by deliberate design. Empty since r5:
+# ext_dedup_minhash_lsh gained an exact DuckDB oracle via the portable
+# md5 hash mode (suite/ext.py). Any curated name missing from ORACLES
+# is a wiring bug and fails loudly below.
+ROWS_ONLY_OK: set = set()
 
 
 def _curated(mapping: dict, *, expect_all: bool = True) -> dict:

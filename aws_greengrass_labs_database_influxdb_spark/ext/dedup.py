@@ -117,23 +117,56 @@ def ngram_jaccard_pairs(
     return out.select("a", "b", "common", "sz_a", "sz_b", "jaccard")
 
 
+# Portable hash mode: universal hashing over one md5 base per shingle.
+# base = first 60 bits of md5(shingle) reduced mod P (Mersenne 2^31-1);
+# slot i = (A_i * base + B_i) mod P. One md5 per shingle (not one per
+# seed), products stay < 2^62 so plain int64 arithmetic reproduces it
+# in any SQL engine — this is what makes the operator oracle-checkable.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_affine_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs for the portable hash mode —
+    shared by the Spark plan and generated oracle SQL."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: num_hashes seeded xxhash64 minima per doc.
+    """MinHash signatures: num_hashes seeded hash minima per doc.
 
     One explode + one groupBy with ``num_hashes`` min() aggregates —
-    a single shuffle, all JVM-side.
+    a single shuffle, all JVM-side (both hash modes are Column exprs).
+    ``xxhash64`` (default) hashes per (shingle, seed); ``md5`` is the
+    engine-portable affine scheme above.
     """
     sh = _shingled(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_mode == "xxhash64":
+        slot = [F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    elif hash_mode == "md5":
+        base = (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % MINHASH_P
+        )
+        slot = [
+            (F.lit(a) * base + F.lit(b)) % MINHASH_P
+            for a, b in minhash_affine_consts(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    aggs = [F.min(s).alias(f"mh_{i}") for i, s in enumerate(slot)]
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
@@ -144,12 +177,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band of their MinHash sig.
 
     rows_per_band = num_hashes/bands. Candidates estimate Jaccard via
     matching signature slots (est = matches/num_hashes). At scale the
     band join replaces the quadratic all-pairs comparison.
+
+    ``hash_mode="md5"`` makes the whole operator deterministic across
+    engines: signatures use the portable seeded hash and the band join
+    keys on the raw slot tuple (no band re-hash → no collision risk),
+    so the output is exactly reproducible in SQL for oracle checking.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
@@ -159,18 +198,22 @@ def minhash_lsh_pairs(
     # At corpus scale this table is num_docs × (8·num_hashes) bytes;
     # memory-and-disk persistence spills gracefully.
     sig = (
-        minhash_signatures(df, n, num_hashes, text_col, id_col)
+        minhash_signatures(df, n, num_hashes, text_col, id_col, hash_mode)
         .select(id_col, F.array(*mh_cols).alias("sig"))
         .persist()
     )
+
+    def _band_key(b: int):
+        slots = [F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
+        if hash_mode == "md5":
+            # portable mode: key on the slot tuple itself — exact,
+            # engine-independent (rpb longs per row vs 1; still slim)
+            return F.array(*slots)
+        return F.array(F.xxhash64(*slots))
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
-                ).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_key(b).alias("bh"))
             for b in range(bands)
         ]
     )

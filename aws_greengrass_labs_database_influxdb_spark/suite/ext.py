@@ -434,15 +434,75 @@ def ext_embedding_near_dup_lsh(spark, sf_dir):
     return embedding_near_dup_pairs(e, threshold=0.4, exact=False)
 
 
-@q("ext_dedup_minhash_lsh")
+# MinHash oracle: the md5 hash mode is engine-portable (one md5 base
+# per shingle + affine transforms mod 2^31-1, constants shared with
+# the Spark plan via minhash_affine_consts), so DuckDB reproduces
+# signatures, banding, and estimated Jaccard bit-for-bit. Generated
+# SQL: 32 min() slots, 8 band selects (num_hashes=32, bands=8).
+from ..ext.dedup import MINHASH_P as _MH_P, minhash_affine_consts as _mh_consts
+
+_MH_MINS = ",\n             ".join(
+    f"min(({a} * base + {b}) % {_MH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(_mh_consts(32))
+)
+_MH_SIG = "[" + ", ".join(f"mh_{i}" for i in range(32)) + "]"
+_MH_BANDED = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    f"[{', '.join(f'mh_{b * 4 + r}' for r in range(4))}] AS slots FROM sig"
+    for b in range(8)
+)
+_MINHASH_LSH_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks), 3) - 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    shb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_P} AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM shb GROUP BY 1
+    ),
+    banded AS (
+{_MH_BANDED}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.slots = y.slots AND x.doc_id < y.doc_id
+    ),
+    sigs AS (SELECT doc_id, {_MH_SIG} AS sig FROM sig)
+    SELECT c.a, c.b,
+           list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.a
+    JOIN sigs sb ON sb.doc_id = c.b
+"""
+
+
+@q("ext_dedup_minhash_lsh", _MINHASH_LSH_SQL)
 def ext_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs with signature-estimated Jaccard
-    (hash-dependent → rows-only; precision/recall asserted vs the exact
-    n-gram Jaccard in unit tests)."""
+    """MinHash+LSH candidate pairs with signature-estimated Jaccard.
+
+    Uses the portable md5 hash mode so the DuckDB oracle reproduces the
+    exact signatures and band buckets (the xxhash64 default stays the
+    fast path for production use; both are single-shuffle JVM plans)."""
     from ..ext.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8)
+    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, hash_mode="md5")
 
 
 @q("ext_dedup_simhash")

@@ -75,12 +75,16 @@ def test_dedup_clusters_transitive_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5"])
+def test_minhash_lsh_finds_what_exact_jaccard_finds(docs, hash_mode):
     exact = {
         (r.a, r.b): r.jaccard
         for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     }
-    cand = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs, n=3).collect()}
+    cand = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, n=3, hash_mode=hash_mode).collect()
+    }
     # every high-jaccard pair must be recalled by the band join
     for pair, j in exact.items():
         if j >= 0.8:
