@@ -140,6 +140,57 @@ def _ns_to_rfc3339(ns: int) -> str:
     return f"{base}.{frac:09d}Z" if frac else f"{base}Z"
 
 
+class _StreamedValues:
+    """Marker wrapper: a lazy row iterator standing in for a series'
+    ``values`` list, so the v1 JSON envelope can be emitted
+    incrementally instead of materializing the result driver-side."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+
+def _iter_v1_json(results: list[dict], batch_rows: int = 500):
+    """Incrementally serialize the v1 ``{"results": [...]}`` envelope.
+
+    Statements whose series carry ``_StreamedValues`` have their rows
+    pulled lazily and emitted in ``batch_rows`` JSON chunks; everything
+    else (meta statements, DDL acks) is dumped whole — those are
+    bounded-small by construction.
+    """
+    yield '{"results": ['
+    for i, res in enumerate(results):
+        if i:
+            yield ", "
+        series = res.get("series", [])
+        if not any(isinstance(s.get("values"), _StreamedValues) for s in series):
+            yield json.dumps(res)
+            continue
+        yield '{"series": ['
+        for si, s in enumerate(series):
+            if si:
+                yield ", "
+            yield (
+                '{"name": ' + json.dumps(s["name"])
+                + ', "columns": ' + json.dumps(s["columns"])
+                + ', "values": ['
+            )
+            vals = s["values"]
+            rows_iter = vals.rows if isinstance(vals, _StreamedValues) else iter(vals)
+            buf: list[str] = []
+            first = True
+            for row in rows_iter:
+                buf.append(json.dumps(row))
+                if len(buf) >= batch_rows:
+                    yield ("" if first else ", ") + ", ".join(buf)
+                    first = False
+                    buf = []
+            if buf:
+                yield ("" if first else ", ") + ", ".join(buf)
+            yield "]}"
+        yield '], "statement_id": ' + str(res.get("statement_id", i)) + "}"
+    yield "]}"
+
+
 def _parse_delete_predicate(pred: str):
     """``_measurement="m" AND tag="v"`` → Column (equality conjunctions,
     the grammar the delete API supports)."""
@@ -536,7 +587,16 @@ class HttpApi:
             results.append(res)
         if not results:
             raise ApiError(400, "invalid", "empty query")
-        self._respond(handler, 200, {"results": results})
+        if any(
+            isinstance(s.get("values"), _StreamedValues)
+            for res in results
+            for s in res.get("series", [])
+        ):
+            self._respond_chunks(
+                handler, _iter_v1_json(results), content_type="application/json"
+            )
+        else:
+            self._respond(handler, 200, {"results": results})
 
     def _run_v1_statement(self, handler, org: str, db: str, text: str,
                           epoch: str | None) -> dict:
@@ -663,8 +723,6 @@ class HttpApi:
             result = result.withColumn(
                 "_time_ns_out", F.expr("unix_micros(time) * 1000")
             )
-        rows = result.collect()
-
         def cell(row, c):
             v = row[c]
             if c == "time" and v is not None:
@@ -672,11 +730,21 @@ class HttpApi:
                 return ns // div if div else _ns_to_rfc3339(ns)
             return v
 
+        # rows reach the driver one partition at a time (mirrors the
+        # v2 annotated-CSV path) — a raw SELECT * over a big
+        # measurement never materializes in facade memory; the JSON
+        # envelope is emitted incrementally by _iter_v1_json
+        frozen = result
+
+        def _rows():
+            for r in frozen.toLocalIterator(prefetchPartitions=True):
+                yield [cell(r, c) for c in cols]
+
         name = re.search(r'FROM\s+"?(\w+)"?', text, re.IGNORECASE)
         series = {
             "name": name.group(1) if name else db,
             "columns": cols,
-            "values": [[cell(r, c) for c in cols] for r in rows],
+            "values": _StreamedValues(_rows()),
         }
         return {"series": [series]}
 

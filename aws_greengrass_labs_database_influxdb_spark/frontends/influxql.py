@@ -1011,7 +1011,13 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             if kind == "num":
                 return F.lit(tree[1])
             if kind == "field":
-                return F.col("f_float" if tree[1] in ("*", "value") else tree[1])
+                # same resolution rule as _agg_expr: names that are not
+                # promoted columns are field names → the f_float slot
+                return F.col(
+                    "f_float"
+                    if tree[1] in ("*", "value") or tree[1] not in df.columns
+                    else tree[1]
+                )
             _, op, l, r = tree
             lc, rc = _raw_col(l), _raw_col(r)
             return {"+": lc + rc, "-": lc - rc,
@@ -1019,7 +1025,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
-            src = "f_float" if fld in ("*", "value") else fld
+            src = (
+                "f_float"
+                if fld in ("*", "value") or fld not in df.columns
+                else fld
+            )
             col = F.col(src)
             if fn in _MATH_FNS:
                 col = _math_expr(fn, col, ast.fn_args.get(alias, []))

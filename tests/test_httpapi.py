@@ -633,3 +633,38 @@ def test_v1_drop_measurement_includes_pre_epoch_points(served):
     assert status == 200
     pts = engine.store.read_points("greengrass", "greengrass-telemetry")
     assert pts.filter(F.col("measurement") == "oldgone").count() == 0
+
+
+def test_v1_query_json_streams_chunked(served):
+    """The v1 JSON path must stream (Transfer-Encoding: chunked, no
+    Content-Length) so a raw SELECT * never materializes driver-side,
+    and the envelope must parse identically to the eager form."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body="\n".join(
+             f"streamm,host=h{i % 4} v={float(i)} {T0 + i * 1_000_000_000}"
+             for i in range(2000)
+         ),
+         ctype="text/plain")
+    q = urllib.parse.quote("SELECT v FROM streamm")
+    req = urllib.request.Request(
+        f"{base}/query?db=greengrass-telemetry&q={q}",
+        headers={"Authorization": f"Token {tokens['RO']}"})
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.headers.get("Content-Length") is None
+        payload = json.loads(resp.read())
+    series = payload["results"][0]["series"][0]
+    assert series["name"] == "streamm"
+    assert len(series["values"]) == 2000
+    vcol = series["columns"].index("v")
+    assert sorted(r[vcol] for r in series["values"]) == [float(i) for i in range(2000)]
+    # meta statements keep the eager Content-Length envelope
+    mq = urllib.parse.quote("SHOW DATABASES")
+    req = urllib.request.Request(
+        f"{base}/query?db=greengrass-telemetry&q={mq}",
+        headers={"Authorization": f"Token {tokens['RO']}"})
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers.get("Content-Length") is not None
+        json.loads(resp.read())
