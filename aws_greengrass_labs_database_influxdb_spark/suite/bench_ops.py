@@ -99,3 +99,34 @@ def bench_cq_run(spark, sf_dir):
     out = store.read_points("org", "db").filter(F.col("measurement") == "events_1h")
     return out.select("time_ns", F.col("tags")["event_type"].alias("event_type"),
                       "f_float")
+
+
+@q("bench_skew_window")
+def bench_skew_window(spark, sf_dir):
+    """Skew-resilience evidence (VERDICT r4 item 5): one synthetic
+    series holds ~50% of all rows ('hot' = even user_ids), the rest
+    spread across per-user series. Runs BOTH skew-sensitive families
+    over it: the windowed aggregation (hash key salted by window start
+    — the hot series splits across time, SCALE.md §windows) and the
+    recursive EMA (applyInPandas: one group carries half the corpus —
+    the sequential-recurrence worst case). Returns one row per family
+    per series bucket so the timed body covers both executions."""
+    from ..operators.analytics import exponential_moving_average
+    from ..operators.windows import aggregate_window
+
+    p = events_points(spark, sf_dir).withColumn(
+        "series",
+        F.when(F.col("user_id") % 2 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("s"), F.col("user_id"))
+        ),
+    )
+    win = aggregate_window(p, "1h", "mean", by=("series",), alias="mean_v")
+    win_counts = win.groupBy("series").agg(F.count(F.lit(1)).alias("n_windows"))
+    ema = exponential_moving_average(p, 10, by=("series",))
+    ema_counts = ema.filter(F.col("ema").isNotNull()).groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_ema")
+    )
+    return (
+        win_counts.join(ema_counts, "series", "full")
+        .select("series", "n_windows", "n_ema")
+    )
