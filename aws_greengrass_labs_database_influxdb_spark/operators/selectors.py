@@ -101,8 +101,14 @@ def sample(
     ``pos >= 0`` is the Flux contract: deterministically keep every
     n-th row per series starting at offset ``pos`` (time order) —
     reproducible, so the DuckDB oracle covers it. ``pos = -1`` is the
-    InfluxQL behavior: a random n rows per series (seeded for tests;
-    RNG streams are engine-specific → rows-only checking).
+    InfluxQL behavior: a random n rows per series (RNG streams are
+    engine-specific → rows-only checking).
+
+    Random-mode contract: a given ``seed`` yields the SAME selection on
+    every run over the same data (``F.rand(seed)`` is deterministic per
+    row position), and across seeds the selection is uniform — pinned
+    by a chi-square test (tests/test_operators_golden.py) over a seed
+    sweep: per-row selection counts fit the uniform null at α=0.001.
     """
     if pos >= 0:
         w = W.partitionBy(*by).orderBy(*[c for c in order if c in df.columns])

@@ -38,3 +38,4 @@ def load_all() -> None:
     from . import ext  # noqa: F401
     from . import frontend  # noqa: F401
     from . import bench_ops  # noqa: F401
+    from . import aux  # noqa: F401
