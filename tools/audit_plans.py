@@ -45,6 +45,14 @@ RANGE_QUERIES = {
     "ts_deadman",
 }
 
+# queries whose scan targets a measurement/day-partitioned store —
+# these MUST show partition PRUNING (PartitionFilters beyond
+# isnotnull), the stronger form of pushdown (r4 VERDICT item 9: the
+# maintenance benches join the assertion set).
+PRUNE_QUERIES = {
+    "bench_cq_run",
+}
+
 
 def main() -> int:
     from pyspark.sql import SparkSession
@@ -95,15 +103,24 @@ def main() -> int:
         has_range_push = any(
             re.search(r"GreaterThan|LessThan|EqualTo", p) for p in pushed
         )
+        # partition pruning: PartitionFilters with a real predicate
+        # (not just isnotnull) skips whole directories, not row groups
+        part = re.findall(r"PartitionFilters: \[(.*)\]", plan)
+        has_prune = any(
+            re.search(r"[=<>]", re.sub(r"isnotnull\([^)]*\)", "", p)) for p in part
+        )
         scan_cols = sorted(
             {c for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
              for c in re.findall(r"(\w+):", m)}
         )
         if name in RANGE_QUERIES and not has_range_push:
             failures.append(name)
+        if name in PRUNE_QUERIES and not has_prune:
+            failures.append(name)
         rows.append((
             name, str(shuffles), str(codegen), str(py_eval),
-            "range" if has_range_push else ("yes" if any(pushed) else "-"),
+            ("range" if has_range_push else ("yes" if any(pushed) else "-"))
+            + ("+prune" if has_prune else ""),
             ",".join(scan_cols)[:48],
         ))
     print("| query | shuffles | codegen | py_eval | pushed | scan_cols |")
@@ -111,8 +128,18 @@ def main() -> int:
     for r in rows:
         print("| " + " | ".join(r) + " |")
     if failures:
-        print(f"\nFAIL: no pushed range filter (or error) in: {sorted(failures)}")
+        print(f"\nFAIL: no pushed range/prune filter (or error) in: {sorted(failures)}")
         return 1
+    if not ONLY:
+        # full-run invariant: every bench.py headline + bench_* query
+        # must have been audited (the round loop relies on this)
+        import bench as bench_mod
+
+        want = set(bench_mod.HEADLINE) | {n for n in qs if n.startswith("bench_")}
+        missed = want - {r[0] for r in rows}
+        if missed:
+            print(f"\nFAIL: bench headline queries not audited: {sorted(missed)}")
+            return 1
     print(f"\nOK: {len(rows)} plans audited")
     return 0
 
