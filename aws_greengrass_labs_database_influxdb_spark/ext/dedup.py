@@ -378,20 +378,45 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document.
 
     Token hash bits vote ±1 weighted by token frequency; the signature
     packs the sign of each bit-sum. Computed as ``bits`` conditional-sum
     aggregates in one groupBy — a single pass, no Python.
+
+    ``hash_mode="md5"`` draws the 64 token-hash bits from the md5 hex
+    digest (two 32-bit halves, chars 1-8 and 9-16) instead of
+    ``xxhash64`` — bit-identical in any SQL engine, which makes the
+    operator oracle-checkable (same portability trick as MinHash's
+    affine scheme above). Same plan shape either way: the hash is a
+    Column expression, one shuffle total.
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+
+        def _bit(i: int):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
+    elif hash_mode == "md5":
+        tok = tok.withColumn(
+            "h_lo", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "h_hi", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+        )
+
+        def _bit(i: int):
+            src = "h_lo" if i < 32 else "h_hi"
+            return F.shiftright(F.col(src), i % 32).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"s_{i}")
         for i in range(bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_aggs)
@@ -408,16 +433,20 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Block on (max_hamming+1) signature bands — by pigeonhole, any pair
     within the distance shares at least one exact band, so the join is
-    band-keyed, not all-pairs.
+    band-keyed, not all-pairs. ``hash_mode="md5"`` selects the
+    engine-portable token hash (see :func:`simhash`) so the full
+    operator — signatures, banding, Hamming filter — is reproducible
+    in SQL for oracle checking.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, hash_mode=hash_mode)
     bands = F.array(
         *[
             F.struct(

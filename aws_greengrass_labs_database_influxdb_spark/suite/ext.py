@@ -505,14 +505,77 @@ def ext_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, hash_mode="md5")
 
 
-@q("ext_dedup_simhash")
+# SimHash oracle: the md5 hash mode draws each token's 64 hash bits
+# from two 32-bit halves of the md5 hex digest — reproducible in any
+# SQL engine, so DuckDB rebuilds the per-bit ±1 votes, the sign
+# signature, the 4-band pigeonhole join (max_hamming=3 → width 16),
+# and the Hamming filter bit-for-bit. Generated SQL: 64 vote sums,
+# 64-element sign list, 4 band selects.
+_SH_SUMS = ",\n             ".join(
+    f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(64)
+)
+_SH_BITS = "[" + ", ".join(
+    f"CASE WHEN s_{i} > 0 THEN 1 ELSE 0 END" for i in range(64)
+) + "]"
+_SH_BANDED = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    f"[{', '.join(f'bits[{b * 16 + r + 1}]' for r in range(16))}] AS slice "
+    f"FROM bitl"
+    for b in range(4)
+)
+_SIMHASH_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             {_SH_SUMS}
+      FROM th GROUP BY 1
+    ),
+    bitl AS (
+      SELECT doc_id, {_SH_BITS} AS bits FROM s
+    ),
+    banded AS (
+{_SH_BANDED}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END))
+             AS INTEGER) AS hamming
+    FROM cand c
+    JOIN bitl ba ON ba.doc_id = c.a
+    JOIN bitl bb ON bb.doc_id = c.b
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END)) <= 3
+"""
+
+
+@q("ext_dedup_simhash", _SIMHASH_SQL)
 def ext_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming distance ≤ 3 (hash-dependent →
-    rows-only)."""
+    """SimHash near-dup pairs at Hamming distance ≤ 3.
+
+    Uses the portable md5 token-hash mode so the DuckDB oracle
+    reproduces signatures, band buckets, and Hamming distances exactly
+    (the xxhash64 default stays the fast path; same one-shuffle plan)."""
     from ..ext.dedup import simhash_near_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=3)
+    return simhash_near_pairs(d, max_hamming=3, hash_mode="md5")
 
 
 @q(

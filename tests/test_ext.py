@@ -93,8 +93,12 @@ def test_minhash_lsh_finds_what_exact_jaccard_finds(docs, hash_mode):
     assert cand[(0, 1)] == 1.0  # identical docs → identical signatures
 
 
-def test_simhash_near_pairs_catch_near_dups(docs):
-    pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5"])
+def test_simhash_near_pairs_catch_near_dups(docs, hash_mode):
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=10, hash_mode=hash_mode).collect()
+    }
     assert pairs.get((0, 1)) == 0  # identical text → identical simhash
     assert (0, 3) not in pairs  # unrelated doc stays out
 
