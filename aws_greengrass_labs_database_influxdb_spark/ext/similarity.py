@@ -80,25 +80,47 @@ def brute_force_topk(
     )
 
 
-def _lsh_signature(vec_col: Column, dims: int, planes: int, seed: int) -> Column:
+def _lsh_signature(
+    vec_col: Column, dims: int, planes: int, seed: int, hash_mode: str = "xxhash64"
+) -> Column:
     """Random-hyperplane signature: sign pattern of ``planes``
     pseudo-projections.
 
     Plane p's weight for dimension d is a deterministic pseudo-random
-    ±1/±3 derived from xxhash64(d, p, seed) — generated JVM-side per
-    row without a broadcast matrix. Good enough bucketing for LSH
-    (angles preserved in expectation), fully reproducible.
+    value in [-3, 3] derived from a hash of (d, p, seed) — generated
+    JVM-side per row without a broadcast matrix. Good enough bucketing
+    for LSH (angles preserved in expectation), fully reproducible.
+
+    ``hash_mode="md5"`` derives the weight from the md5 hex digest of
+    ``"d:p:seed"`` instead of xxhash64 — reproducible in any SQL
+    engine. The projection itself is a left-to-right double fold, which
+    ``list_reduce`` replays in the same association order, so bucket
+    ids are engine-portable (the MinHash/SimHash oracle trick applied
+    to embeddings).
     """
+
+    def _weight(d: Column, p: int):
+        if hash_mode == "xxhash64":
+            h = F.xxhash64(d, F.lit(p), F.lit(seed))
+        elif hash_mode == "md5":
+            key = F.concat_ws(
+                ":", d.cast("string"), F.lit(str(p)), F.lit(str(seed))
+            )
+            h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        else:
+            raise ValueError(f"unknown hash_mode {hash_mode!r}")
+        return (F.pmod(h, F.lit(7)) - F.lit(3)).cast("double")
+
+    def _term(p: int):
+        return lambda x, d: x.cast("double") * _weight(d, p)
+
     bits = []
     for p in range(planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
                 F.sequence(F.lit(0), F.lit(dims - 1)),
-                lambda x, d: x.cast("double")
-                * (
-                    (F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(7)) - F.lit(3))
-                ).cast("double"),
+                _term(p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -172,11 +194,15 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     n_tables: int = 4,
     exact: bool = False,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
     ``exact=True`` does the full O(N²) pair scan (oracle/baseline);
     default goes through LSH buckets (the 100 TB path).
+    ``hash_mode="md5"`` makes the bucketed path engine-portable (see
+    :func:`_lsh_signature`) so the approximate operator itself is
+    oracle-checkable.
     """
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
@@ -188,7 +214,9 @@ def embedding_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        _lsh_signature(F.col(vname), dims, planes, seed=t).alias("bucket"),
+                        _lsh_signature(
+                            F.col(vname), dims, planes, seed=t, hash_mode=hash_mode
+                        ).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]

@@ -424,14 +424,67 @@ def ext_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(e, threshold=0.4, exact=True)
 
 
-@q("ext_embedding_near_dup_lsh")
+# Hyperplane-LSH oracle: the md5 hash mode derives plane p's weight
+# for dim d from md5("d:p:seed") (value in [-3,3]), and the projection
+# is a left-to-right double fold — list_reduce replays the identical
+# association order, so DuckDB reproduces every bucket id, the band
+# join, and the final cosine filter exactly. Generated SQL: 4 tables ×
+# 8 plane-projections of 64 md5-weighted terms.
+def _lsh_bucket_expr(t: int, planes: int = 8) -> str:
+    terms = []
+    for p in range(planes):
+        w = (
+            f"((('0x' || substr(md5((i-1)::VARCHAR || ':{p}:{t}'), 1, 8))::BIGINT % 7) - 3)"
+        )
+        proj = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * {w}), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_SIG_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {t} AS tbl, {_lsh_bucket_expr(t)} AS bucket FROM embeddings"
+    for t in range(4)
+)
+_NEAR_DUP_LSH_SQL = f"""
+    WITH sig AS (
+{_LSH_SIG_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM sig x JOIN sig y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    prod AS (
+      SELECT c.a, c.b,
+             unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b
+    ),
+    dots AS (
+      SELECT a, b, sum(x * y) AS dot, sum(x * x) AS aa, sum(y * y) AS bb
+      FROM prod GROUP BY 1, 2
+    )
+    SELECT a, b, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+    FROM dots WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4
+"""
+
+
+@q("ext_embedding_near_dup_lsh", _NEAR_DUP_LSH_SQL)
 def ext_embedding_near_dup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (the 100 TB path; approximate — rows-only
-    check, recall asserted against the exact variant in unit tests)."""
+    """LSH-bucketed near-dup (the 100 TB path).
+
+    Uses the portable md5 hyperplane-weight mode so the DuckDB oracle
+    reproduces bucket assignments and the final cosine filter exactly
+    (the xxhash64 default stays the fast path; recall vs the exact
+    variant is additionally unit-tested)."""
     from ..ext.similarity import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4, exact=False)
+    return embedding_near_dup_pairs(e, threshold=0.4, exact=False, hash_mode="md5")
 
 
 # MinHash oracle: the md5 hash mode is engine-portable (one md5 base
