@@ -4,11 +4,13 @@ columns with typed metadata.
 The Spark-side architecture is real and tested — schema, partition-
 preserving ``mapInPandas`` decode stage, Arrow batch shapes, feature
 schema. Decoding itself is real for WAV/PCM audio (``wave``),
-uncompressed BMP images (``struct`` + numpy), and **baseline JPEG**
-(pure-numpy decoder, :mod:`.jpeg` — r5) via :func:`stdlib_decode`;
-stubbed only for the remaining compressed codecs (PNG/MP3/H.264,
-progressive JPEG), where ``decode_fn`` defaults to a clearly-marked
-deterministic fake; pass a PIL/librosa-backed decoder in production.
+uncompressed BMP images (``struct`` + numpy), **baseline JPEG**
+(pure-numpy decoder, :mod:`.jpeg` — r5), and **PNG** (stdlib-zlib
+decoder, :mod:`.png` — r5) via :func:`stdlib_decode`; stubbed only
+for the remaining compressed codecs (MP3/H.264, progressive JPEG,
+interlaced/16-bit PNG), where ``decode_fn`` defaults to a
+clearly-marked deterministic fake; pass a PIL/librosa-backed decoder
+in production.
 
 Design for 100 TB: decode runs inside ``mapInPandas`` so bytes never
 leave executors; batch size is bounded by
@@ -69,9 +71,10 @@ def fake_decode(content: bytes, kind: str) -> list[float]:
 
 def real_decode_unavailable(content: bytes, kind: str) -> list[float]:
     """The production decode hook for the remaining compressed codecs
-    (PNG/MP3/H.264, progressive JPEG). Not implemented in this
-    container — see :func:`stdlib_decode` for the formats that ARE
-    really decoded here (WAV, BMP, baseline JPEG)."""
+    (MP3/H.264, progressive JPEG, interlaced/16-bit PNG). Not
+    implemented in this container — see :func:`stdlib_decode` for the
+    formats that ARE really decoded here (WAV, BMP, baseline JPEG,
+    PNG)."""
     raise NotImplementedError(
         "compressed-codec libraries are not installed in this environment; "
         "pass decode_fn=<your decoder> to extract_features()"
@@ -172,13 +175,15 @@ def stdlib_decode(content: bytes, kind: str) -> list[float]:
 
     - ``audio`` + RIFF/WAV magic → :func:`decode_wav`; feature = 8
       per-segment RMS energies (the standard cheap audio fingerprint).
-    - ``image`` + BMP magic → :func:`decode_bmp`, and ``image`` + JPEG
-      magic → the pure-numpy baseline decoder (:mod:`.jpeg`, r5) —
-      both feed a 4×4 grayscale thumbnail via :func:`resize_nearest`,
-      normalized to [0, 1] — a real perceptual-hash-style feature.
-    - anything else (PNG/MP3/video, progressive JPEG) raises —
-      remaining compressed codecs are the documented stub; see
-      :func:`real_decode_unavailable`.
+    - ``image`` + BMP magic → :func:`decode_bmp`, ``image`` + JPEG
+      magic → the pure-numpy baseline decoder (:mod:`.jpeg`, r5),
+      ``image`` + PNG magic → the stdlib-zlib decoder (:mod:`.png`,
+      r5) — all feed a 4×4 grayscale thumbnail via
+      :func:`resize_nearest`, normalized to [0, 1] — a real
+      perceptual-hash-style feature.
+    - anything else (MP3/video, progressive JPEG, interlaced/16-bit
+      PNG) raises — remaining compressed codecs are the documented
+      stub; see :func:`real_decode_unavailable`.
     """
     import numpy as np
 
@@ -190,13 +195,21 @@ def stdlib_decode(content: bytes, kind: str) -> list[float]:
             return [0.0] * 8
         segs = np.array_split(x, 8)
         return [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs]
-    if kind == "image" and (content[:2] == b"BM" or content[:2] == b"\xff\xd8"):
+    if kind == "image" and (
+        content[:2] == b"BM"
+        or content[:2] == b"\xff\xd8"
+        or content[:8] == b"\x89PNG\r\n\x1a\n"
+    ):
         if content[:2] == b"BM":
             _, rgb = decode_bmp(content)
-        else:
+        elif content[:2] == b"\xff\xd8":
             from .jpeg import decode_jpeg
 
             _, rgb = decode_jpeg(content)
+        else:
+            from .png import decode_png
+
+            _, rgb = decode_png(content)
         gray = rgb.astype(np.float64).mean(axis=2)
         thumb = resize_nearest(gray[:, :, None], 4, 4)[:, :, 0]
         return [float(v) / 255.0 for v in thumb.ravel()]

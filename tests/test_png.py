@@ -1,0 +1,169 @@
+"""PNG decoder (ext/png.py) — validated against a minimal encoder
+written here (chunk writer + forward filters 0-4 + zlib). Round-
+tripping known pixels is exact: PNG is lossless, so decode(encode(x))
+must equal x bit-for-bit for every color type and filter type."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aws_greengrass_labs_database_influxdb_spark.ext.png import decode_png
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _filter_row(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Forward (encoder-side) filter — the inverse of the decoder."""
+    line = line.astype(np.int32)
+    prev = prev.astype(np.int32)
+    n = len(line)
+    left = np.roll(line, bpp)
+    left[:bpp] = 0
+    ul = np.roll(prev, bpp)
+    ul[:bpp] = 0
+    if f == 0:
+        out = line
+    elif f == 1:
+        out = line - left
+    elif f == 2:
+        out = line - prev
+    elif f == 3:
+        out = line - ((left + prev) >> 1)
+    elif f == 4:
+        p = left + prev - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+        out = line - pred
+    return bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+
+
+def encode_png(
+    px: np.ndarray,
+    color_type: int,
+    filters=None,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+    bit_depth: int = 8,
+) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit, selectable per-row filter."""
+    h, w, channels = px.shape
+    stride = w * channels
+    flat = px.reshape(h, stride)
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        raw.extend(_filter_row(filters[y], flat[y], prev, channels))
+        prev = flat[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out.extend(
+        _chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace),
+        )
+    )
+    if palette is not None:
+        out.extend(_chunk(b"PLTE", bytes(palette.astype(np.uint8).ravel())))
+    out.extend(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    out.extend(_chunk(b"IEND", b""))
+    return bytes(out)
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_rgb_roundtrip_each_filter(filter_type):
+    px = _rand((5, 7, 3), seed=filter_type)
+    blob = encode_png(px, color_type=2, filters=[filter_type] * 5)
+    meta, rgb = decode_png(blob)
+    assert (meta["width"], meta["height"]) == (7, 5)
+    np.testing.assert_array_equal(rgb, px)
+
+
+def test_mixed_filters_roundtrip():
+    px = _rand((5, 4, 3), seed=99)
+    blob = encode_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    _, rgb = decode_png(blob)
+    np.testing.assert_array_equal(rgb, px)
+
+
+def test_grayscale_expands_to_rgb():
+    px = _rand((3, 3, 1), seed=1)
+    _, rgb = decode_png(encode_png(px, color_type=0, filters=[4, 3, 1]))
+    np.testing.assert_array_equal(rgb, np.repeat(px, 3, axis=2))
+
+
+def test_rgba_drops_alpha():
+    px = _rand((4, 2, 4), seed=2)
+    _, rgb = decode_png(encode_png(px, color_type=6, filters=[2, 4, 1, 3]))
+    np.testing.assert_array_equal(rgb, px[:, :, :3])
+
+
+def test_gray_alpha():
+    px = _rand((2, 5, 2), seed=3)
+    _, rgb = decode_png(encode_png(px, color_type=4, filters=[1, 4]))
+    np.testing.assert_array_equal(rgb, np.repeat(px[:, :, :1], 3, axis=2))
+
+
+def test_palette_expansion():
+    palette = _rand((16, 3), seed=4)
+    idx = np.random.RandomState(5).randint(0, 16, (3, 4, 1), dtype=np.uint8)
+    _, rgb = decode_png(encode_png(idx, color_type=3, palette=palette, filters=[0, 2, 1]))
+    np.testing.assert_array_equal(rgb, palette[idx[:, :, 0]])
+
+
+def test_multi_idat_chunks_concatenate():
+    px = _rand((4, 4, 3), seed=6)
+    blob = encode_png(px, color_type=2)
+    # split the single IDAT into two chunks
+    sig, rest = blob[:8], blob[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        (ln,) = struct.unpack_from(">I", rest, pos)
+        chunks.append((rest[pos + 4 : pos + 8], rest[pos + 8 : pos + 8 + ln]))
+        pos += 12 + ln
+    out = bytearray(sig)
+    for ctype, data in chunks:
+        if ctype == b"IDAT":
+            mid = len(data) // 2
+            out.extend(_chunk(b"IDAT", data[:mid]))
+            out.extend(_chunk(b"IDAT", data[mid:]))
+        else:
+            out.extend(_chunk(ctype, data))
+    _, rgb = decode_png(bytes(out))
+    np.testing.assert_array_equal(rgb, px)
+
+
+def test_unsupported_profiles_raise():
+    px = _rand((2, 2, 3), seed=7)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(encode_png(px, color_type=2, interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(encode_png(px, color_type=2, bit_depth=16))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG" + b"\x00" * 32)
+
+
+def test_stdlib_decode_routes_png():
+    from aws_greengrass_labs_database_influxdb_spark.ext.multimodal import stdlib_decode
+
+    px = _rand((8, 8, 3), seed=8)
+    feat = stdlib_decode(encode_png(px, color_type=2), "image")
+    assert len(feat) == 16
+    assert all(0.0 <= v <= 1.0 for v in feat)
+    # deterministic and pixel-derived: same pixels → same feature
+    assert feat == stdlib_decode(encode_png(px, color_type=2, filters=[1] * 8), "image")
