@@ -17,6 +17,12 @@
   ``nprobe`` nearest cells only. The cell-partitioned corpus is what
   you persist at scale (bucket by ``centroid_id``); full probe
   degenerates to exact brute force (the test invariant).
+- :func:`pq_train` / :func:`pq_encode` / :func:`pq_adc_topk` —
+  product quantization: the corpus is stored as m one-byte centroid
+  codes (~32× smaller than float32) and scanned via asymmetric
+  distance lookups; the data-independent
+  :func:`pq_codebook_random` variant is engine-portable, putting
+  encode+ADC under an exact SQL oracle.
 
 At 100 TB the corpus side is the big table: all entry points keep it
 shuffle-keyed by bucket/cell/query id and never collect embeddings to
@@ -330,4 +336,197 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, F.col(id_col).alias("match_id"),
                 F.round("cosine", 6).alias("cosine"), F.col("_rn").alias("rank"))
+    )
+
+
+# ----------------------------------------------------- product quantization
+
+
+def pq_codebook_random(
+    m: int = 8, k: int = 16, sub_dim: int = 8, seed: int = 7
+) -> list[list[list[float]]]:
+    """Data-independent PQ codebook: ``m`` subspaces × ``k`` centroids
+    × ``sub_dim`` components, seeded uniform [-1, 1] rounded to 6dp.
+
+    6dp decimal literals parse to identical doubles in every engine,
+    so a codebook embedded as literals in both the Spark plan and a
+    SQL oracle makes the whole encode→ADC pipeline engine-portable
+    (:func:`pq_encode` / :func:`pq_adc_topk` are exact given the same
+    codebook). Production uses :func:`pq_train` instead — same encode
+    machinery, learned centroids.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(sub_dim)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    seed: int = 7,
+    max_iter: int = 25,
+) -> list[list[list[float]]]:
+    """Train a PQ codebook: per-subspace Lloyd's k-means over a
+    bounded, deterministic sample.
+
+    The sample (first ``sample`` ids — deterministic, bounded by
+    construction) is the ONLY data that reaches the driver; encoding
+    the full corpus stays distributed (:func:`pq_encode` is pure
+    Column arithmetic). ``sample`` ≈ 4k vectors trains 16-256
+    centroids fine regardless of corpus size — at 100 TB you still
+    collect only kilobytes.
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dims = X.shape[1]
+    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
+    sub = dims // m
+    rng = np.random.RandomState(seed)
+    book = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            newC = np.array(
+                [
+                    Xs[assign == c].mean(axis=0) if (assign == c).any() else C[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(newC, C):
+                break
+            C = newC
+        book.append([[float(v) for v in row] for row in C])
+    return book
+
+
+def _pq_dist_terms(vec: Column, codebook, s: int, c: int) -> Column:
+    """Squared L2 distance of subvector s to centroid c as an explicit
+    left-associated sum — the association order a SQL oracle replays."""
+    sub = len(codebook[s][c])
+    e = None
+    for j in range(sub):
+        x = vec[s * sub + j].cast("double") - F.lit(codebook[s][c][j])
+        t = x * x
+        e = t if e is None else e + t
+    return e
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<int> of length
+    m)`` — m bytes of payload per vector instead of dims floats.
+
+    ``method="expr"`` (default) is pure Column arithmetic (no Python,
+    no shuffle): per subspace a k-element distance array,
+    ``array_position(array_min)`` picks the first-minimum centroid —
+    the tie rule ``list_position(list_min)`` reproduces in SQL, which
+    is what makes the operator oracle-checkable. The expression tree
+    grows with m·k·sub_dim, so for large codebooks (k ≥ 64) use
+    ``method="pandas"``: one Arrow-batched UDF doing the same argmin
+    as a numpy matrix op (identical codes on real data; ties at
+    float-ulp distance are the only theoretical divergence). Either
+    way this is a map-only stage — the 100 TB win: the encoded corpus
+    is ~32× smaller than float32 embeddings, and every downstream ADC
+    scan touches only codes.
+    """
+    m = len(codebook)
+    kk = len(codebook[0])
+    if method == "pandas":
+        from pyspark.sql.functions import pandas_udf
+
+        CB = [np.asarray(codebook[s], dtype=np.float64) for s in range(m)]
+        sub = CB[0].shape[1]
+
+        @pandas_udf("array<int>")
+        def _codes(vecs: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            out = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = (
+                    (Xs * Xs).sum(axis=1, keepdims=True)
+                    - 2.0 * (Xs @ CB[s].T)
+                    + (CB[s] * CB[s]).sum(axis=1)
+                )
+                out[:, s] = d2.argmin(axis=1)
+            return pd.Series([row.tolist() for row in out])
+
+        return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}")
+    vec = F.col(vec_col)
+    codes = []
+    for s in range(m):
+        dists = F.array(*[_pq_dist_terms(vec, codebook, s, c) for c in range(kk)])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance computation (ADC):
+    queries keep full precision, the corpus is scanned as PQ codes.
+
+    Each query precomputes an m×k lookup table of partial distances to
+    every centroid (Column arithmetic on the small broadcast side);
+    the scan then sums m table lookups per corpus row — no float
+    vector is read at all. At 100 TB: corpus side = one map over the
+    m-byte codes column, one broadcast, one per-query top-k window.
+    """
+    m = len(codebook)
+    enc = pq_encode(corpus, codebook, id_col, vec_col)
+    qvec = F.col(vec_col)
+    lut = F.array(
+        *[
+            F.array(
+                *[_pq_dist_terms(qvec, codebook, s, c) for c in range(len(codebook[s]))]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), lut.alias("_lut")
+    )
+    pairs = enc.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = None
+    for s in range(m):
+        t = F.element_at(F.element_at("_lut", s + 1), F.col("codes")[s] + 1)
+        adc = t if adc is None else adc + t
+    scored = pairs.withColumn("adc", F.round(adc, 6))
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("match_id"), "adc",
+                F.col("_rn").cast("int").alias("rank"))
     )

@@ -698,6 +698,79 @@ def ext_similarity_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+# PQ oracle: the codebook is data-independent (seeded, 6dp literals —
+# identical doubles in every engine) and shared verbatim between the
+# Spark plan and the generated SQL, so DuckDB reproduces the encode
+# argmins (same first-minimum tie rule), each query's m×k ADC lookup
+# table, and the left-associated ADC sums bit-for-bit.
+def _pq_sql() -> str:
+    from ..ext.similarity import pq_codebook_random
+
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(f"{v:.6f}" for v in cent) + "]" for cent in sub)
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    term = lambda j: (
+        f"(e.embedding[t.s*8+{j + 1}]::DOUBLE - cb[t.s+1][c][{j + 1}]) * "
+        f"(e.embedding[t.s*8+{j + 1}]::DOUBLE - cb[t.s+1][c][{j + 1}])"
+    )
+    dist = " + ".join(term(j) for j in range(8))
+    adc = " + ".join(f"l.lut[{s + 1}][c.codes[{s + 1}]+1]" for s in range(8))
+    return f"""
+    WITH cbt AS (SELECT {cb_lit} AS cb),
+    dl AS (
+      SELECT e.vec_id, t.s,
+             list_transform(range(1, 17), c -> {dist}) AS dists
+      FROM embeddings e CROSS JOIN cbt CROSS JOIN range(0, 8) t(s)
+    ),
+    codes AS (
+      SELECT vec_id, s, CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS code
+      FROM dl
+    ),
+    codesl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id),
+    lut AS (
+      SELECT vec_id AS query_id, list(dists ORDER BY s) AS lut
+      FROM dl WHERE vec_id < 5 GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT l.query_id, c.vec_id AS match_id, {adc} AS adc
+      FROM lut l CROSS JOIN codesl c WHERE c.vec_id <> l.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, round(adc, 6) AS adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(adc, 6) ASC, match_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, match_id, adc, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ext_similarity_pq", _pq_sql())
+def ext_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN: the corpus is scanned as 8-byte PQ
+    codes (~32× smaller than float32 embeddings — the 100 TB
+    compression path) and ranked by asymmetric-distance lookups.
+
+    Uses the portable seeded codebook so the DuckDB oracle reproduces
+    encode, lookup tables, and ADC sums exactly; the trained-codebook
+    production path (``pq_train``) shares the same encode/ADC
+    machinery and is recall-tested against brute force in unit
+    tests."""
+    from ..ext.similarity import pq_adc_topk, pq_codebook_random
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), cb, k=5)
+
+
 @q(
     "ext_repetition",
     """
