@@ -68,7 +68,11 @@ CURATED_FIRST_50: list[str] = [
     "ext_dedup_clusters",
     "ext_span_dedup",
     "ext_semantic_dedup",
-    "ext_similarity_topk",
+    # r5: surface the PQ flagship in the window; brute-force topk
+    # stays fully covered — ext_similarity_ivf's full-probe oracle IS
+    # the brute-force result, and ext_similarity_topk remains under
+    # the full-suite gates.
+    "ext_similarity_pq",
     "ext_similarity_ivf",
     "ext_corpus_clean",
     "ext_contamination",
