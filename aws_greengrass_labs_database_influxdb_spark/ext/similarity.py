@@ -415,16 +415,52 @@ def pq_train(
     return book
 
 
-def _pq_dist_terms(vec: Column, codebook, s: int, c: int) -> Column:
-    """Squared L2 distance of subvector s to centroid c as an explicit
-    left-associated sum — the association order a SQL oracle replays."""
-    sub = len(codebook[s][c])
-    e = None
-    for j in range(sub):
-        x = vec[s * sub + j].cast("double") - F.lit(codebook[s][c][j])
-        t = x * x
-        e = t if e is None else e + t
-    return e
+def _pq_codebook_col(codebook) -> Column:
+    """The codebook as ONE nested array literal
+    (``array<array<array<double>>>``) — Catalyst constant-folds it to a
+    single Literal node, so plans stay small no matter how big m·k·sub
+    gets (inlining each weight into its own arithmetic node made the
+    encode plan ~7 MB and cost ~8 s of codegen per query)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in sub])
+            for sub in codebook
+        ]
+    )
+
+
+def _pq_subdist(vec: Column, cent: Column, s: Column, sub: int) -> Column:
+    """Squared L2 distance of subvector ``s`` of ``vec`` to centroid
+    ``cent`` as a left-to-right fold: 0.0 + t₀ + t₁ + … ≡ t₀ + t₁ + …
+    bit-for-bit, the association order the SQL oracle replays."""
+    subv = F.slice(vec, s * sub + 1, sub)
+    return F.aggregate(
+        F.zip_with(
+            subv,
+            cent,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_dists_for_subspace(vec: Column, cbc: Column, s: Column, sub: int) -> Column:
+    """k-element distance array of subvector ``s`` to every centroid."""
+    return F.transform(
+        F.element_at(cbc, s + 1), lambda cent: _pq_subdist(vec, cent, s, sub)
+    )
+
+
+def _pq_lut(vec: Column, codebook) -> Column:
+    """Per-query ADC lookup table: m×k partial distances."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cbc = _pq_codebook_col(codebook)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_dists_for_subspace(vec, cbc, s, sub),
+    )
 
 
 def pq_encode(
@@ -433,6 +469,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "expr",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: ``(id, codes array<int> of length
     m)`` — m bytes of payload per vector instead of dims floats.
@@ -472,15 +509,20 @@ def pq_encode(
                 out[:, s] = d2.argmin(axis=1)
             return pd.Series([row.tolist() for row in out])
 
-        return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+        return df.select(
+            F.col(id_col), *extra_cols, _codes(F.col(vec_col)).alias("codes")
+        )
     if method != "expr":
         raise ValueError(f"unknown method {method!r}")
+    del kk
     vec = F.col(vec_col)
-    codes = []
-    for s in range(m):
-        dists = F.array(*[_pq_dist_terms(vec, codebook, s, c) for c in range(kk)])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    # materialize the m distance arrays once, then argmin each — the
+    # per-subspace distances are not re-evaluated for the min
+    codes = F.transform(
+        _pq_lut(vec, codebook),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
+    return df.select(F.col(id_col), *extra_cols, codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -491,6 +533,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    encode_method: str = "pandas",
 ) -> DataFrame:
     """Approximate L2 top-k by asymmetric distance computation (ADC):
     queries keep full precision, the corpus is scanned as PQ codes.
@@ -498,22 +541,18 @@ def pq_adc_topk(
     Each query precomputes an m×k lookup table of partial distances to
     every centroid (Column arithmetic on the small broadcast side);
     the scan then sums m table lookups per corpus row — no float
-    vector is read at all. At 100 TB: corpus side = one map over the
-    m-byte codes column, one broadcast, one per-query top-k window.
+    vector is read at all. At 100 TB: encode runs once at ingest and
+    the persisted codes column is what every query scans — the inline
+    encode here defaults to the Arrow path for that reason (its codes
+    are asserted identical to the expression path's in unit tests and
+    by the SQL oracle on the suite row). Corpus side = one map over
+    the m-byte codes, one broadcast, one per-query top-k window.
     """
     m = len(codebook)
-    enc = pq_encode(corpus, codebook, id_col, vec_col)
-    qvec = F.col(vec_col)
-    lut = F.array(
-        *[
-            F.array(
-                *[_pq_dist_terms(qvec, codebook, s, c) for c in range(len(codebook[s]))]
-            )
-            for s in range(m)
-        ]
-    )
+    enc = pq_encode(corpus, codebook, id_col, vec_col, method=encode_method)
     q = queries.select(
-        F.col(id_col).alias(query_id_col), lut.alias("_lut")
+        F.col(id_col).alias(query_id_col),
+        _pq_lut(F.col(vec_col), codebook).alias("_lut"),
     )
     pairs = enc.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(query_id_col)
@@ -523,6 +562,70 @@ def pq_adc_topk(
         t = F.element_at(F.element_at("_lut", s + 1), F.col("codes")[s] + 1)
         adc = t if adc is None else adc + t
     scored = pairs.withColumn("adc", F.round(adc, 6))
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("match_id"), "adc",
+                F.col("_rn").cast("int").alias("rank"))
+    )
+
+
+def ivf_pq_topk(
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    codebook,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    encode_method: str = "pandas",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — coarse cells bound
+    WHICH rows are scanned (IVF routing), PQ codes bound HOW MUCH is
+    read per row (m bytes + m table lookups).
+
+    The candidate join is keyed on ``centroid_id`` and carries only
+    PQ codes; queries broadcast their probe list and m×k ADC table.
+    At 100 TB: persist the encoded corpus bucketed by ``centroid_id``
+    and a query reads ~(nprobe/n_centroids) · m/dims/4 of the raw
+    scan bytes. With ``nprobe == n_centroids`` every cell is probed
+    and the result is exactly :func:`pq_adc_topk` (the unit-test and
+    oracle invariant, mirroring IVF's full-probe ≡ brute force).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebook)
+    C = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * (Q @ C.T) + c_sq
+        order = np.argsort(d2, kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    enc = pq_encode(
+        indexed_corpus, codebook, id_col, vec_col,
+        method=encode_method, extra_cols=("centroid_id",),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _pq_lut(F.col(vec_col), codebook).alias("_lut"),
+        F.explode(_probes(F.col(vec_col))).alias("centroid_id"),
+    )
+    cand = enc.join(F.broadcast(q), "centroid_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = None
+    for s in range(m):
+        t = F.element_at(F.element_at("_lut", s + 1), F.col("codes")[s] + 1)
+        adc = t if adc is None else adc + t
+    scored = cand.withColumn("adc", F.round(adc, 6))
     w = W.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -753,6 +753,24 @@ def _pq_sql() -> str:
 """
 
 
+@q("ext_similarity_ivfpq", _pq_sql())
+def ext_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ at full probe: every cell is probed, so the cell-routed
+    ADC scan must equal plain PQ-ADC exactly — which puts the whole
+    composition (k-means cell assignment → probe routing → code scan →
+    ADC ranking) under the same exact oracle as ext_similarity_pq
+    (mirroring ext_similarity_ivf's full-probe ≡ brute-force gate).
+    Partial-probe behavior is unit-tested."""
+    from ..ext.similarity import ivf_build, ivf_pq_topk, pq_codebook_random
+
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = ivf_build(e, n_centroids=8, max_iter=4)
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    return ivf_pq_topk(
+        indexed, centroids, e.filter(F.col("vec_id") < 5), cb, k=5, nprobe=8
+    )
+
+
 @q("ext_similarity_pq", _pq_sql())
 def ext_similarity_pq(spark, sf_dir):
     """Product-quantization ANN: the corpus is scanned as 8-byte PQ

@@ -42,6 +42,7 @@ HEADLINE = [
     "ext_dedup_ngram_jaccard",
     "ext_dedup_minhash_lsh",
     "ext_similarity_topk",
+    "ext_similarity_pq",
     "ext_text_stats",
     "ext_span_dedup",
     "ext_repetition",

@@ -101,3 +101,40 @@ def test_adc_output_shape_and_ranks(emb):
             ordered[i].adc <= ordered[i + 1].adc for i in range(len(ordered) - 1)
         )
         assert all(r.match_id != q for r in rs)
+
+
+def test_ivf_pq_full_probe_equals_pq_adc(emb):
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+    )
+
+    cb = pq_codebook_random()
+    indexed, centroids = ivf_build(emb, n_centroids=8, max_iter=4)
+    q = emb.filter(F.col("vec_id") < 3)
+    full = ivf_pq_topk(indexed, centroids, q, cb, k=5, nprobe=8)
+    plain = pq_adc_topk(emb, q, cb, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_pq_partial_probe_subsets_probed_cells(emb):
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+    )
+
+    cb = pq_codebook_random()
+    indexed, centroids = ivf_build(emb, n_centroids=8, max_iter=4)
+    q = emb.filter(F.col("vec_id") < 3)
+    part = ivf_pq_topk(indexed, centroids, q, cb, k=5, nprobe=2)
+    rows = part.collect()
+    # every query still gets k results, drawn only from probed cells
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    cell_of = {r.vec_id: r.centroid_id for r in indexed.select("vec_id", "centroid_id").collect()}
+    for qi, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+        # matches live in at most nprobe distinct cells
+        assert len({cell_of[r.match_id] for r in rs}) <= 2
