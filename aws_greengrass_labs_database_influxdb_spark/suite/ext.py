@@ -1180,3 +1180,69 @@ def ext_weighted_mix(spark, sf_dir):
     return weighted_mix(
         d, {"src0": 0.8, "src1": 0.5, "src2": 0.25}, default=0.1
     ).select("doc_id", "source", "lang")
+
+
+# BM25 oracle: every formula input is an exact integer aggregate and
+# each term contribution is quantized to decimal(18,6) before the
+# per-document sum (associative → partition-order-independent), so the
+# scores reproduce exactly. All SQL numeric literals are ::DOUBLE to
+# stop DuckDB's decimal-literal promotion from switching the
+# arithmetic out of IEEE doubles.
+_BM25_QUERIES = [
+    (0, "spark window join"),
+    (1, "fast hash merge scan"),
+    (2, "customer data filter stream"),
+]
+_BM25_SQL = rf"""
+    WITH q(query_id, query) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    qt AS (
+      SELECT query_id,
+             unnest(list_distinct(string_split(lower(trim(regexp_replace(query, '\s+', ' ', 'g'))), ' '))) AS term
+      FROM q
+    ),
+    j AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(
+               ln(1.0::DOUBLE + (s.n_docs - d.dfreq + 0.5::DOUBLE) / (d.dfreq + 0.5::DOUBLE))
+               * tf.tf * 2.2::DOUBLE
+               / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / (s.sum_dl::DOUBLE / s.n_docs))),
+               6)::DECIMAL(18,6) AS c
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dfreq d USING (term)
+      CROSS JOIN stats s
+    ),
+    sc AS (SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score FROM j GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id AS match_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT query_id, match_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@q("ext_retrieval_bm25", _BM25_SQL)
+def ext_retrieval_bm25(spark, sf_dir):
+    """Okapi BM25 top-5 for three fixed literal queries — sparse
+    lexical retrieval over the documents table (inverted-index shape:
+    one postings shuffle, vocabulary-bounded df table, broadcast query
+    side). Integer-exact formula inputs + decimal-quantized term
+    contributions make the score oracle-exact."""
+    from ..ext.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    return bm25_topk(d, qdf, k=5)
