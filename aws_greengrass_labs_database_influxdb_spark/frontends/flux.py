@@ -642,6 +642,19 @@ def _schema_fn(points: DataFrame, fn: str, args: dict, tag_cols) -> DataFrame:
     return out.orderBy("_value")
 
 
+def _promote_value(pipe, alias: str):
+    """Flux value-transform stages (derivative/difference/increase/
+    cumulativeSum/movingAverage/…EMA) REPLACE ``_value``; the
+    underlying operators append a named result column instead. Rebind
+    that column to ``f_float`` (the ``_value`` mapping) so downstream
+    stages — aggregates, ``filter(fn: (r) => r._value …)``, further
+    transforms — see the transformed series, not the raw one (a
+    live-probe r5 divergence: ``derivative() |> mean()`` silently
+    averaged the raw values)."""
+    df2 = pipe.df.drop("f_float").withColumnRenamed(alias, "f_float")
+    return pipe._with(df2)
+
+
 def execute_flux(
     points: DataFrame,
     query: str,
@@ -853,33 +866,50 @@ def _run_pipeline(
             pipe = pipe.bottom(int(_lit(args["n"])))
         elif name == "derivative":
             unit_s = duration_ns(args.get("unit", "1s")) / 1e9
-            pipe = pipe.derivative(
-                unit_seconds=unit_s,
-                non_negative=_lit(args.get("nonNegative", "false")) is True,
+            pipe = _promote_value(
+                pipe.derivative(
+                    unit_seconds=unit_s,
+                    non_negative=_lit(args.get("nonNegative", "false")) is True,
+                ),
+                "derivative",
             )
         elif name == "difference":
-            pipe = pipe.difference(
-                non_negative=_lit(args.get("nonNegative", "false")) is True
+            pipe = _promote_value(
+                pipe.difference(
+                    non_negative=_lit(args.get("nonNegative", "false")) is True
+                ),
+                "difference",
             )
         elif name == "increase":
             from ..operators import increase
 
-            pipe = pipe._with(increase(df, by=pipe.group_key, order=list(pipe.order)))
+            pipe = _promote_value(
+                pipe._with(increase(df, by=pipe.group_key, order=list(pipe.order))),
+                "increase",
+            )
         elif name == "cumulativeSum":
-            pipe = pipe.cumulative_sum()
+            pipe = _promote_value(pipe.cumulative_sum(), "cumulative_sum")
         elif name == "elapsed":
+            # Flux elapsed() ADDS the duration column and keeps _value
             from ..operators import elapsed
 
             pipe = pipe._with(elapsed(df, by=pipe.group_key, order=list(pipe.order)))
         elif name == "movingAverage":
-            pipe = pipe.moving_average(int(_lit(args["n"])))
+            pipe = _promote_value(
+                pipe.moving_average(int(_lit(args["n"]))), "moving_average"
+            )
         elif name == "timedMovingAverage":
             from ..operators import timed_moving_average
 
             period_s = int(duration_ns(args["period"]) // 10**9)
-            pipe = pipe._with(timed_moving_average(df, period_s, by=pipe.group_key))
+            pipe = _promote_value(
+                pipe._with(timed_moving_average(df, period_s, by=pipe.group_key)),
+                "timed_moving_average",
+            )
         elif name == "exponentialMovingAverage":
-            pipe = pipe.exponential_moving_average(int(_lit(args["n"])))
+            pipe = _promote_value(
+                pipe.exponential_moving_average(int(_lit(args["n"]))), "ema"
+            )
         elif name == "fill":
             col = _colname(df, _lit(args.get("column", '"_value"')))
             if col not in df.columns:

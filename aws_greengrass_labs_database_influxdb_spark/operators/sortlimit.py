@@ -55,9 +55,12 @@ def tail(
     offset: int = 0,
     by: Sequence[str] = (),
     order="time_ns",
+    desc: bool = False,
 ) -> DataFrame:
-    """Flux ``tail(n:)``: last n rows per series."""
-    return limit(df, n, offset, by, order, desc=True)
+    """Flux ``tail(n:)``: last n rows per series in the current order
+    (``desc`` says whether that order is descending — the last rows of
+    a descending table are its ascending-first rows)."""
+    return limit(df, n, offset, by, order, desc=not desc)
 
 
 def slimit(

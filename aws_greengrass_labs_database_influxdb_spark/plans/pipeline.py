@@ -40,6 +40,9 @@ class Pipeline:
     time_col: str = "time"
     time_ns_col: str = "time_ns"
     order: tuple[str, ...] = ("time_ns",)
+    # whether `order` is descending — set by sort(desc:), consumed by
+    # the order-sensitive presentation stages (limit/tail)
+    order_desc: bool = False
 
     # ------------------------------------------------------------- plumbing
 
@@ -189,15 +192,27 @@ class Pipeline:
     # ------------------------------------------------------------ sort/limit
 
     def sort(self, columns: Sequence[str], desc: bool = False) -> "Pipeline":
-        return self._with(ops.sort(self.df_, list(columns), desc))
+        # Flux sort() re-orders each table AND establishes the order
+        # that downstream presentation stages consume — sort |> limit
+        # is the canonical Flux top-N idiom (limit takes the first n
+        # rows of the CURRENT order, not first-n-by-time; caught by a
+        # live-probe divergence in r5)
+        return self._with(
+            ops.sort(self.df_, list(columns), desc),
+            order=tuple(columns), order_desc=desc,
+        )
 
     def limit(self, n: int, offset: int = 0) -> "Pipeline":
         return self._with(
-            ops.limit(self.df_, n, offset, self.group_key, order=list(self.order))
+            ops.limit(self.df_, n, offset, self.group_key,
+                      order=list(self.order), desc=self.order_desc)
         )
 
     def tail(self, n: int) -> "Pipeline":
-        return self._with(ops.tail(self.df_, n, 0, self.group_key, order=list(self.order)))
+        return self._with(
+            ops.tail(self.df_, n, 0, self.group_key,
+                     order=list(self.order), desc=self.order_desc)
+        )
 
     # -------------------------------------------------------------- combine
 

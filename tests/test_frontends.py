@@ -1078,3 +1078,63 @@ def test_flux_aggregate_honors_map_derived_column(pts):
     assert out[0]["sum"] == pytest.approx(sum(v * 10.0 for v in vals), rel=1e-12)
     with pytest.raises(FluxError):
         execute_flux(sub, 'from(bucket:"b") |> sum(column: "nope")')
+
+
+def test_flux_transform_replaces_value_binding(pts):
+    """Flux value transforms REPLACE _value: derivative() |> mean()
+    must average the derivatives, not the raw series (r5 live-probe
+    divergence — the result was silently the raw mean)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> derivative(unit: 1s) |> mean()",
+    )
+    res = {r.event_type: r.mean for r in out.collect()}
+    raw = sorted(
+        (r.time_ns, r.f_float)
+        for r in pts.filter(F.col("event_type") == "signup")
+        .select("time_ns", "f_float")
+        .collect()
+    )
+    ders = [
+        (raw[i][1] - raw[i - 1][1]) / ((raw[i][0] - raw[i - 1][0]) / 1e9)
+        for i in range(1, len(raw))
+    ]
+    assert abs(res["signup"] - sum(ders) / len(ders)) < 1e-9
+    # cumulativeSum |> max == plain sum of the series
+    cs = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> cumulativeSum() |> max()",
+    )
+    got = {r.event_type: r.f_float for r in cs.collect()}
+    assert abs(got["signup"] - sum(v for _, v in raw)) < 1e-6
+
+
+def test_flux_sort_then_limit_is_top_n(pts):
+    """sort(desc) |> limit(n) is the canonical Flux top-N idiom: limit
+    takes the first n rows of the CURRENT order, not first-n-by-time
+    (r5 live-probe divergence)."""
+    import collections
+
+    gt = collections.defaultdict(list)
+    for r in pts.select("event_type", "f_float").collect():
+        gt[r.event_type].append(r.f_float)
+
+    top = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> sort(columns: ["_value"], desc: true) |> limit(n: 2)',
+    )
+    got = sorted((r.event_type, r.f_float) for r in top.collect())
+    want = sorted((k, v) for k in gt for v in sorted(gt[k], reverse=True)[:2])
+    assert got == want
+
+    tail = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> sort(columns: ["_value"], desc: true) |> tail(n: 2)',
+    )
+    gotb = sorted((r.event_type, r.f_float) for r in tail.collect())
+    wantb = sorted((k, v) for k in gt for v in sorted(gt[k])[:2])
+    assert gotb == wantb
