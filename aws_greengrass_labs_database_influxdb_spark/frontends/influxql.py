@@ -824,12 +824,16 @@ def execute_show_cardinality(points: DataFrame, query: str) -> DataFrame:
     return count_distinct_of(df, key)
 
 
-def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataFrame:
+def _execute_multi_row(
+    df: DataFrame, ast: InfluxQLQuery, sel, tag_col, extras=()
+) -> DataFrame:
     """TOP / BOTTOM / DISTINCT / SAMPLE — InfluxQL functions that emit
     multiple rows per group (so they can't join the single-row
     aggregate list). TOP/BOTTOM/SAMPLE keep the source point's
-    timestamp (v1 semantics); DISTINCT emits the window start (or no
-    time column when ungrouped)."""
+    timestamp (v1 semantics) and may carry accompanying bare columns
+    from the selected rows (``SELECT TOP(value, 3), event_type``);
+    DISTINCT emits the window start (or no time column when
+    ungrouped)."""
     fn, fld, alias = sel
     by = list(ast.group_tags)
     src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
@@ -848,18 +852,27 @@ def _execute_multi_row(df: DataFrame, ast: InfluxQLQuery, sel, tag_col) -> DataF
         if t not in df.columns:
             df = df.withColumn(t, tag_col(t))
 
+    def _with_extras(picked: DataFrame) -> DataFrame:
+        cols = [F.col("time"), *[F.col(t) for t in by], F.col(src).alias(alias)]
+        for _fn, f2, a2 in extras:
+            if f2 in by:
+                continue
+            c2 = F.col(f2) if f2 in picked.columns else tag_col(f2)
+            cols.append(c2.alias(a2))
+        return picked.select(*cols)
+
     if fn in ("top", "bottom"):
         if not args:
             raise InfluxQLError(f"{fn.upper()} needs (field, n)")
         picked = (sel_ops.top if fn == "top" else sel_ops.bottom)(
             df, int(args[0]), by=keys, value=src
         )
-        out = picked.select("time", *by, F.col(src).alias(alias))
+        out = _with_extras(picked)
     elif fn == "sample":
         if not args:
             raise InfluxQLError("SAMPLE needs (field, n)")
         picked = sel_ops.sample(df, int(args[0]), by=keys)
-        out = picked.select("time", *by, F.col(src).alias(alias))
+        out = _with_extras(picked)
     else:  # distinct
         out = df.select(*keys, F.col(src).alias(alias)).distinct()
         if ast.group_time_ns:
@@ -985,14 +998,32 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
     multi = [(fn, fld, al) for fn, fld, al in ast.fields if fn in _MULTI_ROW]
     if multi:
-        if len(ast.fields) != 1:
+        extras = [f for f in ast.fields if f not in multi]
+        if len(multi) > 1 or any(fn2 is not None for fn2, _, _ in extras):
             raise InfluxQLError(
-                "TOP/BOTTOM/DISTINCT/SAMPLE must be the only selection"
+                "TOP/BOTTOM/DISTINCT/SAMPLE must be the only function selection"
             )
-        return _execute_multi_row(df, ast, multi[0], tag_col)
+        if extras and multi[0][0] == "distinct":
+            raise InfluxQLError("DISTINCT must be the only selection")
+        return _execute_multi_row(df, ast, multi[0], tag_col, extras=extras)
 
     if ast.nested:
         return _execute_nested(df, ast, by, tag_col)
+
+    # single selector + accompanying bare columns: InfluxDB selector
+    # queries return the SELECTED POINT, so named tags/fields ride
+    # along (SELECT LAST(value), event_type ... / SELECT
+    # PERCENTILE(value, 95), event_type ... GROUP BY event_type)
+    bare = [f for f in ast.fields if f[0] is None]
+    fn_fields = [f for f in ast.fields if f[0] is not None]
+    if (
+        bare
+        and len(fn_fields) == 1
+        and fn_fields[0][0] in ("first", "last", "max", "min", "percentile")
+        and not ast.arith
+        and not ast.raw_arith
+    ):
+        return _execute_selector_row(df, ast, fn_fields[0], bare, by, tag_col)
 
     has_agg = (
         any(fn and fn not in _MATH_FNS for fn, _, _ in ast.fields)
@@ -1051,6 +1082,76 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     return _finish(_execute_aggregate(df, ast, by), ast, by)
 
 
+def _execute_selector_row(
+    df: DataFrame, ast: InfluxQLQuery, sel, bare, by: list, tag_col
+) -> DataFrame:
+    """Single selector with accompanying bare columns — a row-pick per
+    group (window rank), NOT an aggregate: the output carries the
+    selected point's timestamp and its tag/field values. Selector tie
+    rules match the aggregate path (extreme value → earliest time;
+    ingest order breaks exact-time ties). PERCENTILE picks the actual
+    point at nearest-rank max(1, ⌈n·p/100⌉) in value order."""
+    from pyspark.sql import Window as W
+
+    fn, fld, alias = sel
+    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    if ast.group_time_ns:
+        df = df.withColumn(
+            "_ws",
+            window_start_ns(_window_src_ns(ast), ast.group_time_ns,
+                            ast.group_time_offset_ns),
+        )
+        keys = [*by, "_ws"]
+    else:
+        keys = by
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    seq = ["ingest_seq"] if "ingest_seq" in df.columns else []
+    tie_asc = [F.asc("time_ns"), *[F.asc(c) for c in seq]]
+    if fn == "first":
+        ob = tie_asc
+    elif fn == "last":
+        ob = [F.desc("time_ns"), *[F.desc(c) for c in seq]]
+    elif fn == "max":
+        ob = [F.desc(src), *tie_asc]
+    elif fn == "min":
+        ob = [F.asc(src), *tie_asc]
+    else:  # percentile
+        args = ast.fn_args.get(alias) or []
+        if not args:
+            raise InfluxQLError("PERCENTILE needs (field, p)")
+        qv = float(args[0]) / 100.0
+        ranked = df.withColumn(
+            "_rn", F.row_number().over(part.orderBy(F.asc(src), *tie_asc))
+        ).withColumn("_cnt", F.count(F.lit(1)).over(part))
+        picked = ranked.filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.lit(qv) * F.col("_cnt")).cast("int"))
+        )
+        return _selector_row_project(picked, ast, src, alias, bare, by, tag_col)
+    picked = df.withColumn("_rn", F.row_number().over(part.orderBy(*ob))).filter(
+        F.col("_rn") == 1
+    )
+    return _selector_row_project(picked, ast, src, alias, bare, by, tag_col)
+
+
+def _selector_row_project(
+    picked: DataFrame, ast: InfluxQLQuery, src: str, alias: str, bare, by, tag_col
+) -> DataFrame:
+    cols = []
+    if ast.group_time_ns:
+        picked = picked.withColumn("time", _ws_time_expr(ast))
+    cols.append(F.col("time"))
+    cols.extend(F.col(t) for t in by)
+    cols.append(F.col(src).alias(alias))
+    for _fn, f2, a2 in bare:
+        if f2 in by:
+            continue  # group key already projected
+        c2 = F.col(f2) if f2 in picked.columns else tag_col(f2)
+        cols.append(c2.alias(a2))
+    out = picked.select(*cols)
+    return _finish(out, ast, by)
+
+
 def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
     """One InfluxQL aggregate/selector as a Spark aggregate Column."""
     src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
@@ -1093,6 +1194,11 @@ def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
             f"(p, c) -> (c.v + p.v) / 2 * (c.t - p.t) / 1e9 / {unit_s!r}), "
             f"cast(0.0 as double), (acc, x) -> acc + x)"
         ).alias(alias)
+    if fn is None:
+        raise InfluxQLError(
+            "mixing bare columns with aggregates requires a single selector "
+            "(FIRST/LAST/MAX/MIN/PERCENTILE) or TOP/BOTTOM/SAMPLE"
+        )
     raise InfluxQLError(f"unsupported aggregate {fn!r}")
 
 
@@ -1320,12 +1426,22 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
 
 
 def _finish(out: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame:
-    if ast.order_desc:
+    # ORDER BY time is a no-op when the result has no time column
+    # (bare aggregate per tag) — InfluxDB accepts the clause silently
+    has_time = "time" in out.columns
+    if ast.order_desc and has_time:
         out = out.orderBy(F.desc("time"))
     if ast.slimit is not None and by:
         out = sl_ops.slimit(out, ast.slimit, series=by, soffset=ast.soffset)
     if ast.limit is not None:
-        order_cols = ["time"] + (["ingest_seq"] if "ingest_seq" in out.columns else [])
-        out = sl_ops.limit(out, ast.limit, ast.offset, by=by, order=order_cols,
-                           desc=ast.order_desc)
+        order_cols = (["time"] if has_time else []) + (
+            ["ingest_seq"] if "ingest_seq" in out.columns else []
+        )
+        if order_cols:
+            out = sl_ops.limit(out, ast.limit, ast.offset, by=by,
+                               order=order_cols, desc=ast.order_desc)
+        else:
+            if ast.offset:
+                out = out.offset(ast.offset)
+            out = out.limit(ast.limit)
     return out

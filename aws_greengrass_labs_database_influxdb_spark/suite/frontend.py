@@ -944,3 +944,46 @@ def flux_text_map_funcs(spark, sf_dir):
         F.round("vlog", 6).alias("vlog"),
         "vint", "cl",
     )
+
+
+@q(
+    "influxql_selector_tags",
+    """
+    WITH r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) rn
+      FROM events)
+    SELECT event_type, epoch_ms(ts) AS t_ms, value AS lv, user_id
+    FROM r WHERE rn = 1
+    """,
+)
+def influxql_selector_tags(spark, sf_dir):
+    """Selector with accompanying bare columns (r5 parity fix):
+    ``SELECT LAST(value), user_id GROUP BY event_type`` returns the
+    selected POINT — its timestamp and its user_id tag — not a bare
+    aggregate row."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT last(value) AS lv, user_id FROM events GROUP BY event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "lv", "user_id"
+    )
+
+
+@q(
+    "influxql_top_tags",
+    """
+    WITH r AS (
+      SELECT *, row_number() OVER (ORDER BY value DESC, ts ASC) rn
+      FROM events)
+    SELECT epoch_ms(ts) AS t_ms, value AS top, event_type
+    FROM r WHERE rn <= 3
+    """,
+)
+def influxql_top_tags(spark, sf_dir):
+    """TOP with an accompanying tag column (r5 parity fix): the tag
+    values come from the selected rows."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(pts, "SELECT top(value, 3), event_type FROM events")
+    return out.select(F.unix_millis("time").alias("t_ms"), "top", "event_type")

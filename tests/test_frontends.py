@@ -1138,3 +1138,45 @@ def test_flux_sort_then_limit_is_top_n(pts):
     gotb = sorted((r.event_type, r.f_float) for r in tail.collect())
     wantb = sorted((k, v) for k in gt for v in sorted(gt[k])[:2])
     assert gotb == wantb
+
+
+def test_influxql_selector_with_accompanying_columns(pts):
+    """Selector queries return the selected POINT: bare tags/fields
+    ride along (r5 parity fix — these raised before)."""
+    out = execute_influxql(
+        pts, "SELECT last(value) AS lv, user_id FROM events GROUP BY event_type"
+    )
+    rows = {r.event_type: (r.lv, r.user_id) for r in out.collect()}
+    gt = pts.filter(F.col("event_type") == "view").orderBy(F.desc("time_ns")).first()
+    assert rows["view"] == (gt.f_float, gt.user_id)
+
+    out = execute_influxql(pts, "SELECT top(value, 3), event_type FROM events")
+    got = sorted((r.top, r.event_type) for r in out.collect())
+    want = sorted(
+        sorted(
+            ((r.f_float, r.event_type) for r in pts.select("f_float", "event_type").collect()),
+            reverse=True,
+        )[:3]
+    )
+    assert got == want
+
+    out = execute_influxql(
+        pts, "SELECT percentile(value, 95), event_type FROM events GROUP BY event_type"
+    )
+    import math
+
+    p95 = {r.event_type: r.percentile for r in out.collect()}
+    vals = sorted(r.f_float for r in pts.filter(F.col("event_type") == "click").collect())
+    assert p95["click"] == vals[max(1, math.ceil(0.95 * len(vals))) - 1]
+
+
+def test_influxql_order_by_time_without_time_column_is_noop(pts):
+    out = execute_influxql(
+        pts, "SELECT count(value) FROM events GROUP BY event_type ORDER BY time DESC"
+    )
+    got = {r.event_type: r[1] for r in out.collect()}
+    want = {
+        r.event_type: r["cnt"]
+        for r in pts.groupBy("event_type").agg(F.count("f_float").alias("cnt")).collect()
+    }
+    assert got == want
