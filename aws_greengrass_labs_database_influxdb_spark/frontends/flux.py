@@ -51,7 +51,22 @@ class FluxError(ValueError):
     pass
 
 
-COLMAP = {"_measurement": "measurement", "_field": "field", "_value": "f_float", "_time": "time"}
+COLMAP = {
+    "_measurement": "measurement",
+    "_field": "field",
+    "_value": "f_float",
+    "_time": "time",
+    "_start": "_start_ns",
+    "_stop": "_stop_ns",
+}
+
+# When an aggregate stage has replaced the raw series, `_value` should
+# resolve to its single result column (Flux rebinds _value; our stages
+# keep the fn-named alias) — enables count() |> group() |> sum() etc.
+_VALUE_RESULT_ALIASES = (
+    "count", "sum", "mean", "median", "mode", "stddev", "spread", "skew",
+    "quantile", "integral", "timeWeightedAvg",
+)
 
 _DUR_RX = re.compile(r"^-?\d+(ns|us|ms|s|m|h|d|w|mo|y)(\d+(ns|us|ms|s|m|h|d|w))*$")
 
@@ -136,6 +151,8 @@ def _split_args(argstr: str) -> dict[str, str]:
 
 def _time_to_ns(tok: str, now_ns: int) -> int:
     tok = tok.strip()
+    if tok == "now()":
+        return now_ns
     if _DUR_RX.match(tok):
         neg = tok.startswith("-")
         ns = duration_ns(tok.lstrip("-"))
@@ -162,6 +179,12 @@ def _colname(df: DataFrame, name: str) -> str:
             cand = real + name[len(flux):]
             if cand in df.columns:
                 return cand
+    if mapped == "f_float":
+        # an aggregate replaced the raw series: _value now means its
+        # (single) result column
+        hits = [c for c in df.columns if c in _VALUE_RESULT_ALIASES]
+        if len(hits) == 1:
+            return hits[0]
     return mapped
 
 
@@ -180,13 +203,26 @@ _CMP_RX = re.compile(
 )
 
 
+_EXISTS_RX = re.compile(r'(not\s+)?exists\s+r(?:\.(\w+)|\["(\w+)"\])')
+
+
 def _parse_predicate(df: DataFrame, body: str) -> Column:
-    """Conjunction/disjunction of r.<col> <op> <literal> comparisons."""
+    """Conjunction/disjunction of r.<col> <op> <literal> comparisons
+    and ``[not] exists r.<col>`` null checks."""
     body = body.strip()
     pos = 0
     tokens: list = []  # Columns and 'and'/'or'
     while pos < len(body):
         m = _CMP_RX.search(body, pos)
+        me = _EXISTS_RX.search(body, pos)
+        if me and (not m or me.start() < m.start()):
+            gap = body[pos : me.start()]
+            if tokens:
+                tokens.append("or" if re.search(r"\bor\b", gap) else "and")
+            c = _col(df, me.group(2) or me.group(3))
+            tokens.append(c.isNull() if me.group(1) else c.isNotNull())
+            pos = me.end()
+            continue
         if not m:
             break
         # connective between previous comparison and this one
@@ -642,6 +678,43 @@ def _schema_fn(points: DataFrame, fn: str, args: dict, tag_cols) -> DataFrame:
     return out.orderBy("_value")
 
 
+_COL_PRED_RX = re.compile(
+    r'^\(?\s*column\s*\)?\s*=>\s*column\s*(=~|!~|==|!=)\s*(/[^/]*/|"[^"]*")\s*$'
+)
+
+
+def _predicate_columns(df: DataFrame, fn_src: str) -> list[str]:
+    """Columns of ``df`` matched by a ``(column) => column <op> lit``
+    predicate (the keep/drop fn: form). Column names are plan-time
+    metadata, so this is evaluated in Python, not per row. Matching is
+    done on the FLUX-visible name (f_float ↔ _value etc.) so
+    ``column =~ /^_/`` selects what a Flux user expects."""
+    m = _COL_PRED_RX.match(fn_src.strip())
+    if not m:
+        raise FluxError(f"unsupported keep/drop fn predicate {fn_src!r}")
+    op, lit = m.group(1), m.group(2)
+    rev = {real: flux for flux, real in COLMAP.items()}
+    # engine plumbing a Flux user never sees — not part of the visible
+    # column set the predicate ranges over
+    internal = {"time_ns", "ingest_seq", "_ts_raw", "ftype", "props", "tags"}
+    out = []
+    for c in df.columns:
+        if c in internal:
+            continue
+        vis = rev.get(c, c)
+        if lit.startswith("/"):
+            hit = re.search(lit[1:-1], vis) is not None
+            hit = hit if op == "=~" else (not hit)
+            if op not in ("=~", "!~"):
+                raise FluxError("regex literal needs =~ or !~")
+        else:
+            eq = vis == lit[1:-1]
+            hit = eq if op == "==" else (not eq)
+        if hit:
+            out.append(c)
+    return out
+
+
 def _promote_value(pipe, alias: str):
     """Flux value-transform stages (derivative/difference/increase/
     cumulativeSum/movingAverage/…EMA) REPLACE ``_value``; the
@@ -925,10 +998,14 @@ def _run_pipeline(
             pipe = pipe.limit(int(_lit(args["n"])), int(_lit(args.get("offset", "0"))))
         elif name == "tail":
             pipe = pipe.tail(int(_lit(args["n"])))
-        elif name == "keep":
-            pipe = pipe.keep([COLMAP.get(c, c) for c in _strlist(args["columns"])])
-        elif name == "drop":
-            pipe = pipe.drop([COLMAP.get(c, c) for c in _strlist(args["columns"])])
+        elif name in ("keep", "drop"):
+            if "fn" in args:
+                # predicate form: keep/drop(fn: (column) => column <op> lit)
+                # — columns are known at plan time, so evaluate in Python
+                cols = _predicate_columns(df, args["fn"])
+            else:
+                cols = [COLMAP.get(c, c) for c in _strlist(args["columns"])]
+            pipe = pipe.keep(cols) if name == "keep" else pipe.drop(cols)
         elif name == "rename":
             body = args.get("columns", "{}").strip("{}")
             mapping = {}
@@ -940,9 +1017,21 @@ def _run_pipeline(
         elif name == "set":
             pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
         elif name == "duplicate":
-            pipe = pipe._with(
-                df.withColumn(_lit(args["as"]), F.col(COLMAP.get(_lit(args["column"]), _lit(args["column"]))))
-            )
+            src = _colname(df, _lit(args["column"]))
+            dst = _lit(args["as"])
+            if dst == "_time" and src.endswith("_ns"):
+                # the windowed-agg idiom: duplicate(column: "_stop",
+                # as: "_time") rebinds the window edge as the point
+                # time — refresh BOTH time representations
+                pipe = pipe._with(
+                    df.withColumn("time_ns", F.col(src)).withColumn(
+                        "time", F.timestamp_micros(F.expr(f"{src} div 1000"))
+                    )
+                )
+            else:
+                pipe = pipe._with(
+                    df.withColumn(COLMAP.get(dst, dst), F.col(src))
+                )
         elif name == "pivot":
             row_key = [COLMAP.get(c, c) for c in _strlist(args["rowKey"])]
             col_key = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])][0]

@@ -79,12 +79,22 @@ class Pipeline:
 
     def keep(self, columns: Sequence[str]) -> "Pipeline":
         kept = ops.keep(self.df_, list(columns))
-        return self._with(kept, group_key=tuple(c for c in self.group_key if c in kept.columns))
+        return self._with(
+            kept,
+            group_key=tuple(c for c in self.group_key if c in kept.columns),
+            # ordering columns that were projected away can't order
+            # downstream limit/tail — fall back to what survives
+            order=tuple(c for c in self.order if c in kept.columns)
+            or (("time",) if "time" in kept.columns else ()),
+        )
 
     def drop(self, columns: Sequence[str]) -> "Pipeline":
+        dropped = ops.drop(self.df_, list(columns))
         return self._with(
-            ops.drop(self.df_, list(columns)),
+            dropped,
             group_key=tuple(c for c in self.group_key if c not in columns),
+            order=tuple(c for c in self.order if c in dropped.columns)
+            or (("time",) if "time" in dropped.columns else ()),
         )
 
     def rename(self, columns: dict[str, str]) -> "Pipeline":
@@ -111,9 +121,15 @@ class Pipeline:
         return replace(self, group_key=key)
 
     def window(self, every, period=None, offset=0) -> "Pipeline":
-        """Flux ``window()``: adds ``_start``/``_stop`` to the group key."""
+        """Flux ``window()``: adds ``_start``/``_stop`` to the group key.
+
+        ``_stop_ns`` rides in the key too (functionally dependent on
+        ``_start_ns`` — no extra grouping cost) so windowed aggregates
+        keep BOTH edges, as Flux tables do; the classic
+        ``window |> mean |> duplicate(column: "_stop", as: "_time")``
+        idiom depends on it."""
         w = ops.window(self.df_, every, period, offset, self.time_ns_col, self.time_col)
-        return self._with(w, group_key=(*self.group_key, "_start_ns"))
+        return self._with(w, group_key=(*self.group_key, "_start_ns", "_stop_ns"))
 
     # ----------------------------------------------------------- aggregates
 
@@ -202,16 +218,27 @@ class Pipeline:
             order=tuple(columns), order_desc=desc,
         )
 
+    def _order_or_fallback(self) -> list[str]:
+        cols = [c for c in self.order if c in self.df_.columns]
+        if cols:
+            return cols
+        # everything orderable was projected away: any deterministic
+        # order is better than an unresolvable-column error
+        return [self.df_.columns[0]]
+
+    def _live_group_key(self) -> list[str]:
+        return [c for c in self.group_key if c in self.df_.columns]
+
     def limit(self, n: int, offset: int = 0) -> "Pipeline":
         return self._with(
-            ops.limit(self.df_, n, offset, self.group_key,
-                      order=list(self.order), desc=self.order_desc)
+            ops.limit(self.df_, n, offset, self._live_group_key(),
+                      order=self._order_or_fallback(), desc=self.order_desc)
         )
 
     def tail(self, n: int) -> "Pipeline":
         return self._with(
-            ops.tail(self.df_, n, 0, self.group_key,
-                     order=list(self.order), desc=self.order_desc)
+            ops.tail(self.df_, n, 0, self._live_group_key(),
+                     order=self._order_or_fallback(), desc=self.order_desc)
         )
 
     # -------------------------------------------------------------- combine
@@ -224,8 +251,14 @@ class Pipeline:
 
     def pivot(self, row_key: Sequence[str], column_key: str, value_column: str,
               values: Sequence[str] | None = None) -> "Pipeline":
+        out = ops.pivot(self.df_, list(row_key), column_key, value_column, values)
         return self._with(
-            ops.pivot(self.df_, list(row_key), column_key, value_column, values)
+            out,
+            # the pivoted key and value columns are gone — the group
+            # key (and order) must not reference them downstream
+            group_key=tuple(c for c in self.group_key if c in out.columns),
+            order=tuple(c for c in self.order if c in out.columns)
+            or (("time",) if "time" in out.columns else ()),
         )
 
     def yield_(self) -> DataFrame:

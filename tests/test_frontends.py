@@ -1180,3 +1180,53 @@ def test_influxql_order_by_time_without_time_column_is_noop(pts):
         for r in pts.groupBy("event_type").agg(F.count("f_float").alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_flux_reaggregation_rebinds_value(pts):
+    """count() |> group() |> sum() — _value resolves to the aggregate's
+    result column after the raw series is gone (r5 probe fix)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> count() |> group() |> sum()",
+    )
+    assert out.collect()[0][0] == pts.count()
+
+
+def test_flux_exists_and_now_literals(pts):
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => exists r.user_id) |> count()'
+    )
+    assert out.collect()[0]["count"] == pts.count()
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => not exists r.user_id) |> count()'
+    )
+    assert out.count() == 0
+    # range(stop: now()) parses; data is historical → full count
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> range(start: 0, stop: now()) |> count()'
+    )
+    assert out.collect()[0]["count"] == pts.count()
+
+
+def test_flux_window_keeps_stop_and_duplicate_rebinds_time(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start:0) |> window(every: 10d) |> mean()'
+        ' |> duplicate(column: "_stop", as: "_time")',
+    )
+    rows = out.collect()
+    assert all(r.time_ns == r._stop_ns for r in rows)
+    assert {"_start_ns", "_stop_ns", "mean"} <= set(out.columns)
+
+
+def test_flux_keep_drop_predicate_form(pts):
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> keep(fn: (column) => column =~ /^_/) |> limit(n: 1)'
+    )
+    # flux-visible underscore columns only: _measurement/_time/_field/_value
+    assert set(out.columns) == {"measurement", "time", "field", "f_float"}
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> drop(fn: (column) => column == "user_id") |> limit(n: 1)'
+    )
+    assert "user_id" not in out.columns
