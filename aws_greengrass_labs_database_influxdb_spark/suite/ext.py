@@ -1246,3 +1246,60 @@ def ext_retrieval_bm25(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
     return bm25_topk(d, qdf, k=5)
+
+
+# SQ8 oracle: quantization ranges are per-dimension order statistics
+# (min/max — exact at any parallelism, unlike float sums), and encode/
+# decode/distance are identical IEEE expression trees with strict
+# left-to-right distance folds, so DuckDB reproduces codes and
+# rankings exactly.
+_SQ8_SQL = """
+    WITH dim AS (
+      SELECT u.d,
+             min(e.embedding[u.d]::DOUBLE) AS mn,
+             max(e.embedding[u.d]::DOUBLE) AS mx
+      FROM embeddings e CROSS JOIN range(1, 65) u(d) GROUP BY u.d
+    ),
+    params AS (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM dim
+    ),
+    enc AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), d -> CASE
+               WHEN p.maxs[d] = p.mins[d] THEN 0
+               ELSE CAST(least(greatest(floor(
+                 (e.embedding[d]::DOUBLE - p.mins[d]) / (p.maxs[d] - p.mins[d]) * 255
+               ), 0), 255) AS INT) END) AS codes
+      FROM embeddings e CROSS JOIN params p
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             list_reduce(list_transform(range(1, 65), d ->
+               (q.embedding[d]::DOUBLE - (p.mins[d] + c.codes[d] * ((p.maxs[d] - p.mins[d]) / 255.0)))
+               * (q.embedding[d]::DOUBLE - (p.mins[d] + c.codes[d] * ((p.maxs[d] - p.mins[d]) / 255.0)))),
+               (acc, x) -> acc + x) AS dist
+      FROM q CROSS JOIN enc c CROSS JOIN params p
+      WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, round(dist, 6) AS dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dist, 6) ASC, match_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, match_id, dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ext_similarity_sq8", _SQ8_SQL)
+def ext_similarity_sq8(spark, sf_dir):
+    """8-bit scalar-quantized ANN: per-dimension min/max ranges, 4×
+    compression, on-the-fly decode against full-precision queries.
+    Complements PQ (less compression, lower distortion, no training);
+    ranges are order statistics so the whole pipeline is oracle-exact."""
+    from ..ext.similarity import sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(e, e.filter(F.col("vec_id") < 5), k=5)

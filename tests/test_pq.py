@@ -138,3 +138,42 @@ def test_ivf_pq_partial_probe_subsets_probed_cells(emb):
         assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
         # matches live in at most nprobe distinct cells
         assert len({cell_of[r.match_id] for r in rs}) <= 2
+
+
+def test_sq8_topk_nearly_exact(emb):
+    """255 levels per dimension quantize finely — SQ8 top-5 should
+    almost exactly match exact L2 top-5 (unlike PQ's coarse cells)."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import sq8_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    out = sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.match_id)
+    hits = 0
+    for qi in range(5):
+        qv = X[ids == qi][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        d2[ids == qi] = np.inf
+        exact5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        hits += len(exact5 & got[qi])
+    assert hits >= 20, f"SQ8 recall@5 unexpectedly low: {hits}/25"
+
+
+def test_sq8_encode_bounds_and_degenerate_dims(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        sq8_encode,
+        sq8_params,
+    )
+
+    rows = [(0, [0.0, 5.0, -1.0, 7.0]), (1, [1.0, 5.0, 3.0, 7.0]),
+            (2, [0.5, 5.0, 1.0, 7.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = sq8_params(df, dims=4)
+    enc = {r.vec_id: r.codes for r in sq8_encode(df, p, dims=4).collect()}
+    # min → 0, max → 255; constant dims (1 and 3) → 0 everywhere
+    assert enc[0] == [0, 0, 0, 0]
+    assert enc[1] == [255, 0, 255, 0]
+    assert all(0 <= c <= 255 for codes in enc.values() for c in codes)
