@@ -43,6 +43,7 @@ HEADLINE = [
     "ext_dedup_minhash_lsh",
     "ext_similarity_topk",
     "ext_similarity_pq",
+    "ext_similarity_sq8",
     "ext_text_stats",
     "ext_span_dedup",
     "ext_repetition",
