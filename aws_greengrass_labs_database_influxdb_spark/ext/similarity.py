@@ -751,3 +751,40 @@ def sq8_topk(
         .select(query_id_col, F.col(id_col).alias("match_id"), "dist",
                 F.col("_rn").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------- balanced subsampling
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced corpus subsample: vector-quantize each row to
+    its nearest centroid, then keep a deterministic quota per cluster
+    — the curation step that stops a training mix from being dominated
+    by its densest embedding regions.
+
+    Returns ``(id, cluster, samp_rank)`` for the kept rows. The
+    within-cluster order is ``md5(id)`` (a seedless deterministic
+    shuffle — stable across runs and engines, unlike rand()), so the
+    sample is reproducible and oracle-checkable. One map stage for
+    assignment (literal centroid arrays, same HOF distance folds as
+    PQ) + one per-cluster window; the corpus shuffles once, on the
+    cluster key. Centroids come from :func:`ivf_build` (trained) or
+    :func:`pq_codebook_random`-style literals (portable/oracle mode).
+    """
+    dists = F.element_at(_pq_lut(F.col(vec_col), [centroids]), 1)
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = corpus.select(F.col(id_col), cluster.alias("cluster"))
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("samp_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("samp_rank") <= per_cluster)
+        .select(id_col, "cluster", "samp_rank")
+    )

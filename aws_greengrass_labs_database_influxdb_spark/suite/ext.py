@@ -1303,3 +1303,54 @@ def ext_similarity_sq8(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+# Balanced-sample oracle: literal centroids (seeded 6dp — identical
+# doubles both engines), the same HOF distance folds as the PQ oracle,
+# md5-of-id as the deterministic within-cluster shuffle.
+def _cluster_sample_sql() -> str:
+    from ..ext.similarity import pq_codebook_random
+
+    cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
+    cb_lit = (
+        "[" + ", ".join("[" + ", ".join(f"{v:.6f}" for v in c) + "]" for c in cents) + "]"
+    )
+    return f"""
+    WITH cbt AS (SELECT {cb_lit} AS cb),
+    assigned AS (
+      SELECT e.vec_id,
+             CAST(list_position(
+               list_transform(range(1, 17), c -> list_reduce(
+                 list_transform(range(1, 65), j ->
+                   (e.embedding[j]::DOUBLE - cb[c][j]) * (e.embedding[j]::DOUBLE - cb[c][j])),
+                 (acc, x) -> acc + x)),
+               list_min(
+               list_transform(range(1, 17), c -> list_reduce(
+                 list_transform(range(1, 65), j ->
+                   (e.embedding[j]::DOUBLE - cb[c][j]) * (e.embedding[j]::DOUBLE - cb[c][j])),
+                 (acc, x) -> acc + x)))) - 1 AS INT) AS cluster
+      FROM embeddings e CROSS JOIN cbt
+    ),
+    ranked AS (
+      SELECT vec_id, cluster,
+             CAST(row_number() OVER (PARTITION BY cluster
+                    ORDER BY md5(vec_id::VARCHAR), vec_id) AS INT) AS samp_rank
+      FROM assigned
+    )
+    SELECT vec_id, cluster, samp_rank FROM ranked WHERE samp_rank <= 10
+"""
+
+
+@q("ext_cluster_balanced_sample", _cluster_sample_sql())
+def ext_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-balanced subsample: vector-quantize to 16 centroids,
+    keep 10 docs per cluster under a deterministic md5-of-id shuffle —
+    the curation step that stops a training mix from being dominated
+    by its densest embedding regions. Portable literal centroids put
+    assignment + quota under the exact oracle; the trained-centroid
+    path (ivf_build) is unit-tested."""
+    from ..ext.similarity import cluster_balanced_sample, pq_codebook_random
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
+    return cluster_balanced_sample(e, cents, per_cluster=10)

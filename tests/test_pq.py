@@ -177,3 +177,29 @@ def test_sq8_encode_bounds_and_degenerate_dims(spark):
     assert enc[0] == [0, 0, 0, 0]
     assert enc[1] == [255, 0, 255, 0]
     assert all(0 <= c <= 255 for codes in enc.values() for c in codes)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(emb):
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        cluster_balanced_sample,
+        ivf_build,
+        pq_codebook_random,
+    )
+
+    cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
+    a = cluster_balanced_sample(emb, cents, per_cluster=5).collect()
+    b = cluster_balanced_sample(emb, cents, per_cluster=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    per = {}
+    for r in a:
+        per[r.cluster] = per.get(r.cluster, 0) + 1
+        assert 1 <= r.samp_rank <= 5
+    assert all(v <= 5 for v in per.values())
+    assert len(per) > 1  # random centroids split the corpus
+
+    # trained-centroid path: k-means cells give a balanced-ish split
+    _, trained = ivf_build(emb, n_centroids=8, max_iter=4)
+    t = cluster_balanced_sample(emb, trained, per_cluster=5).collect()
+    clusters = {r.cluster for r in t}
+    assert clusters <= set(range(8)) and len(clusters) >= 4
+    assert all(r.samp_rank <= 5 for r in t)
