@@ -135,7 +135,10 @@ def _parse_duration(tok: str) -> int:
 
 
 _TIME_RX = re.compile(
-    r"time\s*(>=|<=|>|<)\s*(?:'([^']+)'|(\d+)(ns|u|µ|ms|s)?)", re.IGNORECASE
+    r"time\s*(>=|<=|>|<)\s*"
+    r"(?:'([^']+)'|(\d+)(ns|u|µ|ms|s)?"
+    r"|now\(\)\s*(?:([+-])\s*(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?)",
+    re.IGNORECASE,
 )
 _TAG_RX = re.compile(r"\"?(\w+)\"?\s*(=|!=)\s*'([^']*)'")
 _TAG_REGEX_RX = re.compile(r"\"?(\w+)\"?\s*(=~|!~)\s*/([^/]*)/")
@@ -235,10 +238,12 @@ def _default_arith_alias(tree) -> str:
     return "expr"
 
 
-def _parse_where(where: str, out: InfluxQLQuery) -> None:
+def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> None:
     """Parse a WHERE clause (time bounds, tag =/!=/=~/!~, field
     comparisons, parenthesized OR groups) into ``out`` — shared by
-    SELECT and SHOW parsing."""
+    SELECT and SHOW parsing. ``now_ns`` anchors ``now() ± duration``
+    bounds (the standard Grafana time-picker shape); defaults to the
+    wall clock."""
     for cond in re.split(r"(?i)\s+AND\s+", where) if where else []:
         cond = cond.strip()
         if not cond:
@@ -246,7 +251,15 @@ def _parse_where(where: str, out: InfluxQLQuery) -> None:
         tm = _TIME_RX.match(cond)
         if tm:
             op = tm.group(1)
-            if tm.group(2):
+            if tm.group(2) is None and tm.group(3) is None:
+                # now() [± duration]
+                import time as _time
+
+                ns = now_ns if now_ns is not None else _time.time_ns()
+                if tm.group(6):
+                    delta = _parse_duration(tm.group(6))
+                    ns = ns - delta if tm.group(5) == "-" else ns + delta
+            elif tm.group(2):
                 ns = _ts_to_ns(tm.group(2))
                 if out.tzname:
                     # with tz(), string time literals are local wall
@@ -294,7 +307,7 @@ def _parse_where(where: str, out: InfluxQLQuery) -> None:
         raise InfluxQLError(f"cannot parse WHERE clause {cond!r}")
 
 
-def parse_influxql(q: str) -> InfluxQLQuery:
+def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     text = q.strip().rstrip(";")
     tzname = None
     tzm = re.search(r"(?i)\s+tz\(\s*'([^']+)'\s*\)\s*$", text)
@@ -380,7 +393,7 @@ def parse_influxql(q: str) -> InfluxQLQuery:
                 raise InfluxQLError(f"bad select expression {part!r}")
             out.fields.append((None, cm.group(1), cm.group(2) or cm.group(1)))
 
-    _parse_where(m.group("where") or "", out)
+    _parse_where(m.group("where") or "", out, now_ns)
 
     # GROUP BY — fill() rides on the clause without a comma, so extract
     # it from the raw text first, then parse the remaining tokens.
@@ -889,7 +902,8 @@ def _execute_multi_row(
     return out
 
 
-def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = ()) -> DataFrame:
+def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = (),
+                     now_ns: int | None = None) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
     ``tag_cols`` names promoted tag columns available for GROUP BY /
@@ -931,9 +945,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         pseudo = inner.withColumn(
             "time_ns", F.expr("unix_micros(time) * 1000")
         ).withColumn("measurement", F.lit(_SUBQUERY_MEAS))
-        return execute_influxql(pseudo, outer_text, tag_cols)
+        return execute_influxql(pseudo, outer_text, tag_cols, now_ns)
 
-    ast = parse_influxql(query)
+    ast = parse_influxql(query, now_ns)
     multi_meas = ast.measurement_regex is not None or len(ast.measurements) > 1
     if ast.measurement_regex is not None:
         df = points.filter(F.col("measurement").rlike(ast.measurement_regex))

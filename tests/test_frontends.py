@@ -1230,3 +1230,24 @@ def test_flux_keep_drop_predicate_form(pts):
         pts, 'from(bucket:"b") |> drop(fn: (column) => column == "user_id") |> limit(n: 1)'
     )
     assert "user_id" not in out.columns
+
+
+def test_influxql_now_relative_time_bounds(pts):
+    """WHERE time > now() - 30d — the standard Grafana time-picker
+    shape (r5 probe fix). now_ns pins the clock for determinism."""
+    now = T0 + 15 * 86400 * 10**9
+    out = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE time >= now() - 5d",
+        now_ns=now,
+    )
+    gt = pts.filter(F.col("time_ns") >= now - 5 * 86400 * 10**9).count()
+    assert out.collect()[0][0] == gt
+
+    out = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE time < now()", now_ns=now
+    )
+    assert out.collect()[0][0] == pts.filter(F.col("time_ns") < now).count()
+
+    # bare now() defaults to the wall clock: all historical data
+    out = execute_influxql(pts, "SELECT count(value) FROM events WHERE time < now()")
+    assert out.collect()[0][0] == pts.count()
