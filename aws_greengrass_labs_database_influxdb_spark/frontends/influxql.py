@@ -359,6 +359,10 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         # arithmetic over aggregates/literals: mean(v) * 8, max(v)-min(v)
         am = re.match(r'(?is)^(.*?)(?:\s+AS\s+"?(\w+)"?)?$', part)
         expr_src, expr_alias = am.group(1).strip(), am.group(2)
+        if expr_src == "*":
+            # raw star projection: all tags + the field value
+            out.fields.append((None, "*", expr_alias or "value"))
+            continue
         tree = _parse_select_arith(expr_src)
         if tree is not None and tree[0] == "bin":
             kinds = _tree_atom_kinds(tree)
@@ -1070,6 +1074,15 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
+            if fld == "*" and fn is None:
+                # SELECT *: every promoted tag column rides along with
+                # the field value (InfluxDB 1.x star semantics)
+                for t in df.columns:
+                    if (t not in _NON_TAG_COLS and not t.startswith("_")
+                            and t not in by):
+                        sel.append(F.col(t))
+                sel.append(F.col("f_float").alias(alias))
+                continue
             src = (
                 "f_float"
                 if fld in ("*", "value") or fld not in df.columns

@@ -987,3 +987,23 @@ def influxql_top_tags(spark, sf_dir):
     pts = events_points(spark, sf_dir)
     out = execute_influxql(pts, "SELECT top(value, 3), event_type FROM events")
     return out.select(F.unix_millis("time").alias("t_ms"), "top", "event_type")
+
+
+@q(
+    "influxql_select_star",
+    """
+    SELECT epoch_ms(ts) AS t_ms, event_type, user_id, value FROM (
+      SELECT *, row_number() OVER (ORDER BY ts ASC, event_id ASC) rn
+      FROM events WHERE event_type = 'error') WHERE rn <= 20
+    """,
+)
+def influxql_select_star(spark, sf_dir):
+    """Raw star projection (r5 parity fix): SELECT * returns the
+    point time, every tag column, and the field value."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT * FROM events WHERE event_type = 'error' LIMIT 20"
+    )
+    return out.select(
+        F.unix_millis("time").alias("t_ms"), "event_type", "user_id", "value"
+    )

@@ -1251,3 +1251,10 @@ def test_influxql_now_relative_time_bounds(pts):
     # bare now() defaults to the wall clock: all historical data
     out = execute_influxql(pts, "SELECT count(value) FROM events WHERE time < now()")
     assert out.collect()[0][0] == pts.count()
+
+
+def test_influxql_select_star_projects_tags_and_value(pts):
+    out = execute_influxql(pts, "SELECT * FROM events WHERE event_type = 'click' LIMIT 3")
+    assert out.columns == ["time", "event_type", "user_id", "value"]
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.event_type == "click" for r in rows)
