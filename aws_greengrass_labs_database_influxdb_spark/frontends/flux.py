@@ -287,9 +287,10 @@ AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "ske
 
 _ARITH_TOKEN_RX = re.compile(
     r'r\.\w+|r\["[^"]+"\]'
+    r"|\d+(?:ns|us|ms|mo|[smhdwy])\b"  # duration literal (before numbers)
     r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # incl. scientific notation
     r'|"(?:[^"\\]|\\.)*"'
-    r"|(?:strings|math)\.\w+|\b(?:float|int|uint|string)\b|\w+:|[(),+\-*/%]"
+    r"|(?:strings|math|date)\.\w+|\b(?:float|int|uint|string)\b|\w+:|[(),+\-*/%]"
 )
 
 # Flux stdlib functions usable inside map(): labeled-argument calls
@@ -322,6 +323,25 @@ _MAP_FUNCS: dict = {
     "math.round": (("x",), lambda x: F.round(x, 0)),
     "math.trunc": (("x",), lambda x: x.cast("long").cast("double")),
     "math.mMax": (("x", "y"), lambda x, y: F.greatest(x, y)),
+    # date package: truncation via exact ns arithmetic (units w/d/h/m/s
+    # — epoch-aligned like window()); extractors via Spark datetime fns
+    "date.truncate": (
+        ("t", "unit"),
+        lambda t, u: F.timestamp_micros(
+            (
+                (F.unix_micros(t) * 1000 - F.pmod(F.unix_micros(t) * 1000, u))
+                / F.lit(1000)
+            ).cast("long")
+        ),
+    ),
+    "date.hour": (("t",), lambda t: F.hour(t).cast("long")),
+    "date.minute": (("t",), lambda t: F.minute(t).cast("long")),
+    "date.second": (("t",), lambda t: F.second(t).cast("long")),
+    "date.monthDay": (("t",), lambda t: F.dayofmonth(t).cast("long")),
+    "date.month": (("t",), lambda t: F.month(t).cast("long")),
+    "date.year": (("t",), lambda t: F.year(t).cast("long")),
+    # Flux weekDay: Sunday = 0
+    "date.weekDay": (("t",), lambda t: (F.dayofweek(t) - 1).cast("long")),
     "math.mMin": (("x", "y"), lambda x, y: F.least(x, y)),
     # type conversions: float()/int()/uint()/string() — Flux int()
     # truncates toward zero (Spark cast semantics, unlike SQL round)
@@ -404,6 +424,8 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             return _col(df, t[2:])
         if t.startswith('"'):
             return F.lit(t[1:-1])
+        if re.fullmatch(r"\d+(?:ns|us|ms|mo|[smhdwy])", t):
+            return F.lit(duration_ns(t))
         return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
 
     def term() -> Column:
@@ -1062,6 +1084,26 @@ def _run_pipeline(
             from ..operators.core import truncate_time
 
             pipe = pipe._with(truncate_time(df, _lit(args["unit"])))
+        elif name in ("toInt", "toFloat", "toString", "toBool"):
+            # type-conversion stages rebind _value to the cast value
+            # (Flux toInt truncates toward zero, like Spark's cast)
+            cur = _colname(df, "_value")
+            if cur not in df.columns:
+                raise FluxError(f"{name}() has no _value column to convert")
+            spark_type = {"toInt": "long", "toFloat": "double",
+                          "toString": "string", "toBool": "boolean"}[name]
+            pipe = pipe._with(df.withColumn(cur, F.col(cur).cast(spark_type)))
+        elif name == "columns":
+            # one row per Flux-visible column label
+            rev = {real: flux for flux, real in COLMAP.items()}
+            internal = {"time_ns", "ingest_seq", "_ts_raw", "ftype", "props", "tags"}
+            labels = [rev.get(c, c) for c in df.columns if c not in internal]
+            out_col = _lit(args.get("column", '"_value"'))
+            pipe = pipe._with(
+                df.sparkSession.createDataFrame(
+                    [(l,) for l in labels], f"`{out_col}` string"
+                )
+            )
         elif name == "unique":
             from ..operators.selectors import unique as _unique
 

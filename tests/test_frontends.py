@@ -1258,3 +1258,31 @@ def test_influxql_select_star_projects_tags_and_value(pts):
     assert out.columns == ["time", "event_type", "user_id", "value"]
     rows = out.collect()
     assert len(rows) == 3 and all(r.event_type == "click" for r in rows)
+
+
+def test_flux_conversion_stages_and_columns(pts):
+    out = execute_flux(pts, 'from(bucket:"b") |> toInt() |> sum()')
+    gt = pts.agg(F.sum(F.col("f_float").cast("long"))).first()[0]
+    assert out.collect()[0][-1] == gt
+    out = execute_flux(pts, 'from(bucket:"b") |> toString() |> limit(n: 1)')
+    assert dict(out.dtypes)["f_float"] == "string"
+    labels = {r[0] for r in execute_flux(pts, 'from(bucket:"b") |> columns()').collect()}
+    assert {"_measurement", "_time", "_field", "_value"} <= labels
+
+
+def test_flux_date_package_in_map(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => '
+        "({r with d: date.truncate(t: r._time, unit: 1h), h: date.hour(t: r._time)}))"
+        " |> limit(n: 5)",
+    )
+    for r in out.collect():
+        assert r.d.minute == 0 and r.d.second == 0 and r.d.microsecond == 0
+        assert r.d.hour == r.time.hour == r.h
+    wd = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => ({r with wd: date.weekDay(t: r._time)}))'
+        ' |> group(columns: ["wd"]) |> count()',
+    )
+    assert {r.wd for r in wd.collect()} == set(range(7))  # Sunday = 0
