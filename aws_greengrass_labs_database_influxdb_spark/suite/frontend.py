@@ -1007,3 +1007,77 @@ def influxql_select_star(spark, sf_dir):
     return out.select(
         F.unix_millis("time").alias("t_ms"), "event_type", "user_id", "value"
     )
+
+
+@q(
+    "flux_text_sort_limit",
+    """
+    WITH r AS (
+      SELECT event_type, value, epoch_ms(ts) AS t_ms,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts DESC) rn
+      FROM events)
+    SELECT event_type, t_ms, value FROM r WHERE rn <= 3
+    """,
+)
+def flux_text_sort_limit(spark, sf_dir):
+    """The canonical Flux top-N idiom — sort(desc) |> limit(n) takes
+    the first n rows of the CURRENT order (r5 parity fix, now under
+    the oracle gate, not just pytest). The time column rides in the
+    sort key so equal values order deterministically."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> sort(columns: ["_value", "_time"], desc: true) |> limit(n: 3)',
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), F.col("f_float").alias("value")
+    )
+
+
+@q(
+    "flux_text_derivative_mean",
+    """
+    WITH d AS (
+      SELECT event_type,
+             (value - lag(value) OVER w) / ((epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9)
+               AS der
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+    SELECT event_type, round(avg(der), 6) AS mean
+    FROM d WHERE der IS NOT NULL GROUP BY 1
+    """,
+)
+def flux_text_derivative_mean(spark, sf_dir):
+    """derivative() |> mean() — the transform must rebind _value so
+    the aggregate sees rates, not raw values (r5 parity fix, under the
+    oracle gate). 6dp rounding absorbs sum-association ulps."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> derivative(unit: 1s) |> mean()",
+    )
+    return out.select("event_type", F.round("mean", 6).alias("mean"))
+
+
+@q(
+    "flux_text_date_map",
+    """
+    SELECT hour(ts) AS h, dayofweek(ts) AS wd, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def flux_text_date_map(spark, sf_dir):
+    """date package inside map(): truncate/hour/weekDay compiled to
+    Column expressions (Sunday = 0 weekday convention, matching both
+    Flux and DuckDB)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => ({r with '
+        "h: date.hour(t: r._time), wd: date.weekDay(t: r._time)}))"
+        ' |> group(columns: ["h", "wd"]) |> count()',
+    )
+    return out.select("h", "wd", F.col("count").alias("n"))
