@@ -50,7 +50,10 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ tf per doc — same integer as counting the exploded tokens,
+    # but aggregated from the (much smaller) postings table instead of
+    # re-shuffling the full token stream
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # N and avgdl as exact integer aggregates (one tiny row, broadcast)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
