@@ -1107,12 +1107,16 @@ def _run_pipeline(
         elif name == "unique":
             from ..operators.selectors import unique as _unique
 
-            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            col = _colname(df, _lit(args.get("column", '"_value"')))
+            if col not in df.columns:
+                raise FluxError(f"unique(column:) references unknown column {col!r}")
             pipe = pipe._with(_unique(df, col, by=pipe.group_key))
         elif name == "distinct":
             from ..operators.selectors import distinct_rows
 
-            col = COLMAP.get(_lit(args.get("column", '"_value"')), "f_float")
+            col = _colname(df, _lit(args.get("column", '"_value"')))
+            if col not in df.columns:
+                raise FluxError(f"distinct(column:) references unknown column {col!r}")
             pipe = pipe._with(distinct_rows(df, col, by=pipe.group_key))
         elif name == "sample":
             from ..operators.selectors import sample as _sample
@@ -1187,7 +1191,11 @@ def _run_pipeline(
                 raise FluxError(f"{name} needs columns: [x, y]")
             use_pearson = name == "pearsonr" or _lit(args.get("pearsonr", "false")) is True
             fn = _an.pearsonr if use_pearson else _an.covariance
-            dst = COLMAP.get(_lit(args.get("valueDst", '"_value"')), "f_float")
+            _dst_name = _lit(args.get("valueDst", '"_value"'))
+            # valueDst is an OUTPUT name: map known Flux names to their
+            # physical columns, keep custom names verbatim (no f_float
+            # fallback — that silently aliased the result to _value)
+            dst = COLMAP.get(_dst_name, _dst_name)
             pipe = pipe._with(fn(df, cols[0], cols[1], by=pipe.group_key, alias=dst))
         elif name == "hourSelection":
             from ..operators.core import hour_selection

@@ -1286,3 +1286,47 @@ def test_flux_date_package_in_map(pts):
         ' |> group(columns: ["wd"]) |> count()',
     )
     assert {r.wd for r in wd.collect()} == set(range(7))  # Sunday = 0
+
+
+def test_flux_column_arg_resolves_map_derived_columns(pts):
+    """ADVICE r4: `column:` args naming a map()-derived column must use
+    THAT column (and error when absent), never silently fall back to
+    aggregating _value. Covers unique/distinct plus the agg stages."""
+    # distinct over a derived column: values are f_float*0+2 -> one row
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => ({r with y: r._value * 0.0 + 2.0}))'
+        ' |> distinct(column: "y")',
+    )
+    assert [r.y for r in out.collect()] == [2.0]
+    # unique over a constant derived column: every row ties -> zero rows
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 5)'
+        " |> map(fn: (r) => ({r with y: 7.0})) |> unique(column: \"y\")",
+    )
+    assert out.count() == 0
+    # sum over a derived column must NOT sum _value (the original bug)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 3)'
+        ' |> map(fn: (r) => ({r with y: 10.0})) |> sum(column: "y")',
+    )
+    assert out.collect()[0]["sum"] == 30.0
+    # unknown column -> loud FluxError, not a silent _value fallback
+    for stage in ('unique(column: "nope")', 'distinct(column: "nope")'):
+        with pytest.raises(FluxError):
+            execute_flux(pts, f'from(bucket:"b") |> {stage}')
+
+
+def test_flux_covariance_custom_value_dst(pts):
+    """covariance valueDst names the OUTPUT column verbatim (it used to
+    collapse any custom name to f_float)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> map(fn: (r) => ({r with v2: r._value * 2.0}))'
+        ' |> covariance(columns: ["_value", "v2"], valueDst: "cov2")',
+    )
+    row = out.collect()[0]
+    var = pts.agg(F.var_samp("f_float")).first()[0]
+    assert abs(row["cov2"] - 2.0 * var) < 1e-6 * abs(2.0 * var)
