@@ -99,3 +99,102 @@ def bm25_topk(
             F.col("_rn").cast("int").alias("rank"),
         )
     )
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k TF-IDF cosine matches per query: ``(query_id, match_id,
+    score, rank)``.
+
+    Weighting: ``w(d,t) = tf · ln(N/df)``; score is the cosine between
+    the query's and document's sparse weight vectors. Query terms
+    absent from the corpus vocabulary carry no weight (idf undefined)
+    and are excluded from the query norm — the standard inner-join
+    convention.
+
+    Determinism (same discipline as :func:`bm25_topk`): tf/df/N are
+    exact integer aggregates; each weight is quantized to 6dp, and both
+    the dot product and the squared norms sum decimal(18,6) terms —
+    associative, so partition order can't shift the result; ``ln`` and
+    ``sqrt`` are IEEE-identical across engines.
+
+    100 TB shape: identical to BM25 — one postings shuffle
+    (groupBy doc,term with map-side combine), a vocabulary-bounded df
+    table, document norms aggregated from the postings (not the raw
+    token stream), broadcast query side; the corpus never reshuffles
+    per query.
+    """
+    toks = corpus.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+
+    idf = F.log(F.col("n_docs").cast("double") / F.col("dfreq"))
+    wd = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.round(F.col("tf") * idf, 6))
+    )
+    norm_d = wd.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 6).cast("decimal(18,6)"))
+            .cast("double")
+        ).alias("_nd")
+    )
+
+    qtf = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens_col(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    wq = (
+        qtf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("wq", F.round(F.col("qtf") * idf, 6))
+        .select(query_id_col, "term", "wq")
+    )
+    norm_q = wq.groupBy(query_id_col).agg(
+        F.sqrt(
+            F.sum(F.round(F.col("wq") * F.col("wq"), 6).cast("decimal(18,6)"))
+            .cast("double")
+        ).alias("_nq")
+    )
+
+    dots = (
+        wd.join(F.broadcast(wq), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum(F.round(F.col("w") * F.col("wq"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("_dot")
+        )
+    )
+    scored = (
+        dots.join(norm_d, id_col)
+        .join(F.broadcast(norm_q), query_id_col)
+        .withColumn("score", F.round(F.col("_dot") / (F.col("_nd") * F.col("_nq")), 6))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("match_id"),
+            "score",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )

@@ -788,3 +788,35 @@ def cluster_balanced_sample(
         .filter(F.col("samp_rank") <= per_cluster)
         .select(id_col, "cluster", "samp_rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int | None = None,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """k-nearest-neighbor graph over the corpus itself: ``(src_id,
+    match_id, cosine, rank)`` — every vector's top-k cosine neighbors.
+
+    The building block for diversity sampling, graph-based clustering,
+    and semantic-dedup audits. Routed through the IVF index so the
+    self-"join" is keyed on ``centroid_id`` — candidates are bounded by
+    (cell size × nprobe), never the N² all-pairs frame; cell skew is
+    the one hot axis (AQE skew-join splits hot cells). With
+    ``nprobe=None`` (= all cells) the graph is exact — the oracle
+    configuration; production uses ``nprobe ≪ n_centroids``.
+    """
+    indexed, centroids = ivf_build(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter,
+    )
+    return ivf_topk(
+        indexed, centroids, corpus.select(id_col, vec_col),
+        k=k, nprobe=n_centroids if nprobe is None else nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col="src_id",
+    )

@@ -245,3 +245,53 @@ def document_fingerprint(
         .withColumn("fingerprint_mins", F.slice(F.array_sort("_grams"), 1, 4))
         .drop("_toks", "_grams")
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality score from a hashed bag-of-tokens linear model
+    (fasttext-shaped): ``logit = mean_t weight[h(t) mod dim]``,
+    ``prob = sigmoid(logit)``.
+
+    The weight vector is a deterministic md5-derived pseudo-model in
+    [-1, 1] — the Spark-side plumbing (hashing trick, feature-bucket
+    fold, per-doc mean) is the real product; swapping in trained
+    weights is a broadcast-join on ``bucket``. Everything is a Column
+    expression: explode → md5 bucket → per-occurrence weight →
+    one groupBy(doc) with map-side combine. Per-occurrence weights are
+    quantized to decimal(18,6) before the sum (associative → partition-
+    order-independent), so the score is oracle-exact cross-engine.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"), F.lit(dim)
+    )
+    # weight(b) ∈ [-1, 1]: affine map of md5("w:<b>")'s first 60 bits
+    w_raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    weight = (w_raw % F.lit(2000001)).cast("double") / F.lit(1000000.0) - F.lit(1.0)
+    scored = toks.select(
+        F.col(id_col), F.round(weight, 6).cast("decimal(18,6)").alias("_w")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_w").cast("double").alias("_sum_w"),
+    )
+    # the logit stays UNrounded: sum_w is a decimal sum cast to double
+    # and the division is one IEEE op — bit-identical cross-engine,
+    # whereas round() half-ties at 1e-6 resolve differently per engine
+    logit = F.col("_sum_w") / F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        logit.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
+    )

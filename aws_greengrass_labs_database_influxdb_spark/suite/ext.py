@@ -1354,3 +1354,156 @@ def ext_cluster_balanced_sample(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
     return cluster_balanced_sample(e, cents, per_cluster=10)
+
+
+# TF-IDF oracle: same determinism discipline as BM25 — integer tf/df/N,
+# 6dp-quantized weights, decimal(18,6) sums for both the dot product
+# and the squared norms (associative → partition-order-independent);
+# ln/sqrt are IEEE-identical across engines.
+_TFIDF_SQL = rf"""
+    WITH q(query_id, query) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    wd AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(s.n_docs::DOUBLE / d.dfreq), 6) AS w
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    nd AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(round(w * w, 6)::DECIMAL(18,6)) AS DOUBLE)) AS nd
+      FROM wd GROUP BY 1
+    ),
+    qtok AS (
+      SELECT query_id,
+             unnest(string_split(lower(trim(regexp_replace(query, '\s+', ' ', 'g'))), ' ')) AS term
+      FROM q
+    ),
+    qt AS (SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY 1, 2),
+    wq AS (
+      SELECT qt.query_id, qt.term,
+             round(qt.qtf * ln(s.n_docs::DOUBLE / d.dfreq), 6) AS wq
+      FROM qt JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    nq AS (
+      SELECT query_id,
+             sqrt(CAST(sum(round(wq * wq, 6)::DECIMAL(18,6)) AS DOUBLE)) AS nq
+      FROM wq GROUP BY 1
+    ),
+    dots AS (
+      SELECT wq.query_id, wd.doc_id,
+             CAST(sum(round(wd.w * wq.wq, 6)::DECIMAL(18,6)) AS DOUBLE) AS dot
+      FROM wd JOIN wq USING (term) GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT d.query_id, d.doc_id, round(d.dot / (nd.nd * nq.nq), 6) AS score
+      FROM dots d JOIN nd USING (doc_id) JOIN nq USING (query_id)
+    ),
+    r AS (
+      SELECT query_id, doc_id AS match_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT query_id, match_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@q("ext_retrieval_tfidf", _TFIDF_SQL)
+def ext_retrieval_tfidf(spark, sf_dir):
+    """TF-IDF cosine top-5 for the same three literal queries as BM25 —
+    the classic sparse-vector ranking (w = tf·ln(N/df), cosine over the
+    sparse weight vectors). Same inverted-index plan shape as BM25:
+    one postings shuffle, vocabulary-bounded df table, broadcast query
+    side; document norms aggregate from the postings table."""
+    from ..ext.retrieval import tfidf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    return tfidf_topk(d, qdf, k=5)
+
+
+@q(
+    "ext_knn_graph",
+    """
+    WITH prod AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS match_id,
+             unnest(a.embedding)::double AS x, unnest(b.embedding)::double AS y
+      FROM embeddings a CROSS JOIN embeddings b WHERE b.vec_id <> a.vec_id),
+    dots AS (
+      SELECT src_id, match_id, sum(x * y) AS dot,
+             sum(x * x) AS aa, sum(y * y) AS bb
+      FROM prod GROUP BY 1, 2),
+    scored AS (
+      SELECT src_id, match_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+      FROM dots),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM scored)
+    SELECT src_id, match_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ext_knn_graph(spark, sf_dir):
+    """k-NN graph (every vector's top-5 cosine neighbors) routed
+    through the IVF index at full probe, so the graph must equal the
+    brute-force all-pairs result exactly — the same full-probe ≡ exact
+    gate ext_similarity_ivf uses. Production runs nprobe ≪ n_centroids
+    (candidates bounded by cell size × nprobe, never N²)."""
+    from ..ext.similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph(e, k=5, n_centroids=8, max_iter=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# Hashed-linear-model oracle: bucket = first 60 bits of md5(token) mod
+# dim; weight(bucket) = affine md5("w:<bucket>") map into [-1, 1]; both
+# reproduce bit-for-bit in any engine with md5. Per-occurrence weights
+# quantize to decimal(18,6) pre-sum.
+_QUALITY_CLS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             round((('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 15))::BIGINT % 2000001)
+                   / 1000000.0 - 1.0, 6)::DECIMAL(18,6) AS w
+      FROM b
+    ),
+    a AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS DOUBLE) AS sum_w
+      FROM w GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           sum_w / n_tokens AS quality_logit,
+           round(1.0 / (1.0 + exp(-(sum_w / n_tokens))), 6) AS quality_prob
+    FROM a
+"""
+
+
+@q("ext_quality_classifier", _QUALITY_CLS_SQL)
+def ext_quality_classifier(spark, sf_dir):
+    """Hashed bag-of-tokens linear quality model (fasttext-shaped):
+    hashing-trick bucket per token, deterministic md5-derived weight
+    vector, per-document mean logit + sigmoid. Pure Column exprs, one
+    groupBy(doc) with map-side combine; trained weights drop in as a
+    broadcast join on the bucket column."""
+    from ..ext.text import hashed_linear_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(d, dim=4096)

@@ -432,3 +432,37 @@ def test_weighted_mix_stable_and_bounded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         weighted_mix(df, {"a": 1.5})
+
+
+def test_knn_graph_partial_probe_recall(spark, sf_dir):
+    """knn_graph at nprobe=2 of 8 must recover most of the exact graph
+    edges (the synthetic embeddings are well-separated), and full probe
+    is exactly the brute-force graph."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import knn_graph
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.src_id, r.match_id)
+        for r in knn_graph(e, k=3, n_centroids=8, max_iter=4).collect()
+    }
+    approx = {
+        (r.src_id, r.match_id)
+        for r in knn_graph(e, k=3, n_centroids=8, nprobe=2, max_iter=4).collect()
+    }
+    n = e.count()
+    assert len(exact) == 3 * n
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.6, f"recall={recall:.2f}"
+
+
+def test_hashed_linear_score_bounds_and_partition_invariance(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import hashed_linear_score
+
+    rows = [(i, f"token{i % 7} filler words number {i}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in hashed_linear_score(d, dim=256).collect()}
+    b = {tuple(r) for r in hashed_linear_score(d.repartition(11), dim=256).collect()}
+    assert a == b
+    for _, n_tokens, logit, prob in a:
+        assert n_tokens > 0 and -1.0 <= logit <= 1.0 and 0.0 < prob < 1.0

@@ -71,3 +71,45 @@ def test_bm25_k_bounds_results(spark):
     for r in out:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(v <= 2 for v in per_q.values())
+
+
+def test_tfidf_exact_duplicate_ranks_first(spark):
+    """A query that IS a document's text must rank that document at
+    cosine ≈ 1.0 ahead of partial matches."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.retrieval import tfidf_topk
+
+    q = spark.createDataFrame(
+        [(0, "spark shuffle join window"), (1, "filter scan")],
+        "query_id int, query string",
+    )
+    out = tfidf_topk(_corpus(spark), q, k=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    q0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert q0[0].match_id == 0 and abs(q0[0].score - 1.0) < 1e-5
+    # cosine normalization: repeating a term (doc 1) can't beat the
+    # exact duplicate; unrelated doc 3 never appears
+    assert 3 not in {r.match_id for rs in by_q.values() for r in rs}
+    for rs in by_q.values():
+        ordered = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            a.score >= b.score for a, b in zip(ordered, ordered[1:])
+        )
+        assert all(0.0 < r.score <= 1.0 + 1e-9 for r in ordered)
+
+
+def test_tfidf_repartition_invariant(spark):
+    """Decimal-quantized sums: the scores cannot depend on partitioning."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.retrieval import tfidf_topk
+
+    c = _corpus(spark)
+    got1 = {
+        (r.query_id, r.match_id, r.score, r.rank)
+        for r in tfidf_topk(c, _queries(spark), k=3).collect()
+    }
+    got2 = {
+        (r.query_id, r.match_id, r.score, r.rank)
+        for r in tfidf_topk(c.repartition(7), _queries(spark), k=3).collect()
+    }
+    assert got1 == got2
