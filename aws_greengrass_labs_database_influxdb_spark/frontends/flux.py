@@ -206,6 +206,11 @@ _CMP_RX = re.compile(
 _EXISTS_RX = re.compile(r'(not\s+)?exists\s+r(?:\.(\w+)|\["(\w+)"\])')
 
 
+_CONTAINS_RX = re.compile(
+    r'contains\(\s*value:\s*r(?:\.(\w+)|\["(\w+)"\])\s*,\s*set:\s*\[([^\]]*)\]\s*\)'
+)
+
+
 def _parse_predicate(df: DataFrame, body: str) -> Column:
     """Conjunction/disjunction of r.<col> <op> <literal> comparisons
     and ``[not] exists r.<col>`` null checks."""
@@ -215,6 +220,18 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
     while pos < len(body):
         m = _CMP_RX.search(body, pos)
         me = _EXISTS_RX.search(body, pos)
+        mc = _CONTAINS_RX.search(body, pos)
+        if mc and (not m or mc.start() < m.start()) and (
+            not me or mc.start() < me.start()
+        ):
+            gap = body[pos : mc.start()]
+            if tokens:
+                tokens.append("or" if re.search(r"\bor\b", gap) else "and")
+            c = _col(df, mc.group(1) or mc.group(2))
+            vals = [_lit(v.strip()) for v in mc.group(3).split(",") if v.strip()]
+            tokens.append(c.isin(vals))
+            pos = mc.end()
+            continue
         if me and (not m or me.start() < m.start()):
             gap = body[pos : me.start()]
             if tokens:
@@ -932,16 +949,55 @@ def _run_pipeline(
                 offset=args.get("offset", "0"),
             )
         elif name == "aggregateWindow":
-            pipe = pipe.aggregate_window(
-                args["every"],
-                args.get("fn", "mean"),
-                create_empty=_lit(args.get("createEmpty", "false")) is True,
-                range_start=range_bounds[0],
-                range_stop=range_bounds[1],
-                alias="_value_agg",
-                offset=args.get("offset", "0"),
+            from ..operators.aggregates import AGG_FNS
+
+            fnarg = args.get("fn", "mean").strip()
+            # table-function form: fn: (tables=<-) => tables |> <stage>(...)
+            lm = re.match(
+                r"^\(\s*tables\s*=\s*<-\s*\)\s*=>\s*tables\s*\|>\s*"
+                r"([\w.]+)\s*\((.*)\)\s*$",
+                fnarg, re.DOTALL,
             )
-            pipe = pipe.rename({"_value_agg": "f_float"})
+            if lm and lm.group(1) in AGG_FNS and not lm.group(2).strip():
+                fnarg, lm = lm.group(1), None  # e.g. tables |> mean()
+            if lm:
+                iname = lm.group(1)
+                iargs = _split_args(lm.group(2)) if lm.group(2).strip() else {}
+                if iname != "quantile":
+                    raise FluxError(
+                        f"aggregateWindow fn: tables |> {iname}() is not "
+                        "supported (named aggregates and quantile are)"
+                    )
+                from ..operators.aggregates import quantile as _qtl
+                from ..operators.windows import aggregate_window_custom
+
+                qv = float(_lit(iargs["q"]))
+                meth = _lit(iargs.get("method", '"estimate_tdigest"'))
+                vcol = _colname(df, "_value")
+                out = aggregate_window_custom(
+                    df, args["every"],
+                    lambda d, keys: _qtl(
+                        d, qv, method=meth, column=vcol, by=keys,
+                        alias="_value_agg",
+                    ),
+                    by=pipe.group_key,
+                    create_empty=_lit(args.get("createEmpty", "false")) is True,
+                    range_start=range_bounds[0],
+                    range_stop=range_bounds[1],
+                    offset=args.get("offset", "0"),
+                )
+                pipe = pipe._with(out).rename({"_value_agg": "f_float"})
+            else:
+                pipe = pipe.aggregate_window(
+                    args["every"],
+                    fnarg,
+                    create_empty=_lit(args.get("createEmpty", "false")) is True,
+                    range_start=range_bounds[0],
+                    range_stop=range_bounds[1],
+                    alias="_value_agg",
+                    offset=args.get("offset", "0"),
+                )
+                pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
             col = _colname(df, _lit(args.get("column", '"_value"')))
             if col not in df.columns:
@@ -1104,6 +1160,42 @@ def _run_pipeline(
                     [(l,) for l in labels], f"`{out_col}` string"
                 )
             )
+        elif name == "keys":
+            # one row per group-key column label (Flux keys(): the
+            # group key, not every column — columns() does that)
+            rev = {real: flux for flux, real in COLMAP.items()}
+            labels = sorted({rev.get(c, c) for c in pipe.group_key})
+            out_col = _lit(args.get("column", '"_value"'))
+            pipe = pipe._with(
+                df.sparkSession.createDataFrame(
+                    [(l,) for l in labels], f"`{out_col}` string"
+                )
+            )
+        elif name == "keyValues":
+            # (_key, _value) rows: the distinct values of each
+            # requested key column — a union of per-column distincts,
+            # fully distributed (no driver collect)
+            req = _strlist(args["keyColumns"])
+            parts = []
+            for kname in req:
+                real = _colname(df, kname)
+                src = (
+                    F.col(real) if real in df.columns
+                    else F.col("tags")[kname] if "tags" in df.columns
+                    else None
+                )
+                if src is None:
+                    raise FluxError(f"keyValues: unknown column {kname!r}")
+                parts.append(
+                    df.select(
+                        F.lit(kname).alias("_key"),
+                        src.cast("string").alias("_value"),
+                    ).distinct()
+                )
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc.unionByName(p)
+            pipe = pipe._with(acc)
         elif name == "unique":
             from ..operators.selectors import unique as _unique
 

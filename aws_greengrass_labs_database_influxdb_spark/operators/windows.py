@@ -174,6 +174,45 @@ def aggregate_window(
     )
 
 
+def aggregate_window_custom(
+    df: DataFrame,
+    every: str | int,
+    agg_builder,
+    by: Sequence[str] = ("measurement", "field"),
+    create_empty: bool = False,
+    range_start=None,
+    range_stop=None,
+    time_src: str = "_stop",
+    offset: str | int = 0,
+    time_ns: str = "time_ns",
+) -> DataFrame:
+    """``aggregateWindow`` whose aggregate is a table function: Flux's
+    ``fn: (tables=<-) => tables |> quantile(q: ...)`` form.
+
+    ``agg_builder(windowed_df, keys)`` receives the frame with a
+    ``_start_ns`` window column appended to ``keys`` and must return
+    one row per key tuple (any groupBy- or window-rank-based operator
+    qualifies — same shuffle shape as the named-fn path)."""
+    every_n = duration_ns(every)
+    offset_n = duration_ns(offset) if offset else 0
+    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
+    win = df.withColumn("_start_ns", start_col)
+    grouped = agg_builder(win, [*by, "_start_ns"]).withColumn(
+        "_stop_ns", F.col("_start_ns") + F.lit(every_n)
+    )
+    if create_empty:
+        assert range_start is not None and range_stop is not None, (
+            "createEmpty needs explicit range bounds"
+        )
+        spine = window_spine(df, range_start, range_stop, every_n, by, offset_n)
+        grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+    src = "_stop_ns" if time_src == "_stop" else "_start_ns"
+    return (
+        grouped.withColumn("time_ns", F.col(src))
+        .withColumn("time", F.timestamp_micros((F.col(src) / 1000).cast("long")))
+    )
+
+
 def fill(
     df: DataFrame,
     column: str,

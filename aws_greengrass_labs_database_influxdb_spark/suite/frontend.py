@@ -1081,3 +1081,41 @@ def flux_text_date_map(spark, sf_dir):
         ' |> group(columns: ["h", "wd"]) |> count()',
     )
     return out.select("h", "wd", F.col("count").alias("n"))
+
+
+@q(
+    "flux_text_agg_window_quantile",
+    """
+    WITH w AS (
+      SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+    r AS (
+      SELECT event_type, ws, value,
+             row_number() OVER (PARTITION BY event_type, ws ORDER BY value ASC) rk,
+             count(*) OVER (PARTITION BY event_type, ws) n
+      FROM w)
+    SELECT event_type, epoch_ms(ws + INTERVAL 6 HOUR) AS t_ms, value AS q50
+    FROM r WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+    """,
+)
+def flux_text_agg_window_quantile(spark, sf_dir):
+    """Flux aggregateWindow with the table-function fn form —
+    ``fn: (tables=<-) => tables |> quantile(...)`` — the official
+    idiom for windowed percentiles (the named-fn registry has no
+    quantile). exact_selector keeps it engine-exact: the result is a
+    data point at rank ⌈q·n⌉ per (series, window)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-31T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 6h, fn: (tables=<-) => tables"
+        ' |> quantile(q: 0.5, method: "exact_selector"))',
+    )
+    return out.select(
+        "event_type",
+        F.expr("time_ns div 1000000").alias("t_ms"),
+        F.col("f_float").alias("q50"),
+    )

@@ -1330,3 +1330,67 @@ def test_flux_covariance_custom_value_dst(pts):
     row = out.collect()[0]
     var = pts.agg(F.var_samp("f_float")).first()[0]
     assert abs(row["cov2"] - 2.0 * var) < 1e-6 * abs(2.0 * var)
+
+
+def test_flux_keys_keyvalues_contains(pts):
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> group(columns: ["event_type"]) |> keys()'
+    )
+    assert [r[0] for r in out.collect()] == ["event_type"]
+
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> keyValues(keyColumns: ["event_type"])'
+    )
+    got = {(r._key, r._value) for r in out.collect()}
+    expect = {
+        ("event_type", r.event_type)
+        for r in pts.select("event_type").distinct().collect()
+    }
+    assert got == expect
+
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => '
+        'contains(value: r.event_type, set: ["click", "view"])) |> count()',
+    )
+    n = out.collect()[0][-1]
+    assert n == pts.filter(F.col("event_type").isin("click", "view")).count()
+
+
+def test_flux_agg_window_table_fn_quantile(pts):
+    """aggregateWindow(fn: (tables=<-) => tables |> quantile(...)) —
+    the exact_selector result per window is a real data point equal to
+    the direct windowed rank computation."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-02-01T00:00:00Z)'
+        " |> aggregateWindow(every: 1d, fn: (tables=<-) => tables"
+        ' |> quantile(q: 0.5, method: "exact_selector"))',
+    )
+    got = {(r.time_ns, r.f_float) for r in out.collect()}
+    from pyspark.sql import Window as W
+
+    day = 86400 * 10**9
+    win = pts.withColumn("_w", F.expr(f"time_ns div {day} * {day}"))
+    r = win.withColumn(
+        "_rk", F.row_number().over(W.partitionBy("_w").orderBy("f_float"))
+    ).withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("_w")))
+    direct = {
+        (r2._w + day, r2.f_float)
+        for r2 in r.filter(
+            F.col("_rk") == F.greatest(F.lit(1), F.ceil(0.5 * F.col("_n")))
+        ).collect()
+    }
+    assert got == direct
+    # named-fn shorthand inside the lambda works too
+    out2 = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z)'
+        " |> aggregateWindow(every: 1d, fn: (tables=<-) => tables |> mean())",
+    )
+    base = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z)'
+        " |> aggregateWindow(every: 1d, fn: mean)",
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in base.collect()}
