@@ -1507,3 +1507,105 @@ def ext_quality_classifier(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return hashed_linear_score(d, dim=4096)
+
+
+# BPE oracle: k chained CTE stages, each replaying one merge round —
+# pair counts from the marker-encoded vocab, (count desc, left, right)
+# argmax, literal replace of \x02l\x03\x02r\x03 with \x02lr\x03. The
+# marker encoding makes plain replace() the canonical greedy merge pass
+# in Spark, DuckDB, and Python alike (see ext/bpe.py).
+def _bpe_sql(k: int) -> str:
+    parts = [r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', chr(2) || '\1' || chr(3), 'g') AS enc,
+             count(*) AS freq
+      FROM (
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+        FROM documents) t
+      WHERE word <> ''
+      GROUP BY 1
+    )"""]
+    for i in range(k):
+        parts.append(f"""
+    , p{i} AS MATERIALIZED (
+      SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(toks)),
+                      j -> {{'l': toks[j], 'r': toks[j + 1]}})) AS u
+        FROM (SELECT freq,
+                     string_split(substr(enc, 2, len(enc) - 2),
+                                  chr(3) || chr(2)) AS toks
+              FROM w{i})
+      ) GROUP BY 1, 2
+    )
+    , b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+    , w{i + 1} AS MATERIALIZED (
+      SELECT replace(enc,
+                     (SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b{i}),
+                     (SELECT chr(2) || l || r || chr(3) FROM b{i})) AS enc,
+             freq
+      FROM w{i})""")
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({i} AS INT) AS step, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@q("ext_bpe_train", _bpe_sql(12))
+def ext_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: the top-12 merge rules learned from the
+    corpus word-frequency table. One corpus pass builds the vocab
+    frame; each round is a pair-count groupBy + argmax + map-only
+    literal replace over |V| rows (the corpus is never rescanned).
+    The driver-side per-round argmax is inherent to BPE (each merge
+    depends on the last); everything heavy stays distributed."""
+    from ..ext.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _, mdf = bpe_train(d, n_merges=12)
+    return mdf
+
+
+def _bpe_segment_sql(k: int) -> str:
+    base = _bpe_sql(k)
+    # reuse the stage CTEs, then segment every document with the k
+    # merges (nested literal replaces) and count subwords = #markers
+    repl = "enc0"
+    for i in range(k):
+        repl = (f"replace({repl}, "
+                f"(SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b{i}), "
+                f"(SELECT chr(2) || l || r || chr(3) FROM b{i}))")
+    # strip the final UNION ALL selects from the base — keep CTEs only
+    ctes = base[: base.index("    SELECT CAST(0 AS INT)")]
+    return (
+        ctes
+        + f"""
+    , docs AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                 w -> regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')),
+               chr(1)) AS enc0
+      FROM documents)
+    SELECT doc_id,
+           CAST(len({repl}) - len(replace({repl}, chr(2), '')) AS INT) AS n_subwords
+    FROM docs"""
+    )
+
+
+@q("ext_bpe_segment", _bpe_segment_sql(12))
+def ext_bpe_segment(spark, sf_dir):
+    """Segment the corpus with the learned BPE merges: per-document
+    subword count under the exact oracle (the chain of k literal
+    replaces is map-only, zero-shuffle, whole-stage codegen)."""
+    from ..ext.bpe import bpe_apply, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, n_merges=12)
+    return bpe_apply(d, merges).select(
+        "doc_id", F.col("n_subwords").cast("int").alias("n_subwords")
+    )
