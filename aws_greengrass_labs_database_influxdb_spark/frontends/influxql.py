@@ -37,6 +37,7 @@ the window-spine join for fill).
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -869,8 +870,11 @@ def _execute_multi_row(
         if t not in df.columns:
             df = df.withColumn(t, tag_col(t))
 
-    def _with_extras(picked: DataFrame) -> DataFrame:
+    def _with_extras(picked: DataFrame, also: Sequence[str] = ()) -> DataFrame:
         cols = [F.col("time"), *[F.col(t) for t in by], F.col(src).alias(alias)]
+        for t in also:
+            if t not in by:
+                cols.append(F.col(t))
         for _fn, f2, a2 in extras:
             if f2 in by:
                 continue
@@ -881,10 +885,21 @@ def _execute_multi_row(
     if fn in ("top", "bottom"):
         if not args:
             raise InfluxQLError(f"{fn.upper()} needs (field, n)")
-        picked = (sel_ops.top if fn == "top" else sel_ops.bottom)(
-            df, int(args[0]), by=keys, value=src
-        )
-        out = _with_extras(picked)
+        sel = sel_ops.top if fn == "top" else sel_ops.bottom
+        tag_keys = list(args[:-1])
+        if tag_keys:
+            # TOP(field, tag_key..., N): the single greatest point per
+            # tag combo, then the N best combos — two window ranks, no
+            # self-join (reference semantics: N distinct tag values)
+            for t in tag_keys:
+                if t not in df.columns:
+                    df = df.withColumn(t, tag_col(t))
+            per_tag = sel(df, 1, by=[*keys, *tag_keys], value=src)
+            picked = sel(per_tag, int(args[-1]), by=keys, value=src)
+            out = _with_extras(picked, also=tag_keys)
+        else:
+            picked = sel(df, int(args[0]), by=keys, value=src)
+            out = _with_extras(picked)
     elif fn == "sample":
         if not args:
             raise InfluxQLError("SAMPLE needs (field, n)")

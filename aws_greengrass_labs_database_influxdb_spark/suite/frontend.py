@@ -1119,3 +1119,27 @@ def flux_text_agg_window_quantile(spark, sf_dir):
         F.expr("time_ns div 1000000").alias("t_ms"),
         F.col("f_float").alias("q50"),
     )
+
+
+@q(
+    "influxql_top_per_tag",
+    """
+    WITH per_tag AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, ts ASC) rn
+      FROM events),
+    winners AS (
+      SELECT event_type, ts, value,
+             row_number() OVER (ORDER BY value DESC, ts ASC) rn2
+      FROM per_tag WHERE rn = 1)
+    SELECT epoch_ms(ts) AS t_ms, value AS top, event_type
+    FROM winners WHERE rn2 <= 3
+    """,
+)
+def influxql_top_per_tag(spark, sf_dir):
+    """TOP(field, tag_key, N): the greatest point per tag value, then
+    the N best tag values — the reference's N-distinct-tags form (two
+    window ranks, no self-join)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(pts, "SELECT top(value, event_type, 3) FROM events")
+    return out.select(F.unix_millis("time").alias("t_ms"), "top", "event_type")

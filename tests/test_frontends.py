@@ -1394,3 +1394,26 @@ def test_flux_agg_window_table_fn_quantile(pts):
         " |> aggregateWindow(every: 1d, fn: mean)",
     )
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in base.collect()}
+
+
+def test_influxql_top_bottom_per_tag(pts):
+    """TOP/BOTTOM(field, tag_key, N): one point per tag value, best N
+    tag values — matches the two-phase window-rank computation."""
+    out = execute_influxql(pts, "SELECT top(value, event_type, 2) FROM events")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert len({r.event_type for r in rows}) == 2  # distinct tag values
+    per_tag_max = {
+        r.event_type: r.mx
+        for r in pts.groupBy("event_type").agg(F.max("f_float").alias("mx")).collect()
+    }
+    top2 = sorted(per_tag_max.values(), reverse=True)[:2]
+    assert sorted((r.top for r in rows), reverse=True) == top2
+
+    outb = execute_influxql(pts, "SELECT bottom(value, event_type, 2) FROM events")
+    rowsb = outb.collect()
+    per_tag_min = {
+        r.event_type: r.mn
+        for r in pts.groupBy("event_type").agg(F.min("f_float").alias("mn")).collect()
+    }
+    assert sorted(r.bottom for r in rowsb) == sorted(per_tag_min.values())[:2]
