@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .dedup import _shingled
 
@@ -131,4 +131,35 @@ def contamination(
                 "contamination"
             ),
         )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    shard and an in-shard position from an md5 sort key.
+
+    The canonical last step of a training-data pipeline — a
+    reproducible random order with NO global sort: the shard is
+    ``md5-bucket mod n_shards`` (pure Column, zero shuffle) and the
+    position is a rank within the shard (ONE shuffle keyed by shard,
+    each shard ranked independently — at 100 TB that is
+    embarrassingly parallel, and writers emit one file per shard with
+    rows already in final order). Re-runs reproduce the exact order;
+    changing ``salt`` re-shuffles.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    w = W.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_key")
     )

@@ -1609,3 +1609,27 @@ def ext_bpe_segment(spark, sf_dir):
     return bpe_apply(d, merges).select(
         "doc_id", F.col("n_subwords").cast("int").alias("n_subwords")
     )
+
+
+@q(
+    "ext_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id, source, md5('shuffle-v1' || doc_id::VARCHAR) AS key,
+             CAST(('0x' || substr(md5('shuffle-v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, source, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT) AS position
+    FROM k
+    """,
+)
+def ext_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle: md5 sort key →
+    shard (zero-shuffle Column) + in-shard position (one shuffle keyed
+    by shard, each shard ranked independently — no global sort)."""
+    from ..ext.splits import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, n_shards=8).select(
+        "doc_id", "source", "shard", "position"
+    )

@@ -466,3 +466,27 @@ def test_hashed_linear_score_bounds_and_partition_invariance(spark):
     assert a == b
     for _, n_tokens, logit, prob in a:
         assert n_tokens > 0 and -1.0 <= logit <= 1.0 and 0.0 < prob < 1.0
+
+
+def test_shuffle_shards_reproducible_and_balanced(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.splits import shuffle_shards
+
+    d = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = {(r.doc_id, r.shard, r.position) for r in shuffle_shards(d, 8).collect()}
+    b = {
+        (r.doc_id, r.shard, r.position)
+        for r in shuffle_shards(d.repartition(13), 8).collect()
+    }
+    assert a == b  # order independent of partitioning
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 positions
+        assert len(ps) > 20  # roughly balanced at 400/8=50 expected
+    # salt changes the order
+    c = {(r.doc_id, r.shard) for r in shuffle_shards(d, 8, salt="v2").collect()}
+    assert c != {(i, s) for i, s, _ in a}
