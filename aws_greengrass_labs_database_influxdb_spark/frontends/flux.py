@@ -328,6 +328,14 @@ _MAP_FUNCS: dict = {
     ),
     "strings.containsStr": (("v", "substr"), lambda v, s: F.contains(v, s)),
     "strings.repeat": (("v", "i"), lambda v, i: F.repeat(v, i)),
+    # Go strings.Index semantics: 0-based, -1 when absent (instr is
+    # 1-based with 0-absent, so the -1 shift gives both)
+    "strings.index": (
+        ("v", "substr"),
+        lambda v, s: (F.instr(v, s) - F.lit(1)).cast("long"),
+    ),
+    "strings.hasPrefix": (("v", "prefix"), lambda v, p: F.startswith(v, p)),
+    "strings.hasSuffix": (("v", "suffix"), lambda v, p: F.endswith(v, p)),
     "math.abs": (("x",), lambda x: F.abs(x)),
     "math.sqrt": (("x",), lambda x: F.sqrt(x)),
     "math.exp": (("x",), lambda x: F.exp(x)),
@@ -377,7 +385,12 @@ def _parse_map_value(df: DataFrame, s: str) -> Column:
     s = s.strip()
     m = re.match(r"(?s)^if\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+)$", s)
     if m:
-        cond = _parse_predicate(df, m.group(1))
+        try:
+            cond = _parse_predicate(df, m.group(1))
+        except FluxError:
+            # boolean-returning stdlib calls (strings.containsStr,
+            # hasPrefix, ...) as the condition
+            cond = _parse_arith(df, m.group(1))
         return F.when(cond, _parse_map_value(df, m.group(2))).otherwise(
             _parse_map_value(df, m.group(3))
         )

@@ -1417,3 +1417,17 @@ def test_influxql_top_bottom_per_tag(pts):
         for r in pts.groupBy("event_type").agg(F.min("f_float").alias("mn")).collect()
     }
     assert sorted(r.bottom for r in rowsb) == sorted(per_tag_min.values())[:2]
+
+
+def test_flux_map_strings_index_prefix_bool_conditions(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 4) |> map(fn: (r) => ({r with '
+        'i: strings.index(v: r.event_type, substr: "i"), '
+        'p: if strings.hasPrefix(v: r.event_type, prefix: "cl") then 1.0 else 0.0, '
+        'c: if strings.containsStr(v: r.event_type, substr: "ick") then 1.0 else 0.0}))',
+    )
+    for r in out.collect():
+        assert r.i == r.event_type.find("i")
+        assert r.p == (1.0 if r.event_type.startswith("cl") else 0.0)
+        assert r.c == (1.0 if "ick" in r.event_type else 0.0)
