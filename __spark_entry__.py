@@ -77,7 +77,10 @@ CURATED_FIRST_50: list[str] = [
     "ext_corpus_clean",
     "ext_contamination",
     "ext_multimodal_features",
-    "ext_train_split",
+    # r5: surface the BPE tokenizer-training flagship; the train/val/
+    # test split row it displaces stays under the full-suite gates
+    # (tools/check_correctness.py + tests/test_suite_oracles.py)
+    "ext_bpe_train",
     "ext_text_stats",
     # frontend — InfluxQL text + Flux text (13)
     "influxql_nested_grafana",
