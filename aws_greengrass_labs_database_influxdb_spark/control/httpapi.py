@@ -334,6 +334,21 @@ class HttpApi:
         if not allowed.intersection(record["permissions"]):
             raise ApiError(403, "forbidden", f"insufficient permissions for {mode}")
 
+    def _bearer_record(self, handler) -> dict:
+        """The token record for the request's Authorization header —
+        401 when absent/unknown (no bucket-scope check)."""
+        auth = handler.headers.get("Authorization", "")
+        if not auth.startswith("Token "):
+            raise ApiError(401, "unauthorized", "unauthorized access")
+        token = auth[len("Token "):].strip()
+        record = next(
+            (r for r in self.engine.tokens.list_records() if r["token"] == token),
+            None,
+        )
+        if record is None:
+            raise ApiError(401, "unauthorized", "unknown authorization token")
+        return record
+
     # ------------------------------------------------------------- dispatch
 
     def _dispatch(self, handler, method: str) -> None:
@@ -367,6 +382,57 @@ class HttpApi:
                 self._handle_delete(handler, q, body)
             elif url.path == "/api/v2/tasks" or url.path.startswith("/api/v2/tasks/"):
                 self._handle_tasks(handler, method, url.path, q, body)
+            elif route == ("GET", "/api/v2/orgs"):
+                # org-discovery call the influx CLI makes to resolve an
+                # org name to an ID before most other operations
+                self._authorize(handler, "read", self.engine.config.org,
+                                self.engine.config.bucket)
+                name_filter = q.get("org") or q.get("name")
+                orgs = [self.engine.config.org]
+                if name_filter:
+                    orgs = [o for o in orgs if o == name_filter]
+                self._respond(handler, 200, {"orgs": [
+                    {"id": o, "name": o} for o in orgs
+                ]})
+            elif route == ("GET", "/api/v2/authorizations"):
+                # HTTP analog of the reference's `influx auth list`
+                # (src/influxDBTokenPublisher.py:53-90): the same token
+                # records, admin-scope required
+                rec = self._bearer_record(handler)
+                if "read:authorizations" not in rec["permissions"]:
+                    raise ApiError(403, "forbidden",
+                                   "authorizations list requires an admin token")
+                self._respond(handler, 200, {
+                    "authorizations": self.engine.tokens.list_records()
+                })
+            elif route == ("POST", "/api/v2/buckets"):
+                import json as _json
+
+                doc = _json.loads(body or b"{}")
+                org = doc.get("orgID") or doc.get("org") or self.engine.config.org
+                name = doc.get("name")
+                if not name:
+                    raise ApiError(400, "invalid", "bucket name required")
+                # bucket creation is an org-admin operation (the
+                # scoped RO/RW tokens only grant their one bucket)
+                rec = self._bearer_record(handler)
+                if "write:orgs" not in rec["permissions"]:
+                    raise ApiError(403, "forbidden",
+                                   "bucket creation requires an admin token")
+                rules = doc.get("retentionRules") or []
+                ret_ns = None
+                if rules and rules[0].get("everySeconds"):
+                    ret_ns = int(rules[0]["everySeconds"]) * 10**9
+                meta = self.engine.store.create_bucket(org, name, ret_ns)
+                self._respond(handler, 201, {
+                    "id": meta.id, "orgID": org, "name": meta.name,
+                    "type": "user",
+                    "retentionRules": (
+                        [{"type": "expire",
+                          "everySeconds": meta.retention_ns // 10**9}]
+                        if meta.retention_ns else []
+                    ),
+                })
             elif route == ("GET", "/api/v2/buckets"):
                 # the discovery call clients (influx CLI, Grafana Flux
                 # datasource) issue first; read scope on the org's

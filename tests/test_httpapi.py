@@ -668,3 +668,47 @@ def test_v1_query_json_streams_chunked(served):
     with urllib.request.urlopen(req) as resp:
         assert resp.headers.get("Content-Length") is not None
         json.loads(resp.read())
+
+
+def test_v2_orgs_discovery(served):
+    base, engine, tokens = served
+    status, body = _req(base, "/api/v2/orgs", token=tokens["RO"])
+    assert status == 200
+    orgs = json.loads(body)["orgs"]
+    assert orgs == [{"id": engine.config.org, "name": engine.config.org}]
+    status, body = _req(base, "/api/v2/orgs?org=nope", token=tokens["RO"])
+    assert json.loads(body)["orgs"] == []
+
+
+def test_v2_authorizations_admin_only(served):
+    base, engine, tokens = served
+    status, body = _req(base, "/api/v2/authorizations", token=tokens["Admin"])
+    assert status == 200
+    recs = json.loads(body)["authorizations"]
+    descs = {r["description"] for r in recs}
+    assert {"greengrass_read", "greengrass_readwrite"} <= descs
+    assert any(d.endswith("'s Token") for d in descs)  # the admin record
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/authorizations", token=tokens["RO"])
+    assert e.value.code == 403
+
+
+def test_v2_bucket_create_admin_only(served):
+    base, engine, tokens = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/buckets", method="POST", token=tokens["RW"],
+             body={"name": "nope"})
+    assert e.value.code == 403
+    status, body = _req(
+        base, "/api/v2/buckets", method="POST", token=tokens["Admin"],
+        body={"name": "archive",
+              "retentionRules": [{"type": "expire", "everySeconds": 3600}]},
+    )
+    assert status == 201
+    doc = json.loads(body)
+    assert doc["name"] == "archive"
+    assert doc["retentionRules"][0]["everySeconds"] == 3600
+    # discoverable via the list call afterwards
+    status, body = _req(base, "/api/v2/buckets?name=archive", token=tokens["RO"])
+    got = json.loads(body)["buckets"]
+    assert len(got) == 1 and got[0]["id"] == doc["id"]
