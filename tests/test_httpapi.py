@@ -712,3 +712,57 @@ def test_v2_bucket_create_admin_only(served):
     status, body = _req(base, "/api/v2/buckets?name=archive", token=tokens["RO"])
     got = json.loads(body)["buckets"]
     assert len(got) == 1 and got[0]["id"] == doc["id"]
+
+
+def test_v2_task_windowed_quantile(served):
+    """A scheduled task using the table-function aggregateWindow form
+    (fn: (tables=<-) => tables |> quantile(...)) — the windowed-p90
+    downsample idiom — produces exactly the direct per-window rank
+    computation in the target bucket."""
+    base, engine, tokens = served
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body="\n".join(
+             f"qtask v={float((i * 37) % 100)} {T0 + i * 60_000_000_000}"
+             for i in range(120)
+         ),
+         ctype="text/plain")
+    flux = (
+        'option task = {name: "p90-qtask", every: 1h}\n'
+        'from(bucket: "greengrass-telemetry")\n'
+        "  |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)\n"
+        '  |> filter(fn: (r) => r._measurement == "qtask")\n'
+        '  |> group(columns: ["_measurement", "_field"])\n'
+        "  |> aggregateWindow(every: 1h, fn: (tables=<-) => tables"
+        '  |> quantile(q: 0.9, method: "exact_selector"))\n'
+        '  |> to(bucket: "qtask-p90")'
+    )
+    status, body = _req(base, "/api/v2/tasks", "POST", token=tokens["RW"],
+                        body={"flux": flux})
+    assert status == 201
+    task = json.loads(body)
+    status, body = _req(base, f"/api/v2/tasks/{task['id']}/runs", "POST",
+                        token=tokens["RW"], body={})
+    assert status == 200 and json.loads(body)["status"] == "success"
+    out = engine.store.read_points("greengrass", "qtask-p90")
+    got = {
+        (r["time_ns"], r["f_float"])
+        for r in out.select("time_ns", "f_float").collect()
+    }
+    # direct: per hour, the value at rank ceil(0.9 * n) ascending
+    import math
+
+    hours: dict = {}
+    for i in range(120):
+        t = T0 + i * 60_000_000_000
+        hours.setdefault(t // 3_600_000_000_000, []).append(float((i * 37) % 100))
+    expect = set()
+    for h, vals in hours.items():
+        vals.sort()
+        expect.add(
+            ((h + 1) * 3_600_000_000_000,
+             vals[max(1, math.ceil(0.9 * len(vals))) - 1])
+        )
+    assert got == expect
+    _req(base, f"/api/v2/tasks/{task['id']}", "DELETE", token=tokens["RW"],
+         body=None)
