@@ -295,3 +295,147 @@ def hashed_linear_score(
         logit.alias("quality_logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff — the
+    held-out-perplexity filter one step up from :func:`unigram_logprob`.
+
+    Counts train on the EVEN-``id_col`` half of the corpus and score
+    every document, so unseen bigrams/tokens genuinely exercise the
+    backoff path. Per-token log-probability:
+
+    - position 0:   ``ln(c(v)/T)`` if v seen else ``ln(b/T)``
+    - position i>0: ``ln(c(u,v)/c(u))`` if the bigram is seen, else
+      ``ln(b·c(v)/T)`` if v is seen, else ``ln(b/T)``  (b = backoff)
+
+    Output: ``(id, n_tokens, sum_logp, mean_logp, n_backoff, n_oov)``.
+    Determinism: every count is an exact integer, each token's logp is
+    quantized to decimal(18,6) before the per-document sum
+    (associative), and the mean is one IEEE division of that exact sum
+    — no rounding of the division (round-half ties differ per engine).
+
+    Scale shape: the bigram table is O(corpus tokens) worst-case, so
+    the score join shuffles on the (u, v) key — NOT a broadcast; the
+    unigram table is vocab-sized and broadcasts. One corpus-sized
+    shuffle keyed by document re-aggregates the scores.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "v"),
+    )
+    prev = F.expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS u, _t[i] AS v))"
+    )
+    train = df.filter(F.col(id_col) % 2 == 0)
+    uni = (
+        train.select(F.explode(_tokens(F.col(text_col))).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cv"))
+    )
+    big = (
+        train.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+        .select(F.explode(prev).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cuv"))
+    )
+    total = uni.agg(F.sum("cv").alias("T"))
+
+    pairs = toks.withColumn(
+        "u", F.lag("v").over(W.partitionBy(id_col).orderBy("pos"))
+    )
+    j = (
+        pairs.join(F.broadcast(uni), "v", "left")
+        .join(F.broadcast(uni.select(F.col("v").alias("u"), F.col("cv").alias("cu"))),
+              "u", "left")
+        .join(big, ["u", "v"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    b = F.lit(backoff)
+    logp = (
+        F.when(F.col("pos") == 0,
+               F.when(F.col("cv").isNotNull(), F.log(F.col("cv") / F.col("T")))
+                .otherwise(F.log(b / F.col("T"))))
+        .when(F.col("cuv").isNotNull(), F.log(F.col("cuv") / F.col("cu")))
+        .when(F.col("cv").isNotNull(), F.log(b * F.col("cv") / F.col("T")))
+        .otherwise(F.log(b / F.col("T")))
+    )
+    is_backoff = (F.col("pos") > 0) & F.col("cuv").isNull() & F.col("cv").isNotNull()
+    is_oov = F.col("cv").isNull()
+    agg = (
+        j.withColumn("_lp", F.round(logp, 6).cast("decimal(18,6)"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").cast("double").alias("sum_logp"),
+            F.sum(is_backoff.cast("long")).alias("n_backoff"),
+            F.sum(is_oov.cast("long")).alias("n_oov"),
+        )
+    )
+    return agg.select(
+        id_col, "n_tokens", "sum_logp",
+        (F.col("sum_logp") / F.col("n_tokens")).alias("mean_logp"),
+        "n_backoff", "n_oov",
+    )
+
+
+def cluster_top_terms(
+    df: DataFrame,
+    cluster_col: str = "cluster",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """c-TF-IDF cluster labeling (the BERTopic formula): for each
+    cluster, the ``top_n`` terms by ``tf(t,c) · ln(1 + A / f(t))``
+    where ``tf(t,c)`` is the term count inside the cluster, ``f(t)``
+    the corpus-wide term count, and ``A`` the average token count per
+    cluster. The human-readable "what is this cluster about" step
+    after any clustering (IVF cells, semantic-dedup groups, k-means
+    labels).
+
+    Scale shape: one explode+groupBy(cluster, term) shuffle (map-side
+    combine) — the class-term frame is bounded by clusters×vocab; the
+    corpus-wide term table and the two scalar aggregates derive from it
+    without touching the corpus again; top-n is a window over the
+    class-term frame. Scores quantize to 6dp (integer inputs, IEEE ln)
+    with term-ascending tie-break — engine-exact.
+    """
+    toks = df.select(
+        F.col(cluster_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(cluster_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    fr = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    stats = tf.agg(
+        F.sum("tf").alias("W"),
+        F.countDistinct(cluster_col).alias("C"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(fr, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + (F.col("W") / F.col("C")) / F.col("f")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(cluster_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .select(
+            cluster_col, "term", "tf", "f", "score",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )

@@ -1633,3 +1633,106 @@ def ext_shuffle_shards(spark, sf_dir):
     return shuffle_shards(d, n_shards=8).select(
         "doc_id", "source", "shard", "position"
     )
+
+
+# Bigram-LM oracle: counts train on even doc_ids, every token's logp is
+# a CASE over exact integer counts (ln of integer ratios — IEEE-equal),
+# quantized to decimal(18,6) pre-sum; the mean is ONE unrounded IEEE
+# division of the exact sum.
+_BIGRAM_LM_SQL = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+      FROM documents),
+    tok AS (
+      SELECT doc_id, u.pos, u.v, u.u
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l) + 1),
+                 i -> {'pos': i - 1, 'v': l[i],
+                       'u': CASE WHEN i > 1 THEN l[i - 1] END})) AS u
+        FROM base)),
+    uni AS (
+      SELECT v, count(*) AS cv FROM tok WHERE doc_id % 2 = 0 GROUP BY v),
+    big AS (
+      SELECT u, v, count(*) AS cuv FROM tok
+      WHERE doc_id % 2 = 0 AND pos > 0 GROUP BY u, v),
+    tot AS (SELECT sum(cv) AS T FROM uni),
+    scored AS (
+      SELECT t.doc_id,
+             CASE
+               WHEN t.pos = 0 AND uni.cv IS NOT NULL THEN ln(uni.cv / tot.T)
+               WHEN t.pos = 0 THEN ln(0.4 / tot.T)
+               WHEN big.cuv IS NOT NULL THEN ln(big.cuv / cu.cv)
+               WHEN uni.cv IS NOT NULL THEN ln(0.4 * uni.cv / tot.T)
+               ELSE ln(0.4 / tot.T)
+             END AS lp,
+             CASE WHEN t.pos > 0 AND big.cuv IS NULL AND uni.cv IS NOT NULL
+                  THEN 1 ELSE 0 END AS is_backoff,
+             CASE WHEN uni.cv IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM tok t
+      LEFT JOIN uni ON uni.v = t.v
+      LEFT JOIN uni cu ON cu.v = t.u
+      LEFT JOIN big ON big.u = t.u AND big.v = t.v
+      CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(round(lp, 6)::DECIMAL(18,6)) AS DOUBLE) AS sum_logp,
+             CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+             CAST(sum(is_oov) AS BIGINT) AS n_oov
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, sum_logp, sum_logp / n_tokens AS mean_logp,
+           n_backoff, n_oov
+    FROM agg
+"""
+
+
+@q("ext_bigram_logprob", _BIGRAM_LM_SQL)
+def ext_bigram_logprob(spark, sf_dir):
+    """Bigram LM scoring with stupid backoff, trained on the even half
+    of the corpus and scored on all of it — the held-out perplexity
+    filter (unseen bigrams/tokens exercise the backoff and OOV paths).
+    Bigram table shuffles on its (u, v) key (O(tokens) worst case — not
+    broadcast); the vocab-sized unigram table broadcasts."""
+    from ..ext.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
+@q(
+    "ext_cluster_top_terms",
+    r"""
+    WITH d AS (
+      SELECT e.label AS cluster,
+             unnest(string_split(lower(trim(regexp_replace(doc.text, '\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents doc JOIN embeddings e ON e.vec_id = doc.doc_id),
+    tf AS (SELECT cluster, term, count(*) AS tf FROM d GROUP BY 1, 2),
+    fr AS (SELECT term, sum(tf) AS f FROM tf GROUP BY 1),
+    stats AS (SELECT sum(tf) AS W, count(DISTINCT cluster) AS C FROM tf),
+    sc AS (
+      SELECT tf.cluster, tf.term, tf.tf, CAST(fr.f AS BIGINT) AS f,
+             round(tf.tf * ln(1.0 + (s.W / s.C) / fr.f), 6) AS score
+      FROM tf JOIN fr USING (term) CROSS JOIN stats s),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM sc)
+    SELECT cluster, term, tf, f, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ext_cluster_top_terms(spark, sf_dir):
+    """c-TF-IDF cluster labeling: top-5 characteristic terms per
+    embedding-label cluster — tf(t,c)·ln(1 + A/f(t)), the BERTopic
+    class-TF-IDF. One explode+groupBy shuffle; everything downstream
+    runs on the clusters×vocab frame."""
+    from ..ext.text import cluster_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(
+        e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("cluster")),
+        "doc_id",
+    )
+    return cluster_top_terms(joined)

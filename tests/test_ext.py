@@ -490,3 +490,55 @@ def test_shuffle_shards_reproducible_and_balanced(spark):
     # salt changes the order
     c = {(r.doc_id, r.shard) for r in shuffle_shards(d, 8, salt="v2").collect()}
     assert c != {(i, s) for i, s, _ in a}
+
+
+def test_bigram_logprob_backoff_and_oov(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import bigram_logprob
+
+    rows = [
+        (0, "the cat sat"),          # train (even): all bigrams known
+        (2, "the cat sat"),          # train
+        (1, "the cat sat"),          # score-only: identical -> no backoff
+        (3, "cat the sat"),          # known tokens, unseen bigrams -> backoff
+        (5, "zzz the cat"),          # OOV first token
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(d).collect()}
+    assert out[1].n_backoff == 0 and out[1].n_oov == 0
+    assert out[3].n_backoff == 2 and out[3].n_oov == 0
+    assert out[5].n_oov == 1
+    # the exact-duplicate of training text scores strictly higher than
+    # docs needing backoff or OOV floors (doc 5's seen "the cat"
+    # bigram legitimately outscores doc 3's all-unseen transitions,
+    # so only the in-distribution doc is ordered against both)
+    assert out[1].mean_logp > out[3].mean_logp
+    assert out[1].mean_logp > out[5].mean_logp
+    # repartition invariance (decimal-quantized sums)
+    again = {r.doc_id: r.sum_logp for r in bigram_logprob(d.repartition(7)).collect()}
+    assert again == {k: v.sum_logp for k, v in out.items()}
+
+
+def test_cluster_top_terms_ranks_distinctive_terms(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import cluster_top_terms
+
+    rows = (
+        [(0, "spark shuffle join " * 3)] * 5
+        + [(1, "cat dog pet animal " * 3)] * 5
+        + [(0, "the filler common words")] * 2
+        + [(1, "the filler common words")] * 2
+    )
+    d = spark.createDataFrame(
+        [(c, t) for c, t in rows], "cluster int, text string"
+    )
+    out = cluster_top_terms(d, top_n=3)
+    by_c = {}
+    for r in out.collect():
+        by_c.setdefault(r.cluster, []).append(r)
+    top0 = {r.term for r in by_c[0]}
+    top1 = {r.term for r in by_c[1]}
+    # cluster-characteristic terms beat shared filler
+    assert top0 <= {"spark", "shuffle", "join"}
+    assert top1 <= {"cat", "dog", "pet", "animal"}
+    for rs in by_c.values():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3]
