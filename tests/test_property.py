@@ -466,3 +466,58 @@ def test_flux_statement_split_total(q):
             _parse_stage(stmt)
         except FluxError:
             pass
+
+
+# --------------------------------------------------- InfluxQL parser fuzz
+
+_AGG = st.sampled_from(
+    ["count", "sum", "mean", "min", "max", "median", "stddev", "spread",
+     "first", "last", "mode"]
+)
+_TAG_PRED = st.sampled_from(
+    ["", "event_type = 'click'", "event_type != 'x'",
+     "(event_type = 'click' OR event_type = 'view')", "value > 50",
+     "event_type =~ /cl.*/"]
+)
+_GROUP = st.sampled_from(["", "time(1h)", "time(30m), event_type", "event_type"])
+_FILL = st.sampled_from(["", "fill(0)", "fill(none)", "fill(previous)", "fill(linear)"])
+_TAIL = st.sampled_from(["", "LIMIT 5", "ORDER BY time DESC LIMIT 3", "SLIMIT 2"])
+
+
+@st.composite
+def _influxql_query(draw):
+    agg = draw(_AGG)
+    where = ["time >= '2024-01-01'", "time < '2024-01-20'"]
+    pred = draw(_TAG_PRED)
+    if pred:
+        where.append(pred)
+    group = draw(_GROUP)
+    fill = draw(_FILL) if "time(" in group else ""
+    parts = [f"SELECT {agg}(value) FROM events", "WHERE " + " AND ".join(where)]
+    if group:
+        parts.append(f"GROUP BY {group}")
+    if fill:
+        parts.append(fill)
+    tail = draw(_TAIL)
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+@given(q=_influxql_query())
+@settings(max_examples=200, deadline=None)
+def test_influxql_parser_never_crashes_and_is_deterministic(q):
+    """Every grammar combination parses to a stable AST (parse twice →
+    same dataclass) — the parser can raise InfluxQLError but never
+    anything else."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import (
+        InfluxQLError,
+        parse_influxql,
+    )
+
+    try:
+        a = parse_influxql(q, now_ns=1704067200_000_000_000)
+        b = parse_influxql(q, now_ns=1704067200_000_000_000)
+    except InfluxQLError:
+        return
+    assert a == b
