@@ -1736,3 +1736,109 @@ def ext_cluster_top_terms(spark, sf_dir):
         "doc_id",
     )
     return cluster_top_terms(joined)
+
+
+# Residual IVF-PQ oracle: portable literal centroids + codebook make
+# EVERY stage SQL-replayable — cell argmin, residuals, codes, the
+# sorted-struct probe selection, per-cell query LUTs, and the ADC sum.
+# Unlike the full-probe-only gates of the non-residual rows, this
+# oracle checks the PARTIAL-probe (nprobe=4 of 16) routing itself.
+def _ivfpq_residual_sql() -> str:
+    from ..ext.similarity import pq_codebook_random
+
+    cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    cn_lit = (
+        "[" + ", ".join("[" + ", ".join(f"{v:.6f}" for v in c) + "]" for c in cents) + "]"
+    )
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(f"{v:.6f}" for v in cent) + "]" for cent in sub)
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    cell_dist = (
+        "list_transform(range(1, 17), c -> list_reduce("
+        "list_transform(range(1, 65), j -> "
+        "(e.embedding[j]::DOUBLE - cn[c][j]) * (e.embedding[j]::DOUBLE - cn[c][j])), "
+        "(acc, x) -> acc + x))"
+    )
+    code_term = lambda src, j: (
+        f"({src}[t.s*8+{j + 1}] - cb[t.s+1][c][{j + 1}]) * "
+        f"({src}[t.s*8+{j + 1}] - cb[t.s+1][c][{j + 1}])"
+    )
+    code_dist = lambda src: " + ".join(code_term(src, j) for j in range(8))
+    adc = " + ".join(f"l.lut[{s + 1}][c.codes[{s + 1}]+1]" for s in range(8))
+    return f"""
+    WITH cbt AS MATERIALIZED (SELECT {cb_lit} AS cb),
+    cnt AS MATERIALIZED (SELECT {cn_lit} AS cn),
+    cd AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, {cell_dist} AS cdists
+      FROM embeddings e CROSS JOIN cnt),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, cdists,
+             CAST(list_position(cdists, list_min(cdists)) - 1 AS INT) AS cell
+      FROM cd),
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, 65),
+               j -> a.embedding[j]::DOUBLE - cn[a.cell + 1][j]) AS r
+      FROM assigned a CROSS JOIN cnt),
+    dl AS MATERIALIZED (
+      SELECT r.vec_id, r.cell, t.s,
+             list_transform(range(1, 17), c -> {code_dist('r.r')}) AS dists
+      FROM resid r CROSS JOIN cbt CROSS JOIN range(0, 8) t(s)),
+    codesl AS MATERIALIZED (
+      SELECT vec_id, cell, list(CAST(list_position(dists, list_min(dists)) - 1 AS INT)
+                                ORDER BY s) AS codes
+      FROM dl GROUP BY vec_id, cell),
+    qprobe AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding,
+             unnest(list_transform(
+               list_sort(list_transform(range(1, 17),
+                 c -> {{'d': cdists[c], 'i': c - 1}}))[1:4],
+               s -> s['i'])) AS cell
+      FROM assigned WHERE vec_id < 5),
+    qres AS MATERIALIZED (
+      SELECT q.query_id, q.cell,
+             list_transform(range(1, 65),
+               j -> q.embedding[j]::DOUBLE - cn[q.cell + 1][j]) AS r
+      FROM qprobe q CROSS JOIN cnt),
+    qdl AS MATERIALIZED (
+      SELECT q.query_id, q.cell, t.s,
+             list_transform(range(1, 17), c -> {code_dist('q.r')}) AS dists
+      FROM qres q CROSS JOIN cbt CROSS JOIN range(0, 8) t(s)),
+    lut AS MATERIALIZED (
+      SELECT query_id, cell, list(dists ORDER BY s) AS lut
+      FROM qdl GROUP BY query_id, cell),
+    pairs AS (
+      SELECT l.query_id, c.vec_id AS match_id, {adc} AS adc
+      FROM lut l JOIN codesl c ON c.cell = l.cell AND c.vec_id <> l.query_id),
+    ranked AS (
+      SELECT query_id, match_id, round(adc, 6) AS adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(adc, 6) ASC, match_id ASC) AS rank
+      FROM pairs)
+    SELECT query_id, match_id, adc, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ext_similarity_ivfpq_residual", _ivfpq_residual_sql())
+def ext_similarity_ivfpq_residual(spark, sf_dir):
+    """Residual IVF-PQ (the FAISS IVFPQ formulation) at PARTIAL probe
+    (nprobe=4 of 16): codes are PQ over x − c(cell), queries carry one
+    ADC table per probed cell over q − c(cell). With portable literal
+    centroids the approximate routing itself sits under the exact
+    oracle — cell argmin, probe selection, residual codes, ADC sum."""
+    from ..ext.similarity import ivf_pq_residual_topk, pq_codebook_random
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebook_random(m=1, k=16, sub_dim=64, seed=11)[0]
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    return ivf_pq_residual_topk(
+        e, e.filter(F.col("vec_id") < 5), cents, cb, k=5, nprobe=4
+    )

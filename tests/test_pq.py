@@ -203,3 +203,80 @@ def test_cluster_balanced_sample_quota_and_determinism(emb):
     clusters = {r.cluster for r in t}
     assert clusters <= set(range(8)) and len(clusters) >= 4
     assert all(r.samp_rank <= 5 for r in t)
+
+
+def test_residual_ivfpq_matches_plain_adc_at_full_probe_on_zero_centroids(spark, sf_dir):
+    """With all-zero centroids every residual IS the raw vector, so
+    residual IVF-PQ at full probe must equal plain PQ-ADC exactly —
+    the composition gate for the residual path."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        ivf_pq_residual_topk,
+        pq_adc_topk,
+        pq_codebook_random,
+        pq_encode,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook_random(m=8, k=16, sub_dim=8)
+    zero_cents = [[0.0] * 64]  # one cell at the origin
+    got = {
+        (r.query_id, r.match_id, r.adc, r.rank)
+        for r in ivf_pq_residual_topk(
+            e, e.filter(F.col("vec_id") < 3), zero_cents, cb, k=4, nprobe=1
+        ).collect()
+    }
+    plain = {
+        (r.query_id, r.match_id, r.adc, r.rank)
+        for r in pq_adc_topk(
+            e, e.filter(F.col("vec_id") < 3), cb, k=4
+        ).collect()
+    }
+    assert got == plain
+
+
+def test_residual_encoding_reduces_trained_distortion(spark, sf_dir):
+    """Residuals have smaller norms than raw vectors, so a codebook of
+    the same budget trained on residuals reconstructs with lower (or
+    equal) mean squared error — the reason IVFPQ encodes residuals."""
+    import numpy as np
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import (
+        ivf_build,
+        pq_train,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed, cents = ivf_build(e, n_centroids=8, max_iter=4)
+    C = np.asarray(cents)
+    res = indexed.select(
+        F.col("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.element_at(
+                F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
+                F.col("centroid_id") + 1,
+            ),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+
+    def mse(frame, codebook):
+        rows = frame.select("embedding").collect()
+        X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        err = 0.0
+        for s in range(8):
+            Xs = X[:, s * 8 : (s + 1) * 8]
+            CB = np.asarray(codebook[s])
+            d2 = ((Xs[:, None, :] - CB[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err / len(X)
+
+    cb_raw = pq_train(e, m=8, k=16)
+    cb_res = pq_train(res, m=8, k=16)
+    m_raw = mse(e.select("embedding"), cb_raw)
+    m_res = mse(res, cb_res)
+    assert m_res <= m_raw * 1.02, (m_res, m_raw)
