@@ -68,12 +68,13 @@ CURATED_FIRST_50: list[str] = [
     "ext_dedup_clusters",
     "ext_span_dedup",
     "ext_semantic_dedup",
-    # r5: surface the PQ flagship in the window; brute-force topk
-    # stays fully covered — ext_similarity_ivf's full-probe oracle IS
-    # the brute-force result, and ext_similarity_topk remains under
-    # the full-suite gates.
+    # r5: surface the PQ flagship and the residual IVF-PQ row (whose
+    # PARTIAL-probe routing sits under the exact oracle — the
+    # strongest ANN gate); ext_similarity_ivf/topk stay covered by the
+    # full-suite gates (ivf's full-probe oracle IS the brute-force
+    # result).
     "ext_similarity_pq",
-    "ext_similarity_ivf",
+    "ext_similarity_ivfpq_residual",
     "ext_corpus_clean",
     "ext_contamination",
     "ext_multimodal_features",

@@ -22,7 +22,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def _normalized(text: Column) -> Column:
@@ -474,4 +474,71 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def repeated_span_ranges(
+    df: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate spans (the Lee-et-al "Deduplicating
+    Training Data" shape at window granularity): every k-token sliding
+    window is hashed; windows whose hash appears in ≥ ``min_docs``
+    distinct documents are duplicate material, and per document the
+    flagged windows merge into maximal token ranges
+    ``[span_start, span_end)`` ready for excision.
+
+    Distinct from :func:`span_dedup` (exact whole-line dedup): this
+    finds repeated regions ANYWHERE inside the text, boilerplate that
+    line splitting misses.
+
+    Scale shape: windows explode map-side (bounded fanout: one row per
+    token); ONE shuffle keyed by window hash computes the distinct-doc
+    counts (map-side partial agg); a semi-join flags the windows, and
+    the interval merge is a per-document gaps-and-islands window (no
+    further corpus-wide shuffle beyond the doc key). md5 window hashes
+    keep every stage engine-portable.
+    """
+    toks = _normalized(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), F.split(toks, " ").alias("_t"))
+    wins = base.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_t), {k}) - {k} + 1), "
+                f"i -> md5(concat_ws(' ', slice(_t, i, {k}))))"
+            )
+        ).alias("pos", "wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+    )
+    flagged = wins.join(dup.select("wh"), "wh", "left_semi")
+    w = W.partitionBy("_id").orderBy("pos")
+    isl = (
+        flagged.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy(F.col("_id").alias(id_col), "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
     )

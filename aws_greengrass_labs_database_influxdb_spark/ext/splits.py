@@ -163,3 +163,59 @@ def shuffle_shards(
         .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
         .drop("_key")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual α-sampling
+    recipe): source s gets share ``N_s^α / Σ_t N_t^α`` of a
+    ``target_total`` row budget — α < 1 up-weights small sources, α = 1
+    is proportional. Each source keeps probability
+    ``p_s = min(1, share_s · target_total / N_s)`` via the same
+    deterministic md5-bucket filter as :func:`weighted_mix` (pure
+    Column filter, no shuffle on the corpus, stable under re-runs).
+
+    Returns the kept rows plus ``keep_cut`` (the per-source bucket
+    cutoff of 10⁴) for auditability. With α = 0.5 every arithmetic
+    step (sqrt — correctly-rounded IEEE — ratios, floor to the bucket
+    cut) reproduces bit-for-bit in any engine.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window as W
+
+    # α = 0.5 routes through sqrt (correctly-rounded in every IEEE
+    # libm, unlike pow(x, 0.5) which is only *usually* identical) —
+    # this is what keeps the bucket cutoffs bit-stable cross-engine
+    if float(alpha) == 0.5:
+        pw = F.sqrt(F.col("_n").cast("double"))
+    else:
+        pw = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    counts = counts.withColumn(
+        "_w", pw / F.sum(pw).over(W.partitionBy())
+    )
+    p = F.least(
+        F.lit(1.0), F.col("_w") * F.lit(float(target_total)) / F.col("_n")
+    )
+    cuts = counts.select(
+        source_col, F.floor(p * 10000).cast("int").alias("keep_cut")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    return (
+        df.join(F.broadcast(cuts), source_col)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < F.col("keep_cut"))
+        .drop("_bucket")
+    )

@@ -1842,3 +1842,77 @@ def ext_similarity_ivfpq_residual(spark, sf_dir):
     return ivf_pq_residual_topk(
         e, e.filter(F.col("vec_id") < 5), cents, cb, k=5, nprobe=4
     )
+
+
+@q(
+    "ext_repeated_spans",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, u.pos, u.wh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t), 6) - 6 + 2),
+                 i -> {'pos': i - 1,
+                       'wh': md5(array_to_string(t[i:i+5], ' '))})) AS u
+        FROM base)),
+    dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM flagged))
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 6 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def ext_repeated_spans(spark, sf_dir):
+    """Substring-level duplicate spans: 6-token sliding-window md5
+    hashes, windows shared by ≥2 documents, merged into maximal
+    per-document token ranges (gaps-and-islands). The
+    excision-granularity complement to whole-line span_dedup."""
+    from ..ext.dedup import repeated_span_ranges
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_span_ranges(d, k=6)
+
+
+@q(
+    "ext_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n,
+             sqrt(n::DOUBLE) / (SELECT sum(sqrt(n::DOUBLE)) FROM counts) AS share
+      FROM counts),
+    cuts AS (
+      SELECT source,
+             CAST(floor(least(1.0, share * 300.0 / n) * 10000) AS INT) AS keep_cut
+      FROM w)
+    SELECT d.doc_id, d.source, c.keep_cut
+    FROM documents d JOIN cuts c USING (source)
+    WHERE ('0x' || substr(md5('tmix-v1' || d.doc_id::VARCHAR), 1, 4))::BIGINT % 10000
+          < c.keep_cut
+    """,
+)
+def ext_temperature_mix(spark, sf_dir):
+    """α=0.5 temperature sampling to a 300-row budget: small sources
+    up-weighted by sqrt(N) shares, kept via the deterministic
+    md5-bucket filter (exact over the bucket space, stable, no RNG)."""
+    from ..ext.splits import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mix(d, target_total=300, alpha=0.5).select(
+        "doc_id", "source", "keep_cut"
+    )

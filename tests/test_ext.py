@@ -542,3 +542,46 @@ def test_cluster_top_terms_ranks_distinctive_terms(spark):
     for rs in by_c.values():
         ranks = sorted(r.rank for r in rs)
         assert ranks == [1, 2, 3]
+
+
+def test_repeated_span_ranges_finds_planted_boilerplate(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import repeated_span_ranges
+
+    boiler = "subscribe to our newsletter for all the latest updates"  # 9 tokens
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta epsilon"),
+        (1, f"one two three four five six {boiler}"),
+        (2, "totally unrelated text with no duplicate content at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.span_start, r.span_end) for r in
+           repeated_span_ranges(d, k=6).collect()}
+    # every token of the boilerplate (and nothing of doc 2) is covered
+    assert 2 not in out
+    s0, e0 = out[0]
+    toks0 = rows[0][1].split()
+    assert " ".join(toks0[s0:e0]).find(boiler) != -1 or (
+        boiler.split()[0] in toks0[s0:e0] and boiler.split()[-1] in toks0[s0:e0]
+    )
+    s1, e1 = out[1]
+    toks1 = rows[1][1].split()
+    assert boiler.split()[0] in toks1[s1:e1] and boiler.split()[-1] in toks1[s1:e1]
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.splits import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(d, target_total=200, alpha=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # α=0.5 shares: sqrt(900):sqrt(100) = 3:1 → ~150 big / ~50 small;
+    # proportional would be 180/20 — "small" must be clearly up-weighted
+    assert by_src["small"] > 35
+    assert abs(len(kept) - 200) < 40
+    # determinism under repartition
+    again = {r.doc_id for r in
+             temperature_mix(d.repartition(9), target_total=200, alpha=0.5).collect()}
+    assert again == {r.doc_id for r in kept}
