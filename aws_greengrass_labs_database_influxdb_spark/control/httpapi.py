@@ -359,6 +359,16 @@ class HttpApi:
             length = int(handler.headers.get("Content-Length") or 0)
             if length:
                 body = handler.rfile.read(length)
+            # Telegraf's v2 output gzips bodies by default; the
+            # reference engine accepts Content-Encoding: gzip on write
+            # and query bodies alike
+            if handler.headers.get("Content-Encoding", "").lower() == "gzip":
+                import gzip as _gzip
+
+                try:
+                    body = _gzip.decompress(body)
+                except OSError:
+                    raise ApiError(400, "invalid", "body is not valid gzip")
             route = (method, url.path)
             if route == ("GET", "/ping"):
                 self._respond(handler, 204, None)
@@ -680,6 +690,16 @@ class HttpApi:
             # the store's create_bucket (reference A6)
             self._authorize(handler, "write", org, db)
             self.engine.store.create_bucket(org, cm.group(1))
+            return {}
+        xm = re.match(r'(?is)^\s*DROP\s+DATABASE\s+"?([\w.\-]+)"?\s*$', text)
+        if xm:
+            # org-admin operation (same gate as v2 bucket creation):
+            # scoped RW tokens only grant their one bucket
+            rec = self._bearer_record(handler)
+            if "write:orgs" not in rec["permissions"]:
+                raise ApiError(403, "forbidden",
+                               "DROP DATABASE requires an admin token")
+            self.engine.store.drop_bucket(org, xm.group(1))
             return {}
         dm = re.match(r'(?is)^\s*DROP\s+MEASUREMENT\s+"?([\w.\-]+)"?\s*$', text)
         if dm:

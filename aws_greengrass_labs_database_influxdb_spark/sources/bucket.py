@@ -85,6 +85,18 @@ class BucketStore:
             if (d / "bucket.json").exists()
         ]
 
+    def drop_bucket(self, org: str, name: str) -> bool:
+        """Delete a bucket's metadata and data (v1 DROP DATABASE / v2
+        bucket delete). Returns False when the bucket does not exist
+        (idempotent — matching create_bucket's reference-A6 shape)."""
+        import shutil
+
+        bucket_dir = self.root / org / name
+        if not (bucket_dir / "bucket.json").exists():
+            return False
+        shutil.rmtree(bucket_dir)
+        return True
+
     def _data_dir(self, org: str, name: str) -> Path:
         return self.root / org / name / "data"
 

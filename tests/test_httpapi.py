@@ -766,3 +766,48 @@ def test_v2_task_windowed_quantile(served):
     assert got == expect
     _req(base, f"/api/v2/tasks/{task['id']}", "DELETE", token=tokens["RW"],
          body=None)
+
+
+def test_write_accepts_gzip_body(served):
+    """Telegraf gzips line-protocol bodies by default — the write path
+    must decompress on Content-Encoding: gzip (and reject bad gzip)."""
+    import gzip
+
+    base, engine, tokens = served
+    lines = "\n".join(
+        f"gzm,host=g{i % 2} v={float(i)} {T0 + i * 1_000_000_000}" for i in range(10)
+    )
+    req = urllib.request.Request(
+        base + "/api/v2/write?bucket=greengrass-telemetry", method="POST"
+    )
+    req.add_header("Authorization", f"Token {tokens['RW']}")
+    req.add_header("Content-Type", "text/plain")
+    req.add_header("Content-Encoding", "gzip")
+    resp = urllib.request.urlopen(req, gzip.compress(lines.encode()))
+    assert resp.status == 204
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    assert pts.filter(pts.measurement == "gzm").count() == 10
+
+    bad = urllib.request.Request(
+        base + "/api/v2/write?bucket=greengrass-telemetry", method="POST"
+    )
+    bad.add_header("Authorization", f"Token {tokens['RW']}")
+    bad.add_header("Content-Encoding", "gzip")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad, b"not gzip at all")
+    assert e.value.code == 400
+
+
+def test_v1_drop_database_admin_only(served):
+    base, engine, tokens = served
+    engine.store.create_bucket("greengrass", "droppable")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/query?db=droppable&q=DROP%20DATABASE%20droppable",
+             method="POST", token=tokens["RW"], body="")
+    assert e.value.code == 403
+    status, body = _req(
+        base, "/query?db=droppable&q=DROP%20DATABASE%20droppable",
+        method="POST", token=tokens["Admin"], body="")
+    assert status == 200
+    names = {b.name for b in engine.store.list_buckets("greengrass")}
+    assert "droppable" not in names
