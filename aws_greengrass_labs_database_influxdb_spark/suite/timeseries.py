@@ -1733,3 +1733,81 @@ def ts_deadman(spark, sf_dir):
         "event_type", _w_ms().alias("w_ms"), "n",
         F.col("dead").cast("int").alias("dead"),
     )
+
+
+@q(
+    "ts_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT 1 AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM s3)
+    """,
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel over the event stream: users whose first signup
+    precedes a later click precedes a later purchase — per-step user
+    counts. Each step is one groupBy(user) min + a user-keyed join of
+    the next event type; the user key partitions every stage, so the
+    chain is three co-partitioned shuffles (AQE reuses the exchange),
+    never a per-user Python loop."""
+    p = _pts(spark, sf_dir)
+    s1 = (p.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("time_ns").alias("t1")))
+    s2 = (p.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("time_ns") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("time_ns").alias("t2")))
+    s3 = (p.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("time_ns") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("time_ns").alias("t3")))
+    rows = None
+    for i, s in enumerate((s1, s2, s3), start=1):
+        one = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), "n_users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+WEEK_NS = 7 * 86400 * 10**9
+
+
+@q(
+    "ts_cohort_retention",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week
+      FROM events),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active week,
+    counted per later active week. Two user-keyed aggregations and one
+    co-partitioned join — the classic engagement query an analytics
+    engine over event streams must serve."""
+    p = _pts(spark, sf_dir)
+    act = p.select(
+        "user_id", F.expr(f"time_ns div {WEEK_NS}").alias("week")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
