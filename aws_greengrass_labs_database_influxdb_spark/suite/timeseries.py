@@ -1811,3 +1811,44 @@ def ts_cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@q(
+    "ts_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.ts, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type, epoch_ms(d.ts) AS t_ms, d.value,
+           round(d.adev / m.mad, 6) AS mad_score
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE d.adev > 6 * m.mad
+    """,
+)
+def ts_mad_outliers(spark, sf_dir):
+    """Robust per-series outlier detection: |x − median| > 6·MAD
+    (median absolute deviation — immune to the outliers it hunts,
+    unlike stddev). Two exact-median aggregations per series key plus
+    one broadcastable stats join; the raw scan streams through the
+    flag filter without re-shuffling."""
+    p = _pts(spark, sf_dir)
+    med = p.groupBy("event_type").agg(F.median("f_float").alias("med"))
+    dev = p.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("f_float") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 6 * F.col("mad"))
+        .select(
+            "event_type",
+            F.expr("time_ns div 1000000").alias("t_ms"),
+            F.col("f_float").alias("value"),
+            F.round(F.col("adev") / F.col("mad"), 6).alias("mad_score"),
+        )
+    )
