@@ -1916,3 +1916,27 @@ def ext_temperature_mix(spark, sf_dir):
     return temperature_mix(d, target_total=300, alpha=0.5).select(
         "doc_id", "source", "keep_cut"
     )
+
+
+@q(
+    "ext_heavy_hitters",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    r AS (SELECT user_id, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT) AS rank
+          FROM c)
+    SELECT user_id, cnt, rank FROM r WHERE rank <= 10
+    """,
+)
+def ext_heavy_hitters(spark, sf_dir):
+    """Top-10 most active users via the two-pass sketch path:
+    Misra-Gries partition summaries (O(capacity) state, no raw-key
+    shuffle) propose candidates, an exact broadcast-semi-join recount
+    ranks them. Lossless capacity here (>= distinct keys) makes the
+    result equal the exact groupBy top-k — the oracle configuration;
+    the eviction/recall behavior under tight capacity is unit-tested."""
+    from ..ext.freq import heavy_hitters
+    from ..sources.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", k=10, capacity=4096)

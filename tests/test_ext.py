@@ -585,3 +585,22 @@ def test_temperature_mix_upweights_small_sources(spark):
     again = {r.doc_id for r in
              temperature_mix(d.repartition(9), target_total=200, alpha=0.5).collect()}
     assert again == {r.doc_id for r in kept}
+
+
+def test_heavy_hitters_sketch_matches_exact_and_survives_eviction(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.freq import (
+        heavy_hitters,
+        heavy_hitters_exact,
+    )
+
+    # zipf-ish: item i appears 500//(i+1) times, 200 tail singletons
+    rows = [(f"item{i}",) for i in range(40) for _ in range(500 // (i + 1))]
+    rows += [(f"tail{j}",) for j in range(200)]
+    d = spark.createDataFrame(rows, "k string").repartition(8)
+    exact = [(r.k, r.cnt) for r in heavy_hitters_exact(d, "k", k=5).collect()]
+    # lossless capacity → identical to exact
+    full = [(r.k, r.cnt) for r in heavy_hitters(d, "k", k=5, capacity=1000).collect()]
+    assert full == exact
+    # tight capacity: heads survive eviction, counts stay EXACT
+    tight = [(r.k, r.cnt) for r in heavy_hitters(d, "k", k=5, capacity=16).collect()]
+    assert tight == exact
