@@ -439,3 +439,63 @@ def cluster_top_terms(
             F.col("_rn").cast("int").alias("rank"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_n: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocation mining: the ``top_n`` adjacent word pairs by
+    pointwise mutual information, ``PMI(u,v) = ln(c(u,v)·T /
+    (c(u)·c(v)))`` over corpus-wide counts — the classic phrase-
+    discovery step (multi-word expressions for tokenizer seeding or
+    query expansion). ``min_count`` guards the PMI small-count bias.
+
+    One explode+groupBy shuffle each for unigram and bigram counts
+    (both map-side combining; the bigram frame is the larger,
+    O(corpus tokens) worst case); scoring joins run on those
+    vocabulary-bounded frames. Integer counts + one ln + 6dp rounding
+    keep it engine-exact; ties break on (left, right) ascending.
+    """
+    toks = df.select(_tokens(F.col(text_col)).alias("_t"))
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(_t), 2) - 1), "
+        "i -> struct(_t[i-1] AS u, _t[i] AS v))"
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cuv"))
+        .filter(F.col("cuv") >= min_count)
+    )
+    total = uni.agg(F.sum("cw").alias("T"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        big.join(F.broadcast(uni.withColumnsRenamed({"w": "u", "cw": "cu"})), "u")
+        .join(F.broadcast(uni.withColumnsRenamed({"w": "v", "cw": "cv"})), "v")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("cuv") * F.col("T")
+                    / (F.col("cu").cast("double") * F.col("cv"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("pmi"), F.asc("u"), F.asc("v"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("u", "v", "cuv", "cu", "cv", "pmi", "rank")
+    )

@@ -1940,3 +1940,41 @@ def ext_heavy_hitters(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     return heavy_hitters(e, "user_id", k=10, capacity=4096)
+
+
+@q(
+    "ext_pmi_collocations",
+    r"""
+    WITH base AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+    big AS (
+      SELECT p['u'] AS u, p['v'] AS v, count(*) AS cuv
+      FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(t), 2)),
+                 i -> {'u': t[i], 'v': t[i + 1]})) AS p
+        FROM base)
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    tot AS (SELECT sum(cw) AS T FROM uni),
+    sc AS (
+      SELECT b.u, b.v, b.cuv, cu.cw AS cu, cv.cw AS cv,
+             round(ln(b.cuv * t.T / (cu.cw::DOUBLE * cv.cw)), 6) AS pmi
+      FROM big b JOIN uni cu ON cu.w = b.u JOIN uni cv ON cv.w = b.v
+      CROSS JOIN tot t),
+    r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, u ASC, v ASC) AS INT) AS rank
+      FROM sc)
+    SELECT u, v, cuv, cu, cv, pmi, rank FROM r WHERE rank <= 20
+    """,
+)
+def ext_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-pair collocations by pointwise mutual
+    information (min count 5) — corpus phrase mining over the same
+    unigram/bigram count frames the LM family builds."""
+    from ..ext.text import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, top_n=20, min_count=5)

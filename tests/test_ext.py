@@ -604,3 +604,22 @@ def test_heavy_hitters_sketch_matches_exact_and_survives_eviction(spark):
     # tight capacity: heads survive eviction, counts stay EXACT
     tight = [(r.k, r.cnt) for r in heavy_hitters(d, "k", k=5, capacity=16).collect()]
     assert tight == exact
+
+
+def test_pmi_collocations_ranks_fixed_phrases(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import pmi_collocations
+
+    # "san francisco" always co-occurs; "the city" pairs two frequent
+    # independent words -> PMI must rank the fixed phrase far higher
+    rows = [(f"visit san francisco the city is the place to be number {i}",)
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "text string")
+    out = pmi_collocations(d, top_n=10, min_count=5).collect()
+    by_pair = {(r.u, r.v): r for r in out}
+    assert ("san", "francisco") in by_pair
+    sf = by_pair[("san", "francisco")]
+    the_city = by_pair.get(("the", "city"))
+    assert the_city is None or sf.pmi > the_city.pmi
+    # six always-adjacent pairs tie at the max PMI; the fixed phrase
+    # must be in that tied head, ordered alphabetically within it
+    assert sf.pmi == max(r.pmi for r in out)
