@@ -199,8 +199,12 @@ def _col(df: DataFrame, name: str) -> Column:
 
 _CMP_RX = re.compile(
     r'r(?:\.(\w+)|\["(\w+)"\])\s*(==|!=|>=|<=|>|<|=~)\s*'
-    r'("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|/[^/]*/)'
+    r'("(?:[^"\\]|\\.)*"'
+    r"|\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z)?"  # RFC3339 time
+    r"|-?\d+(?:\.\d+)?|true|false|/[^/]*/)"
 )
+
+_ISO_LIT_RX = re.compile(r"^\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z)?$")
 
 
 _EXISTS_RX = re.compile(r'(not\s+)?exists\s+r(?:\.(\w+)|\["(\w+)"\])')
@@ -252,7 +256,14 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         name = m.group(1) or m.group(2)
         op, lit = m.group(3), m.group(4)
         c = _col(df, name)
-        if lit.startswith('"'):
+        if _ISO_LIT_RX.match(lit):
+            # RFC3339 time literal: compare on the exact-ns column
+            # (canonical frames always carry time_ns; the µs timestamp
+            # column would silently truncate sub-µs bounds)
+            val = _time_to_ns(lit, 0)
+            if "time_ns" in df.columns and _colname(df, name) == "time":
+                c = F.col("time_ns")
+        elif lit.startswith('"'):
             val = lit[1:-1]
         elif lit in ("true", "false"):
             val = lit == "true"

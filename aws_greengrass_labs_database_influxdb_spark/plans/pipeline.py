@@ -127,7 +127,18 @@ class Pipeline:
         ``_start_ns`` — no extra grouping cost) so windowed aggregates
         keep BOTH edges, as Flux tables do; the classic
         ``window |> mean |> duplicate(column: "_stop", as: "_time")``
-        idiom depends on it."""
+        idiom depends on it.
+
+        ``every: inf`` is the documented UN-window: the window columns
+        leave the group key (each series becomes one table again) —
+        the ``window |> agg |> window(every: inf)`` flatten idiom."""
+        if isinstance(every, str) and every.strip() == "inf":
+            key = tuple(
+                k for k in self.group_key if k not in ("_start_ns", "_stop_ns")
+            )
+            return self._with(
+                self.df_.drop("_start_ns", "_stop_ns"), group_key=key
+            )
         w = ops.window(self.df_, every, period, offset, self.time_ns_col, self.time_col)
         return self._with(w, group_key=(*self.group_key, "_start_ns", "_stop_ns"))
 

@@ -1431,3 +1431,29 @@ def test_flux_map_strings_index_prefix_bool_conditions(pts):
         assert r.i == r.event_type.find("i")
         assert r.p == (1.0 if r.event_type.startswith("cl") else 0.0)
         assert r.c == (1.0 if "ick" in r.event_type else 0.0)
+
+
+def test_flux_time_literal_predicates_and_window_inf(pts):
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._time > 2024-01-15T00:00:00Z'
+        " and r._time < 2024-01-20T00:00:00Z) |> count()",
+    )
+    n = out.collect()[0][-1]
+    direct = pts.filter(
+        (F.col("time_ns") > 1705276800_000_000_000)
+        & (F.col("time_ns") < 1705708800_000_000_000)
+    ).count()
+    assert n == direct
+    # window(every: inf) flattens windowed results back to one table
+    # per series: the classic window |> max |> un-window idiom equals
+    # the per-day max stream re-limited globally
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z)'
+        " |> window(every: 1d) |> max() |> window(every: inf)",
+    )
+    assert "_start_ns" not in out.columns
+    day = 86400 * 10**9
+    n_days = pts.select(F.expr(f"time_ns div {day}")).distinct().count()
+    assert out.count() == n_days  # one max row per day, single table
