@@ -305,6 +305,18 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
         if rm:
             out.tag_filters.append((rm.group(1), rm.group(2), rm.group(3)))
             continue
+        # field arithmetic: `value * 2 > 100`, `(value + 1) / 2 <= 5` —
+        # stored with a marker prefix and compiled to a Column at
+        # execution (identifiers resolve to field columns there)
+        em = re.match(
+            r"^([\w .+\-*/()]+?)\s*(>=|<=|!=|=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$",
+            cond,
+        )
+        if em and re.search(r"[+\-*/]", em.group(1)):
+            out.field_filters.append(
+                ("__expr__" + em.group(1).strip(), em.group(2), float(em.group(3)))
+            )
+            continue
         raise InfluxQLError(f"cannot parse WHERE clause {cond!r}")
 
 
@@ -1001,8 +1013,19 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             acc = acc | tag_cond(*cond)
         df = df.filter(acc)
     for name, op, val in ast.field_filters:
-        c = F.col("f_float") if name not in df.columns else F.col(name)
-        cmpmap = {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val}
+        if name.startswith("__expr__"):
+            # arithmetic condition: swap each identifier for its
+            # physical column (unknown idents are field refs → f_float)
+            sql = re.sub(
+                r"\b[A-Za-z_]\w*\b",
+                lambda mo: mo.group(0) if mo.group(0) in df.columns else "f_float",
+                name[len("__expr__"):],
+            )
+            c = F.expr(sql)
+        else:
+            c = F.col("f_float") if name not in df.columns else F.col(name)
+        cmpmap = {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val,
+                  "=": c == val, "!=": c != val}
         df = df.filter(cmpmap[op])
 
     by = list(ast.group_tags)

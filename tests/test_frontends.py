@@ -1457,3 +1457,24 @@ def test_flux_time_literal_predicates_and_window_inf(pts):
     day = 86400 * 10**9
     n_days = pts.select(F.expr(f"time_ns div {day}")).distinct().count()
     assert out.count() == n_days  # one max row per day, single table
+
+
+def test_influxql_arithmetic_where(pts):
+    out = execute_influxql(pts, "SELECT count(value) AS n FROM events WHERE value * 2 > 100")
+    n = out.collect()[0]["n"]
+    assert n == pts.filter(F.col("f_float") * 2 > 100).count()
+    out = execute_influxql(
+        pts, "SELECT count(value) AS n FROM events WHERE (value + 10) / 2 <= 60"
+    )
+    n = out.collect()[0]["n"]
+    assert n == pts.filter((F.col("f_float") + 10) / 2 <= 60).count()
+    # composes with tag predicates on the same AND chain
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) AS n FROM events "
+        "WHERE event_type = 'click' AND value * 2 > 100",
+    )
+    n = out.collect()[0]["n"]
+    assert n == pts.filter(
+        (F.col("event_type") == "click") & (F.col("f_float") * 2 > 100)
+    ).count()
