@@ -38,12 +38,13 @@ columns or ``tags['k']``).
 
 from __future__ import annotations
 
+import calendar
 import datetime as dt
 import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..operators.windows import duration_ns
+from ..operators.windows import duration_ns, duration_parts
 from ..plans.pipeline import Pipeline, from_points
 
 
@@ -68,7 +69,9 @@ _VALUE_RESULT_ALIASES = (
     "quantile", "integral", "timeWeightedAvg",
 )
 
-_DUR_RX = re.compile(r"^-?\d+(ns|us|ms|s|m|h|d|w|mo|y)(\d+(ns|us|ms|s|m|h|d|w))*$")
+_DUR_RX = re.compile(
+    r"^-?\d+(ns|us|ms|mo|s|m|h|d|w|y)(\d+(ns|us|ms|mo|s|m|h|d|w|y))*$"
+)
 
 
 def _split_pipeline(q: str) -> list[str]:
@@ -154,9 +157,18 @@ def _time_to_ns(tok: str, now_ns: int) -> int:
     if tok == "now()":
         return now_ns
     if _DUR_RX.match(tok):
-        neg = tok.startswith("-")
-        ns = duration_ns(tok.lstrip("-"))
-        return now_ns - ns if neg else now_ns + ns
+        months, ns = duration_parts(tok)
+        if months:
+            # calendar-relative (range(start: -1mo)): shift now by whole
+            # months with day clamping, Flux/Go time.AddDate semantics
+            d = dt.datetime.fromtimestamp(now_ns // 10**9, dt.timezone.utc)
+            mi = d.year * 12 + (d.month - 1) + months
+            y, m = divmod(mi, 12)
+            last = calendar.monthrange(y, m + 1)[1]
+            shifted = d.replace(year=y, month=m + 1, day=min(d.day, last))
+            base = int(shifted.timestamp()) * 10**9 + now_ns % 10**9
+            return base + ns
+        return now_ns + ns
     if re.match(r"^\d+$", tok):
         return int(tok) * 10**9  # unix seconds
     iso = tok.strip('"')

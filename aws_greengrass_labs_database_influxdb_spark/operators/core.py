@@ -136,11 +136,22 @@ def time_shift(df: DataFrame, duration: str, time_col: str = "time",
     downstream window/ordering semantics stay consistent.
     """
     try:
-        from .windows import duration_ns
+        from .windows import duration_parts
 
-        d = duration.strip()
-        ns_delta = F.lit(duration_ns(d.lstrip("-")) * (-1 if d.startswith("-") else 1))
+        months, fixed = duration_parts(duration.strip())
     except (ValueError, KeyError, AttributeError):  # not a Flux duration → SQL interval
+        months, fixed = 0, None
+    if months:
+        # calendar months/years (1mo, -1y, 1mo10d): per-row calendar
+        # arithmetic with day clamping — make_interval is JVM-side
+        cal = F.col(time_col) + F.make_interval(F.lit(0), F.lit(months))
+        ns_delta = (
+            (F.unix_micros(cal) - F.unix_micros(F.col(time_col))) * 1000
+            + F.lit(fixed)
+        )
+    elif fixed is not None:
+        ns_delta = F.lit(fixed)
+    else:
         shifted = F.col(time_col) + F.expr(f"INTERVAL {duration}")
         ns_delta = (F.unix_micros(shifted) - F.unix_micros(F.col(time_col))) * 1000
     updates = {

@@ -30,6 +30,50 @@ from .aggregates import AGG_FNS
 NS = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9,
       "h": 3600 * 10**9, "d": 86400 * 10**9, "w": 7 * 86400 * 10**9}
 
+#: Flux calendar units — variable length, resolved against the calendar
+#: (UTC; the session timezone is pinned in session.py / sources.io).
+_CAL_MONTHS = {"mo": 1, "y": 12}
+
+
+def duration_parts(d: int | str) -> tuple[int, int]:
+    """Split a Flux duration into ``(calendar_months, fixed_ns)``.
+
+    Flux treats ``mo``/``y`` as calendar units (variable physical
+    length) that may mix with fixed units (``1mo10d``); fixed-only
+    durations return ``(0, ns)``. Both parts carry the sign.
+    """
+    if isinstance(d, int):
+        return 0, d
+    s = d.strip()
+    sign = 1
+    if s.startswith("-"):
+        sign, s = -1, s[1:]
+    months = ns = 0
+    num = ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isdigit():
+            num += c
+            i += 1
+            continue
+        two = s[i : i + 2]
+        if two in _CAL_MONTHS:
+            months += int(num) * _CAL_MONTHS[two]
+            num, i = "", i + 2
+        elif two in NS:
+            ns += int(num) * NS[two]
+            num, i = "", i + 2
+        elif c == "y":
+            months += int(num) * 12
+            num, i = "", i + 1
+        elif c in NS:
+            ns += int(num) * NS[c]
+            num, i = "", i + 1
+        else:
+            raise ValueError(f"bad duration unit at {s[i:]!r} in {d!r}")
+    return sign * months, sign * ns
+
 
 def duration_ns(d: int | str) -> int:
     """Parse a Flux-style duration ('1m', '30s', '1h30m', '-5m') to ns."""
@@ -65,6 +109,81 @@ def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Colum
     return (shifted - shifted % F.lit(every_ns) + F.lit(offset_ns)).cast("long")
 
 
+def _month_index(ts: Column) -> Column:
+    """Months since 1970-01 of a timestamp Column (UTC calendar)."""
+    return (F.year(ts) - F.lit(1970)) * F.lit(12) + F.month(ts) - F.lit(1)
+
+
+def _month_start_ns(mi: Column) -> Column:
+    """Epoch-ns of the first instant of month-index ``mi`` (UTC).
+
+    ``make_timestamp(..., 'UTC')`` keeps the calendar fixed even if a
+    caller overrides the session timezone."""
+    y = (F.lit(1970) + F.floor(mi / F.lit(12))).cast("int")
+    m = (F.pmod(mi, F.lit(12)) + F.lit(1)).cast("int")
+    ts = F.make_timestamp(
+        y, m, F.lit(1), F.lit(0), F.lit(0), F.lit(0), F.lit("UTC")
+    )
+    return (F.unix_micros(ts) * F.lit(1000)).cast("long")
+
+
+def month_window_bounds(
+    time_ns: Column, every_months: int, offset_months: int = 0
+) -> tuple[Column, Column]:
+    """``(start_ns, stop_ns)`` of the calendar-month window holding each
+    row — Flux ``window(every: 1mo/3mo/1y)``.
+
+    Pure JVM Column arithmetic (year/month extract → month index →
+    ``make_timestamp``): whole-stage-codegen'd, no Python, and groupable
+    exactly like the fixed-width path, so at 100 TB a monthly rollup is
+    still a plain hash aggregate with map-side partials.
+    """
+    ts = F.timestamp_micros((time_ns / 1000).cast("long"))
+    mi = _month_index(ts) - F.lit(offset_months)
+    wm = (F.floor(mi / F.lit(every_months)) * F.lit(every_months)).cast(
+        "int"
+    ) + F.lit(offset_months)
+    return _month_start_ns(wm), _month_start_ns(wm + F.lit(every_months))
+
+
+def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
+    if fixed_ns:
+        raise ValueError(
+            f"calendar window every: {every!r} cannot mix fixed units"
+        )
+    if period is not None and period != every:
+        raise ValueError("calendar windows support period == every only")
+
+
+def _calendar_offset_months(offset) -> int:
+    """Window offset for a calendar window — whole months only."""
+    om, ons = duration_parts(offset) if offset else (0, 0)
+    if ons:
+        raise ValueError("calendar window offset: must be whole months")
+    return om
+
+
+def _window_start_stop(
+    every: str | int, offset: str | int, time_ns: str
+) -> tuple[Column, Column]:
+    """``(start_col, stop_from_start)`` for a tumbling window of
+    ``every`` — fixed-width integer arithmetic, or calendar-month
+    bounds when ``every`` uses ``mo``/``y`` units. ``stop_from_start``
+    is an expression over the post-aggregate ``_start_ns`` column."""
+    months, fixed = duration_parts(every)
+    if months:
+        _check_calendar_every(months, fixed, None, every)
+        om = _calendar_offset_months(offset)
+        start_col, _ = month_window_bounds(F.col(time_ns), months, om)
+        start_ts = F.timestamp_micros((F.col("_start_ns") / 1000).cast("long"))
+        stop_from_start = _month_start_ns(_month_index(start_ts) + F.lit(months))
+        return start_col, stop_from_start
+    every_n = duration_ns(every)
+    offset_n = duration_ns(offset) if offset else 0
+    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
+    return start_col, F.col("_start_ns") + F.lit(every_n)
+
+
 def window(
     df: DataFrame,
     every: str | int,
@@ -79,6 +198,19 @@ def window(
     row. Tumbling path (period == every) is pure column arithmetic;
     sliding uses Spark's native window explode.
     """
+    months, _fixed = duration_parts(every)
+    if months:
+        _check_calendar_every(months, _fixed, period, every)
+        om = _calendar_offset_months(offset)
+        start_c, stop_c = month_window_bounds(F.col(time_ns), months, om)
+        out = df.withColumn("_start_ns", start_c).withColumn("_stop_ns", stop_c)
+        return (
+            out.withColumn(
+                "_start", F.timestamp_micros((F.col("_start_ns") / 1000).cast("long"))
+            ).withColumn(
+                "_stop", F.timestamp_micros((F.col("_stop_ns") / 1000).cast("long"))
+            )
+        )
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
     period_n = duration_ns(period) if period is not None else every_n
@@ -117,6 +249,28 @@ def window_spine(
     ``_start_ns``, ``_stop_ns``. Distinct series is an aggregate of the
     data (small); the sequence explode happens once per series.
     """
+    months, fixed = duration_parts(every)
+    if months:
+        _check_calendar_every(months, fixed, None, every)
+        om = _calendar_offset_months(offset)
+        import datetime as _dt
+
+        def _mi(ns: int) -> int:
+            d = _dt.datetime.fromtimestamp(ns // 10**9, _dt.timezone.utc)
+            return (d.year - 1970) * 12 + d.month - 1
+
+        first_mi = (_mi(start) - om) // months * months + om
+        last_mi = (_mi(stop - 1) - om) // months * months + om
+        seq = F.sequence(F.lit(first_mi), F.lit(last_mi), F.lit(months))
+        if by:
+            spine = df.select(*by).distinct().withColumn("_mi", F.explode(seq))
+        else:
+            spine = df.sparkSession.range(1).select(F.explode(seq).alias("_mi"))
+        return (
+            spine.withColumn("_start_ns", _month_start_ns(F.col("_mi")))
+            .withColumn("_stop_ns", _month_start_ns(F.col("_mi") + F.lit(months)))
+            .drop("_mi")
+        )
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
     first_w = (start - offset_n) // every_n * every_n + offset_n
@@ -150,22 +304,20 @@ def aggregate_window(
     ``time``/``time_ns`` is the window ``_stop`` by default (Flux
     default ``timeSrc: "_stop"``).
     """
-    every_n = duration_ns(every)
-    offset_n = duration_ns(offset) if offset else 0
     out_alias = alias or fn
-    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
+    start_col, stop_from_start = _window_start_stop(every, offset, time_ns)
     agg = AGG_FNS[fn](F.col(value)).alias(out_alias)
     grouped = (
         df.withColumn("_start_ns", start_col)
         .groupBy(*by, "_start_ns")
         .agg(agg)
-        .withColumn("_stop_ns", F.col("_start_ns") + F.lit(every_n))
+        .withColumn("_stop_ns", stop_from_start)
     )
     if create_empty:
         assert range_start is not None and range_stop is not None, (
             "createEmpty needs explicit range bounds"
         )
-        spine = window_spine(df, range_start, range_stop, every_n, by, offset_n)
+        spine = window_spine(df, range_start, range_stop, every, by, offset)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
@@ -193,18 +345,16 @@ def aggregate_window_custom(
     ``_start_ns`` window column appended to ``keys`` and must return
     one row per key tuple (any groupBy- or window-rank-based operator
     qualifies — same shuffle shape as the named-fn path)."""
-    every_n = duration_ns(every)
-    offset_n = duration_ns(offset) if offset else 0
-    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
+    start_col, stop_from_start = _window_start_stop(every, offset, time_ns)
     win = df.withColumn("_start_ns", start_col)
     grouped = agg_builder(win, [*by, "_start_ns"]).withColumn(
-        "_stop_ns", F.col("_start_ns") + F.lit(every_n)
+        "_stop_ns", stop_from_start
     )
     if create_empty:
         assert range_start is not None and range_stop is not None, (
             "createEmpty needs explicit range bounds"
         )
-        spine = window_spine(df, range_start, range_stop, every_n, by, offset_n)
+        spine = window_spine(df, range_start, range_stop, every, by, offset)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (

@@ -1143,3 +1143,46 @@ def influxql_top_per_tag(spark, sf_dir):
     pts = events_points(spark, sf_dir)
     out = execute_influxql(pts, "SELECT top(value, event_type, 3) FROM events")
     return out.select(F.unix_millis("time").alias("t_ms"), "top", "event_type")
+
+
+@q(
+    "flux_text_calendar_window",
+    """
+    WITH grid AS (
+      SELECT g AS ws
+      FROM generate_series(TIMESTAMP '2023-11-01', TIMESTAMP '2024-02-01',
+                           INTERVAL 1 MONTH) t(g)),
+    et AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type, date_trunc('month', ts) AS ws, avg(value) AS v
+      FROM events
+      WHERE ts >= TIMESTAMP '2023-11-01' AND ts < TIMESTAMP '2024-03-01'
+      GROUP BY 1, 2)
+    SELECT et.event_type, epoch_ms(grid.ws + INTERVAL 1 MONTH) AS t_ms,
+           agg.v AS avg_v
+    FROM et CROSS JOIN grid
+    LEFT JOIN agg ON agg.event_type = et.event_type AND agg.ws = grid.ws
+    """,
+)
+def flux_text_calendar_window(spark, sf_dir):
+    """Flux calendar-month windows: ``aggregateWindow(every: 1mo,
+    createEmpty: true)`` (r5). ``mo``/``y`` are calendar units —
+    variable physical width — so the window bounds come from
+    year/month extraction + ``make_timestamp``, not fixed-ns division
+    (operators/windows.py month_window_bounds); the createEmpty spine
+    is a month-index sequence. Still a plain hash aggregate with
+    map-side partials at 100 TB. Oracle: DuckDB date_trunc('month') +
+    a month-interval generate_series grid."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b")'
+        " |> range(start: 2023-11-01T00:00:00Z, stop: 2024-03-01T00:00:00Z)"
+        ' |> group(columns: ["event_type"])'
+        " |> aggregateWindow(every: 1mo, fn: mean, createEmpty: true)",
+    )
+    return out.select(
+        "event_type",
+        F.expr("time_ns div 1000000").alias("t_ms"),
+        F.col("f_float").alias("avg_v"),
+    )

@@ -403,3 +403,65 @@ def test_sample_random_mode_uniform_and_seed_deterministic(spark):
     a = {r.time_ns for r in sel.sample(df, 3, by=["series"], seed=7).collect()}
     b = {r.time_ns for r in sel.sample(df, 3, by=["series"], seed=7).collect()}
     assert a == b and len(a) == 3
+
+
+# ------------------------------------------------------- calendar windows
+
+def _dns(y, mo, d=1):
+    import datetime as dt
+
+    return int(
+        dt.datetime(y, mo, d, tzinfo=dt.timezone.utc).timestamp()
+    ) * S
+
+
+def test_duration_parts_calendar_units():
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import duration_parts
+
+    assert duration_parts("1mo") == (1, 0)
+    assert duration_parts("-2y") == (-24, 0)
+    assert duration_parts("1mo10d") == (1, 10 * 86400 * S)
+    assert duration_parts("90m") == (0, 90 * 60 * S)
+    assert duration_parts(7) == (0, 7)
+
+
+def test_calendar_window_bounds_leap_february(spark):
+    df = mk(spark, [("a", _dns(2024, 2, 15), 1.0, 0)])
+    r = ops.window(df, "1mo").collect()[0]
+    assert r._start_ns == _dns(2024, 2, 1)
+    assert r._stop_ns == _dns(2024, 3, 1)  # 29-day window, not fixed-width
+
+
+def test_calendar_window_quarterly_with_month_offset(spark):
+    # every: 3mo, offset: 1mo → windows start Feb/May/Aug/Nov
+    df = mk(spark, [("a", _dns(2024, 4, 10), 1.0, 0)])
+    r = ops.window(df, "3mo", offset="1mo").collect()[0]
+    assert r._start_ns == _dns(2024, 2, 1)
+    assert r._stop_ns == _dns(2024, 5, 1)
+
+
+def test_aggregate_window_calendar_create_empty(spark):
+    df = mk(spark, [("a", _dns(2024, 1, 10), 2.0, 0),
+                    ("a", _dns(2024, 3, 20), 4.0, 1)])
+    out = ops.aggregate_window(
+        df, "1mo", "mean", by=["series"], create_empty=True,
+        range_start=_dns(2023, 12, 1), range_stop=_dns(2024, 4, 1),
+    ).orderBy("_start_ns")
+    rows = out.collect()
+    assert [r._start_ns for r in rows] == [
+        _dns(2023, 12, 1), _dns(2024, 1, 1), _dns(2024, 2, 1), _dns(2024, 3, 1)
+    ]
+    assert [r.mean for r in rows] == [None, 2.0, None, 4.0]
+    # _stop is the NEXT calendar month, not start + 30d
+    assert rows[0]._stop_ns == _dns(2024, 1, 1)
+    assert rows[3]._stop_ns == _dns(2024, 4, 1)
+
+
+def test_time_shift_calendar_month_clamps_day(spark):
+    from aws_greengrass_labs_database_influxdb_spark.operators.core import time_shift
+
+    df = spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(F.lit("2024-01-31 12:00:00").cast("timestamp").alias("time"))
+    r = time_shift(df, "1mo").collect()[0]
+    assert str(r.time) == "2024-02-29 12:00:00"  # leap-year clamp
