@@ -390,6 +390,15 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             else:
                 out.arith.append((tree, expr_alias or _default_arith_alias(tree)))
             continue
+        cd = re.match(
+            r'(?i)^count\s*\(\s*distinct\s*\(\s*"?(\w+)"?\s*\)\s*\)'
+            r'(?:\s+AS\s+"?(\w+)"?)?$',
+            part,
+        )
+        if cd:
+            # COUNT(DISTINCT(field)) — reference names the column `count`
+            out.fields.append(("count_distinct", cd.group(1), cd.group(2) or "count"))
+            continue
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
             fn = fm.group(1).lower()
@@ -611,7 +620,9 @@ _V1_FIELD_TYPES = {"float": "float", "int": "integer", "uint": "unsigned",
                    "string": "string", "bool": "boolean"}
 
 _SHOW_RX = re.compile(
-    r"(?is)^SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS|SERIES)"
+    r"(?is)^SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS"
+    r"|SERIES)"
+    r"(?:\s+ON\s+\"?[\w.\-]+\"?)?"
     r"(?:\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?))?"
     r"(?:\s+WITH\s+KEY\s*(?:=\s*\"?(?P<key>\w+)\"?|=~\s*/(?P<keyrx>[^/]+)/"
     r"|\s+IN\s*\(\s*(?P<keys>[^)]*)\)))?"
@@ -972,7 +983,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         inner_text, outer_text = sub
         inner = execute_influxql(points, inner_text, tag_cols)
         if "time" not in inner.columns:
-            raise InfluxQLError("subquery result needs a time column")
+            # aggregate rows without time grouping carry timestamp 0 in
+            # InfluxQL (SELECT mean(m) FROM (SELECT mean(v) .. GROUP BY tag))
+            inner = inner.withColumn("time", F.timestamp_micros(F.lit(0)))
         pseudo = inner.withColumn(
             "time_ns", F.expr("unix_micros(time) * 1000")
         ).withColumn("measurement", F.lit(_SUBQUERY_MEAS))
@@ -1227,6 +1240,12 @@ def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
         if fn == "mode":
             return F.mode(col).alias(alias)
         return agg_ops.AGG_FNS[fn](col).alias(alias)
+    if fn == "count_distinct":
+        # COUNT(DISTINCT(f)): exact — one shuffle of distinct keys per
+        # group, partial distinct map-side (Spark expands to a two-stage
+        # aggregate); swap to approx_count_distinct only via the
+        # cardinality API, never silently
+        return F.count_distinct(col).alias(alias)
     if fn in ("min", "max"):
         # selector semantics: extreme value, ties → earliest time ⇒
         # always min_by over (±value, time)

@@ -1186,3 +1186,52 @@ def flux_text_calendar_window(spark, sf_dir):
         F.expr("time_ns div 1000000").alias("t_ms"),
         F.col("f_float").alias("avg_v"),
     )
+
+
+@q(
+    "influxql_count_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def influxql_count_distinct(spark, sf_dir):
+    """InfluxQL ``COUNT(DISTINCT(field))`` (r5). Exact distinct — Spark
+    expands it to a two-stage aggregate (partial distinct map-side,
+    final count after one shuffle of distinct keys), the plan you want
+    at 100 TB; the approximate path stays opt-in via the cardinality
+    API (`influxql_cardinality`)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT count(distinct(user_id)) AS n FROM events GROUP BY event_type",
+    )
+    return out.select("event_type", F.col("n").cast("long"))
+
+
+@q(
+    "influxql_subquery_having",
+    """
+    SELECT round(avg(m), 6) AS m_avg, count(*) AS n_groups
+    FROM (SELECT avg(value) AS m FROM events GROUP BY event_type)
+    WHERE m > 40
+    """,
+)
+def influxql_subquery_having(spark, sf_dir):
+    """Outer WHERE over a time-less subquery result — the InfluxQL
+    HAVING idiom (``SELECT mean(m) FROM (SELECT mean(v) .. GROUP BY
+    tag) WHERE m > ..``). The inner aggregate has no time grouping, so
+    its rows carry timestamp 0 (reference v1 semantics) and the outer
+    query filters/aggregates them as a pseudo-measurement; the plans
+    compose directly — no materialization between inner and outer."""
+    pts = events_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT mean(m), count(m) FROM "
+        "(SELECT mean(value) AS m FROM events GROUP BY event_type) "
+        "WHERE m > 40",
+    )
+    return out.select(
+        F.round(F.col("mean"), 6).alias("m_avg"),
+        F.col("count").cast("long").alias("n_groups"),
+    )

@@ -1478,3 +1478,42 @@ def test_influxql_arithmetic_where(pts):
     assert n == pts.filter(
         (F.col("event_type") == "click") & (F.col("f_float") * 2 > 100)
     ).count()
+
+
+def test_influxql_count_distinct(pts):
+    out = execute_influxql(pts, "SELECT count(distinct(user_id)) FROM events")
+    exact = pts.select("user_id").distinct().count()
+    assert out.collect()[0]["count"] == exact
+    # grouped form keeps per-tag keys
+    out = execute_influxql(
+        pts, "SELECT count(distinct(user_id)) AS n FROM events GROUP BY event_type"
+    )
+    got = {r.event_type: r.n for r in out.collect()}
+    want = {
+        r.event_type: r.n
+        for r in pts.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_influxql_subquery_timeless_inner_gets_epoch0(pts):
+    # inner aggregate grouped only by tag → rows carry timestamp 0,
+    # and the outer WHERE filters the aggregated column (HAVING idiom)
+    out = execute_influxql(
+        pts,
+        "SELECT count(m) FROM "
+        "(SELECT mean(value) AS m FROM events GROUP BY event_type) "
+        "WHERE m > 40",
+    )
+    inner = pts.groupBy("event_type").agg(F.mean("f_float").alias("m"))
+    want = inner.filter(F.col("m") > 40).count()
+    assert out.collect()[0]["count"] == want
+
+
+def test_influxql_show_tolerates_on_database_clause(pts):
+    from aws_greengrass_labs_database_influxdb_spark.frontends.influxql import execute_show
+
+    out = execute_show(pts, "SHOW TAG KEYS ON mydb")
+    assert {r.tagKey for r in out.collect()} == {"event_type", "user_id"}
