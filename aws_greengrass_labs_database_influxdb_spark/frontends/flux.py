@@ -961,10 +961,35 @@ def _run_pipeline(
     pipe = _source_stage(points, stages[0], group_key, env)
     range_bounds: list = [None, None]
 
+    #: stages whose semantics order on _time — a typed error when the
+    #: frame lost its time axis (e.g. after a bare aggregate), instead
+    #: of an AnalysisException from deep inside the operator
+    _TIME_ORDERED = {
+        "derivative", "difference", "increase", "cumulativeSum", "elapsed",
+        "movingAverage", "timedMovingAverage", "exponentialMovingAverage",
+        "timeShift", "truncateTimeColumn", "interpolate.linear",
+        "hourSelection", "timeWeightedAvg", "holtWinters", "stateCount",
+        "stateDuration", "integral",
+    }
+
     for stage in stages[1:]:
         name, argstr = _parse_stage(stage)
         args = _split_args(argstr) if argstr else {}
         df = pipe.df
+        if name in _TIME_ORDERED or name in (
+            "window", "aggregateWindow", "first", "last"
+        ):
+            if "time_ns" not in df.columns and "time" in df.columns:
+                # a projection kept only the visible _time column —
+                # re-derive its integer twin (µs precision, the visible
+                # column's own) so time-ordered stages keep working
+                pipe = pipe._with(
+                    df.withColumn("time_ns", F.expr("unix_micros(time) * 1000")),
+                    order=pipe.order if pipe.order else ("time_ns",),
+                )
+                df = pipe.df
+            if name in _TIME_ORDERED and "time_ns" not in df.columns:
+                raise FluxError(f"{name}() requires a _time column")
         if name == "range":
             start = _time_to_ns(args["start"], now_ns) if "start" in args else None
             stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
@@ -979,12 +1004,16 @@ def _run_pipeline(
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
             pipe = pipe.group(cols, mode=_lit(args.get("mode", '"by"')))
         elif name == "window":
+            if "time_ns" not in df.columns:
+                raise FluxError("window() requires a _time column")
             pipe = pipe.window(
                 args["every"],
                 period=args.get("period"),
                 offset=args.get("offset", "0"),
             )
         elif name == "aggregateWindow":
+            if "time_ns" not in df.columns:
+                raise FluxError("aggregateWindow() requires a _time column")
             from ..operators.aggregates import AGG_FNS
 
             fnarg = args.get("fn", "mean").strip()
@@ -1039,18 +1068,24 @@ def _run_pipeline(
             if col not in df.columns:
                 raise FluxError(f"{name}(column:) references unknown column {col!r}")
             pipe = pipe.aggregate(name, column=col, alias=name)
-        elif name == "min":
-            pipe = pipe.min()
-        elif name == "max":
-            pipe = pipe.max()
-        elif name == "first":
-            pipe = pipe.first()
-        elif name == "last":
-            pipe = pipe.last()
-        elif name == "top":
-            pipe = pipe.top(int(_lit(args["n"])))
-        elif name == "bottom":
-            pipe = pipe.bottom(int(_lit(args["n"])))
+        elif name in ("min", "max"):
+            vcol = _colname(df, _lit(args.get("column", '"_value"')))
+            if vcol not in df.columns:
+                raise FluxError(f"{name}() has no value column to select on")
+            pipe = pipe.min(vcol) if name == "min" else pipe.max(vcol)
+        elif name in ("first", "last"):
+            if "time_ns" not in df.columns:
+                raise FluxError(f"{name}() requires a _time column")
+            pipe = pipe.first() if name == "first" else pipe.last()
+        elif name in ("top", "bottom"):
+            tcols = (_strlist(args["columns"]) if "columns" in args else ["_value"])
+            vcol = _colname(df, tcols[0])
+            if vcol not in df.columns:
+                raise FluxError(
+                    f"{name}(columns:) references unknown column {vcol!r}"
+                )
+            n = int(_lit(args["n"]))
+            pipe = pipe.top(n, vcol) if name == "top" else pipe.bottom(n, vcol)
         elif name == "derivative":
             unit_s = duration_ns(args.get("unit", "1s")) / 1e9
             pipe = _promote_value(
@@ -1106,7 +1141,12 @@ def _run_pipeline(
             else:
                 pipe = pipe.fill(value=_lit(args["value"]), column=col)
         elif name == "sort":
-            cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", '["_time"]'))]
+            # _colname, not raw COLMAP: after an aggregate, _value means
+            # the (single) result column (e.g. `mean`), not f_float
+            cols = [_colname(df, c) for c in _strlist(args.get("columns", '["_time"]'))]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise FluxError(f"sort(columns:) references unknown columns {missing}")
             pipe = pipe.sort(cols, desc=_lit(args.get("desc", "false")) is True)
         elif name == "limit":
             pipe = pipe.limit(int(_lit(args["n"])), int(_lit(args.get("offset", "0"))))
@@ -1256,10 +1296,13 @@ def _run_pipeline(
         elif name == "quantile":
             from ..operators.aggregates import quantile as _quantile
 
+            vcol = _colname(df, _lit(args.get("column", '"_value"')))
+            if vcol not in df.columns:
+                raise FluxError("quantile() has no value column to aggregate")
             pipe = pipe._with(_quantile(
                 df, float(_lit(args["q"])),
                 method=_lit(args.get("method", '"estimate_tdigest"')),
-                by=pipe.group_key, alias="quantile",
+                by=pipe.group_key, alias="quantile", column=vcol,
             ))
         elif name == "integral":
             from ..operators.aggregates import integral as _integral

@@ -31,6 +31,15 @@ def _tiebreak(df: DataFrame, seq: str = "ingest_seq") -> list:
     return [F.col(seq)] if seq in df.columns else []
 
 
+def _opt_time(df: DataFrame, time_ns: str, negate: bool = False) -> list:
+    """Time tie-break term — empty when the frame has no time column
+    (a value selector after an aggregate drops the time axis)."""
+    if time_ns in df.columns:
+        c = F.col(time_ns)
+        return [-c if negate else c]
+    return []
+
+
 def first(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
     """Flux ``first()``: the row with minimum time per series."""
     return _keep_row(df, by, F.struct(F.col(time_ns), *_tiebreak(df)), "first")
@@ -46,14 +55,18 @@ def min_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MIN: row with smallest value; ties → earliest time."""
-    return _keep_row(df, by, F.struct(F.col(value), F.col(time_ns), *_tiebreak(df)), "min")
+    return _keep_row(
+        df, by, F.struct(F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)), "min"
+    )
 
 
 def max_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MAX: row with largest value; ties → earliest time."""
-    return _keep_row(df, by, F.struct(-F.col(value), F.col(time_ns), *_tiebreak(df)), "max")
+    return _keep_row(
+        df, by, F.struct(-F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)), "max"
+    )
 
 
 def top(
@@ -64,7 +77,8 @@ def top(
     time_ns: str = "time_ns",
 ) -> DataFrame:
     """Flux ``top(n:)``: n rows with largest value per series."""
-    w = W.partitionBy(*by).orderBy(F.desc(value), F.asc(time_ns), *_tiebreak(df))
+    tns = [F.asc(time_ns)] if time_ns in df.columns else []
+    w = W.partitionBy(*by).orderBy(F.desc(value), *tns, *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
@@ -80,7 +94,8 @@ def bottom(
     time_ns: str = "time_ns",
 ) -> DataFrame:
     """Flux ``bottom(n:)``: n rows with smallest value per series."""
-    w = W.partitionBy(*by).orderBy(F.asc(value), F.asc(time_ns), *_tiebreak(df))
+    tns = [F.asc(time_ns)] if time_ns in df.columns else []
+    w = W.partitionBy(*by).orderBy(F.asc(value), *tns, *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)

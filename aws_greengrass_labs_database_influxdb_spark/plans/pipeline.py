@@ -51,7 +51,15 @@ class Pipeline:
         return self.df_
 
     def _with(self, df: DataFrame, **changes) -> "Pipeline":
-        return replace(self, df_=df, **changes)
+        new = replace(self, df_=df, **changes)
+        if "order" not in changes:
+            # ordering columns an aggregate/projection removed can't
+            # order downstream stages (keep/drop already did this
+            # locally; any stage that reshapes the frame needs it)
+            pruned = tuple(c for c in new.order if c in df.columns)
+            if pruned != new.order:
+                new = replace(new, order=pruned)
+        return new
 
     def explain(self, mode: str = "formatted") -> "Pipeline":
         self.df_.explain(mode)
@@ -140,7 +148,10 @@ class Pipeline:
                 self.df_.drop("_start_ns", "_stop_ns"), group_key=key
             )
         w = ops.window(self.df_, every, period, offset, self.time_ns_col, self.time_col)
-        return self._with(w, group_key=(*self.group_key, "_start_ns", "_stop_ns"))
+        # re-windowing REPLACES prior bounds (Flux window() semantics):
+        # the bound columns are overwritten and must not repeat in the key
+        base = tuple(k for k in self.group_key if k not in ("_start_ns", "_stop_ns"))
+        return self._with(w, group_key=(*base, "_start_ns", "_stop_ns"))
 
     # ----------------------------------------------------------- aggregates
 
@@ -153,12 +164,15 @@ class Pipeline:
         range_start=None, range_stop=None, alias: str | None = None,
         offset: str | int = 0,
     ) -> "Pipeline":
+        # aggregateWindow re-windows: stale bounds from an earlier
+        # window() leave the key (its own _start_ns/_stop_ns replace them)
+        by = [k for k in self.group_key if k not in ("_start_ns", "_stop_ns")]
         out = ops.aggregate_window(
-            self.df_, every, fn, column, by=self.group_key,
+            self.df_, every, fn, column, by=by,
             create_empty=create_empty, range_start=range_start, range_stop=range_stop,
             alias=alias, time_ns=self.time_ns_col, offset=offset,
         )
-        return self._with(out)
+        return self._with(out, group_key=tuple(by))
 
     # ------------------------------------------------------------ selectors
 

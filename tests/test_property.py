@@ -521,3 +521,86 @@ def test_influxql_parser_never_crashes_and_is_deterministic(q):
     except InfluxQLError:
         return
     assert a == b
+
+
+# ------------------------------------------------------ Flux pipeline fuzz
+
+_FLUX_FILTER = st.sampled_from([
+    'r._measurement == "events"',
+    'r.event_type == "click"',
+    'r._value > 50.0',
+    'r.event_type == "click" or r.event_type == "view"',
+    'not (r.event_type == "error")',
+    'exists r.event_type',
+])
+_FLUX_MID = st.sampled_from([
+    '|> group(columns: ["event_type"])',
+    '|> window(every: 1h)',
+    '|> window(every: 1mo)',
+    '|> map(fn: (r) => ({r with _value: r._value * 2.0}))',
+    '|> keep(columns: ["_time", "_value", "event_type"])',
+    '|> duplicate(column: "_value", as: "v2")',
+    '|> timeShift(duration: 1h)',
+    '|> truncateTimeColumn(unit: 1m)',
+    "",
+])
+_FLUX_AGG = st.sampled_from([
+    "|> mean()", "|> count()", "|> sum()", "|> max()", "|> min()",
+    "|> first()", "|> last()", "|> median()",
+    "|> aggregateWindow(every: 6h, fn: mean)",
+    "|> aggregateWindow(every: 1mo, fn: count)",
+    "|> derivative(unit: 1s)", "|> cumulativeSum()",
+    "|> quantile(q: 0.9)",
+    "",
+])
+_FLUX_TAIL = st.sampled_from([
+    "|> limit(n: 3)", '|> sort(columns: ["_value"], desc: true)',
+    "|> top(n: 2)", "|> yield(name: \"r\")", "",
+])
+
+
+@st.composite
+def _flux_script(draw):
+    parts = ['from(bucket:"b")', "|> range(start: 0)"]
+    parts.append(f"|> filter(fn: (r) => {draw(_FLUX_FILTER)})")
+    mid = draw(_FLUX_MID)
+    if mid:
+        parts.append(mid)
+    agg = draw(_FLUX_AGG)
+    if agg:
+        parts.append(agg)
+    # second aggregate/selector stage: post-aggregate frames lose
+    # time_ns/f_float — the composition class the fuzzer caught in r5
+    agg2 = draw(_FLUX_AGG)
+    if agg2:
+        parts.append(agg2)
+    tail = draw(_FLUX_TAIL)
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+def test_flux_pipeline_grammar_compiles_or_typed_error(spark, sf_dir):
+    """Grammar fuzz of full-pipeline compilation (the InfluxQL fuzz's
+    Flux sibling): every stage combination either compiles to a
+    DataFrame plan or raises FluxError — never a KeyError/AttributeError
+    from deep inside stage dispatch. Compilation only (no execution):
+    the oracle suite covers result correctness; this covers totality."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError, execute_flux
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+    pts = events_points(spark, sf_dir)
+
+    @given(q=_flux_script())
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(q):
+        try:
+            df = execute_flux(pts, q)
+        except FluxError:
+            return
+        assert df.columns  # a real plan came back
+
+    run()
