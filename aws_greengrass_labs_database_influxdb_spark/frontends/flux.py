@@ -1053,9 +1053,16 @@ def _run_pipeline(
                 )
                 pipe = pipe._with(out).rename({"_value_agg": "f_float"})
             else:
+                vcol = _colname(df, _lit(args.get("column", '"_value"')))
+                if vcol not in df.columns:
+                    raise FluxError(
+                        f"aggregateWindow() has no value column {vcol!r} "
+                        "to aggregate"
+                    )
                 pipe = pipe.aggregate_window(
                     args["every"],
                     fnarg,
+                    column=vcol,
                     create_empty=_lit(args.get("createEmpty", "false")) is True,
                     range_start=range_bounds[0],
                     range_stop=range_bounds[1],
@@ -1137,6 +1144,8 @@ def _run_pipeline(
             if col not in df.columns:
                 raise FluxError(f"fill(column:) references unknown column {col!r}")
             if _lit(args.get("usePrevious", "false")) is True:
+                if not pipe.order:
+                    raise FluxError("fill(usePrevious:) needs an ordered frame")
                 pipe = pipe.fill(use_previous=True, column=col)
             else:
                 pipe = pipe.fill(value=_lit(args["value"]), column=col)
@@ -1327,7 +1336,14 @@ def _run_pipeline(
             from ..operators.analytics import histogram as _hist
 
             bins = [float(b) for b in _strlist(args["bins"])]
-            pipe = pipe._with(_hist(df, bins, by=pipe.group_key))
+            vcol = _colname(df, _lit(args.get("column", '"_value"')))
+            if vcol not in df.columns:
+                raise FluxError("histogram() has no value column to bin")
+            if "le" in df.columns:
+                raise FluxError(
+                    "histogram() output column 'le' already exists in input"
+                )
+            pipe = pipe._with(_hist(df, bins, value=vcol, by=pipe.group_key))
         elif name == "histogramQuantile":
             from ..operators.analytics import histogram_quantile as _hq
 

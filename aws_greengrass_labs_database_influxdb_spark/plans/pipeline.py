@@ -123,7 +123,17 @@ class Pipeline:
         if mode == "by":
             key = tuple(columns)
         elif mode == "except":
-            key = tuple(c for c in self.df_.columns if c not in columns)
+            # the "except" universe is the key-able columns only —
+            # value/time columns (and their internal twins) are never
+            # part of a Flux group key
+            never = {
+                "f_float", "f_int", "f_uint", "f_str", "f_bool",
+                "time", "time_ns", "ingest_seq", "_ts_raw", "props",
+            }
+            key = tuple(
+                c for c in self.df_.columns
+                if c not in columns and c not in never
+            )
         else:
             raise ValueError("mode must be 'by' or 'except'")
         return replace(self, group_key=key)
@@ -225,9 +235,14 @@ class Pipeline:
         )
 
     def fill(self, value=None, use_previous: bool = False, column: str = "f_float") -> "Pipeline":
+        if use_previous and not self.order:
+            raise ValueError("fill(usePrevious:) needs an ordered frame")
+        # fill(value:) is a pure coalesce — no ordering involved; the
+        # order column only drives the usePrevious forward-fill window
+        order = self.order[0] if self.order else "__unused"
         return self._with(
             ops.fill(self.df_, column, value, use_previous, self.group_key,
-                     order=self.order[0])
+                     order=order)
         )
 
     # ------------------------------------------------------------ sort/limit

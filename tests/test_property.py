@@ -535,22 +535,34 @@ _FLUX_FILTER = st.sampled_from([
 ])
 _FLUX_MID = st.sampled_from([
     '|> group(columns: ["event_type"])',
+    '|> group(columns: ["event_type"], mode: "except")',
+    '|> group()',
     '|> window(every: 1h)',
     '|> window(every: 1mo)',
     '|> map(fn: (r) => ({r with _value: r._value * 2.0}))',
+    '|> map(fn: (r) => ({r with lvl: if r._value > 50.0 then "hi" else "lo"}))',
     '|> keep(columns: ["_time", "_value", "event_type"])',
+    '|> drop(columns: ["user_id"])',
     '|> duplicate(column: "_value", as: "v2")',
     '|> timeShift(duration: 1h)',
     '|> truncateTimeColumn(unit: 1m)',
+    '|> set(key: "src", value: "edge")',
+    '|> rename(columns: {event_type: "etype"})',
+    '|> pivot(rowKey: ["_time"], columnKey: ["event_type"], valueColumn: "_value")',
     "",
 ])
 _FLUX_AGG = st.sampled_from([
     "|> mean()", "|> count()", "|> sum()", "|> max()", "|> min()",
-    "|> first()", "|> last()", "|> median()",
+    "|> first()", "|> last()", "|> median()", "|> distinct()",
+    "|> unique()", "|> spread()", "|> mode()",
     "|> aggregateWindow(every: 6h, fn: mean)",
     "|> aggregateWindow(every: 1mo, fn: count)",
+    "|> aggregateWindow(every: 1h, fn: last, createEmpty: false)",
     "|> derivative(unit: 1s)", "|> cumulativeSum()",
-    "|> quantile(q: 0.9)",
+    "|> difference()", "|> increase()", "|> movingAverage(n: 3)",
+    "|> exponentialMovingAverage(n: 5)", "|> elapsed(unit: 1s)",
+    "|> quantile(q: 0.9)", "|> histogram(bins: [0.0, 50.0, 100.0])",
+    "|> fill(value: 0.0)", "|> fill(usePrevious: true)",
     "",
 ])
 _FLUX_TAIL = st.sampled_from([
