@@ -616,3 +616,83 @@ def test_flux_pipeline_grammar_compiles_or_typed_error(spark, sf_dir):
         assert df.columns  # a real plan came back
 
     run()
+
+
+# ------------------------------------------------- InfluxQL execution fuzz
+
+_IQL_SEL = st.sampled_from([
+    "mean(value)", "count(value)", "sum(value)", "max(value)", "min(value)",
+    "median(value)", "stddev(value)", "spread(value)", "first(value)",
+    "last(value)", "percentile(value, 90)", "integral(value, 1h)",
+    "derivative(mean(value), 1h)", "non_negative_derivative(mean(value), 1h)",
+    "moving_average(mean(value), 3)", "cumulative_sum(sum(value))",
+    "difference(max(value))", "count(distinct(user_id))",
+    "max(value) - min(value)", "mean(value) * 2 + 1",
+    "top(value, 3)", "bottom(value, 2)", "distinct(value)", "sample(value, 4)",
+    "mode(value)", "elapsed(value, 1s)", "holt_winters(mean(value), 3, 0)",
+])
+_IQL_WHERE = st.sampled_from([
+    "", "WHERE time >= '2024-01-02' AND time < '2024-01-20'",
+    "WHERE event_type = 'click'",
+    "WHERE time > now() - 200w AND (event_type = 'click' OR event_type = 'view')",
+    "WHERE event_type =~ /c.*/ AND value > 10",
+    "WHERE value * 2 > 50",
+])
+_IQL_GROUP = st.sampled_from([
+    "", "GROUP BY time(6h)", "GROUP BY time(1d), event_type",
+    "GROUP BY event_type", "GROUP BY *", "GROUP BY time(12h, 6h)",
+])
+_IQL_FILL = st.sampled_from(["", "fill(0)", "fill(none)", "fill(previous)",
+                             "fill(linear)", "fill(null)"])
+_IQL_TAIL = st.sampled_from(["", "LIMIT 4", "ORDER BY time DESC LIMIT 3",
+                             "SLIMIT 2", "LIMIT 3 OFFSET 2"])
+
+
+@st.composite
+def _iql_exec_query(draw):
+    sel = draw(_IQL_SEL)
+    parts = [f"SELECT {sel} FROM events"]
+    w = draw(_IQL_WHERE)
+    if w:
+        parts.append(w)
+    g = draw(_IQL_GROUP)
+    needs_time_group = "derivative(" in sel or "moving_average(" in sel or \
+        "cumulative_sum(" in sel or "difference(" in sel or "holt_winters(" in sel
+    if needs_time_group and "time(" not in g:
+        g = "GROUP BY time(6h)"
+        if "WHERE" not in " ".join(parts):
+            parts.append("WHERE time >= '2024-01-01' AND time < '2024-01-20'")
+    if g:
+        parts.append(g)
+        f = draw(_IQL_FILL)
+        if f and "time(" in g:
+            parts.append(f)
+    t = draw(_IQL_TAIL)
+    if t:
+        parts.append(t)
+    return " ".join(parts)
+
+
+def test_influxql_execution_grammar_compiles_or_typed_error(spark, sf_dir):
+    """Execution-level InfluxQL fuzz (the Flux pipeline fuzzer's
+    sibling): every grammar draw either compiles to a DataFrame plan
+    or raises InfluxQLError — never a raw AnalysisException/KeyError
+    from inside the planner."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import InfluxQLError, execute_influxql
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+    pts = events_points(spark, sf_dir)
+
+    @given(q=_iql_exec_query())
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(q):
+        try:
+            df = execute_influxql(pts, q)
+        except InfluxQLError:
+            return
+        assert df.columns
+
+    run()
