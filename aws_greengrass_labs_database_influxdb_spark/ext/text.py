@@ -499,3 +499,61 @@ def pmi_collocations(
         .filter(F.col("rank") <= top_n)
         .select("u", "v", "cuv", "cu", "cv", "pmi", "rank")
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document filter rules (Rae et al. 2021, public) —
+    per-rule boolean flags plus the combined ``keep`` decision.
+
+    Every rule is per-row Column arithmetic over the document text: NO
+    shuffle, no explode, no Python — at 100 TB this is a map-only pass
+    fused into the parquet scan, so filtering a corpus costs one read.
+
+    Rules (the published thresholds):
+    - ``r_word_count``: 50 ≤ words ≤ 100000
+    - ``r_mean_word_len``: 3 ≤ mean word length ≤ 10
+    - ``r_symbol_ratio``: (# + …) symbols / words ≤ 0.1
+    - ``r_bullet_lines``: < 90% of lines start with a bullet
+    - ``r_ellipsis_lines``: < 30% of lines end with an ellipsis
+    - ``r_alpha_words``: ≥ 80% of words contain a letter
+    - ``r_stop_words``: ≥ 2 distinct common stop words present
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    # mean word length = non-whitespace chars / words
+    nonws = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_len = nonws / n
+    hash_cnt = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ell_cnt = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    lines = F.split(text, "\n")
+    nlines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array([F.lit(s) for s in stops]),
+        )
+    )
+    rules = {
+        "r_word_count": (n >= 50) & (n <= 100000),
+        "r_mean_word_len": (mean_len >= 3) & (mean_len <= 10),
+        "r_symbol_ratio": ((hash_cnt + ell_cnt) / n) <= 0.1,
+        "r_bullet_lines": (bullet_lines / nlines) < 0.9,
+        "r_ellipsis_lines": (ellipsis_lines / nlines) < 0.3,
+        "r_alpha_words": (alpha_words / n) >= 0.8,
+        "r_stop_words": stop_distinct >= 2,
+    }
+    out = df
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

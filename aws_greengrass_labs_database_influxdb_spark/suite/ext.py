@@ -1978,3 +1978,61 @@ def ext_pmi_collocations(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return pmi_collocations(d, top_n=20, min_count=5)
+
+
+@q(
+    "ext_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+             length(text) - length(replace(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(w) AS n,
+             nonws / len(w) AS mean_len,
+             (hash_cnt + ell_cnt) / len(w) AS sym_ratio,
+             len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+               / len(lines) AS bullet_frac,
+             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+               / len(lines) AS ell_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               / len(w) AS alpha_frac,
+             len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_d
+      FROM t)
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS r_word_count,
+           mean_len >= 3 AND mean_len <= 10 AS r_mean_word_len,
+           sym_ratio <= 0.1 AS r_symbol_ratio,
+           bullet_frac < 0.9 AS r_bullet_lines,
+           ell_frac < 0.3 AS r_ellipsis_lines,
+           alpha_frac >= 0.8 AS r_alpha_words,
+           stop_d >= 2 AS r_stop_words,
+           (n >= 50 AND n <= 100000) AND (mean_len >= 3 AND mean_len <= 10)
+             AND sym_ratio <= 0.1 AND bullet_frac < 0.9 AND ell_frac < 0.3
+             AND alpha_frac >= 0.8 AND stop_d >= 2 AS keep
+    FROM f
+    """,
+)
+def ext_gopher_rules(spark, sf_dir):
+    """Gopher rule-set document filter (Rae et al. 2021) — the named
+    quality-filter stage of a pretraining pipeline, distinct from the
+    composite score in `ext_text_quality`: each published rule is its
+    own boolean flag plus the combined keep decision. Pure per-row
+    Column arithmetic — a map-only pass fused into the scan; filtering
+    100 TB costs exactly one corpus read (`pkg/ext/text.py`
+    gopher_rules)."""
+    from ..ext.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    out = gopher_rules(d)
+    return out.select(
+        "doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stop_words", "keep",
+    )

@@ -623,3 +623,24 @@ def test_pmi_collocations_ranks_fixed_phrases(spark):
     # six always-adjacent pairs tie at the max PMI; the fixed phrase
     # must be in that tied head, ordered alphabetically within it
     assert sf.pmi == max(r.pmi for r in out)
+
+
+def test_gopher_rules_flag_semantics(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and then " \
+           "runs away with plenty of words to have here " * 3  # >50 words
+    docs = [
+        (1, good),
+        (2, "short text only"),                     # fails word count
+        (3, "### " * 60 + "the of and have"),       # symbol ratio + alpha
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (5, " ".join("xy" for _ in range(60))),     # no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].keep
+    assert not got[2].r_word_count and not got[2].keep
+    assert not got[3].r_symbol_ratio
+    assert not got[4].r_bullet_lines
+    assert not got[5].r_stop_words and not got[5].keep
