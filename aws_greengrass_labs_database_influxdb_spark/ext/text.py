@@ -557,3 +557,41 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, public) — line-level
+    filtering plus document rules, all Column arithmetic (map-only):
+
+    - keep only lines ending in terminal punctuation (. ! ? ")
+      with ≥ 5 words — the cleaned text is their re-join;
+    - ``c4_n_kept_lines`` / ``c4_n_sentences`` (terminal-punctuation
+      count of the kept text);
+    - document flags: ``c4_has_lorem`` (lorem ipsum), ``c4_has_brace``
+      ({ or } — code), ``c4_keep`` = ≥ 3 sentences, no lorem, no brace.
+
+    The per-line pass is transform+filter over the split array — in-row
+    JVM lambdas, no explode, so at 100 TB this fuses into the scan like
+    :func:`gopher_rules`.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5),
+    )
+    clean = F.array_join(kept, "\n")
+    sentences = F.size(F.split(clean, r"[.!?]")) - 1
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{") | text.contains("}")
+    return (
+        df.withColumn("c4_text", clean)
+        .withColumn("c4_n_kept_lines", F.size(kept))
+        .withColumn("c4_n_sentences", sentences)
+        .withColumn("c4_has_lorem", has_lorem)
+        .withColumn("c4_has_brace", has_brace)
+        .withColumn(
+            "c4_keep", (sentences >= 3) & ~has_lorem & ~has_brace
+        )
+    )

@@ -2036,3 +2036,46 @@ def ext_gopher_rules(spark, sf_dir):
         "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
         "r_stop_words", "keep",
     )
+
+
+@q(
+    "ext_c4_clean",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(l, '[.!?"]\\s*$')
+                    AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5) AS kept
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean
+      FROM t)
+    SELECT doc_id,
+           len(kept) AS c4_n_kept_lines,
+           len(regexp_split_to_array(clean, '[.!?]')) - 1 AS c4_n_sentences,
+           contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
+           contains(text, '{') OR contains(text, '}') AS c4_has_brace,
+           (len(regexp_split_to_array(clean, '[.!?]')) - 1) >= 3
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT (contains(text, '{') OR contains(text, '}')) AS c4_keep,
+           md5(clean) AS c4_text_md5
+    FROM c
+    """,
+)
+def ext_c4_clean(spark, sf_dir):
+    """C4-style corpus cleaning (Raffel et al. 2020) — the line-level
+    terminal-punctuation filter plus the document rules (≥3 sentences,
+    no 'lorem ipsum', no braces), the second canonical named cleaning
+    stage beside `ext_gopher_rules`. The cleaned text itself is
+    hash-compared (md5) so the oracle pins the exact line filtering,
+    not just the counts. In-row transform/filter lambdas — map-only at
+    any scale (`pkg/ext/text.py` c4_clean)."""
+    from ..ext.text import c4_clean
+
+    d = load_table(spark, sf_dir, "documents")
+    out = c4_clean(d)
+    return out.select(
+        "doc_id", "c4_n_kept_lines", "c4_n_sentences", "c4_has_lorem",
+        "c4_has_brace", "c4_keep", F.md5("c4_text").alias("c4_text_md5"),
+    )

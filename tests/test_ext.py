@@ -644,3 +644,30 @@ def test_gopher_rules_flag_semantics(spark):
     assert not got[3].r_symbol_ratio
     assert not got[4].r_bullet_lines
     assert not got[5].r_stop_words and not got[5].keep
+
+
+def test_c4_clean_line_filter_semantics(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import c4_clean
+
+    doc = "\n".join([
+        "This is a proper sentence with enough words.",   # kept
+        "Too short.",                                     # < 5 words
+        "no terminal punctuation here at all",            # no punct
+        "Another fine sentence stands right here!",       # kept
+        'A quoted line with five words."',                # kept (quote)
+        "What is the question here?",                     # kept
+    ])
+    docs = [
+        (1, doc),
+        (2, "Lorem ipsum dolor sit amet. " * 5),
+        (3, "Code here { return 1; } with a sentence. Also this one. And three."),
+        (4, "One sentence only ends here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert got[1].c4_n_kept_lines == 4
+    assert got[1].c4_keep  # 4 sentences >= 3, no lorem/brace
+    assert "Too short." not in got[1].c4_text
+    assert got[2].c4_has_lorem and not got[2].c4_keep
+    assert got[3].c4_has_brace and not got[3].c4_keep
+    assert got[4].c4_n_sentences == 1 and not got[4].c4_keep
