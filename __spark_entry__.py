@@ -82,7 +82,10 @@ CURATED_FIRST_50: list[str] = [
     # test split row it displaces stays under the full-suite gates
     # (tools/check_correctness.py + tests/test_suite_oracles.py)
     "ext_bpe_train",
-    "ext_text_stats",
+    # r5: surface the Gopher rule-set filter (the named quality stage;
+    # per-rule boolean flags under an exact oracle) — ext_text_stats
+    # rotates out to the full-suite gates like the rows above
+    "ext_gopher_rules",
     # frontend — InfluxQL text + Flux text (13)
     "influxql_nested_grafana",
     "flux_join_ratio",
