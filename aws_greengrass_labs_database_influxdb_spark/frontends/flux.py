@@ -971,6 +971,15 @@ def _run_pipeline(
         "hourSelection", "timeWeightedAvg", "holtWinters", "stateCount",
         "stateDuration", "integral",
     }
+    #: stages that transform the default _value series — typed error
+    #: when the frame has no resolvable value column (e.g. after pivot)
+    _VALUE_STAGES = {
+        "derivative", "difference", "increase", "cumulativeSum",
+        "movingAverage", "timedMovingAverage", "exponentialMovingAverage",
+        "doubleEMA", "tripleEMA", "kaufmansER", "kaufmansAMA",
+        "chandeMomentumOscillator", "relativeStrengthIndex", "trix",
+        "holtWinters", "timeWeightedAvg", "integral",
+    }
 
     for stage in stages[1:]:
         name, argstr = _parse_stage(stage)
@@ -990,6 +999,8 @@ def _run_pipeline(
                 df = pipe.df
             if name in _TIME_ORDERED and "time_ns" not in df.columns:
                 raise FluxError(f"{name}() requires a _time column")
+        if name in _VALUE_STAGES and _colname(df, "_value") not in df.columns:
+            raise FluxError(f"{name}() has no value column to transform")
         if name == "range":
             start = _time_to_ns(args["start"], now_ns) if "start" in args else None
             stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
