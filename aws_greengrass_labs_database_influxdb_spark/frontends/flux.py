@@ -1013,7 +1013,20 @@ def _run_pipeline(
             pipe = pipe.filter(_parse_predicate(df, body))
         elif name == "group":
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
-            pipe = pipe.group(cols, mode=_lit(args.get("mode", '"by"')))
+            mode = _lit(args.get("mode", '"by"'))
+            if mode == "by":
+                for c in cols:
+                    if c in df.columns:
+                        continue
+                    if "tags" in df.columns:
+                        # un-promoted tag: materialize it from the map
+                        pipe = pipe._with(df.withColumn(c, F.col("tags")[c]))
+                        df = pipe.df
+                    else:
+                        raise FluxError(
+                            f"group(columns:) references unknown column {c!r}"
+                        )
+            pipe = pipe.group(cols, mode=mode)
         elif name == "window":
             if "time_ns" not in df.columns:
                 raise FluxError("window() requires a _time column")
@@ -1192,6 +1205,10 @@ def _run_pipeline(
             pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
         elif name == "duplicate":
             src = _colname(df, _lit(args["column"]))
+            if src not in df.columns:
+                raise FluxError(
+                    f"duplicate(column:) references unknown column {src!r}"
+                )
             dst = _lit(args["as"])
             if dst == "_time" and src.endswith("_ns"):
                 # the windowed-agg idiom: duplicate(column: "_stop",
@@ -1209,7 +1226,10 @@ def _run_pipeline(
         elif name == "pivot":
             row_key = [COLMAP.get(c, c) for c in _strlist(args["rowKey"])]
             col_key = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])][0]
-            val = COLMAP.get(_lit(args["valueColumn"]), _lit(args["valueColumn"]))
+            val = _colname(df, _lit(args["valueColumn"]))
+            missing = [c for c in (*row_key, col_key, val) if c not in df.columns]
+            if missing:
+                raise FluxError(f"pivot() references unknown columns {missing}")
             pipe = pipe.pivot(row_key, col_key, val)
         elif name == "map":
             fn_body = argstr.partition("=>")[2].strip()

@@ -575,9 +575,10 @@ _FLUX_TAIL = st.sampled_from([
 def _flux_script(draw):
     parts = ['from(bucket:"b")', "|> range(start: 0)"]
     parts.append(f"|> filter(fn: (r) => {draw(_FLUX_FILTER)})")
-    mid = draw(_FLUX_MID)
-    if mid:
-        parts.append(mid)
+    for _ in range(2):
+        mid = draw(_FLUX_MID)
+        if mid:
+            parts.append(mid)
     agg = draw(_FLUX_AGG)
     if agg:
         parts.append(agg)
