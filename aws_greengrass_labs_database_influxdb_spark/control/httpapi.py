@@ -433,6 +433,14 @@ class HttpApi:
                 ret_ns = None
                 if rules and rules[0].get("everySeconds"):
                     ret_ns = int(rules[0]["everySeconds"]) * 10**9
+                # InfluxDB v2 answers 422 on a duplicate bucket name —
+                # the store's idempotent create is for engine setup
+                # (reference A6), not for the public API
+                if self.engine.store._meta_path(org, name).exists():
+                    raise ApiError(
+                        422, "conflict",
+                        f"bucket with name {name} already exists",
+                    )
                 meta = self.engine.store.create_bucket(org, name, ret_ns)
                 self._respond(handler, 201, {
                     "id": meta.id, "orgID": org, "name": meta.name,

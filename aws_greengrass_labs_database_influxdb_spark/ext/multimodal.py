@@ -307,7 +307,8 @@ def sample_frames_decoded(
     every_ms: int = 1000,
 ) -> DataFrame:
     """REAL frame sampling for MJPEG-AVI videos: walk the RIFF
-    container, pick the frame nearest each ``every_ms`` grid point,
+    container, pick the frame at-or-before each ``every_ms`` grid
+    point (``idx = floor(ms*1000 / us_per_frame)``),
     decode it with the pure-numpy JPEG decoder, and emit its 4×4
     grayscale-thumbnail feature — one row per sampled frame.
 

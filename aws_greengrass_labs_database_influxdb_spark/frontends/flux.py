@@ -273,8 +273,18 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
             # (canonical frames always carry time_ns; the µs timestamp
             # column would silently truncate sub-µs bounds)
             val = _time_to_ns(lit, 0)
-            if "time_ns" in df.columns and _colname(df, name) == "time":
-                c = F.col("time_ns")
+            if _colname(df, name) == "time":
+                if "time_ns" in df.columns:
+                    c = F.col("time_ns")
+                elif "time" in df.columns:
+                    # keep()/drop() may have pruned time_ns; re-derive it
+                    # from the µs timestamp rather than comparing a
+                    # timestamp column against an epoch-ns long
+                    c = F.unix_micros(F.col("time")) * F.lit(1000)
+                else:
+                    raise FluxError(
+                        "time comparison requires a _time column in the frame"
+                    )
         elif lit.startswith('"'):
             val = lit[1:-1]
         elif lit in ("true", "false"):
@@ -1063,19 +1073,27 @@ def _run_pipeline(
                 qv = float(_lit(iargs["q"]))
                 meth = _lit(iargs.get("method", '"estimate_tdigest"'))
                 vcol = _colname(df, "_value")
+                # aggregateWindow re-windows: drop stale bounds from an
+                # earlier window() so its own _start_ns/_stop_ns replace
+                # them (mirrors Pipeline.aggregate_window's key reset)
+                by = tuple(
+                    k for k in pipe.group_key if k not in ("_start_ns", "_stop_ns")
+                )
                 out = aggregate_window_custom(
                     df, args["every"],
                     lambda d, keys: _qtl(
                         d, qv, method=meth, column=vcol, by=keys,
                         alias="_value_agg",
                     ),
-                    by=pipe.group_key,
+                    by=by,
                     create_empty=_lit(args.get("createEmpty", "false")) is True,
                     range_start=range_bounds[0],
                     range_stop=range_bounds[1],
                     offset=args.get("offset", "0"),
                 )
-                pipe = pipe._with(out).rename({"_value_agg": "f_float"})
+                pipe = pipe._with(out, group_key=by).rename(
+                    {"_value_agg": "f_float"}
+                )
             else:
                 vcol = _colname(df, _lit(args.get("column", '"_value"')))
                 if vcol not in df.columns:

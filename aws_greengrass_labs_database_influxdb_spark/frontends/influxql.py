@@ -84,6 +84,9 @@ _MATH_1ARG = {
 }
 _MATH_2ARG = {"log", "pow", "atan2"}
 _MATH_FNS = _MATH_1ARG | _MATH_2ARG
+# functions allowed inside arithmetic WHERE conditions (the InfluxQL
+# math set; all map 1:1 onto Spark SQL builtins via F.expr)
+_EXPR_FNS = _MATH_FNS
 
 
 @dataclass
@@ -1028,12 +1031,24 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     for name, op, val in ast.field_filters:
         if name.startswith("__expr__"):
             # arithmetic condition: swap each identifier for its
-            # physical column (unknown idents are field refs → f_float)
-            sql = re.sub(
-                r"\b[A-Za-z_]\w*\b",
-                lambda mo: mo.group(0) if mo.group(0) in df.columns else "f_float",
-                name[len("__expr__"):],
-            )
+            # physical column (unknown idents are field refs → f_float).
+            # Identifiers followed by '(' are function calls, not field
+            # refs — allow the InfluxQL math set, reject the rest (a
+            # blind swap would produce nonsense like f_float(f_float))
+            raw = name[len("__expr__"):]
+
+            def _swap(mo):
+                ident = mo.group(0)
+                rest = raw[mo.end():]
+                if rest.lstrip().startswith("("):
+                    if ident.lower() in _EXPR_FNS:
+                        return ident
+                    raise InfluxQLError(
+                        f"unsupported function {ident}() in WHERE condition"
+                    )
+                return ident if ident in df.columns else "f_float"
+
+            sql = re.sub(r"\b[A-Za-z_]\w*\b", _swap, raw)
             c = F.expr(sql)
         else:
             c = F.col("f_float") if name not in df.columns else F.col(name)

@@ -1,0 +1,161 @@
+"""Regression pins for judge-advice findings (ADVICE r4/r5 scenarios).
+
+Each test names the advice item it pins so the class of bug stays
+closed across rounds; live probes pass today, only tests keep passing.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_greengrass_labs_database_influxdb_spark.frontends import (
+    FluxError,
+    InfluxQLError,
+    execute_flux,
+    execute_influxql,
+)
+from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return events_points(spark, sf_dir).cache()
+
+
+# ------------------------------------------------------------------ Flux
+
+def test_aggwindow_table_fn_after_window_resets_group_key(pts):
+    """ADVICE r5 (medium, flux.py:1072): the table-function quantile
+    form of aggregateWindow must drop stale _start_ns/_stop_ns from a
+    prior window() before re-windowing, like the named-fn path does —
+    previously this raised an ambiguous-reference AnalysisException or
+    fragmented windows by the old bounds."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> window(every: 30m)'
+        " |> aggregateWindow(every: 1h,"
+        " fn: (tables=<-) => tables |> quantile(q: 0.5,"
+        ' method: "exact_mean"))',
+    )
+    ref = execute_flux(
+        pts,
+        'from(bucket:"b") |> aggregateWindow(every: 1h,'
+        " fn: (tables=<-) => tables |> quantile(q: 0.5,"
+        ' method: "exact_mean"))',
+    )
+    got = sorted((r["time_ns"], r["f_float"]) for r in out.collect())
+    want = sorted((r["time_ns"], r["f_float"]) for r in ref.collect())
+    assert got == pytest.approx(want)
+
+
+def test_iso_time_filter_after_keep_prunes_time_ns(pts):
+    """ADVICE r5 (low, flux.py:273): an RFC3339 comparison after
+    keep(columns:["_time","_value"]) (which prunes time_ns) must
+    re-derive the ns column, not compare timestamp-vs-long."""
+    cutoff = "2024-01-01T06:00:00Z"
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> keep(columns: ["_time", "_value"])'
+        f" |> filter(fn: (r) => r._time >= {cutoff})"
+        ' |> sum()',
+    ).collect()
+    cutoff_ns = 1704067200_000_000_000 + 6 * 3600 * 10**9
+    want = (
+        pts.filter(F.col("time_ns") >= cutoff_ns)
+        .agg(F.sum("f_float"))
+        .collect()[0][0]
+    )
+    assert len(out) == 1
+    assert out[0]["sum"] == pytest.approx(want, rel=1e-12)
+
+
+def test_flux_bracket_refs_survive_column_pruning(pts):
+    """ADVICE r4: r["..."] bracket refs must be seen by the column
+    pruner the same as r.dot refs (a map over r["_value"] after the
+    pipeline prunes to touched columns)."""
+    sub = pts.orderBy("time_ns").limit(4).cache()
+    vals = [r.f_float for r in sub.collect()]
+    out = execute_flux(
+        sub,
+        'from(bucket:"b")'
+        ' |> map(fn: (r) => ({ r with y: r["_value"] * 2.0 }))'
+        ' |> sum(column: "y")',
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["sum"] == pytest.approx(sum(v * 2.0 for v in vals), rel=1e-12)
+
+
+# ------------------------------------------------------------------ InfluxQL
+
+def test_influxql_where_math_fn_condition(pts):
+    """ADVICE r5 (low, influxql.py:1033): WHERE abs(value) > x must
+    keep abs() as a function (not substitute it to f_float(f_float));
+    unknown functions raise InfluxQLError, not AnalysisException."""
+    out = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE abs(value) + 0 > 100"
+    ).collect()
+    want = pts.filter(F.abs(F.col("f_float")) + 0 > 100).count()
+    assert out[0]["count"] == want
+    with pytest.raises(InfluxQLError):
+        execute_influxql(
+            pts, "SELECT count(value) FROM events WHERE frob(value) + 0 > 1"
+        )
+
+
+# ------------------------------------------------------------------ HTTP API
+
+GOOD_SECRET = {
+    "influxdb_username": "greengrass",
+    "influxdb_password": "ValidPassword#123",
+}
+
+
+def test_duplicate_bucket_create_is_422(spark, tmp_path_factory):
+    """ADVICE r5 (low, httpapi.py:430): POST /api/v2/buckets on an
+    existing name answers 422 'conflict' like InfluxDB v2, instead of
+    201 with the pre-existing metadata."""
+    from aws_greengrass_labs_database_influxdb_spark.control.engine import Engine, EngineConfig
+    from aws_greengrass_labs_database_influxdb_spark.control.httpapi import HttpApi
+    from aws_greengrass_labs_database_influxdb_spark.control.secrets import CredentialsProvider
+
+    cfg = EngineConfig(store_root=str(tmp_path_factory.mktemp("dupbucket")))
+    engine = Engine(spark, cfg)
+    engine.setup(CredentialsProvider(GOOD_SECRET))
+    engine.serve()
+    api = HttpApi(engine)
+    host, port = api.start()
+    try:
+        base = f"http://{host}:{port}"
+        admin = engine.get_publish_json(
+            {"action": "RetrieveToken", "accessLevel": "Admin"}
+        )["InfluxDBToken"]
+
+        def post(doc):
+            req = urllib.request.Request(
+                base + "/api/v2/buckets", method="POST",
+                data=json.dumps(doc).encode(),
+            )
+            req.add_header("Authorization", f"Token {admin}")
+            req.add_header("Content-Type", "application/json")
+            resp = urllib.request.urlopen(req)
+            return resp.status, json.loads(resp.read().decode())
+
+        status, body = post({"name": "fresh-bucket"})
+        assert status == 201 and body["name"] == "fresh-bucket"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post({"name": "fresh-bucket",
+                  "retentionRules": [{"type": "expire", "everySeconds": 60}]})
+        assert e.value.code == 422
+        assert json.loads(e.value.read().decode())["code"] == "conflict"
+        # and the original retention was NOT silently replaced
+        meta = engine.store.get_bucket(cfg.org, "fresh-bucket")
+        assert meta.retention_ns is None
+    finally:
+        api.stop()
+        engine.close()
