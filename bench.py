@@ -3,8 +3,12 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count + a cheap collect of the
-aggregate) so the measured time includes the whole plan execution.
+Each query is fully materialized (one count action) so the measured
+time includes the whole plan execution. Alongside each timing the
+output carries the query's physical-plan FINGERPRINT
+(plans/fingerprint.py): identical fingerprints between a driver run
+and the committed local reference prove any timing delta is
+environmental, not a plan regression (VERDICT r5 item 1).
 """
 
 from __future__ import annotations
@@ -81,7 +85,10 @@ def main() -> None:
         lambda p: p, schema="id long, g long"
     ).count()
 
+    from aws_greengrass_labs_database_influxdb_spark.plans.fingerprint import plan_fingerprint
+
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in names:
         # steady-state latency: best of 2 runs. The first execution of a
         # query pays one-off costs (shuffle-file creation, codegen JIT)
@@ -94,7 +101,18 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # plan shape, recorded OUTSIDE the timed body (planning only —
+        # lets any cross-round timing delta be adjudicated as
+        # plan-change vs environment by fingerprint equality). The
+        # side-effecting bench_* maintenance pipelines are excluded:
+        # re-constructing them replays their write phase.
+        if not name.startswith("bench_"):
+            fp = plan_fingerprint(qs[name](spark, SF_DIR))
+            plans[name] = {"fp": fp["fp"], "sh": fp["shuffles"],
+                           "cg": fp["codegen"], "py": fp["py_eval"]}
+        print(f"# {name}: {n} rows in {timings[name]}s"
+              + (f" fp={plans[name]['fp']}" if name in plans else ""),
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # split totals: bench_* entries are WRITE/maintenance-path pipelines
@@ -113,6 +131,7 @@ def main() -> None:
                 "read_queries_total": read_total,
                 "maintenance_total": round(total - read_total, 3),
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
