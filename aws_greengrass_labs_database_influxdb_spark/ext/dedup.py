@@ -64,6 +64,13 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return base.select("_id", F.explode(ngrams).alias("shingle")).distinct()
 
 
+# block size for the two-level pair explode below: per-row pair arrays
+# are bounded by _PAIR_BLOCK² structs (~65k ≈ a few MB) independent of
+# shingle frequency — the structural memory bound that replaced the
+# max_shingle_freq-as-memory-knob behavior (SCALE.md §dedup)
+_PAIR_BLOCK = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -80,7 +87,10 @@ def ngram_jaccard_pairs(
     corpus scale one stop-shingle ("of the and") otherwise creates a
     quadratic hot key (10⁶ docs sharing it → 10¹² join rows). Dropping
     it loses nothing: a shingle in >1000 docs carries ~zero Jaccard
-    signal for any pair. Pass ``None`` for the exact-oracle semantics.
+    signal for any pair. Pass ``None`` for the exact-oracle semantics —
+    memory-safe at any skew since the r6 block pair explode (per-row
+    memory is O(block²), not O(freq²)); the cap remains the *CPU/pair-
+    count* bound (a freq-f shingle still emits C(f,2) pairs).
     """
     sh = _shingled(df, text_col, id_col, n)
     if max_shingle_freq is not None:
@@ -91,16 +101,44 @@ def ngram_jaccard_pairs(
     # doc ids into one sorted list (the semi-join already partitioned by
     # shingle, so this aggregate is shuffle-free) and explode the (a < b)
     # combinations JVM-side. Same pair stream as a self-join, one fewer
-    # full shuffle of the shingle set, and list size is bounded by
-    # max_shingle_freq so no hot-key blowup.
+    # full shuffle of the shingle set.
     lists = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+    # Two-level BLOCK pair generation (r5 verdict: the single-expr
+    # combination explode materialized C(freq,2) structs in ONE row —
+    # measured OOM at freq≥5000). Slice the sorted id list into fixed
+    # _PAIR_BLOCK-sized blocks, explode one row per (block_i, block_j≥i)
+    # pair, then explode the ≤block² combinations within that row:
+    # per-row memory is O(block²) structs REGARDLESS of shingle
+    # frequency, so cap=None is memory-safe on any skew. The pair
+    # stream is identical: blocks partition a sorted list, so
+    # cross-block pairs are already a<b ordered and within-block pairs
+    # use the triangular slice.
+    blocked = lists.select(
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(_ids) / {_PAIR_BLOCK}.0) as int) - 1), "
+            f"k -> slice(_ids, k * {_PAIR_BLOCK} + 1, {_PAIR_BLOCK}))"
+        ).alias("_blk")
+    )
+    left = blocked.select("_blk", F.posexplode("_blk").alias("_i", "_ba"))
+    right = left.select(
+        "_ba",
+        F.explode(
+            F.expr(
+                "transform(slice(_blk, _i + 1, size(_blk) - _i), "
+                "(by, j) -> struct(by AS bb, j = 0 AS same))"
+            )
+        ).alias("_p"),
+    )
     pair_expr = F.expr(
-        "flatten(transform(_ids, (x, i) -> "
-        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-        "y -> struct(x AS a, y AS b))))"
+        "CASE WHEN _p.same THEN "
+        "flatten(transform(_ba, (x, i) -> "
+        "transform(slice(_ba, i + 2, size(_ba) - i - 1), "
+        "y -> struct(x AS a, y AS b)))) "
+        "ELSE flatten(transform(_ba, x -> "
+        "transform(_p.bb, y -> struct(x AS a, y AS b)))) END"
     )
     common = (
-        lists.select(F.explode(pair_expr).alias("p"))
+        right.select(F.explode(pair_expr).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))

@@ -63,6 +63,37 @@ def test_ngram_skew_guard_prunes_stop_shingles(spark):
     assert all(a == 100 for a, _ in pairs), pairs
 
 
+def test_ngram_uncapped_all_docs_shingle_is_memory_safe(spark):
+    """r5 verdict item 2: cap=None on a corpus where EVERY doc shares a
+    shingle must stay memory-bounded (two-level block pair explode —
+    per-row O(block²), not C(freq,2) in one array row) AND produce the
+    exact pair stream: with ndocs > _PAIR_BLOCK the hot shingle spans
+    several blocks, exercising within-block, cross-block, and the
+    (a<b) ordering guarantee at once."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import _PAIR_BLOCK
+
+    ndocs = _PAIR_BLOCK + 40  # > 1 block → cross-block pairs exist
+    hot = "lorem ipsum dolor"
+    rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}")
+            for i in range(ndocs)]
+    rows += [(1000, f"{hot} shared tail of nearly identical text"),
+             (1001, f"{hot} shared tail of nearly identical text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=None)
+    pairs = {(r.a, r.b): r.common for r in out.collect()}
+    # every doc pair shares exactly the one hot shingle → C(n,2) pairs
+    # at common=1, plus the near-identical (1000,1001) pair
+    n = ndocs + 2
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(a < b for a, b in pairs)
+    assert pairs[(1000, 1001)] > 1
+    assert pairs[(0, 1)] == 1
+    # capped run on the same corpus: identical non-hot pair, hot pairs gone
+    capped = {(r.a, r.b) for r in ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
+    assert capped == {(1000, 1001)}
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """A-B and B-C pairs must land A, B, C in ONE cluster labeled by
     the min id — multi-hop propagation, not just direct pairs."""
