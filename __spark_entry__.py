@@ -43,7 +43,11 @@ CURATED_FIRST_50: list[str] = [
     "ts_session_window",
     "ts_ema",
     "ts_pivot",
-    "ts_join_hourly",
+    # r6: surface sql.from's embedded-Derby JDBC round-trip (the last
+    # §2.2.1 row without a driver-visible check); ts_join_hourly
+    # rotates out — inner join stays in the window via flux_join_ratio
+    # and ts_asof_join, and under the full-suite gates
+    "aux_sql_from",
     "ts_histogram_quantile",
     "ts_time_weighted_avg",
     "ts_deadman",

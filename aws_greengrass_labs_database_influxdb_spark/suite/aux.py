@@ -1,7 +1,9 @@
-"""Auxiliary-source suite rows (VERDICT r4 item 7): csv.from and
-array.from exercised end-to-end with DuckDB oracles. sql.from stays
-untested by declared design — the container has no JDBC target; its
-wrapper is documented in sources/aux_sources.py.
+"""Auxiliary-source suite rows (VERDICT r4 item 7): csv.from,
+array.from and sql.from exercised end-to-end with DuckDB oracles.
+sql.from (r5 verdict item 4) runs against an EMBEDDED Apache Derby
+database using the Derby jars Spark itself ships for the Hive
+metastore — a real JDBC round-trip (write via the JDBC sink, read via
+the sql.from wrapper), no network target needed.
 """
 
 from __future__ import annotations
@@ -81,4 +83,53 @@ def aux_array_from(spark, sf_dir):
         region.join(F.broadcast(dim), "r_regionkey")
         .select("r_name", "tier")
         .orderBy("r_name")
+    )
+
+
+@q(
+    "aux_sql_from",
+    """
+    SELECT n_nationkey, upper(n_name) AS nation_upper, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def aux_sql_from(spark, sf_dir):
+    """sql.from (r5 verdict item 4): a REAL JDBC round-trip against
+    embedded Apache Derby (the derby*.jar Spark bundles for the Hive
+    metastore — org.apache.derby.jdbc.EmbeddedDriver). The nation
+    table is written through Spark's JDBC sink, read back through the
+    sql.from wrapper, and compared to the parquet rows by the oracle —
+    proving the wrapper's option plumbing (url/driver/query) executes,
+    not just constructs. Derby uppercases unquoted identifiers, so the
+    query quotes the written column names and the frame re-aliases
+    lowercase for oracle column parity."""
+    from ..sources.aux_sources import sql_from
+
+    os.makedirs(_AUX_ROOT, exist_ok=True)
+    # keep derby.log out of the repo cwd (no-op once Derby has booted)
+    spark._jvm.System.setProperty("derby.system.home", _AUX_ROOT)
+    url = f"jdbc:derby:{_AUX_ROOT}/derbydb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.coalesce(1)  # 25 rows — one JDBC connection, not 32
+        .write.format("jdbc")
+        .option("url", url).option("driver", drv)
+        .option("dbtable", "nation")
+        .mode("overwrite").save()
+    )
+    df = sql_from(
+        spark, url,
+        'SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation',
+        driver=drv,
+    )
+    return (
+        df.select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            F.upper("n_name").alias("nation_upper"),
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
     )
