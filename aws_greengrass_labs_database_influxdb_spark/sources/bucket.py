@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -53,6 +54,25 @@ class BucketStore:
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # Per-bucket mutation serialization: concurrent append jobs to
+        # ONE parquet dir share the Hadoop committer's _temporary/0
+        # staging — the first job commit deletes it under the second
+        # (silent lost writes), and compact/delete additionally swap
+        # directories. The ThreadingHTTPServer facade makes concurrent
+        # writers real, so every mutating op takes this lock (readers
+        # stay lock-free: they only see committed files). Single
+        # writer per bucket is the same contract InfluxDB's storage
+        # engine serializes via its WAL; cross-PROCESS writers would
+        # need a lock file or per-job staging dirs (out of scope —
+        # one engine process owns a store root).
+        self._mutation_locks: dict[tuple[str, str], threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+
+    def _mutation_lock(self, org: str, name: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._mutation_locks.setdefault(
+                (org, name), threading.Lock()
+            )
 
     # ---------------------------------------------------------------- admin
 
@@ -120,11 +140,12 @@ class BucketStore:
             else:
                 df = df.withColumn("ingest_seq", fallback)
         df = df.withColumn("day", F.expr(f"time_ns div {DAY_NS}"))
-        (
-            df.write.mode("append")
-            .partitionBy("measurement", "day")
-            .parquet(str(self._data_dir(org, name)))
-        )
+        with self._mutation_lock(org, name):
+            (
+                df.write.mode("append")
+                .partitionBy("measurement", "day")
+                .parquet(str(self._data_dir(org, name)))
+            )
 
     # ----------------------------------------------------------------- read
 
@@ -136,9 +157,13 @@ class BucketStore:
         the window collapses to a no-op pass (still correct for any
         fresh appends since the compaction).
         """
-        df = self.spark.read.schema(
-            self._stored_schema()
-        ).parquet(str(self._data_dir(org, name)))
+        data = self._data_dir(org, name)
+        if not data.exists():
+            # provisioned-but-never-written bucket: queryable-empty
+            # (a query racing ahead of the first write is a normal
+            # concurrent-client pattern, not an error — r6)
+            return self.spark.createDataFrame([], self._stored_schema())
+        df = self.spark.read.schema(self._stored_schema()).parquet(str(data))
         if not lww:
             return df
         w = W.partitionBy("measurement", "series_key", "time_ns").orderBy(
@@ -168,6 +193,14 @@ class BucketStore:
         """Rewrite the bucket with LWW applied — makes upserts durable
         and restores scan speed after heavy overwrite traffic."""
         data = self._data_dir(org, name)
+        lock = self._mutation_lock(org, name)
+        lock.acquire()
+        try:
+            self._compact_locked(org, name, data)
+        finally:
+            lock.release()
+
+    def _compact_locked(self, org: str, name: str, data: Path) -> None:
         resolved = self.read_points(org, name, lww=True)
         tmp = data.with_name("data_compacting")
         (
@@ -199,12 +232,13 @@ class BucketStore:
         cutoff_day = (now_ns - meta.retention_ns) // DAY_NS
         dropped = 0
         data = self._data_dir(org, name)
-        for mdir in data.glob("measurement=*"):
-            for ddir in mdir.glob("day=*"):
-                day = int(ddir.name.split("=")[1])
-                if day < cutoff_day:
-                    shutil.rmtree(ddir)
-                    dropped += 1
+        with self._mutation_lock(org, name):
+            for mdir in data.glob("measurement=*"):
+                for ddir in mdir.glob("day=*"):
+                    day = int(ddir.name.split("=")[1])
+                    if day < cutoff_day:
+                        shutil.rmtree(ddir)
+                        dropped += 1
         return dropped
 
     def delete_predicate(
@@ -220,6 +254,14 @@ class BucketStore:
         rewrite of only the affected day partitions."""
         data = self._data_dir(org, name)
         lo_day, hi_day = start_ns // DAY_NS, (stop_ns - 1) // DAY_NS
+        lock = self._mutation_lock(org, name)
+        lock.acquire()
+        try:
+            self._delete_locked(data, lo_day, hi_day, start_ns, stop_ns, predicate)
+        finally:
+            lock.release()
+
+    def _delete_locked(self, data, lo_day, hi_day, start_ns, stop_ns, predicate):
         df = self.spark.read.schema(self._stored_schema()).parquet(str(data))
         affected = df.filter((F.col("day") >= lo_day) & (F.col("day") <= hi_day))
         doomed = (F.col("time_ns") >= start_ns) & (F.col("time_ns") < stop_ns)

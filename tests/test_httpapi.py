@@ -811,3 +811,112 @@ def test_v1_drop_database_admin_only(served):
     assert status == 200
     names = {b.name for b in engine.store.list_buckets("greengrass")}
     assert "droppable" not in names
+
+
+def test_concurrent_write_query_task_clients(served):
+    """VERDICT r5 item 7: parallel write+query+task-run clients against
+    ONE engine. Every writer's batches must all land (the per-bucket
+    mutation lock serializes parquet append jobs — concurrent appends
+    share the committer's _temporary staging and silently lose files
+    otherwise), queries must never 5xx mid-write, and a strictly-later
+    write to a contended key must win LWW."""
+    import threading
+
+    base, engine, tokens = served
+    nw, nbatch, nlines = 3, 4, 25
+    errors: list[str] = []
+
+    def writer(tid: int) -> None:
+        try:
+            for b in range(nbatch):
+                lines = "\n".join(
+                    f"conc,host=w{tid} v={float(tid * 1000 + b * 100 + i)} "
+                    f"{T0 + (b * nlines + i) * 60_000_000_000}"
+                    for i in range(nlines)
+                )
+                # contended key: same series+ts from every thread
+                lines += f"\nconc,host=shared v={float(tid * 10 + b)} {T0}"
+                status, _ = _req(
+                    base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                    token=tokens["RW"], body=lines, ctype="text/plain")
+                assert status == 204
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer{tid}: {e!r}")
+
+    def querier(kind: str) -> None:
+        try:
+            for _ in range(4):
+                if kind == "flux":
+                    flux = (
+                        'from(bucket: "greengrass-telemetry")'
+                        " |> range(start: 2024-01-01T00:00:00Z,"
+                        " stop: 2024-01-03T00:00:00Z)"
+                        ' |> filter(fn: (r) => r._measurement == "conc")'
+                        " |> count()"
+                    )
+                    status, _ = _req(
+                        base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+                else:
+                    q = urllib.parse.quote(
+                        "SELECT COUNT(value) FROM conc "
+                        "WHERE time >= '2024-01-01T00:00:00Z'")
+                    status, _ = _req(
+                        base, f"/query?db=greengrass-telemetry&q={q}",
+                        token=tokens["RO"])
+                assert status == 200
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"querier-{kind}: {e!r}")
+
+    def task_client() -> None:
+        try:
+            flux = (
+                'option task = {name: "conc-task", every: 1h}\n'
+                'from(bucket: "greengrass-telemetry")\n'
+                "  |> range(start: 2024-01-01T00:00:00Z,"
+                " stop: 2024-01-03T00:00:00Z)\n"
+                '  |> filter(fn: (r) => r._measurement == "conc")\n'
+                '  |> group(columns: ["_measurement", "_field"])\n'
+                "  |> aggregateWindow(every: 1h, fn: mean)\n"
+                '  |> to(bucket: "conc-hourly")'
+            )
+            status, body = _req(base, "/api/v2/tasks", "POST",
+                                token=tokens["RW"], body={"flux": flux})
+            assert status == 201
+            tid = json.loads(body)["id"]
+            for _ in range(2):
+                status, body = _req(base, f"/api/v2/tasks/{tid}/runs", "POST",
+                                    token=tokens["RW"], body={})
+                assert status == 200
+                assert json.loads(body)["status"] == "success"
+            _req(base, f"/api/v2/tasks/{tid}", "DELETE",
+                 token=tokens["RW"], body=None)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"task: {e!r}")
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(nw)]
+        + [threading.Thread(target=querier, args=(k,))
+           for k in ("flux", "influxql")]
+        + [threading.Thread(target=task_client)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    # no lost writes: every (writer, ts) point present exactly once
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    conc = pts.filter("measurement = 'conc'").cache()
+    for t in range(nw):
+        assert conc.filter(f"tags['host'] = 'w{t}'").count() == nbatch * nlines
+    # strictly-later write to the contended key wins LWW
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"],
+                     body=f"conc,host=shared v=9999.0 {T0}", ctype="text/plain")
+    assert status == 204
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    shared = pts.filter(
+        "measurement = 'conc' AND tags['host'] = 'shared'").collect()
+    assert len(shared) == 1 and shared[0]["f_float"] == 9999.0
