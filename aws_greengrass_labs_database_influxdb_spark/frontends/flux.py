@@ -112,6 +112,22 @@ def _split_pipeline(q: str) -> list[str]:
     return stages
 
 
+class _StageArgs(dict):
+    """Stage-argument dict whose missing-key access is a typed
+    FluxError naming the stage — a mis-spelled required argument
+    (``top(n. 2)``) must not escape as a bare KeyError (r6 fuzzer)."""
+
+    def __init__(self, stage_name: str, args: dict):
+        super().__init__(args)
+        self._stage = stage_name
+
+    def __missing__(self, key):
+        raise FluxError(
+            f"{self._stage}() missing required argument {key!r} "
+            f"(got: {sorted(k for k in self)})"
+        )
+
+
 def _parse_stage(stage: str) -> tuple[str, str]:
     m = re.match(r"(?s)^(\w+(?:\.\w+)?)\s*\((.*)\)$", stage.strip())
     if not m:
@@ -933,6 +949,17 @@ def _source_stage(
                 raise FluxError(f"unknown table variable {v!r}")
         left, right = env[lv], env[rv]
         on = [COLMAP.get(c, c) for c in _strlist(args["on"])]
+        # typed error, not AnalysisException, when a join key is gone
+        # (e.g. on: ["_time"] after an aggregate dropped the time
+        # column — r6 fuzzer class)
+        for c, flux_name in zip(on, _strlist(args["on"])):
+            for side, p in ((lk, left), (rk, right)):
+                if c not in p.df.columns:
+                    raise FluxError(
+                        f"join on: column {flux_name!r} does not exist "
+                        f"in table {side!r} (columns: "
+                        f"{sorted(p.df.columns)})"
+                    )
         # method: (public Flux join arg) — inner default; left/right/
         # full map 1:1 onto Spark join types (cross is rejected: a
         # cross join on a time-series stream is a mistake at any scale)
@@ -994,6 +1021,10 @@ def _run_pipeline(
     for stage in stages[1:]:
         name, argstr = _parse_stage(stage)
         args = _split_args(argstr) if argstr else {}
+        # missing/mis-spelled required arguments (e.g. `top(n. 2)`)
+        # surface as KeyError('n') deep in a stage — make every such
+        # access a typed error without annotating each one (r6 fuzzer)
+        args = _StageArgs(name, args)
         df = pipe.df
         if name in _TIME_ORDERED or name in (
             "window", "aggregateWindow", "first", "last"

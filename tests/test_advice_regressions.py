@@ -159,3 +159,38 @@ def test_duplicate_bucket_create_is_422(spark, tmp_path_factory):
     finally:
         api.stop()
         engine.close()
+
+
+# ------------------------------------------------- r6 fuzzer crash classes
+
+def test_flux_join_on_missing_column_is_typed_error(pts):
+    """r6 fuzzer class 1: join(on: ["_time"]) where a side lost its
+    time column (post-aggregate) must raise FluxError, not
+    UNRESOLVED_USING_COLUMN AnalysisException."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_flux_multi
+
+    q = (
+        'base = from(bucket:"b") |> range(start: 0)'
+        ' |> group(columns: ["event_type"])\n'
+        "a = base |> sum()\n"
+        "b = base |> mean()\n"
+        'join(tables: {a: a, b: b}, on: ["_time"])'
+    )
+    with pytest.raises(FluxError, match="_time"):
+        execute_flux_multi(pts, q)
+    # the valid key still joins
+    ok = execute_flux_multi(
+        pts,
+        q.replace('on: ["_time"]', 'on: ["event_type"]'),
+    )["_result"]
+    assert "event_type" in ok.columns
+
+
+def test_flux_missing_required_arg_is_typed_error(pts):
+    """r6 fuzzer class 2: a mis-spelled required argument
+    (`top(n. 2)` parses to no `n`) must raise FluxError naming the
+    stage, not KeyError('n')."""
+    with pytest.raises(FluxError, match=r"top\(\) missing required"):
+        execute_flux(pts, 'from(bucket:"b") |> group() |> top(n. 2)')
+    with pytest.raises(FluxError, match=r"limit\(\) missing required"):
+        execute_flux(pts, 'from(bucket:"b") |> limit(m: 3)')

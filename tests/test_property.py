@@ -697,3 +697,167 @@ def test_influxql_execution_grammar_compiles_or_typed_error(spark, sf_dir):
         assert df.columns
 
     run()
+
+
+# ------------------------- r6: multi-yield / join() / column: fuzzing
+
+_FLUX_BASE_MID = st.sampled_from([
+    '|> map(fn: (r) => ({r with y: r._value * 2.0}))',
+    '|> map(fn: (r) => ({r with y: r["_value"] + 1.0}))',
+    '|> map(fn: (r) => ({r with y: r._value * 2.0})) |> keep(columns: '
+    '["_time", "_value", "y", "event_type"])',
+    '|> duplicate(column: "_value", as: "y")',
+])
+_FLUX_BRANCH = st.sampled_from([
+    "|> mean()", "|> sum()", "|> count()", "|> last()",
+    '|> sum(column: "y")', '|> mean(column: "y")', '|> max(column: "y")',
+    '|> quantile(q: 0.9, column: "y")',
+    '|> aggregateWindow(every: 12h, fn: mean)',
+    '|> aggregateWindow(every: 12h, fn: (tables=<-) => tables '
+    '|> quantile(q: 0.5, method: "exact_mean"))',
+    "|> window(every: 1d) |> sum() |> group()",
+    # adversarial draws that found the r6 crash classes: mis-spelled
+    # required args and column:-refs to pruned columns must stay
+    # typed-error, never KeyError/AnalysisException
+    "|> group() |> top(n. 2)",
+    '|> drop(columns: ["y"]) |> sum(column: "y")',
+    '|> pivot(rowKey: ["_time"], columnKey: ["event_type"], '
+    'valueColumn: "_value")',
+    '|> mean() |> duplicate(column: "mean", as: "y")',
+    "",
+])
+_FLUX_COMBINE = st.sampled_from(["yields", "join", "join_time", "union"])
+
+
+@st.composite
+def _flux_multi_script(draw):
+    """Multi-statement scripts: a shared map()-derived base feeding two
+    branches, combined by multi-yield, join(), or union() — the
+    composition region where r5 ADVICE found silent-wrong results and
+    the single-pipe fuzzer has no reach."""
+    base = (
+        'base = from(bucket:"b") |> range(start: 0) '
+        '|> group(columns: ["event_type"]) ' + draw(_FLUX_BASE_MID)
+    )
+    a = f"a = base {draw(_FLUX_BRANCH)}".rstrip()
+    b = f"b = base {draw(_FLUX_BRANCH)}".rstrip()
+    form = draw(_FLUX_COMBINE)
+    if form == "join_time":
+        # post-aggregate frames often lose _time: must be FluxError
+        tail = 'join(tables: {a: a, b: b}, on: ["_time"])'
+        return "\n".join([base, a, b, tail])
+    if form == "join":
+        tail = 'join(tables: {a: a, b: b}, on: ["event_type"])'
+        combine = draw(st.sampled_from(
+            ["", ' |> limit(n: 3)',
+             ' |> map(fn: (r) => ({r with d: 1.0}))']))
+        return "\n".join([base, a, b, tail + combine])
+    if form == "union":
+        return "\n".join([base, a, b, "union(tables: [a, b]) |> group()"])
+    return "\n".join([
+        base, a, b,
+        'a |> yield(name: "ya")',
+        'b |> yield(name: "yb")',
+    ])
+
+
+def test_flux_multi_statement_grammar_compiles_or_typed_error(spark, sf_dir):
+    """r5 verdict item 6: multi-yield scripts, join()-containing
+    pipelines, and column:-bearing stages over map-derived frames must
+    compile to plans or raise FluxError — plus a cheap execution probe
+    (limit(1) materialization) on every draw so silent planner
+    breakage (unresolved columns, ambiguous refs) surfaces here, not
+    in a user's dashboard."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import (
+        FluxError,
+        execute_flux_multi,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+    pts = events_points(spark, sf_dir).limit(200).cache()
+    pts.count()
+
+    @given(q=_flux_multi_script())
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(q):
+        try:
+            results = execute_flux_multi(pts, q)
+        except FluxError:
+            return
+        assert results
+        for df in results.values():
+            assert df.columns
+            df.limit(1).collect()  # execution probe, 200-row input
+
+    run()
+
+
+# -------------------------- r6: InfluxQL nested transforms + fill fuzz
+
+_IQL_INNER = st.sampled_from([
+    "SELECT derivative(mean(value), 1h) AS d FROM events "
+    "WHERE time >= '2024-01-01' AND time < '2024-01-20' GROUP BY time(6h)",
+    "SELECT mean(value) AS d FROM events WHERE time >= '2024-01-01' "
+    "GROUP BY time(1d), event_type",
+    "SELECT moving_average(mean(value), 3) AS d FROM events "
+    "WHERE time >= '2024-01-01' GROUP BY time(12h)",
+    "SELECT cumulative_sum(sum(value)) AS d FROM events "
+    "WHERE time >= '2024-01-01' GROUP BY time(1d)",
+    "SELECT difference(max(value)) AS d FROM events "
+    "WHERE time >= '2024-01-01' GROUP BY time(1d), event_type",
+])
+_IQL_INNER_FILL = st.sampled_from(["", "fill(0)", "fill(previous)",
+                                   "fill(linear)", "fill(none)"])
+_IQL_OUTER = st.sampled_from([
+    "SELECT mean(d) FROM ({inner})",
+    "SELECT max(d) FROM ({inner})",
+    "SELECT sum(d) FROM ({inner}) WHERE time >= '2024-01-02'",
+    "SELECT mean(d) FROM ({inner}) GROUP BY time(2d)",
+    "SELECT count(d) FROM ({inner}) GROUP BY time(2d)",
+])
+_IQL_OUTER_FILL = st.sampled_from(["", "fill(0)", "fill(previous)"])
+
+
+@st.composite
+def _iql_nested_query(draw):
+    inner = draw(_IQL_INNER)
+    ifill = draw(_IQL_INNER_FILL)
+    if ifill:
+        inner = f"{inner} {ifill}"
+    outer = draw(_IQL_OUTER).format(inner=inner)
+    ofill = draw(_IQL_OUTER_FILL)
+    if ofill and "GROUP BY time(" in outer.split(")")[-1] + outer[-30:]:
+        outer = f"{outer} {ofill}"
+    return outer
+
+
+def test_influxql_nested_transform_fill_compiles_or_typed_error(spark, sf_dir):
+    """r5 verdict item 6 (InfluxQL side): nested transforms under
+    subqueries composed with every fill() mode must plan-or-typed-error
+    and survive a limit(1) execution probe."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import (
+        InfluxQLError,
+        execute_influxql,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import events_points
+
+    pts = events_points(spark, sf_dir).limit(200).cache()
+    pts.count()
+
+    @given(q=_iql_nested_query())
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(q):
+        try:
+            df = execute_influxql(pts, q)
+        except InfluxQLError:
+            return
+        assert df.columns
+        df.limit(1).collect()
+
+    run()
