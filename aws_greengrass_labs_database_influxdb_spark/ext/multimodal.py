@@ -10,10 +10,12 @@ decoder, :mod:`.png` — r5), and **MJPEG-AVI video** (RIFF container
 walk + per-frame JPEG decode, :mod:`.avi` — r5, incl. real frame
 sampling via :func:`sample_frames_decoded`) via
 :func:`stdlib_decode`; stubbed only for the remaining compressed
-codecs (MP3, inter-frame video like H.264, progressive JPEG,
-interlaced/16-bit PNG), where ``decode_fn`` defaults to a
+codecs (MP3, inter-frame video like H.264, interlaced/16-bit
+PNG), where ``decode_fn`` defaults to a
 clearly-marked deterministic fake; pass a PIL/librosa-backed decoder
-in production.
+in production. Progressive JPEG joined the really-decoded set in r6
+(:mod:`.jpeg` handles SOF2 spectral selection + successive
+approximation).
 
 Design for 100 TB: decode runs inside ``mapInPandas`` so bytes never
 leave executors; batch size is bounded by
@@ -74,9 +76,9 @@ def fake_decode(content: bytes, kind: str) -> list[float]:
 
 def real_decode_unavailable(content: bytes, kind: str) -> list[float]:
     """The production decode hook for the remaining compressed codecs
-    (MP3/H.264, progressive JPEG, interlaced/16-bit PNG). Not
-    implemented in this container — see :func:`stdlib_decode` for the
-    formats that ARE really decoded here (WAV, BMP, baseline JPEG,
+    (MP3/H.264, interlaced/16-bit PNG). Not implemented in this
+    container — see :func:`stdlib_decode` for the formats that ARE
+    really decoded here (WAV, BMP, baseline+progressive JPEG,
     PNG)."""
     raise NotImplementedError(
         "compressed-codec libraries are not installed in this environment; "
@@ -179,13 +181,14 @@ def stdlib_decode(content: bytes, kind: str) -> list[float]:
     - ``audio`` + RIFF/WAV magic → :func:`decode_wav`; feature = 8
       per-segment RMS energies (the standard cheap audio fingerprint).
     - ``image`` + BMP magic → :func:`decode_bmp`, ``image`` + JPEG
-      magic → the pure-numpy baseline decoder (:mod:`.jpeg`, r5),
+      magic → the pure-numpy decoder (:mod:`.jpeg`, r5; progressive
+      SOF2 support r6),
       ``image`` + PNG magic → the stdlib-zlib decoder (:mod:`.png`,
       r5) — all feed a 4×4 grayscale thumbnail via
       :func:`resize_nearest`, normalized to [0, 1] — a real
       perceptual-hash-style feature.
-    - anything else (MP3/video, progressive JPEG, interlaced/16-bit
-      PNG) raises — remaining compressed codecs are the documented
+    - anything else (MP3/video, interlaced/16-bit PNG) raises —
+      remaining compressed codecs are the documented
       stub; see :func:`real_decode_unavailable`.
     """
     import numpy as np

@@ -186,13 +186,214 @@ def test_roundtrip_coarse_quant_still_close():
     assert err.mean() < 10 and err.max() < 60
 
 
-def test_progressive_rejected():
+def test_arithmetic_coding_rejected():
     img = _rng_image(8, 8)
     data = bytearray(encode_gray_jpeg(img, np.ones(64)))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite marker to progressive
-    with pytest.raises(ValueError, match="baseline"):
+    data[sof + 1] = 0xC9  # rewrite marker to arithmetic sequential
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------------ progressive (r6)
+
+def encode_gray_progressive_jpeg(
+    pixels: np.ndarray, quant: np.ndarray, scans: list[tuple[int, int, int, int]]
+) -> bytes:
+    """Minimal progressive encoder (grayscale) for decoder tests:
+    caller supplies the scan script as (Ss, Se, Ah, Al) tuples. DC
+    scans use the T.81 arithmetic-shift point transform; AC first
+    scans truncate magnitudes toward zero and accumulate cross-block
+    EOB runs (exercising the decoder's EOBn path); AC refinement
+    emits correction bits exactly as G.1.2.3 expects back."""
+    h, w = pixels.shape
+    dc = _codes(*DC_LUM)
+    # progressive scans need EOBn symbols (0x10..0xE0) that Annex K's
+    # baseline AC table does not define — use a flat custom table
+    # (every run/size symbol at code length 9), as real progressive
+    # encoders ship optimized custom tables in their DHT
+    ac_syms = sorted(
+        {((r << 4) | s) for r in range(16) for s in range(11)} | {0xF0}
+    )
+    AC_PROG = ([0] * 8 + [len(ac_syms)] + [0] * 7, ac_syms)
+    ac = _codes(*AC_PROG)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(quant[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    for cls, (counts, symbols) in ((0, DC_LUM), (1, AC_PROG)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + sum(counts), cls << 4)
+        out += bytes(counts) + bytes(symbols)
+
+    # quantized blocks in zigzag order, row-major
+    pad_y, pad_x = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(pixels.astype(np.float64), ((0, pad_y - h), (0, pad_x - w)), "edge")
+    blocks = []
+    for y0 in range(0, pad_y, 8):
+        for x0 in range(0, pad_x, 8):
+            blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coeff = _A @ blk @ _A.T
+            blocks.append(np.round(coeff.ravel()[ZIGZAG] / quant[ZIGZAG]).astype(int))
+
+    def emit_eobrun(bw, bits, count):
+        while count:
+            n = min(14, count.bit_length() - 1)
+            ext = count - (1 << n)
+            if ext >= (1 << n):  # can't extend this far — split
+                n_count = (1 << n)
+                bw.write(*ac[(n << 4)])
+                if n:
+                    bw.write((1 << n) - 1, n)  # max extension
+                count -= (1 << n) + ((1 << n) - 1)
+                continue
+            bw.write(*ac[(n << 4)])
+            if n:
+                bw.write(ext, n)
+            for b in bits:
+                bw.write(b, 1)
+            bits.clear()
+            count = 0
+
+    for ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:  # DC first (arithmetic shift point transform)
+                pred = 0
+                for qz in blocks:
+                    v = int(qz[0]) >> al
+                    diff = v - pred
+                    pred = v
+                    mag, n = _magnitude(diff)
+                    bw.write(*dc[n])
+                    if n:
+                        bw.write(mag, n)
+            else:  # DC refinement: bit Al of each DC value
+                for qz in blocks:
+                    bw.write((int(qz[0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first with cross-block EOB runs
+            eobrun = 0
+            for qz in blocks:
+                vals = [
+                    (1 if qz[k] > 0 else -1) * (abs(int(qz[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    continue
+                if eobrun:
+                    emit_eobrun(bw, [], eobrun)
+                    eobrun = 0
+                run = 0
+                for i in range(nz[-1] + 1):
+                    if vals[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*ac[0xF0])
+                        run -= 16
+                    mag, n = _magnitude(vals[i])
+                    bw.write(*ac[(run << 4) | n])
+                    bw.write(mag, n)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun = 1  # early EOB merges into the run
+            if eobrun:
+                emit_eobrun(bw, [], eobrun)
+        else:  # AC refinement (mirror of decoder G.1.2.3)
+            eobrun = 0
+            ebits: list[int] = []
+            for qz in blocks:
+                t = [abs(int(qz[k])) >> al for k in range(ss, se + 1)]
+                hist = [abs(int(qz[k])) >> ah for k in range(ss, se + 1)]
+                sign = [1 if qz[k] > 0 else -1 for k in range(ss, se + 1)]
+                newly = [i for i, (tv, hv) in enumerate(zip(t, hist))
+                         if hv == 0 and tv != 0]
+                if not newly:
+                    eobrun += 1
+                    # correction bits of this block join the run's bits
+                    ebits += [tv & 1 for tv, hv in zip(t, hist) if hv != 0]
+                    continue
+                if eobrun:
+                    emit_eobrun(bw, ebits, eobrun)
+                    eobrun, ebits = 0, []
+                # event stream since the last symbol: zero-history
+                # zeros ('Z') interleaved with correction bits — a ZRL
+                # must carry ONLY the corrections among its 16 zeros
+                # (the decoder walk consumes them positionally)
+                run = 0
+                events: list = []
+                last_new = newly[-1]
+                for i in range(last_new + 1):
+                    if hist[i] != 0:
+                        events.append(t[i] & 1)
+                    elif t[i] == 0:
+                        events.append("Z")
+                        run += 1
+                    else:  # newly significant (t must be 1)
+                        while run > 15:
+                            bw.write(*ac[0xF0])
+                            zc = 0
+                            while zc < 16:
+                                ev = events.pop(0)
+                                if ev == "Z":
+                                    zc += 1
+                                else:
+                                    bw.write(ev, 1)
+                            run -= 16
+                        bw.write(*ac[(run << 4) | 1])
+                        bw.write(1 if sign[i] > 0 else 0, 1)
+                        for ev in events:
+                            if ev != "Z":
+                                bw.write(ev, 1)
+                        events, run = [], 0
+                # trailing corrections after the last new coefficient
+                tail = [t[i] & 1 for i in range(last_new + 1, len(t))
+                        if hist[i] != 0]
+                rest = [ev for ev in events if ev != "Z"] + tail
+                if run or rest:
+                    eobrun, ebits = 1, rest
+            if eobrun:
+                emit_eobrun(bw, ebits, eobrun)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape,seed", [((24, 16), 7), ((10, 13), 3)])
+def test_progressive_spectral_selection_matches_baseline(shape, seed):
+    """Spectral-selection-only scan script (Al=0): progressive decode
+    must equal the baseline decode of the same quantized data exactly
+    — including cross-block EOB runs and non-multiple-of-8 crops."""
+    img = _rng_image(*shape, seed=seed)
+    base = decode_jpeg(encode_gray_jpeg(img, np.ones(64)))[1]
+    prog = decode_jpeg(encode_gray_progressive_jpeg(
+        img, np.ones(64), [(0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)]))[1]
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_successive_approximation_exact():
+    """Full successive-approximation script: DC first at Al=1 + DC
+    refine, AC first at Al=1 + AC refine — the refinement paths must
+    reconstruct the exact quantized coefficients."""
+    img = _rng_image(24, 24, seed=11)
+    base = decode_jpeg(encode_gray_jpeg(img, np.ones(64)))[1]
+    prog = decode_jpeg(encode_gray_progressive_jpeg(
+        img, np.ones(64),
+        [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)]))[1]
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A smooth (low-frequency) image makes most AC bands empty —
+    long EOB runs across blocks exercise the EOBn extension bits."""
+    img = np.tile(np.linspace(60, 200, 32).astype(np.uint8), (32, 1))
+    base = decode_jpeg(encode_gray_jpeg(img, np.ones(64)))[1]
+    prog = decode_jpeg(encode_gray_progressive_jpeg(
+        img, np.ones(64), [(0, 0, 0, 0), (1, 63, 0, 0)]))[1]
+    assert np.array_equal(base, prog)
 
 
 def test_not_jpeg_rejected():
