@@ -54,8 +54,11 @@ class Engine:
     config: EngineConfig = field(default_factory=EngineConfig)
 
     def __post_init__(self):
+        from .users import UserRegistry
+
         self.store = BucketStore(self.spark, self.config.store_root)
         self.tokens = TokenRegistry()
+        self.users = UserRegistry()  # v1 user-management statements
         self.broker = Broker()
         self._provisioned = False
         self._running = False

@@ -682,6 +682,90 @@ class HttpApi:
         else:
             self._respond(handler, 200, {"results": results})
 
+    def _try_user_statement(self, handler, text: str) -> dict | None:
+        """v1 user-management DDL → results dict, or None if ``text``
+        is not a user statement. Shapes per the public InfluxQL spec:
+        SHOW USERS → (user, admin); SHOW GRANTS FOR u → (database,
+        privilege); mutations return an empty result."""
+        from .users import UserError
+
+        users = self.engine.users
+
+        def admin_gate():
+            rec = self._bearer_record(handler)
+            if "write:authorizations" not in rec["permissions"]:
+                raise ApiError(403, "forbidden",
+                               "user management requires an admin token")
+
+        try:
+            m = re.match(
+                r"(?is)^\s*CREATE\s+USER\s+\"?([\w.\-]+)\"?\s+WITH\s+PASSWORD\s+"
+                r"'([^']*)'(\s+WITH\s+ALL\s+PRIVILEGES)?\s*$", text)
+            if m:
+                admin_gate()
+                users.create(m.group(1), m.group(2), admin=bool(m.group(3)))
+                return {}
+            m = re.match(r'(?is)^\s*DROP\s+USER\s+"?([\w.\-]+)"?\s*$', text)
+            if m:
+                admin_gate()
+                users.drop(m.group(1))
+                return {}
+            m = re.match(
+                r"(?is)^\s*SET\s+PASSWORD\s+FOR\s+\"?([\w.\-]+)\"?\s*=\s*"
+                r"'([^']*)'\s*$", text)
+            if m:
+                admin_gate()
+                users.set_password(m.group(1), m.group(2))
+                return {}
+            m = re.match(
+                r'(?is)^\s*GRANT\s+ALL(?:\s+PRIVILEGES)?\s+TO\s+"?([\w.\-]+)"?\s*$',
+                text)
+            if m:
+                admin_gate()
+                users.grant_all(m.group(1))
+                return {}
+            m = re.match(
+                r"(?is)^\s*GRANT\s+(READ|WRITE|ALL)\s+ON\s+\"?([\w.\-]+)\"?\s+"
+                r"TO\s+\"?([\w.\-]+)\"?\s*$", text)
+            if m:
+                admin_gate()
+                users.grant(m.group(3), m.group(2), m.group(1))
+                return {}
+            m = re.match(
+                r'(?is)^\s*REVOKE\s+ALL(?:\s+PRIVILEGES)?\s+FROM\s+"?([\w.\-]+)"?\s*$',
+                text)
+            if m:
+                admin_gate()
+                users.revoke_all(m.group(1))
+                return {}
+            m = re.match(
+                r"(?is)^\s*REVOKE\s+(READ|WRITE|ALL)\s+ON\s+\"?([\w.\-]+)\"?\s+"
+                r"FROM\s+\"?([\w.\-]+)\"?\s*$", text)
+            if m:
+                admin_gate()
+                users.revoke(m.group(3), m.group(2), m.group(1))
+                return {}
+            if re.match(r"(?is)^\s*SHOW\s+USERS\s*$", text):
+                admin_gate()
+                return {"series": [{
+                    "name": "users", "columns": ["user", "admin"],
+                    "values": [[n, a] for n, a in users.show_users()],
+                }]}
+            m = re.match(r'(?is)^\s*SHOW\s+GRANTS\s+FOR\s+"?([\w.\-]+)"?\s*$',
+                         text)
+            if m:
+                admin_gate()
+                return {"series": [{
+                    "columns": ["database", "privilege"],
+                    "values": [[d, ("ALL PRIVILEGES" if p == "ALL" else p)]
+                               for d, p in users.show_grants(m.group(1))],
+                }]}
+        except UserError as e:
+            raise ApiError(400, "invalid", str(e)) from None
+        except ValueError as e:  # weak password from validate_password
+            raise ApiError(400, "invalid", str(e)) from None
+        return None
+
     def _run_v1_statement(self, handler, org: str, db: str, text: str,
                           epoch: str | None) -> dict:
         """One v1 statement → its ``results[i]`` dict (sans id)."""
@@ -735,6 +819,13 @@ class HttpApi:
                  "columns": ["name", "duration", "shardGroupDuration",
                              "replicaN", "default"],
                  "values": rp}]}
+
+        # v1 user management (public InfluxQL spec; privileges map to
+        # the v2 model like DBRP: db ≡ bucket). Mutations are
+        # admin-gated — same bar as v2 authorizations.
+        um = self._try_user_statement(handler, text)
+        if um is not None:
+            return um
 
         # continuous-query DDL: CREATE/DROP/SHOW CONTINUOUS QUERIES
         # (the v1 downsampling idiom; streaming/cq.py owns semantics)

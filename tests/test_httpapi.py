@@ -920,3 +920,63 @@ def test_concurrent_write_query_task_clients(served):
     shared = pts.filter(
         "measurement = 'conc' AND tags['host'] = 'shared'").collect()
     assert len(shared) == 1 and shared[0]["f_float"] == 9999.0
+
+
+def test_v1_user_management_lifecycle(served):
+    """v1 user-management DDL (public InfluxQL spec): CREATE USER /
+    GRANT / SHOW USERS / SHOW GRANTS / REVOKE / SET PASSWORD / DROP
+    USER over /query, admin-gated, privileges mapped db≡bucket."""
+    base, engine, tokens = served
+
+    def v1(stmt, token):
+        qq = urllib.parse.quote(stmt)
+        return _req(base, f"/query?db=greengrass-telemetry&q={qq}", token=token)
+
+    # mutation requires admin
+    with pytest.raises(urllib.error.HTTPError) as e:
+        v1("CREATE USER alice WITH PASSWORD 'Valid#Password99'", tokens["RW"])
+    assert e.value.code == 403
+
+    status, _ = v1("CREATE USER alice WITH PASSWORD 'Valid#Password99'",
+                   tokens["Admin"])
+    assert status == 200
+    # weak password → 400 (reference password policy)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        v1("CREATE USER weak WITH PASSWORD 'abc'", tokens["Admin"])
+    assert e.value.code == 400
+    # duplicate → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        v1("CREATE USER alice WITH PASSWORD 'Valid#Password99'", tokens["Admin"])
+    assert e.value.code == 400
+
+    v1("CREATE USER bob WITH PASSWORD 'Valid#Password99' WITH ALL PRIVILEGES",
+       tokens["Admin"])
+    status, body = v1("SHOW USERS", tokens["Admin"])
+    users = json.loads(body)["results"][0]["series"][0]["values"]
+    assert ["alice", False] in users and ["bob", True] in users
+
+    v1("GRANT READ ON telemetry TO alice", tokens["Admin"])
+    v1("GRANT ALL ON metrics TO alice", tokens["Admin"])
+    _, body = v1("SHOW GRANTS FOR alice", tokens["Admin"])
+    grants = json.loads(body)["results"][0]["series"][0]["values"]
+    assert grants == [["metrics", "ALL PRIVILEGES"], ["telemetry", "READ"]]
+
+    # revoking READ from ALL leaves WRITE (1.x semantics)
+    v1("REVOKE READ ON metrics FROM alice", tokens["Admin"])
+    _, body = v1("SHOW GRANTS FOR alice", tokens["Admin"])
+    grants = json.loads(body)["results"][0]["series"][0]["values"]
+    assert grants == [["metrics", "WRITE"], ["telemetry", "READ"]]
+
+    v1("SET PASSWORD FOR alice = 'Other#Password99'", tokens["Admin"])
+    assert engine.users.check_password("alice", "Other#Password99")
+    assert not engine.users.check_password("alice", "Valid#Password99")
+
+    # batch: multiple statements in one request, one result each
+    status, body = v1("SHOW USERS; SHOW GRANTS FOR alice", tokens["Admin"])
+    res = json.loads(body)["results"]
+    assert len(res) == 2 and res[1]["statement_id"] == 1
+
+    v1("DROP USER alice", tokens["Admin"])
+    with pytest.raises(urllib.error.HTTPError) as e:
+        v1("SHOW GRANTS FOR alice", tokens["Admin"])
+    assert e.value.code == 400
