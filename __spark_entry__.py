@@ -50,7 +50,11 @@ CURATED_FIRST_50: list[str] = [
     "aux_sql_from",
     "ts_histogram_quantile",
     "ts_time_weighted_avg",
-    "ts_deadman",
+    # r6: surface the monitor-package text form (monitor.check +
+    # stateChanges under an exact lag-transition oracle); ts_deadman
+    # rotates out — the checks family stays windowed via this row and
+    # deadman remains under the full-suite gates
+    "flux_text_monitor_check",
     "ts_integral",
     # relational — all 12
     "rel_pricing_summary",

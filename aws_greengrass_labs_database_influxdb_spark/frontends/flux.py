@@ -1297,6 +1297,62 @@ def _run_pipeline(
             pipe = pipe._with(df.withColumns(updates))
         elif name == "reduce":
             pipe = pipe._with(_reduce_stage(df, args, pipe))
+        elif name == "monitor.check":
+            # monitor package batch check (public Flux stdlib; the
+            # streaming ThresholdCheck in streaming/tasks.py is the
+            # scheduled sibling): _level from crit/warn/info
+            # predicates (crit wins), data: record keys become
+            # literal columns, messageFn compiles through the map
+            # scalar compiler into _message
+            levels = []
+            for lvl in ("crit", "warn", "info"):
+                if lvl in args:
+                    levels.append(
+                        (lvl, _parse_predicate(df, args[lvl].partition("=>")[2]))
+                    )
+            if not levels:
+                raise FluxError(
+                    "monitor.check() needs at least one of crit:/warn:/info:"
+                )
+            level_col = None
+            for lvl, pred in levels:
+                level_col = (F.when(pred, lvl) if level_col is None
+                             else level_col.when(pred, lvl))
+            out = df.withColumn("_level", level_col.otherwise("ok"))
+            if "data" in args:
+                for k, v in _record_refs(args["data"]):
+                    out = out.withColumn(k, F.lit(_lit(v)))
+            if "messageFn" in args:
+                msg_src = args["messageFn"].partition("=>")[2].strip()
+                out = out.withColumn("_message", _parse_map_value(out, msg_src))
+            pipe = pipe._with(out)
+        elif name == "monitor.stateChanges":
+            # status-transition filter (monitor.stateChanges): keep
+            # rows whose per-series _level differs from the previous
+            # status, optionally constrained by fromLevel/toLevel
+            if "_level" not in df.columns:
+                raise FluxError(
+                    "monitor.stateChanges() requires a _level column "
+                    "(pipe through monitor.check() first)"
+                )
+            tcol = pipe.time_ns_col
+            if tcol not in df.columns:
+                raise FluxError("monitor.stateChanges() requires a _time column")
+            from pyspark.sql import Window as _W
+
+            keys = [k for k in pipe.group_key if k in df.columns]
+            w = (_W.partitionBy(*[F.col(k) for k in keys]).orderBy(tcol)
+                 if keys else _W.orderBy(tcol))
+            staged = df.withColumn("_prev_level", F.lag("_level").over(w))
+            prev = F.col("_prev_level")
+            cond = prev.isNotNull() & (prev != F.col("_level"))
+            to_lvl = _lit(args.get("toLevel", '"any"'))
+            from_lvl = _lit(args.get("fromLevel", '"any"'))
+            if to_lvl != "any":
+                cond = cond & (F.col("_level") == to_lvl)
+            if from_lvl != "any":
+                cond = cond & (prev == from_lvl)
+            pipe = pipe._with(staged.filter(cond).drop("_prev_level"))
         elif name == "timeShift":
             from ..operators.core import time_shift
 

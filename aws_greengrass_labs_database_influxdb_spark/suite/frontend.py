@@ -1235,3 +1235,48 @@ def influxql_subquery_having(spark, sf_dir):
         F.round(F.col("mean"), 6).alias("m_avg"),
         F.col("count").cast("long").alias("n_groups"),
     )
+
+
+@q(
+    "flux_text_monitor_check",
+    """
+    WITH lev AS (
+      SELECT event_type, epoch_ns(ts) AS t_ns,
+             CASE WHEN value > 90 THEN 'crit'
+                  WHEN value > 70 THEN 'warn'
+                  WHEN value > 50 THEN 'info'
+                  ELSE 'ok' END AS lvl
+      FROM events),
+    tr AS (
+      SELECT event_type, t_ns, lvl,
+             lag(lvl) OVER (PARTITION BY event_type ORDER BY t_ns) AS prev
+      FROM lev)
+    SELECT event_type, count(*) AS n_crit_transitions
+    FROM tr
+    WHERE prev IS NOT NULL AND prev <> lvl AND lvl = 'crit'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def flux_text_monitor_check(spark, sf_dir):
+    """Flux monitor package from SCRIPT TEXT (r5 verdict missing #3):
+    monitor.check() levels each point from crit/warn/info predicates
+    and monitor.stateChanges(toLevel: "crit") keeps per-series
+    transitions INTO crit — the batch form of the check/notification
+    idiom (the streaming sibling is ThresholdCheck in
+    streaming/tasks.py). Oracle: CASE levels + lag() transition scan.
+    One window pass per series — the check adds zero shuffles beyond
+    the series partition."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> monitor.check(crit: (r) => r._value > 90.0,'
+        ' warn: (r) => r._value > 70.0, info: (r) => r._value > 50.0,'
+        ' data: {_check_name: "value high"})'
+        ' |> monitor.stateChanges(toLevel: "crit")',
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_crit_transitions"))
+        .orderBy("event_type")
+    )

@@ -1517,3 +1517,31 @@ def test_influxql_show_tolerates_on_database_clause(pts):
 
     out = execute_show(pts, "SHOW TAG KEYS ON mydb")
     assert {r.tagKey for r in out.collect()} == {"event_type", "user_id"}
+
+
+def test_monitor_check_message_and_from_level(pts):
+    """monitor.check messageFn/data columns + stateChanges fromLevel
+    (the suite row covers toLevel; this pins the other arguments)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> monitor.check(crit: (r) => r._value > 90.0,'
+        ' data: {_check_name: "hi"},'
+        ' messageFn: (r) => r._level)'
+    )
+    rows = out.limit(50).collect()
+    assert all(r["_check_name"] == "hi" for r in rows)
+    assert all(r["_message"] == r["_level"] for r in rows)
+    assert {r["_level"] for r in out.select("_level").distinct().collect()} <= {"ok", "crit"}
+    # fromLevel: transitions OUT of crit only
+    chg = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> monitor.check(crit: (r) => r._value > 90.0)'
+        ' |> monitor.stateChanges(fromLevel: "crit")',
+    ).collect()
+    assert chg, "expected some crit→ok transitions in the test data"
+    assert all(r["_level"] == "ok" for r in chg)
+    from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError
+    with pytest.raises(FluxError, match="monitor.check"):
+        execute_flux(pts, 'from(bucket:"b") |> monitor.stateChanges()')
