@@ -923,7 +923,7 @@ def _source_stage(
             raise FluxError(f"unknown table variable {ref!r}")
         return env[ref]
     name, argstr = _parse_stage(stage)
-    args = _split_args(argstr) if argstr else {}
+    args = _StageArgs(name, _split_args(argstr) if argstr else {})
     if name == "from":
         return from_points(points, group_key=group_key)
     if name == "union":
@@ -1043,6 +1043,10 @@ def _run_pipeline(
         if name in _VALUE_STAGES and _colname(df, "_value") not in df.columns:
             raise FluxError(f"{name}() has no value column to transform")
         if name == "range":
+            # start: is required in Flux — a mis-spelled key must not
+            # silently skip the time filter (r6 source-arg hardening)
+            if "start" not in args:
+                args["start"]  # raises the typed missing-argument error
             start = _time_to_ns(args["start"], now_ns) if "start" in args else None
             stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
             range_bounds = [start, stop]
