@@ -10,12 +10,13 @@ decoder, :mod:`.png` — r5), and **MJPEG-AVI video** (RIFF container
 walk + per-frame JPEG decode, :mod:`.avi` — r5, incl. real frame
 sampling via :func:`sample_frames_decoded`) via
 :func:`stdlib_decode`; stubbed only for the remaining compressed
-codecs (MP3, inter-frame video like H.264, interlaced/16-bit
-PNG), where ``decode_fn`` defaults to a
+codecs (MP3, inter-frame video like H.264), where ``decode_fn``
+defaults to a
 clearly-marked deterministic fake; pass a PIL/librosa-backed decoder
-in production. Progressive JPEG joined the really-decoded set in r6
-(:mod:`.jpeg` handles SOF2 spectral selection + successive
-approximation).
+in production. r6 closed two more profiles for real: progressive
+JPEG (:mod:`.jpeg` — SOF2 spectral selection + successive
+approximation) and interlaced/16-bit PNG (:mod:`.png` — Adam7
+passes, high-byte 16-bit transform).
 
 Design for 100 TB: decode runs inside ``mapInPandas`` so bytes never
 leave executors; batch size is bounded by
@@ -76,10 +77,10 @@ def fake_decode(content: bytes, kind: str) -> list[float]:
 
 def real_decode_unavailable(content: bytes, kind: str) -> list[float]:
     """The production decode hook for the remaining compressed codecs
-    (MP3/H.264, interlaced/16-bit PNG). Not implemented in this
-    container — see :func:`stdlib_decode` for the formats that ARE
-    really decoded here (WAV, BMP, baseline+progressive JPEG,
-    PNG)."""
+    (MP3/H.264). Not implemented in this container — see
+    :func:`stdlib_decode` for the formats that ARE really decoded
+    here (WAV, BMP, baseline+progressive JPEG, PNG incl.
+    Adam7/16-bit)."""
     raise NotImplementedError(
         "compressed-codec libraries are not installed in this environment; "
         "pass decode_fn=<your decoder> to extract_features()"
@@ -187,9 +188,9 @@ def stdlib_decode(content: bytes, kind: str) -> list[float]:
       r5) — all feed a 4×4 grayscale thumbnail via
       :func:`resize_nearest`, normalized to [0, 1] — a real
       perceptual-hash-style feature.
-    - anything else (MP3/video, interlaced/16-bit PNG) raises —
-      remaining compressed codecs are the documented
-      stub; see :func:`real_decode_unavailable`.
+    - anything else (MP3, non-MJPEG video) raises — the remaining
+      compressed codecs are the documented stub; see
+      :func:`real_decode_unavailable`.
     """
     import numpy as np
 

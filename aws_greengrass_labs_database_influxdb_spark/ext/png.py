@@ -6,14 +6,15 @@ per-scanline unfilter (None/Sub/Up/Average/Paeth), sample expansion
 to RGB. Together with the BMP/WAV parsers and the baseline JPEG
 decoder this makes every *losslessly-specified* image path in the
 multimodal stage (ext/multimodal.py) a real decode; only the
-lossy-audio/video codecs (MP3/H.264) and exotic PNG/JPEG profiles
-remain honestly stubbed.
+lossy-audio/video codecs (MP3/H.264) remain honestly stubbed.
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced, any filter mix. NOT
-supported (raise ValueError): 1/2/4/16-bit depths, Adam7 interlace —
-production corpora route those through a real codec via the stage's
-``decode_fn`` hook.
+Supported: bit depths 8 and 16 (r6; 16-bit scales to 8 via the
+high byte — the standard presentation transform), color types 0
+(gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), Adam7
+interlace (r6; each of the 7 passes is an independently-filtered
+sub-image scattered back on its grid), any filter mix. NOT supported
+(raise ValueError): 1/2/4-bit depths — production corpora route
+those through a real codec via the stage's ``decode_fn`` hook.
 
 Decode runs inside the same ``mapInPandas`` stage as the other
 formats, so at 100 TB the bytes stay on executors and the per-blob
@@ -29,6 +30,11 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _chunks(content: bytes):
@@ -111,22 +117,53 @@ def decode_png(content: bytes) -> tuple[dict, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"PNG: unsupported bit depth {depth} (only 8)")
+    if depth not in (8, 16):
+        raise ValueError(f"PNG: unsupported bit depth {depth} (only 8/16)")
+    if depth == 16 and color_type == 3:
+        raise ValueError("PNG: 16-bit palette images are not valid PNG")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: unknown color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     channels = _CHANNELS[color_type]
-    stride = w * channels
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG: decompressed size {len(raw)} != expected {h * (stride + 1)}"
-        )
-    px = _unfilter(raw, h, stride, channels).reshape(h, w, channels)
+
+    def to_samples(pxb: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        """(ph, pw*bpp) filtered-out bytes → (ph, pw, channels) uint8
+        (16-bit big-endian samples keep the high byte — the standard
+        8-bit presentation transform)."""
+        if bps == 1:
+            return pxb.reshape(ph, pw, channels)
+        return pxb.reshape(ph, pw, channels, 2)[:, :, :, 0]
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG: decompressed size {len(raw)} != expected {h * (stride + 1)}"
+            )
+        px = to_samples(_unfilter(raw, h, stride, bpp), w, h)
+    else:
+        # Adam7: seven independently-filtered sub-images, each with
+        # its own scanline filters, scattered back on the pass grid
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            sub = raw[pos : pos + need]
+            if len(sub) != need:
+                raise ValueError("PNG: truncated Adam7 pass data")
+            pos += need
+            px[y0::dy, x0::dx] = to_samples(_unfilter(sub, ph, stride, bpp), pw, ph)
     if color_type == 0:  # gray
         rgb = np.repeat(px, 3, axis=2)
     elif color_type == 2:  # RGB

@@ -150,12 +150,90 @@ def test_multi_idat_chunks_concatenate():
 
 def test_unsupported_profiles_raise():
     px = _rand((2, 2, 3), seed=7)
-    with pytest.raises(ValueError, match="interlace"):
-        decode_png(encode_png(px, color_type=2, interlace=1))
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(encode_png(px, color_type=2, bit_depth=16))
+        decode_png(encode_png(px, color_type=2, bit_depth=4))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"NOTAPNG" + b"\x00" * 32)
+
+
+# ---------------------------------------------- r6: 16-bit + Adam7
+
+def encode_png16(px16: np.ndarray, color_type: int, filters=None) -> bytes:
+    """16-bit encoder: big-endian sample bytes, filters over bytes
+    with bpp = channels*2 (spec: filtering operates on bytes)."""
+    h, w, channels = px16.shape
+    bpp = channels * 2
+    be = px16.astype(">u2").view(np.uint8).reshape(h, w * bpp)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    filters = filters if filters is not None else [0] * h
+    for y in range(h):
+        raw.extend(_filter_row(filters[y], be[y], prev, bpp))
+        prev = be[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out.extend(_chunk(b"IHDR",
+               struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)))
+    out.extend(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    out.extend(_chunk(b"IEND", b""))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_16bit_rgb_high_byte(filter_type):
+    """16-bit samples decode to their high byte (the standard 8-bit
+    presentation transform), under every filter type."""
+    rng = np.random.RandomState(filter_type + 40)
+    px16 = rng.randint(0, 65536, (5, 6, 3)).astype(np.uint16)
+    _, rgb = decode_png(encode_png16(px16, 2, filters=[filter_type] * 5))
+    np.testing.assert_array_equal(rgb, (px16 >> 8).astype(np.uint8))
+
+
+def test_16bit_gray_expands_to_rgb():
+    px16 = np.random.RandomState(3).randint(0, 65536, (4, 5, 1)).astype(np.uint16)
+    meta, rgb = decode_png(encode_png16(px16, 0))
+    assert meta["bit_depth"] == 16
+    np.testing.assert_array_equal(rgb[:, :, 0], (px16[:, :, 0] >> 8).astype(np.uint8))
+    np.testing.assert_array_equal(rgb[:, :, 0], rgb[:, :, 2])
+
+
+def encode_png_adam7(px: np.ndarray, color_type: int) -> bytes:
+    """Adam7 encoder: the 7 passes as independently-filtered
+    sub-images (mixed filters to exercise the unfilter per pass)."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.png import ADAM7
+
+    h, w, channels = px.shape
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(ADAM7):
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * channels)
+        prev = np.zeros(pw * channels, dtype=np.uint8)
+        for y in range(ph):
+            raw.extend(_filter_row((pi + y) % 5, flat[y], prev, channels))
+            prev = flat[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out.extend(_chunk(b"IHDR",
+               struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)))
+    out.extend(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    out.extend(_chunk(b"IEND", b""))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 11), (3, 5), (1, 1)])
+def test_adam7_roundtrip(shape):
+    """Adam7 interlaced decode reproduces the exact pixels for
+    multiple-of-8 and ragged sizes (empty passes included)."""
+    px = _rand((*shape, 3), seed=shape[0] * 31 + shape[1])
+    _, rgb = decode_png(encode_png_adam7(px, 2))
+    np.testing.assert_array_equal(rgb, px)
+
+
+def test_adam7_gray_alpha():
+    px = _rand((10, 9, 2), seed=77)
+    _, rgb = decode_png(encode_png_adam7(px, 4))
+    np.testing.assert_array_equal(rgb[:, :, 0], px[:, :, 0])
 
 
 def test_stdlib_decode_routes_png():
