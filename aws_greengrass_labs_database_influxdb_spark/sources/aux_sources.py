@@ -35,3 +35,26 @@ def sql_from(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def sql_to(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    mode: str = "append",
+    **options,
+) -> None:
+    """Flux ``sql.to(driverName:, dataSourceName:, table:)`` — JDBC
+    write (the stdlib sibling of :func:`sql_from`; enrichment-table
+    export path). ``mode`` maps Flux's implicit append; pass
+    ``overwrite`` for replace semantics. At scale, partition count =
+    parallel JDBC connections — ``df.coalesce(n)`` to bound them."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

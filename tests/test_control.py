@@ -192,3 +192,29 @@ def test_broker_handler_error_swallowed_stream_stays_open():
     assert b.publish("t", json.dumps({"ok": True})) == 1  # good handler still ran
     assert got == [{"ok": True}]
     assert b.publish("t", {"again": 1}) == 1  # subscription survived the error
+
+
+def test_sql_to_roundtrip_embedded_derby(spark, tmp_path):
+    """sql.to → sql.from round-trip against embedded Derby (the JDBC
+    jars Spark ships): write a frame out, read it back, exact rows."""
+    from aws_greengrass_labs_database_influxdb_spark.sources.aux_sources import sql_from, sql_to
+
+    url = f"jdbc:derby:{tmp_path}/sqlto_db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id long, name string, score double",
+    )
+    sql_to(df.coalesce(1), url, "scores", driver=drv, mode="overwrite")
+    back = sql_from(
+        spark, url,
+        'SELECT "id" AS id, "name" AS name, "score" AS score FROM scores',
+        driver=drv,
+    )
+    assert sorted((r.ID, r.NAME, r.SCORE) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+    # append mode adds rows
+    sql_to(df.coalesce(1), url, "scores", driver=drv, mode="append")
+    n = sql_from(spark, url, 'SELECT count(*) AS n FROM scores',
+                 driver=drv).collect()[0][0]
+    assert n == 6
