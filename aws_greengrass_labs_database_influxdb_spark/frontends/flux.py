@@ -731,6 +731,32 @@ def _split_statements(q: str) -> list[str]:
     return stmts
 
 
+def _split_toplevel_records(s: str) -> list[str]:
+    """``[{..}, {..}]`` → the ``{..}`` record strings (depth-aware:
+    commas inside records don't split)."""
+    s = s.strip()
+    if s.startswith("[") and s.endswith("]"):
+        s = s[1:-1]
+    out, depth, buf, instr = [], 0, [], False
+    for ch in s:
+        if ch == '"':
+            instr = not instr
+        if not instr:
+            if ch in "{[(":
+                depth += 1
+            elif ch in "}])":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                if "".join(buf).strip():
+                    out.append("".join(buf).strip())
+                buf = []
+                continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
 def _record_refs(s: str) -> list[tuple[str, str]]:
     """``{k1: v1, k2: v2}`` → [(k1, v1), ...] (identifier values)."""
     out = []
@@ -926,6 +952,38 @@ def _source_stage(
     args = _StageArgs(name, _split_args(argstr) if argstr else {})
     if name == "from":
         return from_points(points, group_key=group_key)
+    if name == "sql.from":
+        # stdlib sql.from from SCRIPT TEXT: driverName "derby" maps to
+        # the embedded driver Spark ships; any other value is passed
+        # through as a JDBC driver class name
+        from ..sources.aux_sources import sql_from as _sql_from
+
+        drv = _lit(args.get("driverName", '""')) or None
+        if drv == "derby":
+            drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        # Flux string escapes (\" \\) must be unescaped before the
+        # query text reaches the JDBC engine
+        query = _lit(args["query"]).replace('\\"', '"').replace("\\\\", "\\")
+        df = _sql_from(
+            points.sparkSession, _lit(args["dataSourceName"]), query, driver=drv,
+        )
+        return Pipeline(df, (), order=())
+    if name == "csv.from":
+        from ..sources.aux_sources import csv_from as _csv_from
+
+        df = _csv_from(points.sparkSession, _lit(args["file"]))
+        return Pipeline(df, (), order=())
+    if name == "array.from":
+        from ..sources.aux_sources import array_from as _array_from
+
+        rows = [
+            {k: _lit(v) for k, v in _record_refs(rec)}
+            for rec in _split_toplevel_records(args["rows"])
+        ]
+        if not rows:
+            raise FluxError("array.from needs rows: [{...}, ...]")
+        df = _array_from(points.sparkSession, rows)
+        return Pipeline(df, (), order=())
     if name == "union":
         refs = _strlist(args["tables"])
         if not refs:

@@ -1545,3 +1545,49 @@ def test_monitor_check_message_and_from_level(pts):
     from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError
     with pytest.raises(FluxError, match="monitor.check"):
         execute_flux(pts, 'from(bucket:"b") |> monitor.stateChanges()')
+
+
+def test_flux_text_aux_sources(pts, tmp_path):
+    """csv.from / array.from / sql.from invoked from SCRIPT TEXT (the
+    stdlib spellings, not just the Python wrappers)."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_flux_multi
+
+    # array.from: literal rows through the full pipeline machinery
+    out = execute_flux(
+        pts,
+        'array.from(rows: [{region: "eu", w: 1.5}, {region: "us", w: 2.5}])'
+        ' |> sort(columns: ["region"])',
+    ).collect()
+    assert [(r.region, r.w) for r in out] == [("eu", 1.5), ("us", 2.5)]
+
+    # csv.from: file scan from text
+    p = tmp_path / "dim.csv"
+    p.write_text("k,v\na,1\nb,2\n")
+    out = execute_flux(
+        pts, f'csv.from(file: "{p}") |> sort(columns: ["k"])'
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [("a", 1), ("b", 2)]
+
+    # sql.from: embedded Derby from text, joined against a points branch
+    url = f"jdbc:derby:{tmp_path}/fluxsql;create=true"
+    spark = pts.sparkSession
+    dim = spark.createDataFrame(
+        [("click", 10.0), ("view", 20.0)], "event_type string, weight double"
+    )
+    dim.coalesce(1).write.format("jdbc").option("url", url).option(
+        "dbtable", "dim").option(
+        "driver", "org.apache.derby.jdbc.EmbeddedDriver").mode(
+        "overwrite").save()
+    q = (
+        f'w = sql.from(driverName: "derby", dataSourceName: "jdbc:derby:{tmp_path}/fluxsql",'
+        ' query: "SELECT \\"event_type\\", \\"weight\\" FROM dim")\n'
+        'e = from(bucket:"b") |> group(columns: ["event_type"]) |> count()\n'
+        'join(tables: {e: e, w: w}, on: ["event_type"])'
+    )
+    rows = execute_flux_multi(pts, q)["_result"].collect()
+    got = {r["event_type"]: (r["count"], r["weight"]) for r in rows}
+    direct = {
+        r.event_type: r.n
+        for r in pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"click": (direct["click"], 10.0), "view": (direct["view"], 20.0)}
