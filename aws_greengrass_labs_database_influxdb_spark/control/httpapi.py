@@ -593,7 +593,11 @@ class HttpApi:
 
             task = reg.get(task_id)
             self._authorize(handler, "write", org, task.source_bucket)
-            rows = reg.run(self.engine.spark, task_id, _time.time_ns())
+            # optional "now" (epoch ns) pins the run time — the
+            # scheduledFor equivalent; tests and replays use it
+            payload = json.loads(body.decode() or "{}")
+            now_ns = int(payload.get("now") or _time.time_ns())
+            rows = reg.run(self.engine.spark, task_id, now_ns)
             self._respond(handler, 200,
                           {"taskID": task_id, "status": "success", "rows": rows})
         elif method == "PATCH" and task_id and not runs:

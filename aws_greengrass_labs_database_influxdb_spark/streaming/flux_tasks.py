@@ -47,6 +47,7 @@ class FluxTask:
     flux: str  # full script incl. option block (the API echo format)
     body: str  # script minus the option block (what runs)
     status: str = "active"
+    last_success_ns: int | None = None  # tasks.lastSuccess() binding
 
     @property
     def source_bucket(self) -> str:
@@ -128,11 +129,41 @@ class FluxTaskRegistry:
         aligned = (now_ns - task.offset_ns) // task.every_ns * task.every_ns \
             + task.offset_ns
         points = self.store.read_points(self.org, task.source_bucket)
+        body = self._bind_last_success(task, aligned)
         results = execute_flux_multi(
-            points, task.body, now_ns=aligned, sink=self._sink()
+            points, body, now_ns=aligned, sink=self._sink()
         )
         last = list(results.values())[-1]
-        return last.count()
+        n = last.count()
+        task.last_success_ns = aligned  # the run completed
+        return n
+
+    _LAST_SUCCESS_RX = re.compile(
+        r"tasks\.lastSuccess\(\s*orTime\s*:\s*([^)]+?)\s*\)"
+    )
+
+    def _bind_last_success(self, task: FluxTask, aligned_now_ns: int) -> str:
+        """``tasks.lastSuccess(orTime:)`` from SCRIPT TEXT (the stdlib
+        incremental-task idiom ``range(start: tasks.lastSuccess(...))``):
+        binds to the task's previous successful aligned run time, or
+        the orTime fallback (duration relative to this run's now, or
+        an absolute RFC3339 literal) on the first run."""
+        def _sub(m: re.Match) -> str:
+            if task.last_success_ns is not None:
+                ns = task.last_success_ns
+            else:
+                from ..frontends.flux import _time_to_ns
+
+                ns = _time_to_ns(m.group(1), aligned_now_ns)
+            # emit an RFC3339 literal every time-arg parser accepts
+            import datetime as _dt
+
+            t = _dt.datetime.fromtimestamp(ns / 1e9, tz=_dt.timezone.utc)
+            frac = f"{ns % 10**9:09d}".rstrip("0")
+            base = t.strftime("%Y-%m-%dT%H:%M:%S")
+            return f"{base}.{frac}Z" if frac else f"{base}Z"
+
+        return self._LAST_SUCCESS_RX.sub(_sub, task.body)
 
     def run_due(self, spark: SparkSession, now_ns: int) -> dict[str, int]:
         """Run every active task; returns result rows per task name.

@@ -980,3 +980,43 @@ def test_v1_user_management_lifecycle(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         v1("SHOW GRANTS FOR alice", tokens["Admin"])
     assert e.value.code == 400
+
+
+def test_task_last_success_incremental(served):
+    """tasks.lastSuccess(orTime:) from SCRIPT TEXT: first run falls
+    back to orTime, later runs start from the previous successful
+    aligned run — the stdlib incremental-task idiom."""
+    base, engine, tokens = served
+    # 4 hours of minutely points
+    lines = "\n".join(
+        f"lsm,host=h1 v={float(i)} {T0 + i * 60_000_000_000}"
+        for i in range(240)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+    flux = (
+        'option task = {name: "ls-task", every: 1h}\n'
+        'from(bucket: "greengrass-telemetry")\n'
+        "  |> range(start: tasks.lastSuccess(orTime: -4h))\n"
+        '  |> filter(fn: (r) => r._measurement == "lsm")\n'
+        '  |> group(columns: ["_measurement", "_field"])\n'
+        "  |> aggregateWindow(every: 1h, fn: count)\n"
+    )
+    status, body = _req(base, "/api/v2/tasks", "POST", token=tokens["RW"],
+                        body={"flux": flux})
+    assert status == 201
+    tid = json.loads(body)["id"]
+
+    # run 1 at T0+2h: covers the orTime fallback window (-4h)
+    status, body = _req(base, f"/api/v2/tasks/{tid}/runs", "POST",
+                        token=tokens["RW"], body={"now": T0 + 2 * 3600 * 10**9})
+    r1 = json.loads(body)
+    assert r1["status"] == "success"
+    # run 2 at T0+4h: must start from run 1's aligned now (T0+2h),
+    # i.e. cover 2 hourly windows, not the full -4h fallback
+    status, body = _req(base, f"/api/v2/tasks/{tid}/runs", "POST",
+                        token=tokens["RW"], body={"now": T0 + 4 * 3600 * 10**9})
+    r2 = json.loads(body)
+    assert r2["status"] == "success"
+    assert r2["rows"] <= 3  # 2h of hourly windows (+ boundary), not 4h+
+    _req(base, f"/api/v2/tasks/{tid}", "DELETE", token=tokens["RW"], body=None)
