@@ -824,6 +824,71 @@ class HttpApi:
                              "replicaN", "default"],
                  "values": rp}]}
 
+        if re.match(r"(?is)^\s*SHOW\s+SHARDS\s*$", text):
+            # one shard ≡ one (bucket, day) parquet partition — the
+            # store's physical unit of retention/delete granularity.
+            # Filesystem-metadata walk only: no Spark job.
+            self._authorize(handler, "read", org, db)
+            from ..sources.bucket import DAY_NS
+
+            cols = ["id", "database", "retention_policy", "shard_group",
+                    "start_time", "end_time", "expiry_time", "owners"]
+            series, sid = [], 1
+            for b in self.engine.store.list_buckets(org):
+                data = self.engine.store._data_dir(org, b.name)
+                days = sorted({
+                    int(p.name.split("=", 1)[1])
+                    for p in data.glob("measurement=*/day=*") if p.is_dir()
+                }) if data.exists() else []
+                vals = []
+                for d in days:
+                    start = _ns_to_rfc3339(d * DAY_NS)
+                    end = _ns_to_rfc3339((d + 1) * DAY_NS)
+                    exp = _ns_to_rfc3339(
+                        (d + 1) * DAY_NS + (b.retention_ns or 0)
+                    ) if b.retention_ns else end
+                    vals.append([sid, b.name, "autogen", d, start, end, exp, ""])
+                    sid += 1
+                series.append({"name": b.name, "columns": cols, "values": vals})
+            return {"series": series}
+        if re.match(r"(?is)^\s*SHOW\s+STATS\s*$", text):
+            # exact per-database counters (the v1 'database' stats
+            # block): measurements from partition dirs (metadata), series
+            # from a pruned distinct scan of the dictionary-encoded
+            # series_key column
+            self._authorize(handler, "read", org, db)
+            series = []
+            for b in self.engine.store.list_buckets(org):
+                data = self.engine.store._data_dir(org, b.name)
+                n_meas = len(list(data.glob("measurement=*"))) if data.exists() else 0
+                n_series = 0
+                if n_meas:
+                    n_series = (
+                        self.engine.store.read_points(org, b.name, lww=False)
+                        .select("series_key").distinct().count()
+                    )
+                series.append({
+                    "name": "database", "tags": {"database": b.name},
+                    "columns": ["numMeasurements", "numSeries"],
+                    "values": [[n_meas, n_series]],
+                })
+            return {"series": series}
+        if re.match(r"(?is)^\s*SHOW\s+DIAGNOSTICS\s*$", text):
+            self._authorize(handler, "read", org, db)
+            from .. import __version__
+            import os as _os
+            import platform as _platform
+
+            now = dt.datetime.now(dt.timezone.utc)
+            return {"series": [
+                {"name": "build",
+                 "columns": ["Branch", "Commit", "Version"],
+                 "values": [["main", "", __version__]]},
+                {"name": "system",
+                 "columns": ["PID", "currentTime", "hostname"],
+                 "values": [[_os.getpid(), now.isoformat(), _platform.node()]]},
+            ]}
+
         # v1 user management (public InfluxQL spec; privileges map to
         # the v2 model like DBRP: db ≡ bucket). Mutations are
         # admin-gated — same bar as v2 authorizations.

@@ -172,6 +172,11 @@ def _time_to_ns(tok: str, now_ns: int) -> int:
     tok = tok.strip()
     if tok == "now()":
         return now_ns
+    if tok in ("today()", "yesterday()"):
+        # Flux today(): midnight UTC of now; yesterday(): the day before
+        day_ns = 86_400 * 10**9
+        midnight = now_ns - now_ns % day_ns
+        return midnight if tok == "today()" else midnight - day_ns
     if _DUR_RX.match(tok):
         months, ns = duration_parts(tok)
         if months:
@@ -226,7 +231,7 @@ def _col(df: DataFrame, name: str) -> Column:
 
 
 _CMP_RX = re.compile(
-    r'r(?:\.(\w+)|\["(\w+)"\])\s*(==|!=|>=|<=|>|<|=~)\s*'
+    r'r(?:\.(\w+)|\["(\w+)"\])\s*(==|!=|>=|<=|>|<|=~|!~)\s*'
     r'("(?:[^"\\]|\\.)*"'
     r"|\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z)?"  # RFC3339 time
     r"|-?\d+(?:\.\d+)?|true|false|/[^/]*/)"
@@ -319,6 +324,10 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
             "<": lambda: c < val,
             "<=": lambda: c <= val,
             "=~": lambda: c.rlike(val),
+            # Flux !~: matches-regex negated; a null operand (missing
+            # tag) propagates null and the filter drops the row, the
+            # engine's null-comparison behavior
+            "!~": lambda: ~c.rlike(val),
         }[op]()
         tokens.append(expr)
         pos = m.end()
@@ -357,6 +366,10 @@ _ARITH_TOKEN_RX = re.compile(
     r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # incl. scientific notation
     r'|"(?:[^"\\]|\\.)*"'
     r"|(?:strings|math|date)\.\w+|\b(?:float|int|uint|string)\b|\w+:|[(),+\-*/%]"
+    # any other identifier (unknown function name, bare word): tokenized
+    # so the parser can raise a typed FluxError instead of the raw
+    # ValueError the old silently-skipped form produced (r6 probe)
+    r"|[A-Za-z_][A-Za-z0-9_.]*"
 )
 
 # Flux stdlib functions usable inside map(): labeled-argument calls
@@ -423,6 +436,26 @@ _MAP_FUNCS: dict = {
     "int": (("v",), lambda v: v.cast("long")),
     "uint": (("v",), lambda v: v.cast("long")),
     "string": (("v",), lambda v: v.cast("string")),
+    "bool": (("v",), lambda v: v.cast("boolean")),
+    # time(v:): epoch-ns int or RFC3339 string → timestamp. Branch on
+    # the string form per row (digits = ns) — JVM-side, no UDF; a
+    # timestamp input stringifies non-numeric and round-trips.
+    "time": (
+        ("v",),
+        lambda v: F.when(
+            v.cast("string").rlike("^-?[0-9]+$"),
+            F.timestamp_micros((v.cast("long") / F.lit(1000)).cast("long")),
+        ).otherwise(F.to_timestamp(v.cast("string"))),
+    ),
+    # duration(v:): Flux's duration type has no table representation;
+    # the engine errors on storing it. We keep the integer-ns form
+    # (the arithmetic-compatible representation all window/shift args
+    # accept) — documented divergence.
+    "duration": (("v",), lambda v: v.cast("long")),
+    # display(v:): Flux's human string form — Spark's string cast
+    # matches for ints/floats/bools/strings (compound types diverge
+    # on brace style; acceptable for the logging idiom it serves)
+    "display": (("v",), lambda v: v.cast("string")),
 }
 
 
@@ -505,6 +538,12 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             return F.lit(t[1:-1])
         if re.fullmatch(r"\d+(?:ns|us|ms|mo|[smhdwy])", t):
             return F.lit(duration_ns(t))
+        if t in ("true", "false"):
+            return F.lit(t == "true")
+        if re.match(r"^[A-Za-z_]", t):
+            raise FluxError(
+                f"unsupported function or identifier {t!r} in map expression {s!r}"
+            )
         return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
 
     def term() -> Column:
@@ -1628,6 +1667,104 @@ def _run_pipeline(
             # that point (Flux default result name is "_result")
             if yields is not None:
                 yields[_lit(args.get("name", '"_result"'))] = pipe
+        elif name == "stateTracking":
+            # legacy combined form of stateCount/stateDuration: emits
+            # whichever of countColumn/durationColumn the caller names
+            from ..operators import analytics as _an
+
+            pred = _parse_predicate(df, args["fn"].partition("=>")[2])
+            count_col = args.get("countColumn")
+            dur_col = args.get("durationColumn")
+            if count_col is None and dur_col is None:
+                raise FluxError(
+                    "stateTracking() needs countColumn: and/or durationColumn:"
+                )
+            out = df
+            if count_col is not None:
+                out = _an.state_count(
+                    out, pred, by=pipe.group_key, order=list(pipe.order),
+                    alias=_lit(count_col),
+                )
+            if dur_col is not None:
+                unit_s = duration_ns(args.get("durationUnit", "1s")) / 1e9
+                out = _an.state_duration(
+                    out, pred, unit_s, by=pipe.group_key,
+                    order=list(pipe.order), alias=_lit(dur_col),
+                )
+            pipe = pipe._with(out)
+        elif name == "events.duration":
+            # time until the next event in the same series; the last
+            # event closes against stopColumn/stop:/the range stop
+            from pyspark.sql.window import Window as _W
+
+            if "time_ns" not in df.columns:
+                raise FluxError("events.duration() requires a _time column")
+            unit = duration_ns(args.get("unit", "1ns"))
+            out_col = _lit(args.get("columnName", '"duration"'))
+            w = _W.partitionBy(*pipe.group_key).orderBy(
+                *[F.col(c) for c in (pipe.order or ("time_ns",))]
+            )
+            nxt = F.lead("time_ns").over(w)
+            stop_col = COLMAP.get(
+                _lit(args.get("stopColumn", '"_stop"')), "_stop_ns"
+            )
+            if "stop" in args:
+                tail_stop = F.lit(_time_to_ns(args["stop"], now_ns))
+            elif stop_col in df.columns:
+                tail_stop = F.col(stop_col)
+            elif range_bounds[1] is not None:
+                tail_stop = F.lit(range_bounds[1])
+            else:
+                raise FluxError(
+                    "events.duration() needs stop:, a stop column, or a "
+                    "bounded range()"
+                )
+            diff = F.coalesce(nxt, tail_stop) - F.col("time_ns")
+            out = df.withColumn("_ed_diff", diff).withColumn(
+                out_col, F.expr(f"_ed_diff div {unit}")
+            ).drop("_ed_diff")
+            pipe = pipe._with(out)
+        elif name in ("schema.fieldsAsCols", "v1.fieldsAsCols"):
+            # shorthand for pivot(rowKey:["_time"], columnKey:["_field"],
+            # valueColumn:"_value") within each series table
+            val = _colname(df, "_value")
+            if val not in df.columns:
+                raise FluxError(f"{name}() has no value column to pivot")
+            row_key = [
+                c for c in (*pipe.group_key, "time", "time_ns")
+                if c in df.columns and c != "field"
+            ]
+            if "field" not in df.columns:
+                raise FluxError(f"{name}() requires a _field column")
+            pipe = pipe.pivot(row_key, "field", val)
+        elif name in ("getColumn", "findColumn", "getRecord", "findRecord",
+                      "tableFind"):
+            # stream-termination extractors. Flux returns an array /
+            # record to the script; the tabular equivalent here is the
+            # matching column (one column) or record (one row) as a
+            # frame — documented divergence, same values.
+            if name in ("findColumn", "findRecord", "tableFind"):
+                key_body = args["fn"].partition("=>")[2].strip()
+                if key_body not in ("true", "(true)"):
+                    pred = _parse_predicate(
+                        df, re.sub(r"\bkey(?=[.\[])", "r", key_body)
+                    )
+                    df = df.filter(pred)
+            if name in ("getColumn", "findColumn"):
+                col = _colname(df, _lit(args.get("column", '"_value"')))
+                if col not in df.columns:
+                    raise FluxError(
+                        f"{name}(column:) references unknown column {col!r}"
+                    )
+                pipe = pipe._with(df.select(col), group_key=())
+            elif name in ("getRecord", "findRecord"):
+                idx = int(_lit(args.get("idx", "0")))
+                order_cols = [c for c in pipe.order if c in df.columns]
+                if order_cols:
+                    df = df.orderBy(*order_cols)
+                pipe = pipe._with(df.offset(idx).limit(1), group_key=())
+            else:  # tableFind: the filtered tables themselves
+                pipe = pipe._with(df)
         else:
             raise FluxError(f"unsupported Flux function {name!r}")
     return pipe

@@ -325,6 +325,19 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
 
 def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     text = q.strip().rstrip(";")
+    # ``ident::field`` / ``ident::tag`` (the Chronograf/Grafana
+    # query-builder namespace disambiguators) carry no semantics here —
+    # field and tag namespaces don't collide in the canonical schema —
+    # so strip them everywhere (SELECT, WHERE, GROUP BY, subqueries).
+    # ``::<type>`` value casts are type FILTERS in the v1 engine; a
+    # typed error beats silently ignoring them.
+    text = re.sub(r"::(?:field|tag)\b", "", text)
+    bad_cast = re.search(r"::(\w+)", text)
+    if bad_cast:
+        raise InfluxQLError(
+            f"type cast ::{bad_cast.group(1)} is not supported "
+            "(::field and ::tag are)"
+        )
     tzname = None
     tzm = re.search(r"(?i)\s+tz\(\s*'([^']+)'\s*\)\s*$", text)
     if tzm:

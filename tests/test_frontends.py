@@ -1591,3 +1591,152 @@ def test_flux_text_aux_sources(pts, tmp_path):
         for r in pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {"click": (direct["click"], 10.0), "view": (direct["view"], 20.0)}
+
+
+def test_flux_negated_regex_filter(pts):
+    """``!~`` in filter predicates (r6 probe gap): complement of ``=~``
+    over non-null tags; missing tags propagate null and drop."""
+    pos = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => r.event_type =~ /^cl/)'
+    ).count()
+    neg = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => r.event_type !~ /^cl/)'
+    ).count()
+    assert pos + neg == pts.count()
+    # a never-present tag on a materialized-tags frame: typed error
+    with pytest.raises(FluxError, match="no_such_tag"):
+        execute_flux(
+            pts, 'from(bucket:"b") |> filter(fn: (r) => r.no_such_tag !~ /x/)'
+        ).count()
+
+
+def test_flux_today_yesterday_literals(pts):
+    """today()/yesterday() range literals: midnight-UTC alignment."""
+    day = 86400 * 10**9
+    now_ns = T0 + day + day // 2 + 12345  # mid-day so midnight != now
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> range(start: yesterday(), stop: today())',
+        now_ns=now_ns,
+    )
+    direct = pts.filter(
+        (F.col("time_ns") >= T0) & (F.col("time_ns") < T0 + day)
+    ).count()
+    assert out.count() == direct > 0
+
+
+def test_flux_state_tracking_combined(pts):
+    """stateTracking(countColumn:, durationColumn:) == the stateCount +
+    stateDuration pair on the same predicate."""
+    script = (
+        'from(bucket:"b") |> range(start:0) '
+        '|> stateTracking(fn: (r) => r._value > 100.0, countColumn: "c", '
+        'durationColumn: "d", durationUnit: 1s)'
+    )
+    out = execute_flux(pts, script)
+    sc = execute_flux(
+        pts, 'from(bucket:"b") |> range(start:0) |> stateCount(fn: (r) => r._value > 100.0)'
+    )
+    assert out.count() == sc.count()
+    joined = out.select("time_ns", "event_type", "c", "d").join(
+        sc.select("time_ns", "event_type", F.col("state_count").alias("sc")),
+        ["time_ns", "event_type"],
+    )
+    assert joined.filter(F.col("c") != F.col("sc")).count() == 0
+    # duration: -1 exactly where count is -1
+    assert joined.count() > 0
+    assert out.filter((F.col("c") == -1) != (F.col("d") == -1)).count() == 0
+
+
+def test_flux_events_duration(pts):
+    """events.duration(): gap to the next event per series; the final
+    event closes against the range stop."""
+    stop_ns = T0 + 40 * 86400 * 10**9
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, '
+        'stop: 2024-02-10T00:00:00Z) |> group(columns: ["event_type"]) '
+        "|> events.duration(unit: 1s)",
+    )
+    rows = out.select("event_type", "time_ns", "duration").collect()
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append((r.time_ns, r.duration))
+    for series, items in by_series.items():
+        items.sort()
+        for i, (t, d) in enumerate(items):
+            nxt = items[i + 1][0] if i + 1 < len(items) else stop_ns
+            assert d == (nxt - t) // 10**9, (series, i)
+
+
+def test_flux_fields_as_cols_stage(pts):
+    """schema.fieldsAsCols()/v1.fieldsAsCols() from text == the pivot
+    spelling it abbreviates."""
+    base = 'from(bucket:"b") |> range(start:0) '
+    wide = execute_flux(pts, base + "|> schema.fieldsAsCols()")
+    v1w = execute_flux(pts, base + "|> v1.fieldsAsCols()")
+    assert sorted(wide.columns) == sorted(v1w.columns)
+    assert "value" in wide.columns  # the single field key becomes a column
+    assert wide.count() == v1w.count()
+
+
+def test_flux_extraction_stages(pts):
+    """getColumn/findColumn/findRecord/tableFind stream terminators."""
+    base = 'from(bucket:"b") |> group(columns: ["event_type"]) |> mean() '
+    col = execute_flux(pts, base + '|> getColumn(column: "_value")')
+    # _value resolves to the aggregate's physical result column
+    n_types = pts.select("event_type").distinct().count()
+    assert col.columns == ["mean"] and col.count() == n_types
+    one = execute_flux(
+        pts,
+        base + '|> findColumn(fn: (key) => key.event_type == "click", '
+        'column: "_value")',
+    ).collect()
+    direct = pts.filter(F.col("event_type") == "click").agg(
+        F.avg("f_float")
+    ).collect()[0][0]
+    assert len(one) == 1 and abs(one[0][0] - direct) < 1e-9
+    rec = execute_flux(
+        pts,
+        base + '|> findRecord(fn: (key) => key.event_type == "view", idx: 0)',
+    ).collect()
+    assert len(rec) == 1 and rec[0]["event_type"] == "view"
+    tbl = execute_flux(
+        pts,
+        'from(bucket:"b") |> tableFind(fn: (key) => key._measurement == "events")',
+    )
+    assert tbl.count() == pts.count()
+
+
+def test_flux_map_conversion_scalars(pts):
+    """time()/duration()/display()/bool() in map, and the typed error
+    for unknown functions (raw ValueError before r6)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 3) |> map(fn: (r) => ({r with '
+        "t2: time(v: 1600000000000000000), d: duration(v: 90000000000), "
+        "s: display(v: r._value), b: bool(v: 1)}))",
+    ).collect()
+    for r in out:
+        assert r.t2.year == 2020 and r.d == 90000000000 and r.b is True
+        assert r.s == str(r.f_float)
+    with pytest.raises(FluxError, match="frobnicate"):
+        execute_flux(
+            pts,
+            'from(bucket:"b") |> map(fn: (r) => ({r with x: frobnicate(v: 1)}))',
+        )
+
+
+def test_influxql_type_disambiguators(pts):
+    """``ident::field`` / ``ident::tag`` (query-builder syntax) parse
+    and equal the bare spelling; ``::<type>`` casts are a typed error."""
+    a = execute_influxql(
+        pts, 'SELECT mean("value"::field) FROM events '
+        "WHERE event_type::tag = 'click' GROUP BY event_type::tag"
+    ).collect()
+    b = execute_influxql(
+        pts, "SELECT mean(value) FROM events "
+        "WHERE event_type = 'click' GROUP BY event_type"
+    ).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    with pytest.raises(InfluxQLError, match="::integer"):
+        execute_influxql(pts, "SELECT value::integer FROM events")

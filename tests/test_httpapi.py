@@ -1020,3 +1020,45 @@ def test_task_last_success_incremental(served):
     assert r2["status"] == "success"
     assert r2["rows"] <= 3  # 2h of hourly windows (+ boundary), not 4h+
     _req(base, f"/api/v2/tasks/{tid}", "DELETE", token=tokens["RW"], body=None)
+
+
+def test_v1_admin_introspection(served):
+    """SHOW SHARDS / SHOW STATS / SHOW DIAGNOSTICS (v1 admin
+    introspection Chronograf issues): shards = (bucket, day)
+    partitions; stats = exact measurement/series counters."""
+    base, engine, tokens = served
+
+    def v1(stmt):
+        qq = urllib.parse.quote(stmt)
+        status, body = _req(
+            base, f"/query?db=greengrass-telemetry&q={qq}", token=tokens["RW"])
+        assert status == 200
+        return json.loads(body)["results"][0]
+
+    # seed two days of points so shards exist
+    lines = "\n".join(
+        f"shm,host=a v={float(i)} {T0 + i * 86_400_000_000_000}"
+        for i in range(2)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+
+    shards = v1("SHOW SHARDS")
+    tele = [s for s in shards["series"] if s["name"] == "greengrass-telemetry"]
+    assert tele and len(tele[0]["values"]) >= 2
+    assert tele[0]["columns"][:4] == ["id", "database", "retention_policy",
+                                      "shard_group"]
+    day0 = T0 // (86_400 * 10**9)
+    groups = {v[3] for v in tele[0]["values"]}
+    assert {day0, day0 + 1} <= groups
+
+    stats = v1("SHOW STATS")
+    db = [s for s in stats["series"]
+          if s.get("tags", {}).get("database") == "greengrass-telemetry"]
+    assert db and db[0]["columns"] == ["numMeasurements", "numSeries"]
+    n_meas, n_series = db[0]["values"][0]
+    assert n_meas >= 1 and n_series >= 1
+
+    diag = v1("SHOW DIAGNOSTICS")
+    names = {s["name"] for s in diag["series"]}
+    assert {"build", "system"} <= names
