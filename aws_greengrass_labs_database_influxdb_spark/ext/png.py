@@ -8,13 +8,13 @@ decoder this makes every *losslessly-specified* image path in the
 multimodal stage (ext/multimodal.py) a real decode; only the
 lossy-audio/video codecs (MP3/H.264) remain honestly stubbed.
 
-Supported: bit depths 8 and 16 (r6; 16-bit scales to 8 via the
-high byte — the standard presentation transform), color types 0
-(gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), Adam7
-interlace (r6; each of the 7 passes is an independently-filtered
-sub-image scattered back on its grid), any filter mix. NOT supported
-(raise ValueError): 1/2/4-bit depths — production corpora route
-those through a real codec via the stage's ``decode_fn`` hook.
+Supported: every legal IHDR combination — bit depths 1/2/4 (gray +
+palette; MSB-first bit unpack, gray samples scaled by
+255/(2^d−1), the exact presentation transform), 8, and 16 (scales
+to 8 via the high byte), color types 0 (gray), 2 (RGB), 3
+(palette), 4 (gray+alpha), 6 (RGBA), Adam7 interlace (each of the
+7 passes is an independently-filtered sub-image scattered back on
+its grid), any filter mix.
 
 Decode runs inside the same ``mapInPandas`` stage as the other
 formats, so at 100 TB the bytes stay on executors and the per-blob
@@ -117,8 +117,12 @@ def decode_png(content: bytes) -> tuple[dict, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise ValueError(f"PNG: unsupported bit depth {depth} (only 8/16)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG: unsupported bit depth {depth}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG: bit depth {depth} is only valid for gray/palette"
+        )
     if depth == 16 and color_type == 3:
         raise ValueError("PNG: 16-bit palette images are not valid PNG")
     if color_type not in _CHANNELS:
@@ -128,20 +132,33 @@ def decode_png(content: bytes) -> tuple[dict, np.ndarray]:
     if interlace not in (0, 1):
         raise ValueError(f"PNG: unknown interlace method {interlace}")
     channels = _CHANNELS[color_type]
-    bps = depth // 8  # bytes per sample
-    bpp = channels * bps
+    # filters operate on BYTES: for sub-byte depths bpp (the filter's
+    # left-neighbor distance) is 1 byte (spec §9.2)
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(bytes(idat))
 
+    def _stride(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
     def to_samples(pxb: np.ndarray, pw: int, ph: int) -> np.ndarray:
-        """(ph, pw*bpp) filtered-out bytes → (ph, pw, channels) uint8
-        (16-bit big-endian samples keep the high byte — the standard
-        8-bit presentation transform)."""
-        if bps == 1:
+        """(ph, stride) filtered-out bytes → (ph, pw, channels) uint8.
+
+        16-bit big-endian samples keep the high byte (the standard
+        8-bit presentation transform); 1/2/4-bit samples unpack
+        MSB-first with row-padding bits trimmed (spec §7.2).
+        """
+        if depth == 8:
             return pxb.reshape(ph, pw, channels)
-        return pxb.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        if depth == 16:
+            return pxb.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        spb = 8 // depth  # samples per byte
+        shifts = (np.arange(spb - 1, -1, -1, dtype=np.uint8) * depth)
+        mask = (1 << depth) - 1
+        samples = (pxb[:, :, None] >> shifts) & mask  # (ph, stride, spb)
+        return samples.reshape(ph, -1)[:, :pw].reshape(ph, pw, 1)
 
     if interlace == 0:
-        stride = w * bpp
+        stride = _stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG: decompressed size {len(raw)} != expected {h * (stride + 1)}"
@@ -157,7 +174,7 @@ def decode_png(content: bytes) -> tuple[dict, np.ndarray]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * bpp
+            stride = _stride(pw)
             need = ph * (stride + 1)
             sub = raw[pos : pos + need]
             if len(sub) != need:
@@ -165,6 +182,9 @@ def decode_png(content: bytes) -> tuple[dict, np.ndarray]:
             pos += need
             px[y0::dy, x0::dx] = to_samples(_unfilter(sub, ph, stride, bpp), pw, ph)
     if color_type == 0:  # gray
+        if depth < 8:
+            # exact presentation scale: 255/(2^d−1) is integral
+            px = px * np.uint8(255 // ((1 << depth) - 1))
         rgb = np.repeat(px, 3, axis=2)
     elif color_type == 2:  # RGB
         rgb = px

@@ -245,3 +245,109 @@ def test_stdlib_decode_routes_png():
     assert all(0.0 <= v <= 1.0 for v in feat)
     # deterministic and pixel-derived: same pixels → same feature
     assert feat == stdlib_decode(encode_png(px, color_type=2, filters=[1] * 8), "image")
+
+
+# ---------------------------------------------- r6: 1/2/4-bit depths
+
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sample values < 2^depth → (h, stride) MSB-first bytes."""
+    h, w = samples.shape
+    spb = 8 // depth
+    stride = (w * depth + 7) // 8
+    padded = np.zeros((h, stride * spb), dtype=np.uint8)
+    padded[:, :w] = samples
+    shifts = np.arange(spb - 1, -1, -1) * depth
+    return (
+        (padded.reshape(h, stride, spb).astype(np.uint16) << shifts)
+        .sum(axis=2)
+        .astype(np.uint8)
+    )
+
+
+def encode_png_subbyte(
+    samples: np.ndarray,
+    depth: int,
+    color_type: int,
+    palette: np.ndarray | None = None,
+    filters=None,
+) -> bytes:
+    """Test encoder for 1/2/4-bit gray (0) / palette (3) images."""
+    h, w = samples.shape
+    rows = _pack_rows(samples, depth)
+    stride = rows.shape[1]
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        raw.extend(_filter_row(filters[y], rows[y], prev, 1))
+        prev = rows[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out.extend(_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ))
+    if palette is not None:
+        out.extend(_chunk(b"PLTE", bytes(palette.astype(np.uint8).ravel())))
+    out.extend(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    out.extend(_chunk(b"IEND", b""))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_roundtrip(depth):
+    """1/2/4-bit grayscale: exact decode incl. the 255/(2^d-1)
+    presentation scale, every filter type, non-byte-aligned width."""
+    rng = np.random.default_rng(depth)
+    h, w = 7, 13  # w*depth not a multiple of 8 → row padding bits
+    samples = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+    filters = [(i % 5) for i in range(h)]
+    meta, rgb = decode_png(encode_png_subbyte(samples, depth, 0, filters=filters))
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (w, h, depth)
+    scale = 255 // ((1 << depth) - 1)
+    expect = np.repeat((samples * scale)[:, :, None], 3, axis=2)
+    assert np.array_equal(rgb, expect)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_roundtrip(depth):
+    """1/2/4-bit palette: indices expand through PLTE, no scaling."""
+    rng = np.random.default_rng(depth + 10)
+    n_colors = 1 << depth
+    palette = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    h, w = 5, 9
+    idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+    filters = [(i % 5) for i in range(h)]
+    _, rgb = decode_png(
+        encode_png_subbyte(idx, depth, 3, palette=palette, filters=filters)
+    )
+    assert np.array_equal(rgb, palette[idx])
+
+
+def test_subbyte_adam7():
+    """4-bit gray + Adam7: per-pass strides/padding handled."""
+    rng = np.random.default_rng(99)
+    h, w = 11, 10
+    samples = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    raw = bytearray()
+    from aws_greengrass_labs_database_influxdb_spark.ext.png import ADAM7
+
+    for x0, y0, dx, dy in ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rows = _pack_rows(sub, 4)
+        prev = np.zeros(rows.shape[1], dtype=np.uint8)
+        for y in range(rows.shape[0]):
+            raw.extend(_filter_row(y % 5, rows[y], prev, 1))
+            prev = rows[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out.extend(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 1)))
+    out.extend(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    out.extend(_chunk(b"IEND", b""))
+    _, rgb = decode_png(bytes(out))
+    assert np.array_equal(rgb, np.repeat((samples * 17)[:, :, None], 3, axis=2))
+
+
+def test_subbyte_rgb_rejected():
+    px = _rand((2, 2, 3), seed=3)
+    with pytest.raises(ValueError, match="gray/palette"):
+        decode_png(encode_png(px, color_type=2, bit_depth=2))
