@@ -23,6 +23,11 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     lsh_bucket_topk,
 )
+from .codec_meta import (  # noqa: F401
+    codec_metadata,
+    parse_h264,
+    parse_mp3,
+)
 from .text import (  # noqa: F401
     document_fingerprint,
     language_id,

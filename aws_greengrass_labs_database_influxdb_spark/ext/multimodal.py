@@ -77,10 +77,12 @@ def fake_decode(content: bytes, kind: str) -> list[float]:
 
 def real_decode_unavailable(content: bytes, kind: str) -> list[float]:
     """The production decode hook for the remaining compressed codecs
-    (MP3/H.264). Not implemented in this container — see
-    :func:`stdlib_decode` for the formats that ARE really decoded
-    here (WAV, BMP, baseline+progressive JPEG, PNG incl.
-    Adam7/16-bit)."""
+    (MP3/H.264). Sample decode is not implemented in this container —
+    see :func:`stdlib_decode` for the formats that ARE really decoded
+    here (WAV, BMP, baseline+progressive JPEG, PNG incl. Adam7/16-bit
+    and 1/2/4-bit). The header/metadata layer for MP3 and H.264 IS
+    real: :mod:`.codec_meta` parses frames/SPS exactly (duration,
+    sample rate, resolution, bitrate) without decoding samples."""
     raise NotImplementedError(
         "compressed-codec libraries are not installed in this environment; "
         "pass decode_fn=<your decoder> to extract_features()"
