@@ -103,7 +103,11 @@ CURATED_FIRST_50: list[str] = [
     "influxql_count_fill0",
     "influxql_percentile_integral",
     "influxql_multi_transform",
-    "flux_text_quantile",
+    # r6: surface the events.duration text form (per-series dwell-time
+    # primitive, ns-exact lead oracle); flux_text_quantile rotates out
+    # — the quantile family stays windowed via ts_histogram_quantile
+    # and influxql_percentile_integral, and under the full-suite gates
+    "flux_text_events_duration",
     "flux_text_statecount",
     "flux_text_map_funcs",
     # r4: reduce() was r3's one open §2.2.10 gap — surface its oracle

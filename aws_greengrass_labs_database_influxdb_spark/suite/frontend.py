@@ -1280,3 +1280,37 @@ def flux_text_monitor_check(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_crit_transitions"))
         .orderBy("event_type")
     )
+
+
+@q(
+    "flux_text_events_duration",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) nxt
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-10')
+    SELECT event_id, event_type,
+           (epoch_us(coalesce(nxt, TIMESTAMP '2024-02-10')) - epoch_us(ts))
+             // 1000000 AS duration_s
+    FROM w
+    """,
+)
+def flux_text_events_duration(spark, sf_dir):
+    """``events.duration(unit: 1s)`` from Flux TEXT (r6): per-series
+    gap to the next event, final event closed against the range stop —
+    the session-length / dwell-time primitive. One lead() window per
+    series, zero extra shuffles; exact ns-integer division oracle
+    (events time is µs-aligned, so DuckDB's epoch_us matches
+    time_ns/1000 bit-for-bit)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, '
+        'stop: 2024-02-10T00:00:00Z) |> group(columns: ["event_type"])'
+        " |> events.duration(unit: 1s)",
+    )
+    return out.select(
+        F.col("ingest_seq").alias("event_id"), "event_type",
+        F.col("duration").alias("duration_s"),
+    )
