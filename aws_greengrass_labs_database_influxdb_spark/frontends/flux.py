@@ -249,11 +249,21 @@ _CONTAINS_RX = re.compile(
 
 
 def _parse_predicate(df: DataFrame, body: str) -> Column:
-    """Conjunction/disjunction of r.<col> <op> <literal> comparisons
-    and ``[not] exists r.<col>`` null checks."""
+    """Boolean combination of r.<col> <op> <literal> comparisons,
+    ``[not] exists r.<col>`` null checks, and ``contains()`` — with
+    Flux precedence (``and`` binds tighter than ``or``) and
+    parenthesized grouping (both from the r6 probe: the old left-fold
+    evaluated ``A or B and C`` as ``(A or B) and C``)."""
     body = body.strip()
     pos = 0
-    tokens: list = []  # Columns and 'and'/'or'
+    tokens: list = []  # Columns and 'and'/'or'/'('/')'
+
+    def _connectives(gap: str) -> None:
+        """Emit the and/or/paren tokens appearing between two
+        comparisons, in source order."""
+        for t in re.findall(r"\(|\)|\band\b|\bor\b", gap):
+            tokens.append(t)
+
     while pos < len(body):
         m = _CMP_RX.search(body, pos)
         me = _EXISTS_RX.search(body, pos)
@@ -261,31 +271,22 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         if mc and (not m or mc.start() < m.start()) and (
             not me or mc.start() < me.start()
         ):
-            gap = body[pos : mc.start()]
-            if tokens:
-                tokens.append("or" if re.search(r"\bor\b", gap) else "and")
+            _connectives(body[pos : mc.start()])
             c = _col(df, mc.group(1) or mc.group(2))
             vals = [_lit(v.strip()) for v in mc.group(3).split(",") if v.strip()]
             tokens.append(c.isin(vals))
             pos = mc.end()
             continue
         if me and (not m or me.start() < m.start()):
-            gap = body[pos : me.start()]
-            if tokens:
-                tokens.append("or" if re.search(r"\bor\b", gap) else "and")
+            _connectives(body[pos : me.start()])
             c = _col(df, me.group(2) or me.group(3))
             tokens.append(c.isNull() if me.group(1) else c.isNotNull())
             pos = me.end()
             continue
         if not m:
+            _connectives(body[pos:])
             break
-        # connective between previous comparison and this one
-        gap = body[pos : m.start()]
-        if tokens:
-            if re.search(r"\bor\b", gap):
-                tokens.append("or")
-            else:
-                tokens.append("and")
+        _connectives(body[pos : m.start()])
         name = m.group(1) or m.group(2)
         op, lit = m.group(3), m.group(4)
         c = _col(df, name)
@@ -331,14 +332,52 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         }[op]()
         tokens.append(expr)
         pos = m.end()
-    if not tokens:
+    if not tokens or not any(isinstance(t, Column) for t in tokens):
         raise FluxError(f"cannot parse predicate {body!r}")
-    # left-fold with and/or
-    acc = tokens[0]
-    for i in range(1, len(tokens) - 1, 2):
-        conn, nxt = tokens[i], tokens[i + 1]
-        acc = (acc | nxt) if conn == "or" else (acc & nxt)
-    return acc
+    # recursive descent over the token stream:
+    #   or-expr := and-expr ('or' and-expr)*
+    #   and-expr := primary ('and' primary)*
+    #   primary := '(' or-expr ')' | comparison
+    idx = [0]
+
+    def _at(tok: str) -> bool:
+        # NB: ``==`` on a pyspark Column builds an expression — the
+        # token kind must be checked first
+        t = tokens[idx[0]] if idx[0] < len(tokens) else None
+        return isinstance(t, str) and t == tok
+
+    def _primary() -> Column:
+        if _at("("):
+            idx[0] += 1
+            e = _or_expr()
+            if not _at(")"):
+                raise FluxError(f"unbalanced parens in predicate {body!r}")
+            idx[0] += 1
+            return e
+        t = tokens[idx[0]] if idx[0] < len(tokens) else None
+        if not isinstance(t, Column):
+            raise FluxError(f"cannot parse predicate {body!r}")
+        idx[0] += 1
+        return t
+
+    def _and_expr() -> Column:
+        e = _primary()
+        while _at("and"):
+            idx[0] += 1
+            e = e & _primary()
+        return e
+
+    def _or_expr() -> Column:
+        e = _and_expr()
+        while _at("or"):
+            idx[0] += 1
+            e = e | _and_expr()
+        return e
+
+    out = _or_expr()
+    if idx[0] != len(tokens):
+        raise FluxError(f"trailing tokens in predicate {body!r}")
+    return out
 
 
 def _lit(v: str):

@@ -17,6 +17,10 @@ from ..sources.io import load_table
 from . import q
 
 _AUX_ROOT = "/tmp/spark_graft_aux"
+# per-process Derby database: Derby is single-JVM (boot lock on
+# db.lck) — a shared path fails when a pytest session and a
+# check_correctness run overlap (observed r6)
+_DERBY_DB = f"{_AUX_ROOT}/derbydb_{os.getpid()}"
 
 
 @q(
@@ -108,7 +112,7 @@ def aux_sql_from(spark, sf_dir):
     os.makedirs(_AUX_ROOT, exist_ok=True)
     # keep derby.log out of the repo cwd (no-op once Derby has booted)
     spark._jvm.System.setProperty("derby.system.home", _AUX_ROOT)
-    url = f"jdbc:derby:{_AUX_ROOT}/derbydb;create=true"
+    url = f"jdbc:derby:{_DERBY_DB};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"

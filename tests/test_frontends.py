@@ -1740,3 +1740,31 @@ def test_influxql_type_disambiguators(pts):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     with pytest.raises(InfluxQLError, match="::integer"):
         execute_influxql(pts, "SELECT value::integer FROM events")
+
+
+def test_flux_predicate_precedence_and_parens(pts):
+    """Flux gives `and` higher precedence than `or`, and parens group
+    (r6 fix: the old left-fold evaluated `A or B and C` as
+    `(A or B) and C`)."""
+    def cnt(pred):
+        return execute_flux(
+            pts, f'from(bucket:"b") |> filter(fn: (r) => {pred})'
+        ).count()
+
+    a_or_bc = cnt('r.event_type == "view" or r._value > 150.0 '
+                  'and r.event_type == "click"')
+    grouped = cnt('(r.event_type == "view" or r._value > 150.0) '
+                  'and r.event_type == "click"')
+    direct_prec = pts.filter(
+        (F.col("event_type") == "view")
+        | ((F.col("f_float") > 150.0) & (F.col("event_type") == "click"))
+    ).count()
+    direct_grouped = pts.filter(
+        ((F.col("event_type") == "view") | (F.col("f_float") > 150.0))
+        & (F.col("event_type") == "click")
+    ).count()
+    assert a_or_bc == direct_prec
+    assert grouped == direct_grouped
+    assert a_or_bc != grouped  # the data discriminates the two shapes
+    with pytest.raises(FluxError, match="parens|parse"):
+        cnt('r._value > 1.0 and (r.event_type == "view"')
