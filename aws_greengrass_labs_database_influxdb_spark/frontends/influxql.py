@@ -286,11 +286,19 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
             else:
                 out.time_stop_ns = ns + (1 if op == "<=" else 0)
             continue
-        if cond.startswith("(") and cond.endswith(")"):
+        bare = (
+            cond[1:-1].strip()
+            if cond.startswith("(") and cond.endswith(")")
+            else cond
+        )
+        if re.search(r"(?i)\s+OR\s+", bare):
+            # OR disjunction of tag conditions — parenthesized or bare
+            # (r6: the bare form used to prefix-match the first
+            # condition and silently DROP the rest)
             group: list[tuple[str, str, str]] = []
-            for sub in re.split(r"(?i)\s+OR\s+", cond[1:-1].strip()):
+            for sub in re.split(r"(?i)\s+OR\s+", bare):
                 sub = sub.strip()
-                gm = _TAG_RX.match(sub) or _TAG_REGEX_RX.match(sub)
+                gm = _TAG_RX.fullmatch(sub) or _TAG_REGEX_RX.fullmatch(sub)
                 if not gm:
                     raise InfluxQLError(f"cannot parse OR condition {sub!r}")
                 group.append((gm.group(1), gm.group(2), gm.group(3)))
@@ -300,11 +308,12 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
         if fm2 and fm2.group(2) in (">=", "<=", ">", "<"):
             out.field_filters.append((fm2.group(1), fm2.group(2), float(fm2.group(3))))
             continue
-        gm = _TAG_RX.match(cond)
+        # fullmatch: a prefix match would silently ignore trailing text
+        gm = _TAG_RX.fullmatch(cond)
         if gm:
             out.tag_filters.append((gm.group(1), gm.group(2), gm.group(3)))
             continue
-        rm = _TAG_REGEX_RX.match(cond)
+        rm = _TAG_REGEX_RX.fullmatch(cond)
         if rm:
             out.tag_filters.append((rm.group(1), rm.group(2), rm.group(3)))
             continue

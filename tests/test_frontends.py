@@ -1768,3 +1768,25 @@ def test_flux_predicate_precedence_and_parens(pts):
     assert a_or_bc != grouped  # the data discriminates the two shapes
     with pytest.raises(FluxError, match="parens|parse"):
         cnt('r._value > 1.0 and (r.event_type == "view"')
+
+
+def test_influxql_bare_or_tag_disjunction(pts):
+    """Unparenthesized OR between tag conditions (r6 fix: used to
+    silently keep only the first disjunct); trailing garbage after a
+    tag condition is now a typed error too."""
+    a = execute_influxql(
+        pts, "SELECT count(value) FROM events "
+        "WHERE event_type = 'click' OR event_type = 'view'",
+    ).collect()[0]["count"]
+    direct = pts.filter(F.col("event_type").isin("click", "view")).count()
+    assert a == direct
+    with pytest.raises(InfluxQLError):
+        execute_influxql(
+            pts, "SELECT count(value) FROM events "
+            "WHERE event_type = 'click' nonsense trailing",
+        )
+    with pytest.raises(InfluxQLError, match="OR condition"):
+        execute_influxql(
+            pts, "SELECT count(value) FROM events "
+            "WHERE value > 5 OR value < 1",
+        )
