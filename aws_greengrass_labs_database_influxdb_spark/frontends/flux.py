@@ -259,9 +259,10 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
     tokens: list = []  # Columns and 'and'/'or'/'('/')'
 
     def _connectives(gap: str) -> None:
-        """Emit the and/or/paren tokens appearing between two
-        comparisons, in source order."""
-        for t in re.findall(r"\(|\)|\band\b|\bor\b", gap):
+        """Emit the and/or/not/paren tokens appearing between two
+        comparisons, in source order. (``not exists`` never reaches
+        here — _EXISTS_RX consumes its ``not``.)"""
+        for t in re.findall(r"\(|\)|\band\b|\bor\b|\bnot\b", gap):
             tokens.append(t)
 
     while pos < len(body):
@@ -347,6 +348,9 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         return isinstance(t, str) and t == tok
 
     def _primary() -> Column:
+        if _at("not"):
+            idx[0] += 1
+            return ~_primary()
         if _at("("):
             idx[0] += 1
             e = _or_expr()

@@ -1790,3 +1790,23 @@ def test_influxql_bare_or_tag_disjunction(pts):
             pts, "SELECT count(value) FROM events "
             "WHERE value > 5 OR value < 1",
         )
+
+
+def test_flux_not_operator(pts):
+    """``not`` in filter predicates: negates its operand (r6: was
+    silently ignored before the token rewrite)."""
+    neg = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => not (r.event_type == "click"))',
+    ).count()
+    assert neg == pts.filter(F.col("event_type") != "click").count()
+    combo = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => not r.event_type == "click" '
+        "and r._value > 150.0)",
+    ).count()
+    # Flux unary-not binds tightest: (not A) and B
+    direct = pts.filter(
+        (~(F.col("event_type") == "click")) & (F.col("f_float") > 150.0)
+    ).count()
+    assert combo == direct
