@@ -519,17 +519,34 @@ def _parse_map_value(df: DataFrame, s: str) -> Column:
         return F.when(cond, _parse_map_value(df, m.group(2))).otherwise(
             _parse_map_value(df, m.group(3))
         )
+    # boolean-valued map field (`hot: r._value > 10.0`, the Flux
+    # threshold-flag idiom) — a comparison operator routes the whole
+    # expression through the predicate parser (r6)
+    if re.search(r"==|!=|>=|<=|[<>]|=~|!~|\bexists\b", s):
+        return _parse_predicate(df, s)
     return _parse_arith(df, s)
+
+
+#: map functions whose RESULT is a string (drives `+`-as-concat)
+_MAP_FN_STR = {
+    "strings.toUpper", "strings.toLower", "strings.trimSpace",
+    "strings.trim", "strings.trimLeft", "strings.trimRight",
+    "strings.replaceAll", "strings.substring", "strings.repeat",
+    "string", "display",
+}
 
 
 def _parse_arith(df: DataFrame, s: str) -> Column:
     """Arithmetic over row fields for ``map()``: ``r.col``/``r["col"]``,
     numeric/string literals, ``+ - * / %`` and parens — compiled to a
-    Column expression (JVM-side, no UDF)."""
+    Column expression (JVM-side, no UDF). ``+`` with a string operand
+    is Flux string concatenation (r6) — operand string-ness is inferred
+    from the frame schema / literal form / function table."""
     tokens = _ARITH_TOKEN_RX.findall(s)
     if not tokens:
         raise FluxError(f"cannot parse map expression {s!r}")
     pos = [0]
+    dtypes = dict(df.dtypes)
 
     def peek():
         return tokens[pos[0]] if pos[0] < len(tokens) else None
@@ -539,7 +556,7 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
         pos[0] += 1
         return t
 
-    def factor() -> Column:
+    def factor() -> tuple[Column, bool]:
         t = peek()
         if t is None:
             raise FluxError(f"truncated map expression {s!r}")
@@ -552,7 +569,7 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             return e
         if t == "-":
             eat()
-            return -factor()
+            return -factor()[0], False
         if t in _MAP_FUNCS:
             eat()
             labels, builder = _MAP_FUNCS[t]
@@ -564,48 +581,59 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
                 lab = eat()
                 if not lab.endswith(":"):
                     raise FluxError(f"expected label in {t} call in {s!r}")
-                got[lab[:-1]] = expr()
+                got[lab[:-1]] = expr()[0]
                 if peek() == ",":
                     eat()
             eat()  # ")"
             try:
-                return builder(*[got[l] for l in labels])
+                return builder(*[got[l] for l in labels]), t in _MAP_FN_STR
             except KeyError as missing:
                 raise FluxError(f"{t} missing argument {missing} in {s!r}")
         eat()
-        if t.startswith('r["'):
-            return _col(df, t[3:-2])
-        if t.startswith("r."):
-            return _col(df, t[2:])
+        if t.startswith('r["') or t.startswith("r."):
+            raw = t[3:-2] if t.startswith('r["') else t[2:]
+            name = _colname(df, raw)
+            if name in dtypes:
+                return F.col(name), dtypes[name] == "string"
+            # tags-map fallback: tag values are strings by model
+            return _col(df, raw), True
         if t.startswith('"'):
-            return F.lit(t[1:-1])
+            return F.lit(t[1:-1]), True
         if re.fullmatch(r"\d+(?:ns|us|ms|mo|[smhdwy])", t):
-            return F.lit(duration_ns(t))
+            return F.lit(duration_ns(t)), False
         if t in ("true", "false"):
-            return F.lit(t == "true")
+            return F.lit(t == "true"), False
         if re.match(r"^[A-Za-z_]", t):
             raise FluxError(
                 f"unsupported function or identifier {t!r} in map expression {s!r}"
             )
-        return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
+        return (
+            F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t)),
+            False,
+        )
 
-    def term() -> Column:
-        e = factor()
+    def term() -> tuple[Column, bool]:
+        e, is_str = factor()
         while peek() in ("*", "/", "%"):
             op = eat()
-            r = factor()
+            r, _ = factor()
             e = e * r if op == "*" else (e / r if op == "/" else e % r)
-        return e
+            is_str = False
+        return e, is_str
 
-    def expr() -> Column:
-        e = term()
+    def expr() -> tuple[Column, bool]:
+        e, is_str = term()
         while peek() in ("+", "-"):
             op = eat()
-            r = term()
-            e = e + r if op == "+" else e - r
-        return e
+            r, r_str = term()
+            if op == "+" and (is_str or r_str):
+                e, is_str = F.concat(e.cast("string"), r.cast("string")), True
+            else:
+                e = e + r if op == "+" else e - r
+                is_str = False
+        return e, is_str
 
-    out = expr()
+    out, _ = expr()
     if pos[0] != len(tokens):
         raise FluxError(f"trailing tokens in map expression {s!r}")
     return out

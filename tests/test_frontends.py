@@ -1810,3 +1810,19 @@ def test_flux_not_operator(pts):
         (~(F.col("event_type") == "click")) & (F.col("f_float") > 150.0)
     ).count()
     assert combo == direct
+
+
+def test_flux_map_boolean_and_string_concat(pts):
+    """map() field values: boolean comparisons (threshold-flag idiom)
+    and `+` string concatenation (r6: comparison was a typed error,
+    concat an AnalysisException)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 5) |> map(fn: (r) => ({r with '
+        'hot: r._value > 150.0, label: r.event_type + "-x", '
+        'msg: "v=" + string(v: r._value)}))',
+    ).collect()
+    for r in out:
+        assert r.hot == (r.f_float > 150.0)
+        assert r.label == r.event_type + "-x"
+        assert r.msg == "v=" + str(r.f_float)
