@@ -532,6 +532,13 @@ _FLUX_FILTER = st.sampled_from([
     'r.event_type == "click" or r.event_type == "view"',
     'not (r.event_type == "error")',
     'exists r.event_type',
+    # r6: precedence / grouping / unary-not / negated-regex shapes
+    'r.event_type == "view" or r._value > 100.0 and r.event_type == "click"',
+    '(r.event_type == "view" or r._value > 100.0) and r._value < 900.0',
+    'not r.event_type == "error" and r._value > 1.0',
+    'r.event_type =~ /^(cl|vi)/ or r.event_type !~ /err/',
+    'not exists r.event_type or r._value >= 0.0',
+    '(r._value > 10.0 and r._value < 500.0) or r.event_type == "purchase"',
 ])
 _FLUX_MID = st.sampled_from([
     '|> group(columns: ["event_type"])',
@@ -541,6 +548,10 @@ _FLUX_MID = st.sampled_from([
     '|> window(every: 1mo)',
     '|> map(fn: (r) => ({r with _value: r._value * 2.0}))',
     '|> map(fn: (r) => ({r with lvl: if r._value > 50.0 then "hi" else "lo"}))',
+    # r6: boolean-valued map fields + string concat
+    '|> map(fn: (r) => ({r with hot: r._value > 100.0}))',
+    '|> map(fn: (r) => ({r with tag2: r.event_type + "-x"}))',
+    '|> map(fn: (r) => ({r with msg: "v=" + string(v: r._value)}))',
     '|> keep(columns: ["_time", "_value", "event_type"])',
     '|> drop(columns: ["user_id"])',
     '|> duplicate(column: "_value", as: "v2")',
