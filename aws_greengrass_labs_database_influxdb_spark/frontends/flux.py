@@ -1446,12 +1446,20 @@ def _run_pipeline(
                 )
         elif name == "pivot":
             row_key = [COLMAP.get(c, c) for c in _strlist(args["rowKey"])]
-            col_key = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])][0]
+            col_keys = [COLMAP.get(c, c) for c in _strlist(args["columnKey"])]
             val = _colname(df, _lit(args["valueColumn"]))
-            missing = [c for c in (*row_key, col_key, val) if c not in df.columns]
+            missing = [c for c in (*row_key, *col_keys, val) if c not in df.columns]
             if missing:
                 raise FluxError(f"pivot() references unknown columns {missing}")
-            pipe = pipe.pivot(row_key, col_key, val)
+            if len(col_keys) > 1:
+                # multi-key pivot: Flux names output columns by joining
+                # the key VALUES with "_" — same effect as pivoting one
+                # concatenated key (r6: extra keys were silently dropped)
+                joined = F.concat_ws("_", *[F.col(c) for c in col_keys])
+                df = df.withColumn("_pivot_key", joined)
+                pipe = pipe._with(df).pivot(row_key, "_pivot_key", val)
+            else:
+                pipe = pipe.pivot(row_key, col_keys[0], val)
         elif name == "map":
             fn_body = argstr.partition("=>")[2].strip()
             m = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", fn_body, re.DOTALL)

@@ -1826,3 +1826,25 @@ def test_flux_map_boolean_and_string_concat(pts):
         assert r.hot == (r.f_float > 150.0)
         assert r.label == r.event_type + "-x"
         assert r.msg == "v=" + str(r.f_float)
+
+
+def test_flux_pivot_multi_column_key(pts):
+    """pivot(columnKey: [a, b]): output columns are the key VALUES
+    joined with '_' (r6: extra keys were silently dropped)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> pivot(rowKey: ["_time"], '
+        'columnKey: ["_field", "event_type"], valueColumn: "_value")',
+    )
+    types = [r[0] for r in pts.select("event_type").distinct().collect()]
+    assert {f"value_{t}" for t in types} <= set(out.columns)
+    # spot value: first click row survives into its pivoted column
+    row = (
+        out.filter(F.col("value_click").isNotNull())
+        .orderBy("time").limit(1).collect()[0]
+    )
+    t = row["time"]
+    direct = pts.filter(
+        (F.col("time") == t) & (F.col("event_type") == "click")
+    ).select("f_float").collect()[0][0]
+    assert row["value_click"] == direct
