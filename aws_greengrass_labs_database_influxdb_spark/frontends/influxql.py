@@ -305,7 +305,10 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
             out.or_tag_groups.append(group)
             continue
         fm2 = _FIELD_RX.match(cond)
-        if fm2 and fm2.group(2) in (">=", "<=", ">", "<"):
+        if fm2:
+            # numeric RHS ⇒ field comparison (v1 tags are strings);
+            # = / != included (r6 — they previously fell through to a
+            # typed parse error)
             out.field_filters.append((fm2.group(1), fm2.group(2), float(fm2.group(3))))
             continue
         # fullmatch: a prefix match would silently ignore trailing text
@@ -505,7 +508,10 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
     order = ["time_ns", "ingest_seq"] if "ingest_seq" in df.columns else None
 
     def one(fn: str, fld: str, alias: str) -> DataFrame:
-        src = "f_float" if fld in ("*", "value") else fld
+        # prefer a physical column of that name — subquery pseudo-points
+        # carry their aliases ('value', 'n') as real columns (r6 fix)
+        src = fld if fld in df.columns else (
+            "f_float" if fld in ("*", "value") else fld)
         args = ast.fn_args.get(alias, [])
         if fn in ("derivative", "non_negative_derivative"):
             unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
@@ -902,7 +908,7 @@ def _execute_multi_row(
     ungrouped)."""
     fn, fld, alias = sel
     by = list(ast.group_tags)
-    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    src = fld if fld != "*" and fld in df.columns else "f_float"
     args = ast.fn_args.get(alias) or []
     if ast.group_time_ns:
         df = df.withColumn(
@@ -1209,7 +1215,7 @@ def _execute_selector_row(
     from pyspark.sql import Window as W
 
     fn, fld, alias = sel
-    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    src = fld if fld != "*" and fld in df.columns else "f_float"
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
@@ -1269,7 +1275,7 @@ def _selector_row_project(
 
 def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
     """One InfluxQL aggregate/selector as a Spark aggregate Column."""
-    src = "f_float" if fld in ("*", "value") or fld not in df.columns else fld
+    src = fld if fld != "*" and fld in df.columns else "f_float"
     col = F.col(src)
     if fn in _AGGS:
         if fn == "spread":

@@ -1848,3 +1848,29 @@ def test_flux_pivot_multi_column_key(pts):
         (F.col("time") == t) & (F.col("event_type") == "click")
     ).select("f_float").collect()[0][0]
     assert row["value_click"] == direct
+
+
+def test_influxql_subquery_raw_inner_and_field_equality(pts):
+    """(r6 fixes) A raw-projection subquery's alias columns resolve in
+    the outer query (value no longer force-mapped to f_float), and
+    field = / != numeric comparisons parse."""
+    out = execute_influxql(
+        pts,
+        "SELECT mean(value) FROM (SELECT value FROM events "
+        "WHERE event_type = 'click') WHERE time >= '2024-01-05'",
+    ).collect()[0]["mean"]
+    direct = (
+        pts.filter(
+            (F.col("event_type") == "click")
+            & (F.col("time_ns") >= 1704412800_000_000_000)
+        ).agg(F.avg("f_float")).collect()[0][0]
+    )
+    assert out == direct
+    n = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE user_id = 5"
+    ).collect()[0]["count"]
+    assert n == pts.filter(F.col("user_id") == 5).count()
+    n2 = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE user_id != 5"
+    ).collect()[0]["count"]
+    assert n2 == pts.filter(F.col("user_id") != 5).count()
