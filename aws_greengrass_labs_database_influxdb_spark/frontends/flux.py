@@ -1079,6 +1079,15 @@ def _source_stage(
         )
         return Pipeline(df, (), order=())
     if name == "csv.from":
+        if "csv" in args:
+            # csv.from(csv: "...") — inline ANNOTATED CSV text (the
+            # Flux stdlib's other form; r6). The literal keeps \n
+            # escapes from the script text.
+            from .annotated_csv import from_annotated_csv
+
+            text = _lit(args["csv"]).replace("\\n", "\n").replace('\\"', '"')
+            df = from_annotated_csv(points.sparkSession, text)
+            return Pipeline(df, (), order=())
         from ..sources.aux_sources import csv_from as _csv_from
 
         df = _csv_from(points.sparkSession, _lit(args["file"]))

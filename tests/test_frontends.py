@@ -1874,3 +1874,22 @@ def test_influxql_subquery_raw_inner_and_field_equality(pts):
         pts, "SELECT count(value) FROM events WHERE user_id != 5"
     ).collect()[0]["count"]
     assert n2 == pts.filter(F.col("user_id") != 5).count()
+
+
+def test_flux_csv_from_inline_annotated(pts):
+    """csv.from(csv: "...") — inline annotated-CSV text round-trips
+    through the same parser the facade emits with (r6)."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.annotated_csv import (
+        to_annotated_csv,
+    )
+
+    spark = pts.sparkSession
+    small = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], "k string, n long, v double"
+    )
+    text = to_annotated_csv(small)
+    esc = text.replace('"', '\\"').replace("\r\n", "\\n").replace("\n", "\\n")
+    out = execute_flux(
+        pts, f'csv.from(csv: "{esc}") |> sort(columns: ["k"])'
+    ).collect()
+    assert [(r.k, r.n, r.v) for r in out] == [("a", 1, 1.5), ("b", 2, 2.5)]
