@@ -384,6 +384,21 @@ class HttpApi:
                 self._respond(handler, 200, {"allowed": not self.engine._provisioned})
             elif route == ("POST", "/api/v2/write"):
                 self._handle_write(handler, q, body)
+            elif route == ("POST", "/write"):
+                # v1 compatibility write (Telegraf v1 output / legacy
+                # clients): ?db= is the bucket (1:1 DBRP), rp ignored,
+                # v1 precision names (n/u/m/h) mapped to the v2 set
+                q2 = dict(q)
+                if "db" in q2:
+                    q2["bucket"] = q2["db"]
+                prec = q2.get("precision", "ns")
+                q2["precision"] = {"n": "ns", "u": "us", "µ": "us"}.get(prec, prec)
+                if q2["precision"] in ("m", "h"):
+                    raise ApiError(
+                        400, "invalid",
+                        "minute/hour write precision is not supported"
+                    )
+                self._handle_write(handler, q2, body)
             elif route == ("POST", "/api/v2/query"):
                 self._handle_query_flux(handler, q, body)
             elif url.path == "/query":

@@ -1062,3 +1062,30 @@ def test_v1_admin_introspection(served):
     diag = v1("SHOW DIAGNOSTICS")
     names = {s["name"] for s in diag["series"]}
     assert {"build", "system"} <= names
+
+
+def test_v1_write_endpoint(served):
+    """v1 compatibility POST /write?db=&precision=: db maps to the
+    bucket, v1 precision names accepted (r6)."""
+    base, engine, tokens = served
+    t_s = (T0 // 10**9) + 7200
+    lines = f"v1m,host=a v=1.5 {t_s}"
+    status, _ = _req(
+        base, "/write?db=greengrass-telemetry&precision=s", "POST",
+        token=tokens["RW"], body=lines, ctype="text/plain")
+    assert status == 204
+    qq = urllib.parse.quote("SELECT value FROM v1m")
+    status, body = _req(base, f"/query?db=greengrass-telemetry&q={qq}&epoch=s",
+                        token=tokens["RW"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert [t_s, 1.5] in [[v[0], v[1]] for v in vals]
+    # v1 'u' precision spelling maps to us
+    status, _ = _req(
+        base, "/write?db=greengrass-telemetry&precision=u", "POST",
+        token=tokens["RW"], body=f"v1m,host=a v=2.5 {t_s * 10**6 + 5}",
+        ctype="text/plain")
+    assert status == 204
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/write?db=greengrass-telemetry&precision=m", "POST",
+             token=tokens["RW"], body="v1m v=1 1", ctype="text/plain")
+    assert e.value.code == 400
