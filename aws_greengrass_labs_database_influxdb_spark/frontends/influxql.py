@@ -248,6 +248,8 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
     SELECT and SHOW parsing. ``now_ns`` anchors ``now() ± duration``
     bounds (the standard Grafana time-picker shape); defaults to the
     wall clock."""
+    # `<>` is InfluxQL's alternate not-equals spelling
+    where = re.sub(r"<>", "!=", where) if where else where
     for cond in re.split(r"(?i)\s+AND\s+", where) if where else []:
         cond = cond.strip()
         if not cond:
@@ -655,6 +657,8 @@ _SHOW_RX = re.compile(
     r"|SERIES)"
     r"(?:\s+ON\s+\"?[\w.\-]+\"?)?"
     r"(?:\s+FROM\s+(?:/(?P<measrx>[^/]+)/|\"?(?P<meas>[\w.\-]+)\"?))?"
+    r"(?:\s+WITH\s+MEASUREMENT\s*(?:=~\s*/(?P<wmrx>[^/]+)/"
+    r"|=\s*\"?(?P<wmeq>[\w.\-]+)\"?))?"
     r"(?:\s+WITH\s+KEY\s*(?:=\s*\"?(?P<key>\w+)\"?|=~\s*/(?P<keyrx>[^/]+)/"
     r"|\s+IN\s*\(\s*(?P<keys>[^)]*)\)))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
@@ -689,6 +693,11 @@ def execute_show(points: DataFrame, query: str) -> DataFrame:
         df = df.filter(F.col("measurement").rlike(m.group("measrx")))
     elif m.group("meas"):
         df = df.filter(F.col("measurement") == m.group("meas"))
+    # SHOW ... WITH MEASUREMENT =~ /re/ | = name (v1 spec, r6)
+    if m.group("wmrx"):
+        df = df.filter(F.col("measurement").rlike(m.group("wmrx")))
+    elif m.group("wmeq"):
+        df = df.filter(F.col("measurement") == m.group("wmeq"))
 
     # WHERE: time bounds + tag predicates (field filters rejected — v1
     # SHOW only supports tag/time conditions)

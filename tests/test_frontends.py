@@ -1893,3 +1893,19 @@ def test_flux_csv_from_inline_annotated(pts):
         pts, f'csv.from(csv: "{esc}") |> sort(columns: ["k"])'
     ).collect()
     assert [(r.k, r.n, r.v) for r in out] == [("a", 1, 1.5), ("b", 2, 2.5)]
+
+
+def test_influxql_neq_spelling_and_with_measurement(pts):
+    """`<>` as not-equals and SHOW ... WITH MEASUREMENT (r6)."""
+    a = execute_influxql(
+        pts, "SELECT count(value) FROM events WHERE event_type <> 'click'"
+    ).collect()[0]["count"]
+    assert a == pts.filter(F.col("event_type") != "click").count()
+    from aws_greengrass_labs_database_influxdb_spark.frontends.influxql import (
+        execute_show,
+    )
+
+    rows = execute_show(pts, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /ev.*/")
+    assert [r["name"] for r in rows.collect()] == ["events"]
+    rows = execute_show(pts, "SHOW MEASUREMENTS WITH MEASUREMENT = nosuch")
+    assert rows.count() == 0
