@@ -1157,7 +1157,113 @@ def _source_stage(
             c for c in ("time_ns", "time") if c in joined.columns
         ) or tuple(on)
         return Pipeline(joined, gk, order=order)
+    jm = re.match(r"^join\.(inner|left|right|full|time)$", name)
+    if jm:
+        return _join_package(jm.group(1), args, env)
     raise FluxError(f"pipeline must start with from/join/union/variable, got {name!r}")
+
+
+def _join_package(kind: str, args: dict, env: dict) -> Pipeline:
+    """The modern Flux ``join`` package (``import "join"``):
+    ``join.inner/left/right/full(left:, right:, on: (l, r) => ...,
+    as: (l, r) => ({...}))`` and ``join.time`` (equality on ``_time``).
+
+    Supported surface: ``on`` as a conjunction of ``l.<c> == r.<c>``
+    equalities (the only on-shape the engine's planner accepts too),
+    ``as`` as a record literal — ``({l with k: <expr>, ...})`` /
+    ``({r with ...})`` / an explicit record — whose values are the
+    same arithmetic/scalar expressions ``map()`` accepts, over
+    ``l.<col>`` / ``r.<col>`` refs. Anything else is a typed error.
+    One hash shuffle per side on the join keys, same as ``join()``.
+    """
+    how = {"inner": "inner", "left": "left_outer", "right": "right_outer",
+           "full": "full_outer", "time": "inner"}[kind]
+    for k in ("left", "right"):
+        if k not in args:
+            args[k]  # typed missing-argument error
+    lv, rv = args["left"].strip(), args["right"].strip()
+    for v in (lv, rv):
+        if v not in env:
+            raise FluxError(f"unknown table variable {v!r}")
+    left, right = env[lv], env[rv]
+
+    pairs: list[tuple[str, str]] = []
+    if kind == "time":
+        tcol = "time_ns" if (
+            "time_ns" in left.df.columns and "time_ns" in right.df.columns
+        ) else "time"
+        pairs = [(tcol, tcol)]
+    else:
+        on_body = args["on"].partition("=>")[2]
+        for part in re.split(r"\band\b", on_body):
+            m2 = re.match(
+                r'\s*l(?:\.(\w+)|\["([^"]+)"\])\s*==\s*'
+                r'r(?:\.(\w+)|\["([^"]+)"\])\s*\)?\s*$',
+                part.strip().lstrip("("),
+            )
+            if not m2:
+                raise FluxError(
+                    f"join.{kind} on: must be l.<col> == r.<col> "
+                    f"equalities, got {part.strip()!r}"
+                )
+            lc = _colname(left.df, m2.group(1) or m2.group(2))
+            rc = _colname(right.df, m2.group(3) or m2.group(4))
+            pairs.append((lc, rc))
+    for (lc, rc) in pairs:
+        if lc not in left.df.columns:
+            raise FluxError(f"join.{kind}: left has no column {lc!r}")
+        if rc not in right.df.columns:
+            raise FluxError(f"join.{kind}: right has no column {rc!r}")
+
+    ldf = left.df.select([F.col(c).alias(f"l_{c}") for c in left.df.columns])
+    rdf = right.df.select([F.col(c).alias(f"r_{c}") for c in right.df.columns])
+    cond = None
+    for lc, rc in pairs:
+        c = ldf[f"l_{lc}"] == rdf[f"r_{rc}"]
+        cond = c if cond is None else cond & c
+    joined = ldf.join(rdf, cond, how)
+
+    def _rewrite(side_expr: str) -> str:
+        """``l.x`` / ``r["x"]`` refs → the prefixed joined columns,
+        resolving Flux names against the owning side's frame."""
+        def _sub(mo: re.Match) -> str:
+            side = mo.group(1)
+            nm = mo.group(2) or mo.group(3)
+            frame = left.df if side == "l" else right.df
+            return f'r["{side}_{_colname(frame, nm)}"]'
+
+        return re.sub(r'\b([lr])(?:\.(\w+)|\["([^"]+)"\])', _sub, side_expr)
+
+    if "as" not in args:
+        args["as"]  # typed missing-argument error
+    as_body = args["as"].partition("=>")[2].strip()
+    m3 = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", as_body, re.DOTALL)
+    if not m3:
+        raise FluxError(f"join.{kind} as: must return a record literal")
+    inner = m3.group(1).strip()
+    sel: dict[str, Column] = {}
+    base = None
+    bm = re.match(r"^([lr])\s+with\b(.*)$", inner, re.DOTALL)
+    if bm:
+        base = bm.group(1)
+        inner = bm.group(2).strip()
+        base_pipe = left if base == "l" else right
+        for c in base_pipe.df.columns:
+            sel[c] = F.col(f"{base}_{c}")
+    for k, expr_src in (_split_args(inner) if inner else {}).items():
+        target = COLMAP.get(k, k)
+        sel[target] = _parse_map_value(joined, _rewrite(expr_src))
+    if not sel:
+        raise FluxError(f"join.{kind} as: record is empty")
+    out = joined.select([c.alias(n) for n, c in sel.items()])
+    if "time" in out.columns and "time_ns" not in out.columns:
+        out = out.withColumn("time_ns", F.expr("unix_micros(time) * 1000"))
+    base_pipe = left if base != "r" else right
+    gk = tuple(c for c in base_pipe.group_key if c in out.columns) or tuple(
+        lc for lc, _ in pairs if lc in out.columns
+    )
+    order = tuple(c for c in ("time_ns", "time") if c in out.columns)
+    return Pipeline(out, gk, order=order)
 
 
 def _run_pipeline(

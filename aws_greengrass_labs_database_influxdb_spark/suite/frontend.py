@@ -1314,3 +1314,37 @@ def flux_text_events_duration(spark, sf_dir):
         F.col("ingest_seq").alias("event_id"), "event_type",
         F.col("duration").alias("duration_s"),
     )
+
+
+@q(
+    "flux_join_pkg",
+    """
+    WITH c AS (
+      SELECT event_type, avg(value) AS mean_v FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type, max(value) AS max_v FROM events GROUP BY 1)
+    SELECT c.event_type, c.mean_v, m.max_v
+    FROM c JOIN m ON c.event_type = m.event_type
+    """,
+)
+def flux_join_pkg(spark, sf_dir):
+    """The modern Flux ``join`` package from script text (r6):
+    ``join.inner(left:, right:, on: (l, r) => ..., as: (l, r) =>
+    ({l with ...}))`` — per-key mean/max streams merged with the
+    record-function projection. One hash shuffle per side on the
+    join key, identical plan shape to the legacy join()."""
+    from ..frontends import execute_flux_multi
+
+    pts = events_points(spark, sf_dir)
+    q_text = (
+        'import "join"\n'
+        'a = from(bucket: "b") |> group(columns: ["event_type"]) |> mean()\n'
+        'b = from(bucket: "b") |> group(columns: ["event_type"]) |> max()\n'
+        "join.inner(left: a, right: b,"
+        " on: (l, r) => l.event_type == r.event_type,"
+        " as: (l, r) => ({l with max_v: r._value}))"
+    )
+    out = execute_flux_multi(pts, q_text)["_result"]
+    return out.select(
+        "event_type", F.col("mean").alias("mean_v"), "max_v"
+    )

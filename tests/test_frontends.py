@@ -1909,3 +1909,41 @@ def test_influxql_neq_spelling_and_with_measurement(pts):
     assert [r["name"] for r in rows.collect()] == ["events"]
     rows = execute_show(pts, "SHOW MEASUREMENTS WITH MEASUREMENT = nosuch")
     assert rows.count() == 0
+
+
+def test_flux_join_package(pts):
+    """Modern join package (import "join"): join.inner with on/as
+    lambdas; `l with` merge form; typed errors off the supported
+    surface (r6)."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_flux_multi
+
+    q = (
+        'import "join"\n'
+        'a = from(bucket: "b") |> group(columns: ["event_type"]) |> mean()\n'
+        'b = from(bucket: "b") |> group(columns: ["event_type"]) |> max()\n'
+        "join.inner(left: a, right: b, on: (l, r) => l.event_type == r.event_type,"
+        " as: (l, r) => ({l with mx: r._value}))"
+    )
+    out = {r["event_type"]: (r["mean"], r["mx"])
+           for r in execute_flux_multi(pts, q)["_result"].collect()}
+    direct = {
+        r["event_type"]: (r["m"], r["x"])
+        for r in pts.groupBy("event_type")
+        .agg(F.avg("f_float").alias("m"), F.max("f_float").alias("x"))
+        .collect()
+    }
+    assert out == direct
+    with pytest.raises(FluxError, match="equalities"):
+        execute_flux_multi(
+            pts,
+            'x = from(bucket:"b") |> mean()\n'
+            "join.inner(left: x, right: x, on: (l, r) => l._value > r._value,"
+            " as: (l, r) => ({l with y: 1.0}))",
+        )
+    with pytest.raises(FluxError, match="record"):
+        execute_flux_multi(
+            pts,
+            'x = from(bucket:"b") |> mean()\n'
+            "join.inner(left: x, right: x, on: (l, r) => l._value == r._value,"
+            " as: (l, r) => l._value)",
+        )
