@@ -1947,3 +1947,22 @@ def test_flux_join_package(pts):
             "join.inner(left: x, right: x, on: (l, r) => l._value == r._value,"
             " as: (l, r) => l._value)",
         )
+
+
+def test_flux_join_time(pts):
+    """join.time: equality on the time axis across two streams."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_flux_multi
+
+    q = (
+        'import "join"\n'
+        'c = from(bucket:"b") |> filter(fn: (r) => r.event_type == "click")'
+        ' |> group(columns: ["event_type"]) |> aggregateWindow(every: 1d, fn: count)\n'
+        'v = from(bucket:"b") |> filter(fn: (r) => r.event_type == "view")'
+        ' |> group(columns: ["event_type"]) |> aggregateWindow(every: 1d, fn: count)\n'
+        "join.time(left: c, right: v,"
+        " as: (l, r) => ({_time: l._time, n_c: l._value, n_v: r._value}))"
+    )
+    out = execute_flux_multi(pts, q)["_result"]
+    assert set(out.columns) >= {"time", "n_c", "n_v"}
+    rows = out.collect()
+    assert rows and all(r.n_c is not None and r.n_v is not None for r in rows)
