@@ -234,7 +234,9 @@ _CMP_RX = re.compile(
     r'r(?:\.(\w+)|\["(\w+)"\])\s*(==|!=|>=|<=|>|<|=~|!~)\s*'
     r'("(?:[^"\\]|\\.)*"'
     r"|\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z)?"  # RFC3339 time
-    r"|-?\d+(?:\.\d+)?|true|false|/[^/]*/)"
+    # numeric incl. scientific notation — without the exponent branch
+    # `r._value > 1e18` silently truncated to `> 1` (r6 probe)
+    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|/[^/]*/)"
 )
 
 _ISO_LIT_RX = re.compile(r"^\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z)?$")
@@ -261,7 +263,14 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
     def _connectives(gap: str) -> None:
         """Emit the and/or/not/paren tokens appearing between two
         comparisons, in source order. (``not exists`` never reaches
-        here — _EXISTS_RX consumes its ``not``.)"""
+        here — _EXISTS_RX consumes its ``not``.) Any OTHER text in a
+        gap is a parse error — silently skipping it turned
+        half-matched literals into wrong filters (r6 probe)."""
+        residue = re.sub(r"\(|\)|\band\b|\bor\b|\bnot\b|\s+", "", gap)
+        if residue:
+            raise FluxError(
+                f"cannot parse predicate fragment {residue!r} in {body!r}"
+            )
         for t in re.findall(r"\(|\)|\band\b|\bor\b|\bnot\b", gap):
             tokens.append(t)
 
@@ -315,7 +324,10 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         elif lit.startswith("/"):
             val = lit[1:-1]
         else:
-            val = float(lit) if "." in lit else int(lit)
+            val = (
+                float(lit) if ("." in lit or "e" in lit or "E" in lit)
+                else int(lit)
+            )
             if name == "_value" or COLMAP.get(name) == "f_float":
                 val = float(val)
         expr = {
@@ -1337,8 +1349,10 @@ def _run_pipeline(
 
             pipe = pipe._with(push_time_filter(df, start, stop))
         elif name == "filter":
-            body = argstr.partition("=>")[2]
-            pipe = pipe.filter(_parse_predicate(df, body))
+            # args["fn"] (not raw argstr) so sibling args like
+            # onEmpty: don't leak into the predicate text
+            fn_src = args["fn"] if "fn" in args else argstr
+            pipe = pipe.filter(_parse_predicate(df, fn_src.partition("=>")[2]))
         elif name == "group":
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
             mode = _lit(args.get("mode", '"by"'))

@@ -1966,3 +1966,27 @@ def test_flux_join_time(pts):
     assert set(out.columns) >= {"time", "n_c", "n_v"}
     rows = out.collect()
     assert rows and all(r.n_c is not None and r.n_v is not None for r in rows)
+
+
+def test_flux_scientific_literals_and_gap_residue(pts):
+    """(r6) `1e18`-style literals parse exactly; any unconsumed text
+    inside a predicate is a typed error instead of silently narrowing
+    the filter (the old lexer matched `> 1` out of `> 1e18`)."""
+    none = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => r._value > 1e18)'
+    ).count()
+    assert none == 0
+    some = execute_flux(
+        pts, 'from(bucket:"b") |> filter(fn: (r) => r._value > 1.5e2)'
+    ).count()
+    assert some == pts.filter(F.col("f_float") > 150.0).count()
+    with pytest.raises(FluxError, match="fragment"):
+        execute_flux(
+            pts, 'from(bucket:"b") |> filter(fn: (r) => r._value > 5 bogus)'
+        )
+    # sibling args after fn: stay out of the predicate
+    kept = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._value >= 0.0, onEmpty: "keep")',
+    ).count()
+    assert kept == pts.filter(F.col("f_float") >= 0.0).count()
