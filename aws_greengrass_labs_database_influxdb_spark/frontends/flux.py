@@ -1670,15 +1670,26 @@ def _run_pipeline(
             from ..operators.core import truncate_time
 
             pipe = pipe._with(truncate_time(df, _lit(args["unit"])))
-        elif name in ("toInt", "toFloat", "toString", "toBool"):
+        elif name in ("toInt", "toFloat", "toString", "toBool", "toUInt",
+                      "toTime", "toDuration"):
             # type-conversion stages rebind _value to the cast value
-            # (Flux toInt truncates toward zero, like Spark's cast)
+            # (Flux toInt truncates toward zero, like Spark's cast;
+            # toUInt = toInt here — no unsigned 64-bit column type;
+            # toTime reads epoch-ns ints; toDuration keeps integer ns,
+            # the same documented divergence as duration())
             cur = _colname(df, "_value")
             if cur not in df.columns:
                 raise FluxError(f"{name}() has no _value column to convert")
-            spark_type = {"toInt": "long", "toFloat": "double",
-                          "toString": "string", "toBool": "boolean"}[name]
-            pipe = pipe._with(df.withColumn(cur, F.col(cur).cast(spark_type)))
+            if name == "toTime":
+                conv = F.timestamp_micros(
+                    (F.col(cur).cast("long") / F.lit(1000)).cast("long")
+                )
+            else:
+                spark_type = {"toInt": "long", "toFloat": "double",
+                              "toString": "string", "toBool": "boolean",
+                              "toUInt": "long", "toDuration": "long"}[name]
+                conv = F.col(cur).cast(spark_type)
+            pipe = pipe._with(df.withColumn(cur, conv))
         elif name == "columns":
             # one row per Flux-visible column label
             rev = {real: flux for flux, real in COLMAP.items()}

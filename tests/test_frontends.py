@@ -1990,3 +1990,17 @@ def test_flux_scientific_literals_and_gap_residue(pts):
         'from(bucket:"b") |> filter(fn: (r) => r._value >= 0.0, onEmpty: "keep")',
     ).count()
     assert kept == pts.filter(F.col("f_float") >= 0.0).count()
+
+
+def test_flux_conversion_stages_uint_time_duration(pts):
+    """toUInt/toTime/toDuration stage spellings (r6)."""
+    out = execute_flux(
+        pts, 'from(bucket:"b") |> limit(n: 2) |> toUInt()'
+    ).collect()
+    assert all(isinstance(r.f_float, int) for r in out)
+    t = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 2) '
+        '|> map(fn: (r) => ({r with _value: 1600000000000000000})) |> toTime()',
+    ).collect()
+    assert all(r.f_float.year == 2020 for r in t)
