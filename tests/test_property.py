@@ -649,6 +649,11 @@ _IQL_WHERE = st.sampled_from([
     "WHERE time > now() - 200w AND (event_type = 'click' OR event_type = 'view')",
     "WHERE event_type =~ /c.*/ AND value > 10",
     "WHERE value * 2 > 50",
+    # r6 shapes: bare OR, <> spelling, field equality, ::tag casts
+    "WHERE event_type = 'click' OR event_type = 'view'",
+    "WHERE event_type <> 'error'",
+    "WHERE user_id = 5",
+    "WHERE value != 0 AND event_type::tag = 'click'",
 ])
 _IQL_GROUP = st.sampled_from([
     "", "GROUP BY time(6h)", "GROUP BY time(1d), event_type",
