@@ -633,8 +633,16 @@ class HttpApi:
         org = q.get("org") or self.engine.config.org
         ctype = handler.headers.get("Content-Type", "")
         text = body.decode()
+        # v2 dialect object: which annotation rows + header to emit
+        annotations: tuple = ("group", "datatype", "default")
+        csv_header = True
         if "json" in ctype:
-            text = json.loads(text).get("query", "")
+            req = json.loads(text)
+            text = req.get("query", "")
+            dialect = req.get("dialect") or {}
+            if "annotations" in dialect:
+                annotations = tuple(dialect["annotations"])
+            csv_header = bool(dialect.get("header", True))
         m = _FROM_BUCKET_RX.search(text)
         if not m:
             raise ApiError(400, "invalid", 'query must reference bucket: "..."')
@@ -667,7 +675,10 @@ class HttpApi:
             for i, (name, df) in enumerate(results.items()):
                 if i:
                     yield "\r\n"
-                yield from iter_annotated_csv(df, result_name=name)
+                yield from iter_annotated_csv(
+                    df, result_name=name,
+                    annotations=annotations, header=csv_header,
+                )
 
         self._respond_chunks(handler, _gen())
 

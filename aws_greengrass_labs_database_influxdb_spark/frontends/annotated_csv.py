@@ -56,32 +56,35 @@ def iter_annotated_csv(
     df: DataFrame,
     group_key: tuple[str, ...] = (),
     result_name: str = "_result",
+    annotations: tuple[str, ...] = ("group", "datatype", "default"),
+    header: bool = True,
 ) -> Iterator[str]:
     """Stream a result DataFrame as Flux annotated-CSV chunks.
 
     Tables split on the group key; ``table`` numbers them in sorted
     group-key order. The sort is a Spark job (``orderBy``); rows reach
     the driver one partition at a time via ``toLocalIterator()`` — the
-    facade never holds the full result.
+    facade never holds the full result. ``annotations``/``header``
+    mirror the v2 dialect object (r6): each annotation row is emitted
+    only when requested, in the engine's group/datatype/default order.
     """
     cols = df.columns
     dtypes = [_dtype(f.dataType) for f in df.schema.fields]
-    yield (
-        "#group,false,false,"
-        + ",".join("true" if c in group_key else "false" for c in cols)
-        + "\r\n"
-        + "#datatype,string,long,"
-        + ",".join(dtypes)
-        + "\r\n"
-        + "#default,"
-        + result_name
-        + ",,"
-        + "," * (len(cols) - 1)
-        + "\r\n"
-        + ",result,table,"
-        + ",".join(cols)
-        + "\r\n"
-    )
+    head = ""
+    if "group" in annotations:
+        head += (
+            "#group,false,false,"
+            + ",".join("true" if c in group_key else "false" for c in cols)
+            + "\r\n"
+        )
+    if "datatype" in annotations:
+        head += "#datatype,string,long," + ",".join(dtypes) + "\r\n"
+    if "default" in annotations:
+        head += "#default," + result_name + ",," + "," * (len(cols) - 1) + "\r\n"
+    if header:
+        head += ",result,table," + ",".join(cols) + "\r\n"
+    if head:
+        yield head
     if group_key:
         df = df.orderBy(*group_key)
     table_ids: dict[tuple, int] = {}

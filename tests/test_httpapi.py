@@ -1089,3 +1089,23 @@ def test_v1_write_endpoint(served):
         _req(base, "/write?db=greengrass-telemetry&precision=m", "POST",
              token=tokens["RW"], body="v1m v=1 1", ctype="text/plain")
     assert e.value.code == 400
+
+
+def test_flux_query_dialect(served):
+    """v2 dialect object on /api/v2/query: annotations subset and
+    header=false honored (r6)."""
+    base, engine, tokens = served
+    q = {"query": 'from(bucket: "greengrass-telemetry") |> limit(n: 1)',
+         "dialect": {"annotations": [], "header": True}}
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body=q)
+    assert status == 200
+    text = body.decode() if isinstance(body, bytes) else body
+    assert "#datatype" not in text and "#group" not in text
+    assert text.startswith(",result,table,")
+    q["dialect"] = {"annotations": ["datatype"], "header": False}
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body=q)
+    text = body.decode() if isinstance(body, bytes) else body
+    assert text.startswith("#datatype") and ",result,table," not in text
+    assert "#group" not in text and "#default" not in text
