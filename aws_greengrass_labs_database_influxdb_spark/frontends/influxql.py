@@ -509,11 +509,15 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
             df = df.withColumn(t, tag_col(t))
     order = ["time_ns", "ingest_seq"] if "ingest_seq" in df.columns else None
 
-    def one(fn: str, fld: str, alias: str) -> DataFrame:
+    def one(fn: str, fld: str, alias: str, df: DataFrame = df) -> DataFrame:
         # prefer a physical column of that name — subquery pseudo-points
-        # carry their aliases ('value', 'n') as real columns (r6 fix)
-        src = fld if fld in df.columns else (
-            "f_float" if fld in ("*", "value") else fld)
+        # carry their aliases ('value', 'n') as real columns (r6 fix);
+        # any other name is a FIELD: read the value slot restricted to
+        # that field's own rows (multi-field frames interleave — r6;
+        # an unknown field then correctly yields no rows, like v1)
+        src = fld if fld in df.columns else "f_float"
+        if src == "f_float" and fld != "*" and "field" in df.columns:
+            df = df.filter(F.col("field") == fld)
         args = ast.fn_args.get(alias, [])
         if fn in ("derivative", "non_negative_derivative"):
             unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
@@ -918,6 +922,9 @@ def _execute_multi_row(
     fn, fld, alias = sel
     by = list(ast.group_tags)
     src = fld if fld != "*" and fld in df.columns else "f_float"
+    if src == "f_float" and fld != "*" and "field" in df.columns:
+        # named field → its own rows only (multi-field frames, r6)
+        df = df.filter(F.col("field") == fld)
     args = ast.fn_args.get(alias) or []
     if ast.group_time_ns:
         df = df.withColumn(
@@ -998,6 +1005,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         if re.search(r"(?i)\bCARDINALITY\b", query):
             return execute_show_cardinality(points, query)
         return execute_show(points, query)
+    from ..schema import unify_numeric_value
+
+    points = unify_numeric_value(points)  # int/uint slots → value column
     em = re.match(r"(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$", query.strip())
     if em:
         # v1 EXPLAIN/EXPLAIN ANALYZE: in this engine the truthful answer
@@ -1158,18 +1168,35 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         )
 
     if not has_agg:
+        # named slot fields read only their OWN rows (multi-field
+        # frames interleave fields in the tall schema — r6 fix): drop
+        # other-field rows, and make each projection conditional
+        def _tree_fields(tree, acc):
+            if tree[0] == "field":
+                acc.add(tree[1])
+            elif tree[0] == "bin":
+                _tree_fields(tree[2], acc)
+                _tree_fields(tree[3], acc)
+            return acc
+
+        slot_fields: set = set()
+        for fn, fld, alias in ast.fields:
+            if fld != "*" and fld not in df.columns:
+                slot_fields.add(fld)
+        for tree, _alias in ast.raw_arith:
+            slot_fields = {
+                f for f in _tree_fields(tree, slot_fields)
+                if f != "*" and f not in df.columns
+            }
+        if slot_fields and "field" in df.columns:
+            df = df.filter(F.col("field").isin(sorted(slot_fields)))
+
         def _raw_col(tree):
             kind = tree[0]
             if kind == "num":
                 return F.lit(tree[1])
             if kind == "field":
-                # same resolution rule as _agg_expr: names that are not
-                # promoted columns are field names → the f_float slot
-                return F.col(
-                    "f_float"
-                    if tree[1] in ("*", "value") or tree[1] not in df.columns
-                    else tree[1]
-                )
+                return _field_value_col(tree[1], df)
             _, op, l, r = tree
             lc, rc = _raw_col(l), _raw_col(r)
             return {"+": lc + rc, "-": lc - rc,
@@ -1186,12 +1213,7 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                         sel.append(F.col(t))
                 sel.append(F.col("f_float").alias(alias))
                 continue
-            src = (
-                "f_float"
-                if fld in ("*", "value") or fld not in df.columns
-                else fld
-            )
-            col = F.col(src)
+            col = _field_value_col(fld, df)
             if fn in _MATH_FNS:
                 col = _math_expr(fn, col, ast.fn_args.get(alias, []))
             sel.append(col.alias(alias))
@@ -1225,6 +1247,9 @@ def _execute_selector_row(
 
     fn, fld, alias = sel
     src = fld if fld != "*" and fld in df.columns else "f_float"
+    if src == "f_float" and fld != "*" and "field" in df.columns:
+        # named field → its own rows only (multi-field frames, r6)
+        df = df.filter(F.col("field") == fld)
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
@@ -1282,10 +1307,33 @@ def _selector_row_project(
     return _finish(out, ast, by)
 
 
+def _field_value_col(fld: str, df: DataFrame):
+    """The value Column a named field reads: a physical column of that
+    name (promoted / subquery alias), else the value slot RESTRICTED
+    to rows of that field — on a multi-field measurement every field's
+    rows share the tall frame, so an unconditional slot read mixes
+    fields (r6 probe: ``mean(c)`` averaged c AND u). One conditional
+    projection — aggregation stays single-pass, no extra shuffle."""
+    if fld != "*" and fld in df.columns:
+        return F.col(fld)
+    if fld != "*" and "field" in df.columns:
+        return F.when(F.col("field") == fld, F.col("f_float"))
+    return F.col("f_float")
+
+
+def _field_value_sql(fld: str, df: DataFrame) -> str:
+    """SQL-text twin of :func:`_field_value_col` for F.expr sites."""
+    if fld != "*" and fld in df.columns:
+        return fld
+    if fld != "*" and "field" in df.columns:
+        esc = fld.replace("'", "''")
+        return f"(CASE WHEN field = '{esc}' THEN f_float END)"
+    return "f_float"
+
+
 def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
     """One InfluxQL aggregate/selector as a Spark aggregate Column."""
-    src = fld if fld != "*" and fld in df.columns else "f_float"
-    col = F.col(src)
+    col = _field_value_col(fld, df)
     if fn in _AGGS:
         if fn == "spread":
             return (F.max(col) - F.min(col)).alias(alias)
@@ -1300,12 +1348,18 @@ def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
         return F.count_distinct(col).alias(alias)
     if fn in ("min", "max"):
         # selector semantics: extreme value, ties → earliest time ⇒
-        # always min_by over (±value, time)
-        order = F.struct(col if fn == "min" else -col, F.col("time_ns"))
+        # always min_by over (±value, time); null ordering rows
+        # (other fields of a multi-field measurement) are skipped by
+        # min_by/max_by's null-ordering semantics
+        order = F.when(
+            col.isNotNull(),
+            F.struct(col if fn == "min" else -col, F.col("time_ns")),
+        )
         return F.min_by(col, order).alias(alias)
     if fn in ("first", "last"):
         pick = F.min_by if fn == "first" else F.max_by
-        return pick(col, F.col("time_ns")).alias(alias)
+        t_order = F.when(col.isNotNull(), F.col("time_ns"))
+        return pick(col, t_order).alias(alias)
     if fn == "percentile":
         # InfluxQL PERCENTILE(f, p): the actual data value at rank
         # round(n·p/100 + ½) ≡ max(1, ⌈n·p/100⌉) — a group-local
@@ -1314,16 +1368,22 @@ def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
         if not args:
             raise InfluxQLError("PERCENTILE needs (field, p)")
         qv = float(args[0]) / 100.0
+        src_e = _field_value_sql(fld, df)
         return F.expr(
-            f"element_at(array_sort(collect_list({src})), "
-            f"greatest(1, cast(ceil({qv!r} * count({src})) as int)))"
+            f"element_at(array_sort(collect_list({src_e})), "
+            f"greatest(1, cast(ceil({qv!r} * count({src_e})) as int)))"
         ).alias(alias)
     if fn == "integral":
         # trapezoid fold over the group's time-sorted points —
         # InfluxQL INTEGRAL(f[, unit]); group-local like PERCENTILE
         unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
-        # struct field order = sort order: time first
-        arr = f"array_sort(collect_list(struct(time_ns as t, {src} as v)))"
+        src_e = _field_value_sql(fld, df)
+        # struct field order = sort order: time first; other-field
+        # rows carry v = NULL and contribute nothing after the filter
+        arr = (
+            "array_sort(filter(collect_list("
+            f"struct(time_ns as t, {src_e} as v)), x -> x.v is not null))"
+        )
         return F.expr(
             f"aggregate(zip_with(slice({arr}, 1, size({arr}) - 1), "
             f"slice({arr}, 2, size({arr}) - 1), "

@@ -310,6 +310,9 @@ def from_points(
     df: DataFrame, group_key: Sequence[str] = ("measurement", "field")
 ) -> Pipeline:
     """Start a pipeline from a canonical points DataFrame."""
+    from ..schema import unify_numeric_value
+
+    df = unify_numeric_value(df)  # int/uint slots → the _value column
     order = ("time_ns", "ingest_seq") if "ingest_seq" in df.columns else ("time_ns",)
     return Pipeline(df, tuple(group_key), order=order)
 

@@ -57,6 +57,35 @@ VALUE_SLOTS = {
 }
 
 
+def unify_numeric_value(df: DataFrame) -> DataFrame:
+    """Fold the integer value slots into ``f_float`` at QUERY entry.
+
+    The tall schema stores each field value in its typed slot
+    (``f_float``/``f_int``/``f_uint``); every numeric operator reads
+    ``f_float``. Without this fold, integer line-protocol fields
+    (``c=5i`` — counters, the most common telemetry shape) silently
+    aggregate to NULL (r6 probe). The fold is a per-row coalesce —
+    one map-side projection, no shuffle — and is applied only when an
+    integer slot exists, so float-only frames (and their plan
+    fingerprints) are untouched.
+
+    Divergence, documented: int values surface as double downstream
+    (annotated-CSV datatype, sums beyond 2^53 lose exactness). The
+    storage slots themselves are NOT modified — writes/compaction keep
+    full type fidelity; string/bool fields stay in their slots.
+    """
+    if "f_float" not in df.columns:
+        return df
+    parts = [F.col("f_float")]
+    if "f_int" in df.columns:
+        parts.append(F.col("f_int").cast("double"))
+    if "f_uint" in df.columns:
+        parts.append(F.col("f_uint").cast("double"))
+    if len(parts) == 1:
+        return df
+    return df.withColumn("f_float", F.coalesce(*parts))
+
+
 def series_key(df: DataFrame, tag_cols: list[str] | None = None) -> DataFrame:
     """Add a deterministic ``series_key`` string column.
 

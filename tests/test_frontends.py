@@ -2004,3 +2004,67 @@ def test_flux_conversion_stages_uint_time_duration(pts):
         '|> map(fn: (r) => ({r with _value: 1600000000000000000})) |> toTime()',
     ).collect()
     assert all(r.f_float.year == 2020 for r in t)
+
+
+@pytest.fixture(scope="module")
+def multifield_pts(spark):
+    """A line-protocol-shaped tall frame with int (c), uint (u) and
+    float (f) fields interleaved in one measurement."""
+    import pandas as pd
+
+    from aws_greengrass_labs_database_influxdb_spark.schema import POINTS_SCHEMA
+    from aws_greengrass_labs_database_influxdb_spark.sources.lineprotocol import (
+        parse_lines,
+    )
+
+    t0 = 1_600_000_000_000_000_000
+    lines = [f"im,host=a c={i}i {t0 + i * 10**9}" for i in range(10)]
+    lines += [f"im,host=a u={i}u {t0 + i * 10**9}" for i in range(4)]
+    lines += [f"im,host=a f={i}.5 {t0 + i * 10**9}" for i in range(3)]
+    pdf = pd.DataFrame(parse_lines(lines))
+    pdf["time"] = pd.to_datetime(pdf["time_ns"] // 1000, unit="us")
+    return spark.createDataFrame(
+        pdf[[f.name for f in POINTS_SCHEMA.fields]], POINTS_SCHEMA
+    ).cache()
+
+
+def test_influxql_integer_fields_and_multifield_isolation(multifield_pts):
+    """(r6 fixes) Integer/uint value slots aggregate (were all-NULL),
+    and a named field reads ONLY its own rows on a multi-field
+    measurement (mean(c) used to average c AND u together)."""
+    pts = multifield_pts
+
+    def one(q):
+        rows = execute_influxql(pts, q).collect()
+        return rows[0][rows[0].__fields__[-1]]
+
+    assert one("SELECT mean(c) FROM im") == 4.5
+    assert one("SELECT sum(c) FROM im") == 45.0
+    assert one("SELECT count(c) FROM im") == 10
+    assert one("SELECT max(u) FROM im") == 3.0
+    assert one("SELECT min(c) FROM im") == 0.0
+    assert one("SELECT first(f) FROM im") == 0.5
+    assert one("SELECT percentile(c, 50) FROM im") == 4.0
+    assert one("SELECT integral(c, 1s) FROM im") == 40.5  # trapezoid 0..9
+    raw = execute_influxql(pts, "SELECT u FROM im").collect()
+    assert [r.u for r in raw] == [0.0, 1.0, 2.0, 3.0]
+    d = execute_influxql(pts, "SELECT derivative(c, 1s) FROM im").collect()
+    assert all(r.derivative == 1.0 for r in d) and len(d) == 9
+    # unknown field: no rows, like the v1 engine
+    assert execute_influxql(pts, "SELECT nosuch FROM im").count() == 0
+
+
+def test_flux_integer_fields(multifield_pts):
+    """(r6 fix) Flux over int fields: _value resolves through the
+    numeric-slot fold; per-field grouping keeps fields separate."""
+    out = execute_flux(
+        multifield_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "c") |> mean()',
+    ).collect()
+    assert out[0]["mean"] == 4.5
+    n = execute_flux(
+        multifield_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._value > 3.0) |> count()',
+    ).collect()
+    by_field = {r["field"]: r["count"] for r in n}
+    assert by_field == {"c": 6}  # u max 3, f max 2.5 — no rows pass
