@@ -1109,3 +1109,21 @@ def test_flux_query_dialect(served):
     text = body.decode() if isinstance(body, bytes) else body
     assert text.startswith("#datatype") and ",result,table," not in text
     assert "#group" not in text and "#default" not in text
+
+
+def test_integer_field_end_to_end(served):
+    """(r6) Integer line-protocol fields aggregate through the full
+    facade: write 5i counters, query mean/max back over /query."""
+    base, engine, tokens = served
+    lines = "\n".join(
+        f"ctr,host=e2e hits={i}i {T0 + 86_400_000_000_000 * 30 + i * 10**9}"
+        for i in range(6)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+    qq = urllib.parse.quote("SELECT mean(hits), max(hits) FROM ctr")
+    status, body = _req(base, f"/query?db=greengrass-telemetry&q={qq}",
+                        token=tokens["RW"])
+    series = json.loads(body)["results"][0]["series"][0]
+    row = dict(zip(series["columns"], series["values"][0]))
+    assert row["mean"] == 2.5 and row["max"] == 5.0
