@@ -393,11 +393,11 @@ class HttpApi:
                     q2["bucket"] = q2["db"]
                 prec = q2.get("precision", "ns")
                 q2["precision"] = {"n": "ns", "u": "us", "µ": "us"}.get(prec, prec)
-                if q2["precision"] in ("m", "h"):
-                    raise ApiError(
-                        400, "invalid",
-                        "minute/hour write precision is not supported"
-                    )
+                # m/h pass through: InfluxDB 1.x accepts minute/hour
+                # precision (timestamps scale ×60e9 / ×3600e9 in the
+                # line-protocol parser) — rejecting them broke legacy
+                # clients (ADVICE r6)
+                q2["_v1"] = "1"
                 self._handle_write(handler, q2, body)
             elif route == ("POST", "/api/v2/query"):
                 self._handle_query_flux(handler, q, body)
@@ -527,6 +527,13 @@ class HttpApi:
         org = q.get("org") or self.engine.config.org
         bucket = q.get("bucket") or self.engine.config.bucket
         precision = q.get("precision", "ns")
+        # m/h reach here only via the v1 /write route; the v2 API's
+        # own precision set is ns/us/ms/s (public API contract)
+        if q.get("_v1") is None and precision not in ("ns", "us", "ms", "s"):
+            raise ApiError(
+                400, "invalid",
+                f"invalid precision {precision!r} (ns, us, ms, s)"
+            )
         self._authorize(handler, "write", org, bucket)
         lines = body.decode().splitlines()
         rows = parse_lines(lines, precision=precision, default_time_ns=time.time_ns())

@@ -14,6 +14,7 @@ scoped token permissions.
 from __future__ import annotations
 
 import hashlib
+import hmac
 import secrets as _secrets
 from dataclasses import dataclass, field
 
@@ -26,8 +27,17 @@ class UserError(ValueError):
     """Typed v1 user-management error → 400/404 at the facade."""
 
 
+# PBKDF2 work factor: upstream InfluxDB 1.x uses bcrypt(cost=10); a
+# keyed-stretch KDF with ~1e5 iterations is the stdlib equivalent —
+# a dumped registry costs ~100k SHA-256 per guess instead of 1
+# (ADVICE r6: plain salted SHA-256 is offline-brute-forceable).
+_PBKDF2_ITERS = 100_000
+
+
 def _hash(password: str, salt: str) -> str:
-    return hashlib.sha256(f"{salt}:{password}".encode()).hexdigest()
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode(), salt.encode(), _PBKDF2_ITERS
+    ).hex()
 
 
 @dataclass
@@ -68,7 +78,11 @@ class UserRegistry:
 
     def check_password(self, name: str, password: str) -> bool:
         rec = self._users.get(name)
-        return bool(rec) and _hash(password, rec.salt) == rec.pw_hash
+        # constant-time compare: digest equality must not leak a
+        # prefix-length timing channel
+        return bool(rec) and hmac.compare_digest(
+            _hash(password, rec.salt), rec.pw_hash
+        )
 
     def grant(self, name: str, db: str, privilege: str) -> None:
         rec = self._get(name)

@@ -118,6 +118,7 @@ def parse_mp3(content: bytes) -> dict:
     audio_bytes = 0
     first = None
     vbr_frames = None
+    xing_vbr = False
     rates = set()
     while pos + 4 <= end:
         (header,) = struct.unpack_from(">I", content, pos)
@@ -136,10 +137,14 @@ def parse_mp3(content: bytes) -> dict:
                 if flags & 0x1 and xo + 12 <= end:
                     (vbr_frames,) = struct.unpack_from(">I", content, xo + 8)
                 if tag == b"Xing":
-                    # an Xing (not Info) tag marks a VBR file; the tag
-                    # frame itself carries no audio
-                    pos += fr["size"]
-                    continue
+                    xing_vbr = True
+                # the tag frame itself carries no audio for BOTH
+                # spellings — LAME writes 'Info' on CBR files; counting
+                # it inflated n_frames/duration by one frame and biased
+                # the byte-weighted bitrate (ADVICE r6). Only 'Xing'
+                # marks the file as VBR.
+                pos += fr["size"]
+                continue
         n_frames += 1
         total_samples += fr["samples"]
         audio_bytes += fr["size"]
@@ -166,7 +171,7 @@ def parse_mp3(content: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": duration_ms,
         "bitrate_kbps": avg_kbps,
-        "vbr": len(rates) > 1 or vbr_frames is not None,
+        "vbr": len(rates) > 1 or xing_vbr,
     }
 
 

@@ -1924,13 +1924,22 @@ def _run_pipeline(
                 *[F.col(c) for c in (pipe.order or ("time_ns",))]
             )
             nxt = F.lead("time_ns").over(w)
-            stop_col = COLMAP.get(
-                _lit(args.get("stopColumn", '"_stop"')), "_stop_ns"
-            )
+            # resolve stopColumn through COLMAP but FALL BACK TO THE
+            # USER'S NAME, not _stop_ns — a custom stopColumn (e.g.
+            # "myStop") must bind to that column, and an absent explicit
+            # column is a typed error rather than a silent fallback
+            # (ADVICE r6).
+            stop_name = _lit(args.get("stopColumn", '"_stop"'))
+            stop_col = COLMAP.get(stop_name, stop_name)
             if "stop" in args:
                 tail_stop = F.lit(_time_to_ns(args["stop"], now_ns))
             elif stop_col in df.columns:
                 tail_stop = F.col(stop_col)
+            elif "stopColumn" in args:
+                raise FluxError(
+                    f"events.duration() stopColumn {stop_name!r} is not a "
+                    "column of the input"
+                )
             elif range_bounds[1] is not None:
                 tail_stop = F.lit(range_bounds[1])
             else:

@@ -242,14 +242,40 @@ def _default_arith_alias(tree) -> str:
     return "expr"
 
 
+_QUOTED_SPAN_RX = re.compile(
+    r"""'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*\"""", re.S
+)
+
+
+def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
+    """``re.sub`` that leaves single-quoted string literals and
+    double-quoted identifiers untouched — blind text rewrites were
+    corrupting conditions like ``tag = 'a<>b'`` and values containing
+    ``'::tag'`` (ADVICE r6)."""
+    out, pos = [], 0
+    for m in _QUOTED_SPAN_RX.finditer(text):
+        out.append(re.sub(pattern, repl, text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, text[pos:]))
+    return "".join(out)
+
+
+def _search_outside_quotes(pattern: str, text: str):
+    """``re.search`` restricted to text outside quoted spans."""
+    masked = _QUOTED_SPAN_RX.sub(lambda m: " " * len(m.group(0)), text)
+    return re.search(pattern, masked)
+
+
 def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> None:
     """Parse a WHERE clause (time bounds, tag =/!=/=~/!~, field
     comparisons, parenthesized OR groups) into ``out`` — shared by
     SELECT and SHOW parsing. ``now_ns`` anchors ``now() ± duration``
     bounds (the standard Grafana time-picker shape); defaults to the
     wall clock."""
-    # `<>` is InfluxQL's alternate not-equals spelling
-    where = re.sub(r"<>", "!=", where) if where else where
+    # `<>` is InfluxQL's alternate not-equals spelling (rewritten only
+    # outside quoted literals)
+    where = _sub_outside_quotes(r"<>", "!=", where) if where else where
     for cond in re.split(r"(?i)\s+AND\s+", where) if where else []:
         cond = cond.strip()
         if not cond:
@@ -345,8 +371,8 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     # so strip them everywhere (SELECT, WHERE, GROUP BY, subqueries).
     # ``::<type>`` value casts are type FILTERS in the v1 engine; a
     # typed error beats silently ignoring them.
-    text = re.sub(r"::(?:field|tag)\b", "", text)
-    bad_cast = re.search(r"::(\w+)", text)
+    text = _sub_outside_quotes(r"::(?:field|tag)\b", "", text)
+    bad_cast = _search_outside_quotes(r"::(\w+)", text)
     if bad_cast:
         raise InfluxQLError(
             f"type cast ::{bad_cast.group(1)} is not supported "

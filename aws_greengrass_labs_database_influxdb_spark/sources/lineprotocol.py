@@ -38,7 +38,16 @@ from ..schema import (
     POINTS_SCHEMA,
 )
 
-_PRECISION_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+_PRECISION_NS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    # v1-only write precisions (InfluxDB 1.x /write accepts m and h;
+    # the v2 API does not — the facade enforces that split)
+    "m": 60 * 1_000_000_000,
+    "h": 3600 * 1_000_000_000,
+}
 
 _TRUE = {"t", "T", "true", "True", "TRUE"}
 _FALSE = {"f", "F", "false", "False", "FALSE"}
@@ -122,7 +131,10 @@ def parse_line(line: str, precision: str = "ns") -> list[dict]:
     line = line.strip()
     if not line or line.startswith("#"):
         return []
-    mult = _PRECISION_NS[precision]
+    try:
+        mult = _PRECISION_NS[precision]
+    except KeyError:
+        raise LineProtocolError(f"invalid precision {precision!r}") from None
 
     # measurement (ends at unescaped ',' or ' ')
     it = _split_escaped(line, frozenset(", "))

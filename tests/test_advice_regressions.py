@@ -243,3 +243,161 @@ def test_value_alias_fallback_exhaustive(spark):
             'from(bucket:"b") |> mean()'
             ' |> duplicate(column: "mean", as: "count") |> sum()',
         )
+
+
+# --------------------------------------------------- ADVICE r6 pins
+
+def test_events_duration_custom_stop_column(spark):
+    """ADVICE r6 (low, flux.py events.duration): a custom stopColumn
+    (not in COLMAP) must bind to THAT column — previously any unknown
+    name silently fell back to _stop_ns — and a missing explicit
+    column is a typed FluxError, not a silent range-stop fallback."""
+    t0 = 1704067200_000_000_000
+    pts_mini = spark.createDataFrame(
+        [(t0 + i * 10**9, float(i), "e", "events", "value",
+          t0 + 100 * 10**9) for i in range(3)],
+        "time_ns long, f_float double, event_type string, "
+        "measurement string, field string, myStop long",
+    ).withColumn("time", F.expr("timestamp_micros(time_ns div 1000)"))
+    out = execute_flux(
+        pts_mini,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        ' |> events.duration(unit: 1s, stopColumn: "myStop")',
+    )
+    rows = sorted((r["time_ns"], r["duration"]) for r in out.collect())
+    # gaps are 1s; the LAST event closes against myStop (t0+100s), so
+    # its duration is 100 - 2 = 98 s — range-stop fallback would differ
+    assert rows == [(t0, 1), (t0 + 10**9, 1), (t0 + 2 * 10**9, 98)]
+    with pytest.raises(FluxError, match="stopColumn"):
+        execute_flux(
+            pts_mini,
+            'from(bucket:"b") |> group(columns: ["event_type"])'
+            ' |> events.duration(unit: 1s, stopColumn: "noSuch")',
+        )
+
+
+def test_user_passwords_pbkdf2_and_constant_time():
+    """ADVICE r6 (low, users.py:28): passwords at rest are PBKDF2-HMAC
+    (work-factored), not single SHA-256, and verification still
+    round-trips; digests compare via hmac.compare_digest."""
+    import hashlib
+
+    from aws_greengrass_labs_database_influxdb_spark.control.users import (
+        UserRegistry,
+        _PBKDF2_ITERS,
+        _hash,
+    )
+
+    reg = UserRegistry()
+    reg.create("alice", "Sup3rSecret#Pass!A")
+    assert reg.check_password("alice", "Sup3rSecret#Pass!A")
+    assert not reg.check_password("alice", "Sup3rSecret#Pass!B")
+    rec = reg._users["alice"]
+    # the stored hash is the PBKDF2 stretch, NOT a fast single hash
+    assert rec.pw_hash == hashlib.pbkdf2_hmac(
+        "sha256", b"Sup3rSecret#Pass!A", rec.salt.encode(), _PBKDF2_ITERS
+    ).hex()
+    assert rec.pw_hash != hashlib.sha256(
+        f"{rec.salt}:Sup3rSecret#Pass!A".encode()
+    ).hexdigest()
+    assert _PBKDF2_ITERS >= 100_000
+
+
+def test_mp3_info_tag_frame_not_counted_as_audio():
+    """ADVICE r6 (low, codec_meta.py:134): a LAME 'Info' tag frame
+    (CBR spelling of Xing) is skipped from audio stats like 'Xing' is,
+    and does NOT mark the file VBR."""
+    import struct as _struct
+
+    from aws_greengrass_labs_database_influxdb_spark.ext.codec_meta import (
+        _mp3_frame,
+        parse_mp3,
+    )
+
+    def mp3_frame(kbps_idx: int) -> bytes:
+        # MPEG-1 layer-3 44.1 kHz stereo frame, zero payload
+        header = (0x7FF << 21 | 3 << 19 | 1 << 17 | 1 << 16
+                  | kbps_idx << 12 | 0 << 10 | 0 << 9 | 0 << 6)
+        size = _mp3_frame(header)["size"]
+        return _struct.pack(">I", header) + b"\x00" * (size - 4)
+
+    first = bytearray(mp3_frame(9))  # stereo MPEG-1 -> side info 32
+    xo = 4 + 32
+    first[xo: xo + 4] = b"Info"
+    first[xo + 4: xo + 8] = _struct.pack(">I", 1)  # FRAMES flag
+    first[xo + 8: xo + 12] = _struct.pack(">I", 4)
+    m = parse_mp3(bytes(first) + mp3_frame(9) * 4)
+    assert m["n_frames"] == 4          # tag frame excluded
+    assert m["vbr"] is False           # Info = CBR
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+
+
+def test_influxql_rewrites_skip_quoted_literals(pts):
+    """ADVICE r6 (low, influxql.py:252): the `<>` → `!=` and
+    ::field/::tag text rewrites must not fire inside quoted string
+    literals — `tag = 'a<>b'` and values containing '::tag' survive
+    verbatim."""
+    # value containing <> : must parse as equality against the literal
+    out = execute_influxql(
+        pts,
+        "SELECT count(value) FROM events WHERE event_type = 'a<>b'",
+    )
+    assert out.count() == 0 or out.collect()[0]["count"] == 0
+    # value containing ::tag : the strip must not eat it; ::field on
+    # the identifier outside quotes still strips
+    out2 = execute_influxql(
+        pts,
+        "SELECT count(value::field) FROM events WHERE event_type = 'x::tag'",
+    )
+    assert out2.count() == 0 or out2.collect()[0]["count"] == 0
+    # and a real series still matches with both rewrites active
+    real = execute_influxql(
+        pts,
+        "SELECT count(value::field) FROM events WHERE event_type <> 'nope'",
+    )
+    assert real.collect()[0]["count"] > 0
+
+
+def test_v1_write_minute_hour_precision(spark, tmp_path_factory):
+    """ADVICE r6 (low, httpapi.py:393): the v1 /write route accepts
+    precision=m and h (scaling timestamps ×60e9/×3600e9) like InfluxDB
+    1.x; the v2 /api/v2/write route still rejects them with 400."""
+    from aws_greengrass_labs_database_influxdb_spark.control.engine import Engine, EngineConfig
+    from aws_greengrass_labs_database_influxdb_spark.control.httpapi import HttpApi
+    from aws_greengrass_labs_database_influxdb_spark.control.secrets import CredentialsProvider
+
+    cfg = EngineConfig(store_root=str(tmp_path_factory.mktemp("v1prec")))
+    engine = Engine(spark, cfg)
+    engine.setup(CredentialsProvider(GOOD_SECRET))
+    engine.serve()
+    api = HttpApi(engine)
+    host, port = api.start()
+    try:
+        base = f"http://{host}:{port}"
+        rw = engine.get_publish_json(
+            {"action": "RetrieveToken", "accessLevel": "RW"}
+        )["InfluxDBToken"]
+
+        def write(path, body):
+            req = urllib.request.Request(
+                base + path, method="POST", data=body.encode()
+            )
+            req.add_header("Authorization", f"Token {rw}")
+            return urllib.request.urlopen(req).status
+
+        db = cfg.bucket
+        assert write(f"/write?db={db}&precision=m", "m1 value=1 10") == 204
+        assert write(f"/write?db={db}&precision=h", "m1 value=2 3") == 204
+        rows = {
+            r["time_ns"]: r["f_float"]
+            for r in engine.store.read_points(cfg.org, db)
+            .filter(F.col("measurement") == "m1").collect()
+        }
+        assert rows == {10 * 60 * 10**9: 1.0, 3 * 3600 * 10**9: 2.0}
+        # v2 write API keeps its own contract: m/h are 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            write(f"/api/v2/write?bucket={db}&precision=m", "m1 value=3 5")
+        assert e.value.code == 400
+    finally:
+        api.stop()
+        engine.close()

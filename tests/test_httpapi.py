@@ -157,7 +157,7 @@ def test_influxql_v1_query(served):
     _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
          token=tokens["RW"], body=lines, ctype="text/plain")
     q = urllib.parse.quote(
-        "SELECT SUM(value) FROM cpu WHERE time >= '2024-01-01T00:00:00Z'"
+        "SELECT SUM(usage) FROM cpu WHERE time >= '2024-01-01T00:00:00Z'"
         " AND time < '2024-01-02T00:00:00Z' GROUP BY time(1h)"
     )
     status, body = _req(
@@ -219,7 +219,7 @@ def test_v1_delete_statement(served):
         assert e.code == 403
     status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RW"])
     assert status == 200
-    sel = urllib.parse.quote("SELECT value FROM disk GROUP BY host")
+    sel = urllib.parse.quote("SELECT used FROM disk GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
     assert len(vals) == 1  # only host=b survives
@@ -236,7 +236,7 @@ def test_v1_drop_series(served):
     q = urllib.parse.quote("DROP SERIES FROM dropme WHERE host = 'a'")
     status, _ = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RW"])
     assert status == 200
-    sel = urllib.parse.quote("SELECT value FROM dropme GROUP BY host")
+    sel = urllib.parse.quote("SELECT rx FROM dropme GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
     assert len(vals) == 1 and vals[0][-1] == 2.0  # only host=b survives
@@ -250,7 +250,7 @@ def test_v1_multi_statement(served):
          token=tokens["RW"], body=f"multi,host=a v=1.0 {T0}", ctype="text/plain")
     q = urllib.parse.quote(
         "SHOW DATABASES; SHOW TAG VALUES FROM multi WITH KEY = \"host\"; "
-        "SELECT value FROM multi"
+        "SELECT v FROM multi"
     )
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"])
     results = json.loads(body)["results"]
@@ -322,7 +322,7 @@ def test_v1_select_into(served):
          ),
          ctype="text/plain")
     q = urllib.parse.quote(
-        "SELECT MEAN(value) AS rx_avg INTO net_hourly FROM net "
+        "SELECT MEAN(rx) AS rx_avg INTO net_hourly FROM net "
         "WHERE time >= '2024-01-01' AND time < '2024-01-02' GROUP BY time(1h), host"
     )
     status, body = _req(base, f"/query?db=greengrass-telemetry&q={q}",
@@ -331,7 +331,7 @@ def test_v1_select_into(served):
     written = json.loads(body)["results"][0]["series"][0]["values"][0][1]
     assert written == 4  # 2 hosts x 2 hours
 
-    sel = urllib.parse.quote("SELECT value FROM net_hourly GROUP BY host")
+    sel = urllib.parse.quote("SELECT rx_avg FROM net_hourly GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
     assert len(vals) == 4
@@ -425,7 +425,7 @@ def test_v1_continuous_query_ddl_and_run(served):
 
     cq = urllib.parse.quote(
         'CREATE CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry" BEGIN '
-        "SELECT MEAN(value) AS busy_avg INTO cpu_hourly FROM cpu "
+        "SELECT MEAN(busy) AS busy_avg INTO cpu_hourly FROM cpu "
         "GROUP BY time(1h), host END"
     )
     status, _ = _req(base, f"/query?db=greengrass-telemetry&q={cq}",
@@ -445,7 +445,7 @@ def test_v1_continuous_query_ddl_and_run(served):
     reg = CQRegistry(engine.store, engine.config.org)
     reg.create(
         'CREATE CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry" BEGIN '
-        "SELECT MEAN(value) AS busy_avg INTO cpu_hourly FROM cpu "
+        "SELECT MEAN(busy) AS busy_avg INTO cpu_hourly FROM cpu "
         "GROUP BY time(1h), host END"
     )
     now_ns = T0 + 3 * 3600 * 10**9
@@ -454,7 +454,7 @@ def test_v1_continuous_query_ddl_and_run(served):
     again = reg.run_due(engine.spark, now_ns)  # idempotent re-run
     assert again["cq_cpu"] == 4
 
-    sel = urllib.parse.quote("SELECT value FROM cpu_hourly GROUP BY host")
+    sel = urllib.parse.quote("SELECT busy_avg FROM cpu_hourly GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}",
                    token=tokens["RO"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
@@ -1074,7 +1074,7 @@ def test_v1_write_endpoint(served):
         base, "/write?db=greengrass-telemetry&precision=s", "POST",
         token=tokens["RW"], body=lines, ctype="text/plain")
     assert status == 204
-    qq = urllib.parse.quote("SELECT value FROM v1m")
+    qq = urllib.parse.quote("SELECT v FROM v1m")
     status, body = _req(base, f"/query?db=greengrass-telemetry&q={qq}&epoch=s",
                         token=tokens["RW"])
     vals = json.loads(body)["results"][0]["series"][0]["values"]
@@ -1085,10 +1085,16 @@ def test_v1_write_endpoint(served):
         token=tokens["RW"], body=f"v1m,host=a v=2.5 {t_s * 10**6 + 5}",
         ctype="text/plain")
     assert status == 204
-    with pytest.raises(urllib.error.HTTPError) as e:
-        _req(base, "/write?db=greengrass-telemetry&precision=m", "POST",
-             token=tokens["RW"], body="v1m v=1 1", ctype="text/plain")
-    assert e.value.code == 400
+    # v1 minute/hour precisions are accepted (×60e9 / ×3600e9) like
+    # InfluxDB 1.x — ADVICE r6; the v2 route's 400 for them is pinned
+    # in tests/test_advice_regressions.py
+    status, _ = _req(
+        base, "/write?db=greengrass-telemetry&precision=m", "POST",
+        token=tokens["RW"], body="v1m,host=a v=3.5 1", ctype="text/plain")
+    assert status == 204
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    row = pts.filter("measurement = 'v1m' AND f_float = 3.5").collect()
+    assert [r.time_ns for r in row] == [60 * 10**9]
 
 
 def test_flux_query_dialect(served):
