@@ -75,7 +75,12 @@ CURATED_FIRST_50: list[str] = [
     "ext_dedup_minhash_lsh",
     "ext_dedup_clusters",
     "ext_span_dedup",
-    "ext_semantic_dedup",
+    # r7: surface the DSIR importance-resampling weights (hashed
+    # n-gram target/raw log-ratio under a decimal-quantized exact
+    # oracle); ext_semantic_dedup rotates out — the dedup family keeps
+    # 5 windowed rows and semantic dedup stays under the full-suite
+    # gates
+    "ext_dsir_importance",
     # r5: surface the PQ flagship and the residual IVF-PQ row (whose
     # PARTIAL-probe routing sits under the exact oracle — the
     # strongest ANN gate); ext_similarity_ivf/topk stay covered by the
@@ -83,7 +88,11 @@ CURATED_FIRST_50: list[str] = [
     # result).
     "ext_similarity_pq",
     "ext_similarity_ivfpq_residual",
-    "ext_corpus_clean",
+    # r7: surface CCNet perplexity bucketing (corpus-LM scored,
+    # per-language NTILE head/middle/tail — every boundary under the
+    # oracle); ext_corpus_clean rotates out — cleaning stays windowed
+    # via ext_gopher_rules and under the full-suite gates
+    "ext_ccnet_buckets",
     "ext_contamination",
     "ext_multimodal_features",
     # r5: surface the BPE tokenizer-training flagship; the train/val/

@@ -595,3 +595,128 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
             "c4_keep", (sentences >= 3) & ~has_lorem & ~has_brace
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column | None = None,
+    dim: int = 4096,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169 — public method): estimate
+    ``log w(x) = log p_target(x) − log p_raw(x)`` under hashed
+    bag-of-n-gram (unigram+bigram) models, Laplace-smoothed with
+    ``alpha`` over ``dim`` hash buckets. Documents scoring high are
+    distributed like the target sample; resampling by ``w`` shifts the
+    raw corpus toward it.
+
+    ``target`` is a boolean Column marking the target-domain sample
+    (default: ``source = 'src0'`` as the curated stand-in).
+
+    Output: ``(id_col, n_grams, log_weight)``.
+
+    Determinism: the gram→bucket hash is portable md5 (first 60 bits,
+    mod ``dim``), every count is an exact integer, and each bucket's
+    log-ratio is quantized to decimal(18,9) before the per-document
+    sum — associative, so Spark and any SQL oracle agree bit-for-bit;
+    the final double cast is one exact conversion.
+
+    Scale shape: one explode+groupBy builds the ``dim``-bounded bucket
+    table (4096 rows — kilobytes, broadcast); the corpus-sized gram
+    stream joins against that broadcast and re-aggregates keyed by
+    ``id_col``. Two corpus shuffles total (bucket counts + per-doc
+    sum), no driver collect, no skew key (md5 is uniform).
+    """
+    if target is None:
+        target = F.col("source") == "src0"
+    toks = _tokens(F.col(text_col))
+    bigrams = F.expr(
+        "case when size(_t) < 2 then array() "
+        "else transform(sequence(1, size(_t) - 1), "
+        "i -> concat(_t[i-1], ' ', _t[i])) end"
+    )
+    grams = (
+        df.withColumn("_t", toks)
+        .select(
+            F.col(id_col),
+            target.alias("_is_target"),
+            F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.expr(
+                    "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+                ),
+                F.lit(dim),
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("_is_target").cast("long")).alias("ct"),
+    )
+    tot = W.partitionBy()  # dim-bounded frame: the scalar totals ride along
+    a = F.lit(alpha)
+    ad = F.lit(alpha * dim)
+    delta = F.log((F.col("ct") + a) / (F.sum("ct").over(tot) + ad)) - F.log(
+        (F.col("cr") + a) / (F.sum("cr").over(tot) + ad)
+    )
+    weights = counts.select(
+        "bucket", F.round(delta, 9).cast("decimal(18,9)").alias("delta_q")
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("delta_q").cast("double").alias("log_weight"),
+        )
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    method): score each document with the corpus unigram LM
+    (:func:`unigram_logprob`) and split every language into
+    ``n_buckets`` equal-frequency buckets — bucket 1 = head (most
+    LM-typical text), last = tail. CCNet keeps head+middle for
+    training and drops tail.
+
+    Output: ``(id_col, lang_col, n_tokens, logprob_mean, ppl_bucket)``.
+
+    Determinism: the score is rounded to 6 decimals BEFORE ranking and
+    ties break on ``id_col``, so the NTILE order is total and
+    engine-portable (unrounded last-ulp float differences would
+    otherwise flip boundary documents between buckets).
+
+    Scale shape: scoring is the unigram plan (broadcast vocab, one
+    corpus shuffle); bucketing is one window over the DOC-level frame
+    partitioned by language. At 100 TB the doc frame is ~1e9 rows and
+    a language can be half of them — the production path would compute
+    per-language ``percentile_approx`` cut points (one agg + broadcast
+    threshold join, no per-lang sort); NTILE is used here because the
+    equal-frequency split is exactly reproducible by the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).withColumn(
+        "logprob_mean", F.round("logprob_mean", 6)
+    )
+    out = df.select(id_col, lang_col).join(scored, id_col)
+    w = W.partitionBy(lang_col).orderBy(
+        F.desc("logprob_mean"), F.col(id_col)
+    )
+    return out.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))

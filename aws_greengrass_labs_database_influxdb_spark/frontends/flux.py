@@ -1662,6 +1662,35 @@ def _run_pipeline(
             if from_lvl != "any":
                 cond = cond & (prev == from_lvl)
             pipe = pipe._with(staged.filter(cond).drop("_prev_level"))
+        elif name == "monitor.deadman":
+            # public Flux stdlib definition: keep each series' LAST row
+            # and flag dead = _time < t (no data since the threshold);
+            # the scheduled DeadmanCheck in streaming/tasks.py is the
+            # streaming sibling
+            if "t" not in args:
+                raise FluxError("monitor.deadman() missing required t:")
+            if "time_ns" not in df.columns:
+                raise FluxError("monitor.deadman() requires a _time column")
+            t_ns = _time_to_ns(args["t"], now_ns)
+            pipe = pipe.last()
+            pipe = pipe._with(
+                pipe.df.withColumn("dead", F.col("time_ns") < F.lit(t_ns))
+            )
+        elif name == "sql.to":
+            # stdlib sql.to from SCRIPT TEXT (sibling of sql.from):
+            # write the current table to a JDBC target and pass the
+            # stream through unchanged (Flux returns the input tables)
+            from ..sources.aux_sources import sql_to as _sql_to
+
+            drv = _lit(args.get("driverName", '""')) or None
+            if drv == "derby":
+                drv = "org.apache.derby.jdbc.EmbeddedDriver"
+            _sql_to(
+                df,
+                _lit(args["dataSourceName"]),
+                _lit(args["table"]),
+                driver=drv,
+            )
         elif name == "timeShift":
             from ..operators.core import time_shift
 

@@ -2079,3 +2079,80 @@ def ext_c4_clean(spark, sf_dir):
         "doc_id", "c4_n_kept_lines", "c4_n_sentences", "c4_has_lorem",
         "c4_has_brace", "c4_keep", F.md5("c4_text").alias("c4_text_md5"),
     )
+
+
+@q(
+    "ext_dsir_importance",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, is_t, unnest(toks) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, is_t,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t),
+    gb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+      FROM g),
+    cnt AS (
+      SELECT bucket, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM gb GROUP BY bucket),
+    tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+    wts AS (
+      SELECT bucket,
+             round(ln((ct + 0.5) / (tt + 0.5 * 4096))
+                   - ln((cr + 0.5) / (tr + 0.5 * 4096)), 9)::DECIMAL(18,9) AS dq
+      FROM cnt CROSS JOIN tots)
+    SELECT doc_id, count(*) AS n_grams,
+           (sum(dq))::DOUBLE AS log_weight
+    FROM gb JOIN wts USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def ext_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (hashed unigram+bigram models, target =
+    source 'src0'): log p_target(x) − p_raw(x) per document, for
+    importance resampling toward the target domain. The 4096-bucket
+    log-ratio table broadcasts; bucket deltas are decimal-quantized so
+    the per-doc sum is associative — the oracle is bit-exact."""
+    from ..ext.text import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance(d)
+
+
+@q(
+    "ext_ccnet_buckets",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM freq),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln(cnt / total)), 6) AS logprob_mean
+      FROM tok JOIN freq USING (token) CROSS JOIN tot
+      GROUP BY doc_id)
+    SELECT d.doc_id, d.lang, s.n_tokens, s.logprob_mean,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.logprob_mean DESC, d.doc_id) AS ppl_bucket
+    FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def ext_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: corpus unigram-LM score → per-lang
+    equal-frequency head/middle/tail buckets (1 = most LM-typical).
+    Scores are rounded before ranking with doc_id tie-break, so the
+    NTILE order is total and the oracle reproduces every boundary."""
+    from ..ext.text import ccnet_perplexity_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(d)

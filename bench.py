@@ -56,6 +56,8 @@ HEADLINE = [
     "ext_train_split",
     "ext_doc_chunks",
     "ext_pack_sequences",
+    "ext_dsir_importance",
+    "ext_ccnet_buckets",
     "influxql_count_fill0",
     "influxql_nested_grafana",
     "influxql_show_meta",

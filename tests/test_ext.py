@@ -702,3 +702,66 @@ def test_c4_clean_line_filter_semantics(spark):
     assert got[2].c4_has_lorem and not got[2].c4_keep
     assert got[3].c4_has_brace and not got[3].c4_keep
     assert got[4].c4_n_sentences == 1 and not got[4].c4_keep
+
+
+# ------------------------------------------------- DSIR / CCNet (r7)
+
+def test_dsir_importance_favors_target_like_docs(spark):
+    """Documents sharing the target sample's vocabulary must score
+    higher log-weight than documents from a disjoint vocabulary."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import dsir_importance
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    other_text = "one two three four five six seven eight nine ten"
+    rows = (
+        [(i, target_text, "src0") for i in range(5)]
+        + [(10 + i, target_text, "srcX") for i in range(3)]   # target-like
+        + [(20 + i, other_text, "srcX") for i in range(3)]    # off-target
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["log_weight"] for r in dsir_importance(df).collect()}
+    target_like = [out[10 + i] for i in range(3)]
+    off_target = [out[20 + i] for i in range(3)]
+    assert min(target_like) > max(off_target)
+    # weights are per-distribution log-ratios: identical texts tie
+    assert len(set(target_like)) == 1 and len(set(off_target)) == 1
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import dsir_importance
+
+    df = spark.createDataFrame(
+        [(0, "solo", "src0"), (1, "a b c", "srcX")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r["n_grams"] for r in dsir_importance(df).collect()}
+    assert got == {0: 1, 1: 5}  # 1 unigram; 3 unigrams + 2 bigrams
+
+
+def test_ccnet_buckets_balanced_per_lang(spark, sf_dir):
+    """NTILE(3) per language: bucket sizes differ by at most one, and
+    bucket 1 holds the highest (most typical) scores."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_perplexity_buckets(d).cache()
+    sizes = {
+        (r["lang"], r["ppl_bucket"]): r["n"]
+        for r in out.groupBy("lang", "ppl_bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        per = [v for (lg, _b), v in sizes.items() if lg == lang]
+        assert max(per) - min(per) <= 1, (lang, per)
+    # ordering invariant: every bucket-1 score >= every bucket-3 score
+    # within a language
+    agg = out.groupBy("lang").agg(
+        F.min(F.when(F.col("ppl_bucket") == 1, F.col("logprob_mean"))).alias("min1"),
+        F.max(F.when(F.col("ppl_bucket") == 3, F.col("logprob_mean"))).alias("max3"),
+    )
+    bad = agg.filter(F.col("min1") < F.col("max3")).count()
+    assert bad == 0
+    out.unpersist()

@@ -2068,3 +2068,51 @@ def test_flux_integer_fields(multifield_pts):
     ).collect()
     by_field = {r["field"]: r["count"] for r in n}
     assert by_field == {"c": 6}  # u max 3, f max 2.5 — no rows pass
+
+
+def test_flux_monitor_deadman_text(pts):
+    """monitor.deadman(t:) from script text (public stdlib definition:
+    keep each series' last row, dead = _time < t)."""
+    base = 'from(bucket:"b") |> group(columns: ["event_type"]) '
+    dead = execute_flux(
+        pts, base + "|> monitor.deadman(t: 2090-01-01T00:00:00Z)"
+    ).collect()
+    # one row per series = that series' LAST point, all dead (t in the
+    # far future means nothing reported since)
+    from pyspark.sql import functions as F
+
+    last = {
+        r["event_type"]: r["m"]
+        for r in pts.groupBy("event_type").agg(F.max("time_ns").alias("m")).collect()
+    }
+    assert {r["event_type"]: r["time_ns"] for r in dead} == last
+    assert all(r["dead"] is True for r in dead)
+    alive = execute_flux(
+        pts, base + "|> monitor.deadman(t: 1970-01-02T00:00:00Z)"
+    ).collect()
+    assert len(alive) == len(last) and all(r["dead"] is False for r in alive)
+    with pytest.raises(FluxError, match="deadman"):
+        execute_flux(pts, base + "|> monitor.deadman()")
+
+
+def test_flux_sql_to_text(pts, tmp_path):
+    """sql.to from script text: writes the piped table to the JDBC
+    target (embedded Derby) and passes the stream through."""
+    from aws_greengrass_labs_database_influxdb_spark.sources.aux_sources import sql_from
+
+    url = f"jdbc:derby:{tmp_path}/sqlto_flux"
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"]) |> count()'
+        f' |> sql.to(driverName: "derby", dataSourceName: "{url};create=true",'
+        ' table: "agg")',
+    )
+    # pass-through: the stage returns the aggregated stream unchanged
+    got = {r["event_type"]: r["count"] for r in out.collect()}
+    back = sql_from(
+        pts.sparkSession, url,
+        'SELECT "event_type", "count" FROM agg',
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    written = {r["event_type"]: r["count"] for r in back.collect()}
+    assert written == got and got

@@ -654,6 +654,12 @@ _IQL_WHERE = st.sampled_from([
     "WHERE event_type <> 'error'",
     "WHERE user_id = 5",
     "WHERE value != 0 AND event_type::tag = 'click'",
+    # r7 shapes: operator-looking text INSIDE quoted literals must
+    # survive the <>/::-rewrites verbatim (ADVICE r6)
+    "WHERE event_type = 'a<>b'",
+    "WHERE event_type = 'x::tag' OR event_type = 'y::field'",
+    "WHERE event_type <> 'p<>q' AND value > 0",
+    "WHERE event_type =~ /c.*/ AND event_type != 'no::field'",
 ])
 _IQL_GROUP = st.sampled_from([
     "", "GROUP BY time(6h)", "GROUP BY time(1d), event_type",
@@ -875,5 +881,53 @@ def test_influxql_nested_transform_fill_compiles_or_typed_error(spark, sf_dir):
             return
         assert df.columns
         df.limit(1).collect()
+
+    run()
+
+
+# --------------------- r7: quoted-literal WHERE differential fuzzing
+
+def test_influxql_quoted_literal_where_matches_model(spark):
+    """Differential fuzz for the quote-aware text rewrites (ADVICE r6):
+    tag equality against values containing operator-looking text
+    (<>, ::tag, !=, parens, spaces) must match a direct DataFrame
+    filter — both for the planted value and for near-miss probes."""
+    from hypothesis import HealthCheck
+
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
+
+    atoms = st.sampled_from(
+        ["a", "b7", "<>", "::tag", "::field", "!=", "<", ">", "(", ")",
+         " ", "-", "err"]
+    )
+    values = st.lists(atoms, min_size=1, max_size=4).map("".join).filter(
+        lambda s: s.strip() and "'" not in s
+    )
+
+    @given(val=values)
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(val):
+        t0 = 1704067200_000_000_000
+        rows = [
+            (t0 + i * 10**9, float(i), tag, "events", "value")
+            for i, tag in enumerate([val, val, "plain", f"{val}x"])
+        ]
+        pts = spark.createDataFrame(
+            rows,
+            "time_ns long, f_float double, event_type string, "
+            "measurement string, field string",
+        ).withColumn("time", F.expr("timestamp_micros(time_ns div 1000)"))
+        esc = val  # values contain no quotes by construction
+        got = execute_influxql(
+            pts, f"SELECT count(value) FROM events WHERE event_type = '{esc}'"
+        ).collect()
+        assert got and got[0]["count"] == 2
+        neq = execute_influxql(
+            pts, f"SELECT count(value) FROM events WHERE event_type <> '{esc}'"
+        ).collect()
+        assert neq and neq[0]["count"] == 2  # 'plain' + the 'x' suffix row
 
     run()
