@@ -413,6 +413,18 @@ def _strlist(v: str) -> list[str]:
     return [s.strip().strip('"') for s in v.strip("[]").split(",") if s.strip()]
 
 
+def _aw_time_src(args) -> str:
+    """aggregateWindow's ``timeSrc:`` — "_stop" (default) or "_start";
+    anything else is a typed error, not a silent stop-stamp."""
+    src = _lit(args.get("timeSrc", '"_stop"'))
+    if src not in ("_start", "_stop"):
+        raise FluxError(
+            f"aggregateWindow() timeSrc must be \"_start\" or \"_stop\", "
+            f"got {src!r}"
+        )
+    return src
+
+
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
 _ARITH_TOKEN_RX = re.compile(
@@ -1422,6 +1434,7 @@ def _run_pipeline(
                     range_start=range_bounds[0],
                     range_stop=range_bounds[1],
                     offset=args.get("offset", "0"),
+                    time_src=_aw_time_src(args),
                 )
                 pipe = pipe._with(out, group_key=by).rename(
                     {"_value_agg": "f_float"}
@@ -1442,6 +1455,7 @@ def _run_pipeline(
                     range_stop=range_bounds[1],
                     alias="_value_agg",
                     offset=args.get("offset", "0"),
+                    time_src=_aw_time_src(args),
                 )
                 pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
@@ -1493,10 +1507,18 @@ def _run_pipeline(
         elif name == "cumulativeSum":
             pipe = _promote_value(pipe.cumulative_sum(), "cumulative_sum")
         elif name == "elapsed":
-            # Flux elapsed() ADDS the duration column and keeps _value
+            # Flux elapsed() ADDS the duration column (in unit: counts,
+            # default 1s) and keeps _value; upstream drops each table's
+            # FIRST record (no previous row to diff against) — keeping
+            # it null diverged from the stdlib (r7 probe)
             from ..operators import elapsed
 
-            pipe = pipe._with(elapsed(df, by=pipe.group_key, order=list(pipe.order)))
+            unit_s = duration_ns(args.get("unit", "1s")) / 1e9
+            out = elapsed(
+                df, unit_seconds=unit_s, by=pipe.group_key,
+                order=list(pipe.order),
+            )
+            pipe = pipe._with(out.filter(F.col("elapsed").isNotNull()))
         elif name == "movingAverage":
             pipe = _promote_value(
                 pipe.moving_average(int(_lit(args["n"]))), "moving_average"
@@ -1808,14 +1830,20 @@ def _run_pipeline(
             from ..operators import analytics as _an
 
             pred = _parse_predicate(df, args["fn"].partition("=>")[2])
+            # column: names the OUTPUT (stdlib default = the camelCase
+            # stage name; the old snake_case default diverged — r7)
             if name == "stateCount":
+                out_col = _lit(args.get("column", '"stateCount"'))
                 pipe = pipe._with(_an.state_count(
-                    df, pred, by=pipe.group_key, order=list(pipe.order)
+                    df, pred, by=pipe.group_key, order=list(pipe.order),
+                    alias=out_col,
                 ))
             else:
                 unit_s = duration_ns(args.get("unit", "1s")) / 1e9
+                out_col = _lit(args.get("column", '"stateDuration"'))
                 pipe = pipe._with(_an.state_duration(
-                    df, pred, unit_s, by=pipe.group_key, order=list(pipe.order)
+                    df, pred, unit_s, by=pipe.group_key, order=list(pipe.order),
+                    alias=out_col,
                 ))
         elif name == "histogram":
             from ..operators.analytics import histogram as _hist

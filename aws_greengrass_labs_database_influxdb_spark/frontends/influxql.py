@@ -1519,6 +1519,14 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
             offset=ast.group_time_offset_ns,
         ).withColumnRenamed("_start_ns", "_ws").drop("_stop_ns")
         out = spine.join(out, on=keys, how="left")
+        # v1 semantics: COUNT of an empty interval is 0, never null —
+        # fill() does not override it (the long-standing upstream
+        # behavior users hit with fill(null)+count)
+        for (fn, _fld, alias) in ast.fields:
+            if fn == "count" and alias in value_cols:
+                out = out.withColumn(
+                    alias, F.coalesce(F.col(alias), F.lit(0))
+                )
         if isinstance(ast.fill, float):
             for c in value_cols:
                 out = out.withColumn(c, F.coalesce(F.col(c), F.lit(ast.fill)))

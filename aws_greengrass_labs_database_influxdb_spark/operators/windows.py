@@ -319,6 +319,13 @@ def aggregate_window(
         )
         spine = window_spine(df, range_start, range_stop, every, by, offset)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+        if fn == "count":
+            # Flux quirk, faithfully kept: count() of an empty table is
+            # 0, so createEmpty windows report 0 for count while every
+            # other aggregate reports null
+            grouped = grouped.withColumn(
+                out_alias, F.coalesce(F.col(out_alias), F.lit(0))
+            )
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))

@@ -713,7 +713,7 @@ def flux_text_statecount(spark, sf_dir):
     )
     return out.select(
         F.col("ingest_seq").alias("event_id"), "event_type",
-        F.col("state_count").cast("long").alias("state_count"),
+        F.col("stateCount").cast("long").alias("state_count"),
     )
 
 

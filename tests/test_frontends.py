@@ -311,7 +311,7 @@ def test_flux_text_extended_stages(pts):
         'from(bucket:"b") |> group(columns: ["event_type"])'
         " |> stateCount(fn: (r) => r._value > 150)",
     )
-    assert out.filter(F.col("state_count") > 0).count() == pts.filter(F.col("f_float") > 150).count()
+    assert out.filter(F.col("stateCount") > 0).count() == pts.filter(F.col("f_float") > 150).count()
 
     out = execute_flux(
         pts,
@@ -1638,7 +1638,7 @@ def test_flux_state_tracking_combined(pts):
     )
     assert out.count() == sc.count()
     joined = out.select("time_ns", "event_type", "c", "d").join(
-        sc.select("time_ns", "event_type", F.col("state_count").alias("sc")),
+        sc.select("time_ns", "event_type", F.col("stateCount").alias("sc")),
         ["time_ns", "event_type"],
     )
     assert joined.filter(F.col("c") != F.col("sc")).count() == 0
@@ -2116,3 +2116,41 @@ def test_flux_sql_to_text(pts, tmp_path):
     )
     written = {r["event_type"]: r["count"] for r in back.collect()}
     assert written == got and got
+
+
+def test_flux_aggwindow_timesrc_start(pts):
+    """aggregateWindow(timeSrc: "_start") stamps window STARTS (r7
+    probe: the text stage silently ignored timeSrc and always used
+    _stop); an invalid timeSrc is a typed error."""
+    base = ('from(bucket:"b") |> group(columns: ["event_type"]) '
+            '|> aggregateWindow(every: 1h, fn: mean')
+    start = execute_flux(pts, base + ', timeSrc: "_start")')
+    stop = execute_flux(pts, base + ")")
+    s = {(r["event_type"], r["time_ns"]): r["f_float"] for r in start.collect()}
+    e = {(r["event_type"], r["time_ns"]): r["f_float"] for r in stop.collect()}
+    hour = 3600 * 10**9
+    assert len(s) == len(e) and len(s) > 0
+    for (et, t), v in s.items():
+        assert e[(et, t + hour)] == v  # same window, stop = start + every
+    with pytest.raises(FluxError, match="timeSrc"):
+        execute_flux(pts, base + ', timeSrc: "_middle")')
+
+
+def test_flux_elapsed_unit_and_first_row_dropped(spark):
+    """elapsed(unit:) honors the unit and drops each table's first
+    record like the stdlib (r7 probe: unit was ignored and the first
+    row kept with a null)."""
+    t0 = 1704067200_000_000_000
+    pts_mini = spark.createDataFrame(
+        [(t0 + i * 3600 * 10**9, float(i), "e", "events", "value")
+         for i in range(4)],
+        "time_ns long, f_float double, event_type string, "
+        "measurement string, field string",
+    ).withColumn("time", F.expr("timestamp_micros(time_ns div 1000)"))
+    out = execute_flux(
+        pts_mini,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> elapsed(unit: 1m)",
+    ).orderBy("time_ns").collect()
+    assert [r["elapsed"] for r in out] == [60, 60, 60]  # minutes, 3 rows
+    assert [r["time_ns"] for r in out] == [t0 + i * 3600 * 10**9 for i in (1, 2, 3)]
