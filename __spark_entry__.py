@@ -55,7 +55,12 @@ CURATED_FIRST_50: list[str] = [
     # rotates out — the checks family stays windowed via this row and
     # deadman remains under the full-suite gates
     "flux_text_monitor_check",
-    "ts_integral",
+    # r7: surface timezone-aware window alignment (Flux `option
+    # location` — local-midnight daily buckets under a DuckDB icu
+    # time_bucket oracle); ts_integral rotates out — integral stays
+    # windowed via influxql_percentile_integral and under the
+    # full-suite gates
+    "ts_window_tz",
     # relational — all 12
     "rel_pricing_summary",
     "rel_region_revenue",

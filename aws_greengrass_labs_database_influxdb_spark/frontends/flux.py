@@ -425,6 +425,36 @@ def _aw_time_src(args) -> str:
     return src
 
 
+def _location_value(expr: str) -> str:
+    """A Flux location value → a JVM timezone id.
+
+    ``timezone.location(name: "America/Chicago")`` → the named IANA
+    zone; ``timezone.fixed(offset: -8h)`` → ``GMT-08:00`` (Flux fixed
+    offsets are east-positive, same sign convention as the GMT ids);
+    a bare string literal passes through. Reference consumption: the
+    provisioned engine serves stock Flux, whose ``option location``
+    re-aligns window boundaries to local wall clock."""
+    s = expr.strip()
+    m = re.match(r'^timezone\.location\s*\(\s*name\s*:\s*"([^"]+)"\s*\)$', s)
+    if m:
+        return m.group(1)
+    m = re.match(r"^timezone\.fixed\s*\(\s*offset\s*:\s*([-\w]+)\s*\)$", s)
+    if m:
+        off_ns = duration_ns(m.group(1))
+        if off_ns % (60 * 10**9):
+            raise FluxError(
+                "timezone.fixed(offset:) must be a whole number of minutes"
+            )
+        mins = abs(off_ns) // (60 * 10**9)
+        if mins == 0:
+            return "UTC"
+        sign = "+" if off_ns > 0 else "-"
+        return f"GMT{sign}{mins // 60:02d}:{mins % 60:02d}"
+    if s.startswith('"') and s.endswith('"'):
+        return _lit(s)
+    raise FluxError(f"unsupported location value {expr!r}")
+
+
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
 _ARITH_TOKEN_RX = re.compile(
@@ -1047,11 +1077,29 @@ def _execute_flux_script(
     env: dict[str, Pipeline] = {}
     yields: dict[str, Pipeline] = {}
     result: Pipeline | None = None
+    location = "UTC"
     for stmt in _split_statements(query):
+        om = re.match(
+            r"^\s*option\s+(location|now)\s*=\s*(.*)$", stmt, re.DOTALL
+        )
+        if om:
+            if om.group(1) == "location":
+                # option location = timezone.location(name:)/fixed(offset:)
+                # — window/aggregateWindow boundaries move to local
+                # wall-clock marks for the rest of the script
+                location = _location_value(om.group(2))
+            else:
+                # option now = () => <time> — pins now() for relative
+                # ranges (the task/dashboard replay idiom)
+                nm = re.match(r"^\(\s*\)\s*=>\s*(.+)$", om.group(2).strip())
+                if not nm:
+                    raise FluxError("option now must be () => <time literal>")
+                now_ns = _time_to_ns(nm.group(1).strip(), now_ns)
+            continue
         am = re.match(r"^\s*(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
         name, body = (am.group(1), am.group(2)) if am else (None, stmt)
         pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink,
-                             yields=yields)
+                             yields=yields, location=location)
         if name:
             env[name] = pipe
         else:
@@ -1298,6 +1346,7 @@ def _run_pipeline(
     env: dict[str, Pipeline],
     sink=None,
     yields: dict[str, Pipeline] | None = None,
+    location: str = "UTC",
 ) -> Pipeline:
     stages = _split_pipeline(body)
     if not stages:
@@ -1388,6 +1437,8 @@ def _run_pipeline(
                 args["every"],
                 period=args.get("period"),
                 offset=args.get("offset", "0"),
+                tz=_location_value(args["location"]) if "location" in args
+                else location,
             )
         elif name == "aggregateWindow":
             if "time_ns" not in df.columns:
@@ -1435,6 +1486,8 @@ def _run_pipeline(
                     range_stop=range_bounds[1],
                     offset=args.get("offset", "0"),
                     time_src=_aw_time_src(args),
+                    tz=_location_value(args["location"])
+                    if "location" in args else location,
                 )
                 pipe = pipe._with(out, group_key=by).rename(
                     {"_value_agg": "f_float"}
@@ -1456,6 +1509,8 @@ def _run_pipeline(
                     alias="_value_agg",
                     offset=args.get("offset", "0"),
                     time_src=_aw_time_src(args),
+                    tz=_location_value(args["location"])
+                    if "location" in args else location,
                 )
                 pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
@@ -1901,7 +1956,9 @@ def _run_pipeline(
             from ..operators.core import hour_selection
 
             pipe = pipe._with(hour_selection(
-                df, int(_lit(args["start"])), int(_lit(args["stop"]))
+                df, int(_lit(args["start"])), int(_lit(args["stop"])),
+                tz=_location_value(args["location"])
+                if "location" in args else location,
             ))
         elif name == "timeWeightedAvg":
             from ..operators.aggregates import time_weighted_avg as _twa

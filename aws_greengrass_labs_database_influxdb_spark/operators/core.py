@@ -170,17 +170,28 @@ def truncate_time(df: DataFrame, unit: str, time_col: str = "time") -> DataFrame
 
 
 def hour_selection(
-    df: DataFrame, start: int, stop: int, time_ns: str = "time_ns"
+    df: DataFrame, start: int, stop: int, time_ns: str = "time_ns",
+    tz: str = "UTC",
 ) -> DataFrame:
-    """Flux ``hourSelection(start:, stop:)`` — keep rows whose UTC hour
-    of day lies in ``[start, stop]`` (inclusive both ends; a wrapped
+    """Flux ``hourSelection(start:, stop:)`` — keep rows whose hour of
+    day lies in ``[start, stop]`` (inclusive both ends; a wrapped
     range like ``start: 22, stop: 2`` selects the overnight hours).
+    ``tz`` = the ``location:`` arg / ``option location`` — hours read
+    off the local wall clock.
 
     Pure integer arithmetic on epoch-ns, so the predicate stays inside
     whole-stage codegen and (unlike a timestamp-function rewrite) can
-    combine with the range() pushdown.
+    combine with the range() pushdown; the tz path swaps in the JVM's
+    zone-aware hour extraction (still codegen'd, no Python).
     """
-    hour = F.expr(f"`{time_ns}` div {3600 * 10**9}") % 24
+    if tz != "UTC":
+        hour = F.hour(
+            F.from_utc_timestamp(
+                F.timestamp_micros(F.expr(f"`{time_ns}` div 1000")), tz
+            )
+        )
+    else:
+        hour = F.expr(f"`{time_ns}` div {3600 * 10**9}") % 24
     if start <= stop:
         return df.filter((hour >= start) & (hour <= stop))
     return df.filter((hour >= start) | (hour <= stop))

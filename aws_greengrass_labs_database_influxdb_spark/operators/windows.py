@@ -114,21 +114,72 @@ def _month_index(ts: Column) -> Column:
     return (F.year(ts) - F.lit(1970)) * F.lit(12) + F.month(ts) - F.lit(1)
 
 
-def _month_start_ns(mi: Column) -> Column:
-    """Epoch-ns of the first instant of month-index ``mi`` (UTC).
+def _month_start_ns(mi: Column, tz: str = "UTC") -> Column:
+    """Epoch-ns of the first instant of month-index ``mi`` in ``tz``.
 
-    ``make_timestamp(..., 'UTC')`` keeps the calendar fixed even if a
-    caller overrides the session timezone."""
+    ``make_timestamp(..., tz)`` keeps the calendar fixed even if a
+    caller overrides the session timezone; with a Flux
+    ``option location`` the month boundary is local midnight."""
     y = (F.lit(1970) + F.floor(mi / F.lit(12))).cast("int")
     m = (F.pmod(mi, F.lit(12)) + F.lit(1)).cast("int")
     ts = F.make_timestamp(
-        y, m, F.lit(1), F.lit(0), F.lit(0), F.lit(0), F.lit("UTC")
+        y, m, F.lit(1), F.lit(0), F.lit(0), F.lit(0), F.lit(tz)
     )
     return (F.unix_micros(ts) * F.lit(1000)).cast("long")
 
 
+# --------------------------------------------------------------- timezones
+# Flux `option location = timezone.location(name:)` / `timezone.fixed
+# (offset:)` — window boundaries land on LOCAL wall-clock marks (local
+# midnight for 1d windows, including 23/25-hour days at DST
+# transitions). Implementation: map each instant to its wall-clock ns
+# (`from_utc_timestamp`, JVM tz database — pure Column exprs, still
+# whole-stage-codegen'd), bucket with the same integer arithmetic as
+# the UTC path, then map the boundary wall-times back to instants
+# (`to_utc_timestamp`). Mirrors the InfluxQL tz() machinery
+# (frontends/influxql.py) at the operator layer.
+
+
+def to_local_ns(time_ns: Column, tz: str) -> Column:
+    """Instant (epoch ns) → wall-clock ns in ``tz`` (the naive local
+    datetime re-read as UTC). Sub-µs remainder is carried through so
+    ns-precision rows keep exact bucketing."""
+    ts = F.timestamp_micros((time_ns / 1000).cast("long"))
+    return F.unix_micros(F.from_utc_timestamp(ts, tz)) * F.lit(1000) + F.pmod(
+        time_ns, F.lit(1000)
+    )
+
+
+def local_to_instant_ns(local_ns: Column, tz: str) -> Column:
+    """Wall-clock ns in ``tz`` → instant (epoch ns). Nonexistent local
+    times in a spring-forward gap resolve the way the JVM resolves
+    them (shifted forward) — same rule upstream applies."""
+    ts = F.timestamp_micros((local_ns / 1000).cast("long"))
+    return F.unix_micros(F.to_utc_timestamp(ts, tz)) * F.lit(1000) + F.pmod(
+        local_ns, F.lit(1000)
+    )
+
+
+def tz_offset_ns(tz: str, ns: int) -> int:
+    """Driver-side UTC offset of ``tz`` at instant ``ns`` — for spine
+    bound computation only (two calls per query, never per row).
+    Handles the fixed "GMT±HH:MM" ids that ``timezone.fixed`` compiles
+    to without a zoneinfo lookup."""
+    import datetime as _dt
+
+    if len(tz) > 3 and tz[:3].upper() in ("GMT", "UTC") and tz[3] in "+-":
+        sign = 1 if tz[3] == "+" else -1
+        hh, _, mm = tz[4:].partition(":")
+        return sign * (int(hh) * 3600 + int(mm or 0) * 60) * 10**9
+    from zoneinfo import ZoneInfo
+
+    d = _dt.datetime.fromtimestamp(ns / 1e9, ZoneInfo(tz))
+    return int(d.utcoffset().total_seconds()) * 10**9
+
+
 def month_window_bounds(
-    time_ns: Column, every_months: int, offset_months: int = 0
+    time_ns: Column, every_months: int, offset_months: int = 0,
+    tz: str = "UTC",
 ) -> tuple[Column, Column]:
     """``(start_ns, stop_ns)`` of the calendar-month window holding each
     row — Flux ``window(every: 1mo/3mo/1y)``.
@@ -136,14 +187,18 @@ def month_window_bounds(
     Pure JVM Column arithmetic (year/month extract → month index →
     ``make_timestamp``): whole-stage-codegen'd, no Python, and groupable
     exactly like the fixed-width path, so at 100 TB a monthly rollup is
-    still a plain hash aggregate with map-side partials.
+    still a plain hash aggregate with map-side partials. With a
+    non-UTC ``tz`` the month index is read off the LOCAL calendar and
+    the bounds are local-midnight instants.
     """
     ts = F.timestamp_micros((time_ns / 1000).cast("long"))
+    if tz != "UTC":
+        ts = F.from_utc_timestamp(ts, tz)
     mi = _month_index(ts) - F.lit(offset_months)
     wm = (F.floor(mi / F.lit(every_months)) * F.lit(every_months)).cast(
         "int"
     ) + F.lit(offset_months)
-    return _month_start_ns(wm), _month_start_ns(wm + F.lit(every_months))
+    return _month_start_ns(wm, tz), _month_start_ns(wm + F.lit(every_months), tz)
 
 
 def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
@@ -164,22 +219,38 @@ def _calendar_offset_months(offset) -> int:
 
 
 def _window_start_stop(
-    every: str | int, offset: str | int, time_ns: str
+    every: str | int, offset: str | int, time_ns: str, tz: str = "UTC"
 ) -> tuple[Column, Column]:
     """``(start_col, stop_from_start)`` for a tumbling window of
     ``every`` — fixed-width integer arithmetic, or calendar-month
     bounds when ``every`` uses ``mo``/``y`` units. ``stop_from_start``
-    is an expression over the post-aggregate ``_start_ns`` column."""
+    is an expression over the post-aggregate ``_start_ns`` column.
+
+    With ``tz`` (Flux ``option location``) the bucketing runs on
+    wall-clock ns and the emitted bounds are mapped back to instants,
+    so a 1d window is the 23/25-hour local day at a DST transition —
+    still one codegen'd hash aggregate, no Python in the row path."""
     months, fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, fixed, None, every)
         om = _calendar_offset_months(offset)
-        start_col, _ = month_window_bounds(F.col(time_ns), months, om)
+        start_col, _ = month_window_bounds(F.col(time_ns), months, om, tz)
         start_ts = F.timestamp_micros((F.col("_start_ns") / 1000).cast("long"))
-        stop_from_start = _month_start_ns(_month_index(start_ts) + F.lit(months))
+        if tz != "UTC":
+            start_ts = F.from_utc_timestamp(start_ts, tz)
+        stop_from_start = _month_start_ns(_month_index(start_ts) + F.lit(months), tz)
         return start_col, stop_from_start
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
+    if tz != "UTC":
+        local_start = window_start_ns(
+            to_local_ns(F.col(time_ns), tz), every_n, offset_n
+        )
+        start_col = local_to_instant_ns(local_start, tz)
+        stop_from_start = local_to_instant_ns(
+            to_local_ns(F.col("_start_ns"), tz) + F.lit(every_n), tz
+        )
+        return start_col, stop_from_start
     start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
     return start_col, F.col("_start_ns") + F.lit(every_n)
 
@@ -191,18 +262,20 @@ def window(
     offset: str | int = 0,
     time_ns: str = "time_ns",
     time_col: str = "time",
+    tz: str = "UTC",
 ) -> DataFrame:
     """Flux ``window(every:, period:, offset:)`` — assign window bounds.
 
     Adds ``_start_ns``/``_stop_ns`` (and µs ``_start``/``_stop``) to each
     row. Tumbling path (period == every) is pure column arithmetic;
-    sliding uses Spark's native window explode.
+    sliding uses Spark's native window explode. ``tz`` (Flux ``option
+    location``) aligns bounds to local wall-clock marks.
     """
     months, _fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, _fixed, period, every)
         om = _calendar_offset_months(offset)
-        start_c, stop_c = month_window_bounds(F.col(time_ns), months, om)
+        start_c, stop_c = month_window_bounds(F.col(time_ns), months, om, tz)
         out = df.withColumn("_start_ns", start_c).withColumn("_stop_ns", stop_c)
         return (
             out.withColumn(
@@ -215,9 +288,22 @@ def window(
     offset_n = duration_ns(offset) if offset else 0
     period_n = duration_ns(period) if period is not None else every_n
     if period_n == every_n:
-        start = window_start_ns(F.col(time_ns), every_n, offset_n)
-        out = df.withColumn("_start_ns", start).withColumn(
-            "_stop_ns", start + F.lit(every_n)
+        if tz != "UTC":
+            start_c, stop_from_start = _window_start_stop(
+                every, offset, time_ns, tz
+            )
+            out = df.withColumn("_start_ns", start_c).withColumn(
+                "_stop_ns", stop_from_start
+            )
+        else:
+            start = window_start_ns(F.col(time_ns), every_n, offset_n)
+            out = df.withColumn("_start_ns", start).withColumn(
+                "_stop_ns", start + F.lit(every_n)
+            )
+    elif tz != "UTC":
+        raise ValueError(
+            "window(): sliding windows (period != every) do not support "
+            "a non-UTC location"
         )
     else:
         secs = lambda n: f"{n // 10**9} seconds"  # noqa: E731
@@ -242,12 +328,17 @@ def window_spine(
     every: str | int,
     by: Sequence[str] = (),
     offset: str | int = 0,
+    tz: str = "UTC",
 ) -> DataFrame:
     """All (series × window) rows covering [start, stop) — for createEmpty.
 
     ``start``/``stop`` are epoch-ns ints. Returns columns: by... ,
     ``_start_ns``, ``_stop_ns``. Distinct series is an aggregate of the
-    data (small); the sequence explode happens once per series.
+    data (small); the sequence explode happens once per series. With
+    ``tz`` the lattice is generated in wall-clock space (two
+    driver-side offset lookups for the bounds; per-window conversion
+    stays a Column expression), so spine keys match the local-bucketed
+    aggregate's keys bit-for-bit.
     """
     months, fixed = duration_parts(every)
     if months:
@@ -256,6 +347,8 @@ def window_spine(
         import datetime as _dt
 
         def _mi(ns: int) -> int:
+            if tz != "UTC":
+                ns += tz_offset_ns(tz, ns)
             d = _dt.datetime.fromtimestamp(ns // 10**9, _dt.timezone.utc)
             return (d.year - 1970) * 12 + d.month - 1
 
@@ -267,12 +360,31 @@ def window_spine(
         else:
             spine = df.sparkSession.range(1).select(F.explode(seq).alias("_mi"))
         return (
-            spine.withColumn("_start_ns", _month_start_ns(F.col("_mi")))
-            .withColumn("_stop_ns", _month_start_ns(F.col("_mi") + F.lit(months)))
+            spine.withColumn("_start_ns", _month_start_ns(F.col("_mi"), tz))
+            .withColumn("_stop_ns", _month_start_ns(F.col("_mi") + F.lit(months), tz))
             .drop("_mi")
         )
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
+    if tz != "UTC":
+        lo = start + tz_offset_ns(tz, start)
+        hi = stop + tz_offset_ns(tz, stop)
+        first_w = (lo - offset_n) // every_n * every_n + offset_n
+        seq = F.sequence(F.lit(first_w), F.lit(hi - 1), F.lit(every_n))
+        if by:
+            spine = df.select(*by).distinct().withColumn("_local", F.explode(seq))
+        else:
+            spine = df.sparkSession.range(1).select(F.explode(seq).alias("_local"))
+        return (
+            spine.withColumn(
+                "_start_ns", local_to_instant_ns(F.col("_local"), tz)
+            )
+            .withColumn(
+                "_stop_ns",
+                local_to_instant_ns(F.col("_local") + F.lit(every_n), tz),
+            )
+            .drop("_local")
+        )
     first_w = (start - offset_n) // every_n * every_n + offset_n
     seq = F.sequence(F.lit(first_w), F.lit(stop - 1), F.lit(every_n))
     if by:
@@ -296,16 +408,17 @@ def aggregate_window(
     offset: str | int = 0,
     alias: str | None = None,
     time_ns: str = "time_ns",
+    tz: str = "UTC",
 ) -> DataFrame:
     """Flux ``aggregateWindow(every:, fn:, createEmpty:, timeSrc:)``.
 
     Window + aggregate per series; optionally emit empty windows as null
     rows (requires range_start/range_stop, epoch ns). The result's
     ``time``/``time_ns`` is the window ``_stop`` by default (Flux
-    default ``timeSrc: "_stop"``).
+    default ``timeSrc: "_stop"``). ``tz`` = Flux ``option location``.
     """
     out_alias = alias or fn
-    start_col, stop_from_start = _window_start_stop(every, offset, time_ns)
+    start_col, stop_from_start = _window_start_stop(every, offset, time_ns, tz)
     agg = AGG_FNS[fn](F.col(value)).alias(out_alias)
     grouped = (
         df.withColumn("_start_ns", start_col)
@@ -317,7 +430,7 @@ def aggregate_window(
         assert range_start is not None and range_stop is not None, (
             "createEmpty needs explicit range bounds"
         )
-        spine = window_spine(df, range_start, range_stop, every, by, offset)
+        spine = window_spine(df, range_start, range_stop, every, by, offset, tz)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
         if fn == "count":
             # Flux quirk, faithfully kept: count() of an empty table is
@@ -344,6 +457,7 @@ def aggregate_window_custom(
     time_src: str = "_stop",
     offset: str | int = 0,
     time_ns: str = "time_ns",
+    tz: str = "UTC",
 ) -> DataFrame:
     """``aggregateWindow`` whose aggregate is a table function: Flux's
     ``fn: (tables=<-) => tables |> quantile(q: ...)`` form.
@@ -352,7 +466,7 @@ def aggregate_window_custom(
     ``_start_ns`` window column appended to ``keys`` and must return
     one row per key tuple (any groupBy- or window-rank-based operator
     qualifies — same shuffle shape as the named-fn path)."""
-    start_col, stop_from_start = _window_start_stop(every, offset, time_ns)
+    start_col, stop_from_start = _window_start_stop(every, offset, time_ns, tz)
     win = df.withColumn("_start_ns", start_col)
     grouped = agg_builder(win, [*by, "_start_ns"]).withColumn(
         "_stop_ns", stop_from_start
@@ -361,7 +475,7 @@ def aggregate_window_custom(
         assert range_start is not None and range_stop is not None, (
             "createEmpty needs explicit range bounds"
         )
-        spine = window_spine(df, range_start, range_stop, every, by, offset)
+        spine = window_spine(df, range_start, range_stop, every, by, offset, tz)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (

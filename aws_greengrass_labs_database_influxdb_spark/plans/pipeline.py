@@ -138,7 +138,7 @@ class Pipeline:
             raise ValueError("mode must be 'by' or 'except'")
         return replace(self, group_key=key)
 
-    def window(self, every, period=None, offset=0) -> "Pipeline":
+    def window(self, every, period=None, offset=0, tz: str = "UTC") -> "Pipeline":
         """Flux ``window()``: adds ``_start``/``_stop`` to the group key.
 
         ``_stop_ns`` rides in the key too (functionally dependent on
@@ -157,7 +157,8 @@ class Pipeline:
             return self._with(
                 self.df_.drop("_start_ns", "_stop_ns"), group_key=key
             )
-        w = ops.window(self.df_, every, period, offset, self.time_ns_col, self.time_col)
+        w = ops.window(self.df_, every, period, offset, self.time_ns_col,
+                       self.time_col, tz)
         # re-windowing REPLACES prior bounds (Flux window() semantics):
         # the bound columns are overwritten and must not repeat in the key
         base = tuple(k for k in self.group_key if k not in ("_start_ns", "_stop_ns"))
@@ -172,7 +173,7 @@ class Pipeline:
     def aggregate_window(
         self, every, fn: str, column: str = "f_float", create_empty: bool = False,
         range_start=None, range_stop=None, alias: str | None = None,
-        offset: str | int = 0, time_src: str = "_stop",
+        offset: str | int = 0, time_src: str = "_stop", tz: str = "UTC",
     ) -> "Pipeline":
         # aggregateWindow re-windows: stale bounds from an earlier
         # window() leave the key (its own _start_ns/_stop_ns replace them)
@@ -181,7 +182,7 @@ class Pipeline:
             self.df_, every, fn, column, by=by,
             create_empty=create_empty, range_start=range_start, range_stop=range_stop,
             alias=alias, time_ns=self.time_ns_col, offset=offset,
-            time_src=time_src,
+            time_src=time_src, tz=tz,
         )
         return self._with(out, group_key=tuple(by))
 

@@ -72,6 +72,32 @@ def ts_agg_window_mean(spark, sf_dir):
 
 
 @q(
+    "ts_window_tz",
+    f"""
+    SELECT event_type,
+           epoch_ms(time_bucket(INTERVAL 1 DAY, timezone('UTC', ts),
+                    'America/Chicago')) AS w_ms,
+           {DEC_SUM} AS sum_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_window_tz(spark, sf_dir):
+    """Flux ``option location`` — daily windows aligned to America/
+    Chicago local midnight (06:00Z in January). Wall-clock bucketing is
+    pure Column arithmetic (`from_utc_timestamp` → integer div →
+    `to_utc_timestamp`), still one codegen'd hash aggregate; DST
+    23/25-hour days are pinned in tests/test_tz_windows.py (the
+    January data has no transition)."""
+    p = _pts(spark, sf_dir)
+    w = ops.window(p, "1d", tz="America/Chicago")
+    return w.groupBy("event_type", "_start_ns").agg(
+        F.sum(F.col("f_float").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("event_type", _w_ms().alias("w_ms"), "sum_value", "n")
+
+
+@q(
     "ts_rollup_routed",
     f"""
     SELECT event_type,
