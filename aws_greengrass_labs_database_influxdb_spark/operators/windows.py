@@ -301,9 +301,34 @@ def window(
                 "_stop_ns", start + F.lit(every_n)
             )
     elif tz != "UTC":
-        raise ValueError(
-            "window(): sliding windows (period != every) do not support "
-            "a non-UTC location"
+        # Sliding windows on the LOCAL lattice: explode each row into
+        # the ceil(period/every) candidate window starts ending at its
+        # aligned local bucket, keep those that actually contain the
+        # row, then map the wall-clock bounds back to instants. Same
+        # row-multiplication factor as F.window's native explode; all
+        # Column arithmetic, codegen'd.
+        local = to_local_ns(F.col(time_ns), tz)
+        s_max = local - F.pmod(local - F.lit(offset_n), F.lit(every_n))
+        n_wins = -(-period_n // every_n)  # ceil
+        starts = F.sequence(
+            s_max - F.lit((n_wins - 1) * every_n), s_max, F.lit(every_n)
+        )
+        out = (
+            df.withColumn("_local_start", F.explode(starts))
+            .filter(
+                (F.col("_local_start") <= local)
+                & (local < F.col("_local_start") + F.lit(period_n))
+            )
+            .withColumn(
+                "_start_ns", local_to_instant_ns(F.col("_local_start"), tz)
+            )
+            .withColumn(
+                "_stop_ns",
+                local_to_instant_ns(
+                    F.col("_local_start") + F.lit(period_n), tz
+                ),
+            )
+            .drop("_local_start")
         )
     else:
         secs = lambda n: f"{n // 10**9} seconds"  # noqa: E731

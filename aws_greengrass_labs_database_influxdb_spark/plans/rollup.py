@@ -106,6 +106,13 @@ def reaggregate(
         assert range_start is not None and range_stop is not None
         spine = window_spine(rollup, range_start, range_stop, every_n, by)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+        if fn == "count":
+            # same Flux quirk aggregate_window keeps: count() of an
+            # empty window is 0, every other aggregate is null —
+            # routing through the rollup must not change the answer
+            grouped = grouped.withColumn(
+                out_alias, F.coalesce(F.col(out_alias), F.lit(0))
+            )
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))

@@ -546,6 +546,9 @@ _FLUX_MID = st.sampled_from([
     '|> group()',
     '|> window(every: 1h)',
     '|> window(every: 1mo)',
+    # r7: per-call location + hourSelection with a zone
+    '|> window(every: 1d, location: timezone.location(name: "America/Chicago"))',
+    '|> hourSelection(start: 8, stop: 17, location: timezone.fixed(offset: -6h))',
     '|> map(fn: (r) => ({r with _value: r._value * 2.0}))',
     '|> map(fn: (r) => ({r with lvl: if r._value > 50.0 then "hi" else "lo"}))',
     # r6: boolean-valued map fields + string concat
@@ -568,6 +571,8 @@ _FLUX_AGG = st.sampled_from([
     "|> unique()", "|> spread()", "|> mode()",
     "|> aggregateWindow(every: 6h, fn: mean)",
     "|> aggregateWindow(every: 1mo, fn: count)",
+    '|> aggregateWindow(every: 1d, fn: mean,'
+    ' location: timezone.location(name: "America/Chicago"))',
     "|> aggregateWindow(every: 1h, fn: last, createEmpty: false)",
     "|> derivative(unit: 1s)", "|> cumulativeSum()",
     "|> difference()", "|> increase()", "|> movingAverage(n: 3)",
@@ -582,9 +587,18 @@ _FLUX_TAIL = st.sampled_from([
 ])
 
 
+_FLUX_PREAMBLE = st.sampled_from([
+    "",
+    # r7: script-level options ahead of the pipeline
+    'option location = timezone.location(name: "America/Chicago")\n',
+    "option location = timezone.fixed(offset: -8h)\n",
+    'import "timezone"\noption location = timezone.location(name: "UTC")\n',
+])
+
+
 @st.composite
 def _flux_script(draw):
-    parts = ['from(bucket:"b")', "|> range(start: 0)"]
+    parts = [draw(_FLUX_PREAMBLE) + 'from(bucket:"b")', "|> range(start: 0)"]
     parts.append(f"|> filter(fn: (r) => {draw(_FLUX_FILTER)})")
     for _ in range(2):
         mid = draw(_FLUX_MID)

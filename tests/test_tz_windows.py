@@ -98,6 +98,39 @@ def test_create_empty_spine_matches_local_lattice(spark):
     ]
 
 
+def test_sliding_window_local_lattice(spark):
+    # every: 1h, period: 2h in Chicago across spring-forward: a row at
+    # 01:30 local belongs to the windows starting 00:00 and 01:00
+    # local; both stop at local 03:00/02:00 which resolve to 08:00Z
+    # (the 02:00 hour does not exist on 2024-03-10)
+    rows = [(_ns(2024, 3, 10, 7, 30), 1.0)]  # 01:30 CST
+    out = ops.window(
+        mk(spark, rows), H, period=2 * H, tz=CHI
+    ).orderBy("_start_ns").collect()
+    got = [(r._start_ns, r._stop_ns) for r in out]
+    assert got == [
+        (_ns(2024, 3, 10, 6), _ns(2024, 3, 10, 8)),   # [00:00, 02:00) local
+        (_ns(2024, 3, 10, 7), _ns(2024, 3, 10, 8)),   # [01:00, 03:00) local
+    ]
+
+
+def test_sliding_window_tz_matches_utc_semantics_on_fixed_zone(spark):
+    """On a fixed-offset zone, sliding membership must equal the UTC
+    path run on shifted timestamps (same lattice, shifted)."""
+    rows = [(_ns(2024, 6, 1, 3, 17) + k * 1800 * 10**9, float(k)) for k in range(8)]
+    tz = "GMT-08:00"
+    off = -8 * H
+    a = ops.window(mk(spark, rows), H, period=3 * H, tz=tz).select(
+        "time_ns", "_start_ns"
+    ).collect()
+    b = ops.window(
+        mk(spark, [(t + off, v) for t, v in rows]), H, period=3 * H
+    ).select("time_ns", "_start_ns").collect()
+    got_a = sorted((r.time_ns, r._start_ns) for r in a)
+    got_b = sorted((r.time_ns - off, r._start_ns - off) for r in b)
+    assert got_a == got_b
+
+
 def test_fixed_offset_matches_integer_mirror(spark):
     """Metamorphic check: for a FIXED-offset zone, local bucketing is
     exactly UTC bucketing of (t + off) shifted back — an integer
