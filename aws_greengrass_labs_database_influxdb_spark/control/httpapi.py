@@ -397,8 +397,7 @@ class HttpApi:
                 # precision (timestamps scale ×60e9 / ×3600e9 in the
                 # line-protocol parser) — rejecting them broke legacy
                 # clients (ADVICE r6)
-                q2["_v1"] = "1"
-                self._handle_write(handler, q2, body)
+                self._handle_write(handler, q2, body, v1=True)
             elif route == ("POST", "/api/v2/query"):
                 self._handle_query_flux(handler, q, body)
             elif url.path == "/query":
@@ -523,13 +522,18 @@ class HttpApi:
 
     # ------------------------------------------------------------ endpoints
 
-    def _handle_write(self, handler, q: dict, body: bytes) -> None:
+    def _handle_write(self, handler, q: dict, body: bytes,
+                      v1: bool = False) -> None:
         org = q.get("org") or self.engine.config.org
         bucket = q.get("bucket") or self.engine.config.bucket
         precision = q.get("precision", "ns")
-        # m/h reach here only via the v1 /write route; the v2 API's
-        # own precision set is ns/us/ms/s (public API contract)
-        if q.get("_v1") is None and precision not in ("ns", "us", "ms", "s"):
+        # m/h are legal only via the v1 /write route; the v2 API's
+        # own precision set is ns/us/ms/s (public API contract). The v1
+        # marker is a function argument, NOT a query-dict sentinel — q
+        # comes straight from the client's query string, so a sentinel
+        # there would let ?precision=h&_v1=1 bypass the v2 contract
+        # (ADVICE r7).
+        if not v1 and precision not in ("ns", "us", "ms", "s"):
             raise ApiError(
                 400, "invalid",
                 f"invalid precision {precision!r} (ns, us, ms, s)"

@@ -44,6 +44,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..operators.core import ns_to_us
 from ..operators.windows import duration_ns, duration_parts
 from ..plans.pipeline import Pipeline, from_points
 
@@ -541,7 +542,7 @@ _MAP_FUNCS: dict = {
         ("v",),
         lambda v: F.when(
             v.cast("string").rlike("^-?[0-9]+$"),
-            F.timestamp_micros((v.cast("long") / F.lit(1000)).cast("long")),
+            F.timestamp_micros(ns_to_us(v)),
         ).otherwise(F.to_timestamp(v.cast("string"))),
     ),
     # duration(v:): Flux's duration type has no table representation;
@@ -1078,24 +1079,31 @@ def _execute_flux_script(
     yields: dict[str, Pipeline] = {}
     result: Pipeline | None = None
     location = "UTC"
+    # Options are HOISTED script-wide (Flux semantics): an `option`
+    # statement takes effect for every query in the script regardless
+    # of where it appears, so pre-scan all statements before running
+    # any pipeline (ADVICE r7 — positional options skewed windows for
+    # queries placed before the option line). Last assignment wins.
+    statements = []
     for stmt in _split_statements(query):
         om = re.match(
             r"^\s*option\s+(location|now)\s*=\s*(.*)$", stmt, re.DOTALL
         )
-        if om:
-            if om.group(1) == "location":
-                # option location = timezone.location(name:)/fixed(offset:)
-                # — window/aggregateWindow boundaries move to local
-                # wall-clock marks for the rest of the script
-                location = _location_value(om.group(2))
-            else:
-                # option now = () => <time> — pins now() for relative
-                # ranges (the task/dashboard replay idiom)
-                nm = re.match(r"^\(\s*\)\s*=>\s*(.+)$", om.group(2).strip())
-                if not nm:
-                    raise FluxError("option now must be () => <time literal>")
-                now_ns = _time_to_ns(nm.group(1).strip(), now_ns)
-            continue
+        if not om:
+            statements.append(stmt)
+        elif om.group(1) == "location":
+            # option location = timezone.location(name:)/fixed(offset:)
+            # — window/aggregateWindow boundaries move to local
+            # wall-clock marks for the whole script
+            location = _location_value(om.group(2))
+        else:
+            # option now = () => <time> — pins now() for relative
+            # ranges (the task/dashboard replay idiom)
+            nm = re.match(r"^\(\s*\)\s*=>\s*(.+)$", om.group(2).strip())
+            if not nm:
+                raise FluxError("option now must be () => <time literal>")
+            now_ns = _time_to_ns(nm.group(1).strip(), now_ns)
+    for stmt in statements:
         am = re.match(r"^\s*(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
         name, body = (am.group(1), am.group(2)) if am else (None, stmt)
         pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink,
@@ -1787,9 +1795,7 @@ def _run_pipeline(
             if cur not in df.columns:
                 raise FluxError(f"{name}() has no _value column to convert")
             if name == "toTime":
-                conv = F.timestamp_micros(
-                    (F.col(cur).cast("long") / F.lit(1000)).cast("long")
-                )
+                conv = F.timestamp_micros(ns_to_us(F.col(cur)))
             else:
                 spark_type = {"toInt": "long", "toFloat": "double",
                               "toString": "string", "toBool": "boolean",

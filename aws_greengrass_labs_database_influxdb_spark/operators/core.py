@@ -13,6 +13,19 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def ns_to_us(ns: Column) -> Column:
+    """Exact epoch-ns → epoch-µs (floor division by 1000).
+
+    ``(ns / 1000).cast("long")`` routes through a double whose ulp at
+    current-epoch magnitude (~2^60 ns) is 256 ns, so the truncated µs
+    can be off by ±1 µs (e.g. 1755000000000000896 ns → …001 µs instead
+    of …000). Integral ``div`` over the remainder-stripped value is
+    exact for any long, negatives included (floor, matching ``pmod``).
+    """
+    ns = ns.cast("long")
+    return F.call_function("div", ns - F.pmod(ns, F.lit(1000)), F.lit(1000))
+
+
 def range_time(
     df: DataFrame,
     start=None,
@@ -156,7 +169,7 @@ def time_shift(df: DataFrame, duration: str, time_col: str = "time",
         ns_delta = (F.unix_micros(shifted) - F.unix_micros(F.col(time_col))) * 1000
     updates = {
         time_col: F.timestamp_micros(
-            F.unix_micros(F.col(time_col)) + (ns_delta / 1000).cast("long")
+            F.unix_micros(F.col(time_col)) + ns_to_us(ns_delta)
         )
     }
     if time_ns_col is not None and time_ns_col in df.columns:

@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .aggregates import AGG_FNS
+from .core import ns_to_us
 
 NS = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9,
       "h": 3600 * 10**9, "d": 86400 * 10**9, "w": 7 * 86400 * 10**9}
@@ -143,8 +144,11 @@ def _month_start_ns(mi: Column, tz: str = "UTC") -> Column:
 def to_local_ns(time_ns: Column, tz: str) -> Column:
     """Instant (epoch ns) → wall-clock ns in ``tz`` (the naive local
     datetime re-read as UTC). Sub-µs remainder is carried through so
-    ns-precision rows keep exact bucketing."""
-    ts = F.timestamp_micros((time_ns / 1000).cast("long"))
+    ns-precision rows keep exact bucketing. The µs split uses exact
+    integral division (``ns_to_us``) — the double route's ulp at
+    epoch-ns magnitude is 256 ns, enough to move a row across a local
+    window boundary."""
+    ts = F.timestamp_micros(ns_to_us(time_ns))
     return F.unix_micros(F.from_utc_timestamp(ts, tz)) * F.lit(1000) + F.pmod(
         time_ns, F.lit(1000)
     )
@@ -154,7 +158,7 @@ def local_to_instant_ns(local_ns: Column, tz: str) -> Column:
     """Wall-clock ns in ``tz`` → instant (epoch ns). Nonexistent local
     times in a spring-forward gap resolve the way the JVM resolves
     them (shifted forward) — same rule upstream applies."""
-    ts = F.timestamp_micros((local_ns / 1000).cast("long"))
+    ts = F.timestamp_micros(ns_to_us(local_ns))
     return F.unix_micros(F.to_utc_timestamp(ts, tz)) * F.lit(1000) + F.pmod(
         local_ns, F.lit(1000)
     )
@@ -191,7 +195,7 @@ def month_window_bounds(
     non-UTC ``tz`` the month index is read off the LOCAL calendar and
     the bounds are local-midnight instants.
     """
-    ts = F.timestamp_micros((time_ns / 1000).cast("long"))
+    ts = F.timestamp_micros(ns_to_us(time_ns))
     if tz != "UTC":
         ts = F.from_utc_timestamp(ts, tz)
     mi = _month_index(ts) - F.lit(offset_months)
@@ -218,41 +222,59 @@ def _calendar_offset_months(offset) -> int:
     return om
 
 
-def _window_start_stop(
+def _window_bucket(
     every: str | int, offset: str | int, time_ns: str, tz: str = "UTC"
-) -> tuple[Column, Column]:
-    """``(start_col, stop_from_start)`` for a tumbling window of
-    ``every`` — fixed-width integer arithmetic, or calendar-month
-    bounds when ``every`` uses ``mo``/``y`` units. ``stop_from_start``
-    is an expression over the post-aggregate ``_start_ns`` column.
+) -> tuple[Column, Column, Column]:
+    """``(bucket_col, start_from_bucket, stop_from_bucket)`` for a
+    tumbling window of ``every`` — fixed-width integer arithmetic, or
+    calendar-month bounds when ``every`` uses ``mo``/``y`` units.
+    ``bucket_col`` is the groupBy key computed from the row's
+    ``time_ns``; the other two are expressions over the post-aggregate
+    ``_bucket`` column.
+
+    The bucket is kept in the window's NATIVE lattice — local
+    wall-clock ns for a tz window, month index for a calendar window —
+    and both bounds are derived from that one value. Deriving the stop
+    by round-tripping the start *instant* back to local is not
+    identity at a DST spring-forward gap (the JVM shifts nonexistent
+    local times forward), which made the aggregate's ``_stop_ns``
+    disagree with the spine's and silently drop that window's row from
+    ``createEmpty`` output.
 
     With ``tz`` (Flux ``option location``) the bucketing runs on
     wall-clock ns and the emitted bounds are mapped back to instants,
     so a 1d window is the 23/25-hour local day at a DST transition —
     still one codegen'd hash aggregate, no Python in the row path."""
+    b = F.col("_bucket")
     months, fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, fixed, None, every)
         om = _calendar_offset_months(offset)
-        start_col, _ = month_window_bounds(F.col(time_ns), months, om, tz)
-        start_ts = F.timestamp_micros((F.col("_start_ns") / 1000).cast("long"))
+        ts = F.timestamp_micros(ns_to_us(F.col(time_ns)))
         if tz != "UTC":
-            start_ts = F.from_utc_timestamp(start_ts, tz)
-        stop_from_start = _month_start_ns(_month_index(start_ts) + F.lit(months), tz)
-        return start_col, stop_from_start
+            ts = F.from_utc_timestamp(ts, tz)
+        mi = _month_index(ts) - F.lit(om)
+        bucket = (F.floor(mi / F.lit(months)) * F.lit(months)).cast(
+            "int"
+        ) + F.lit(om)
+        return (
+            bucket,
+            _month_start_ns(b, tz),
+            _month_start_ns(b + F.lit(months), tz),
+        )
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
     if tz != "UTC":
-        local_start = window_start_ns(
+        bucket = window_start_ns(
             to_local_ns(F.col(time_ns), tz), every_n, offset_n
         )
-        start_col = local_to_instant_ns(local_start, tz)
-        stop_from_start = local_to_instant_ns(
-            to_local_ns(F.col("_start_ns"), tz) + F.lit(every_n), tz
+        return (
+            bucket,
+            local_to_instant_ns(b, tz),
+            local_to_instant_ns(b + F.lit(every_n), tz),
         )
-        return start_col, stop_from_start
-    start_col = window_start_ns(F.col(time_ns), every_n, offset_n)
-    return start_col, F.col("_start_ns") + F.lit(every_n)
+    bucket = window_start_ns(F.col(time_ns), every_n, offset_n)
+    return bucket, b, b + F.lit(every_n)
 
 
 def window(
@@ -279,9 +301,9 @@ def window(
         out = df.withColumn("_start_ns", start_c).withColumn("_stop_ns", stop_c)
         return (
             out.withColumn(
-                "_start", F.timestamp_micros((F.col("_start_ns") / 1000).cast("long"))
+                "_start", F.timestamp_micros(ns_to_us(F.col("_start_ns")))
             ).withColumn(
-                "_stop", F.timestamp_micros((F.col("_stop_ns") / 1000).cast("long"))
+                "_stop", F.timestamp_micros(ns_to_us(F.col("_stop_ns")))
             )
         )
     every_n = duration_ns(every)
@@ -289,11 +311,14 @@ def window(
     period_n = duration_ns(period) if period is not None else every_n
     if period_n == every_n:
         if tz != "UTC":
-            start_c, stop_from_start = _window_start_stop(
+            bucket_c, start_e, stop_e = _window_bucket(
                 every, offset, time_ns, tz
             )
-            out = df.withColumn("_start_ns", start_c).withColumn(
-                "_stop_ns", stop_from_start
+            out = (
+                df.withColumn("_bucket", bucket_c)
+                .withColumn("_start_ns", start_e)
+                .withColumn("_stop_ns", stop_e)
+                .drop("_bucket")
             )
         else:
             start = window_start_ns(F.col(time_ns), every_n, offset_n)
@@ -341,8 +366,8 @@ def window(
             .drop("_w")
         )
     return (
-        out.withColumn("_start", F.timestamp_micros((F.col("_start_ns") / 1000).cast("long")))
-        .withColumn("_stop", F.timestamp_micros((F.col("_stop_ns") / 1000).cast("long")))
+        out.withColumn("_start", F.timestamp_micros(ns_to_us(F.col("_start_ns"))))
+        .withColumn("_stop", F.timestamp_micros(ns_to_us(F.col("_stop_ns"))))
     )
 
 
@@ -443,13 +468,15 @@ def aggregate_window(
     default ``timeSrc: "_stop"``). ``tz`` = Flux ``option location``.
     """
     out_alias = alias or fn
-    start_col, stop_from_start = _window_start_stop(every, offset, time_ns, tz)
+    bucket_col, start_e, stop_e = _window_bucket(every, offset, time_ns, tz)
     agg = AGG_FNS[fn](F.col(value)).alias(out_alias)
     grouped = (
-        df.withColumn("_start_ns", start_col)
-        .groupBy(*by, "_start_ns")
+        df.withColumn("_bucket", bucket_col)
+        .groupBy(*by, "_bucket")
         .agg(agg)
-        .withColumn("_stop_ns", stop_from_start)
+        .withColumn("_start_ns", start_e)
+        .withColumn("_stop_ns", stop_e)
+        .drop("_bucket")
     )
     if create_empty:
         assert range_start is not None and range_stop is not None, (
@@ -467,7 +494,7 @@ def aggregate_window(
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))
-        .withColumn("time", F.timestamp_micros((F.col(src) / 1000).cast("long")))
+        .withColumn("time", F.timestamp_micros(ns_to_us(F.col(src))))
     )
 
 
@@ -491,10 +518,13 @@ def aggregate_window_custom(
     ``_start_ns`` window column appended to ``keys`` and must return
     one row per key tuple (any groupBy- or window-rank-based operator
     qualifies — same shuffle shape as the named-fn path)."""
-    start_col, stop_from_start = _window_start_stop(every, offset, time_ns, tz)
-    win = df.withColumn("_start_ns", start_col)
-    grouped = agg_builder(win, [*by, "_start_ns"]).withColumn(
-        "_stop_ns", stop_from_start
+    bucket_col, start_e, stop_e = _window_bucket(every, offset, time_ns, tz)
+    win = df.withColumn("_bucket", bucket_col)
+    grouped = (
+        agg_builder(win, [*by, "_bucket"])
+        .withColumn("_start_ns", start_e)
+        .withColumn("_stop_ns", stop_e)
+        .drop("_bucket")
     )
     if create_empty:
         assert range_start is not None and range_stop is not None, (
@@ -505,7 +535,7 @@ def aggregate_window_custom(
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))
-        .withColumn("time", F.timestamp_micros((F.col(src) / 1000).cast("long")))
+        .withColumn("time", F.timestamp_micros(ns_to_us(F.col(src))))
     )
 
 
@@ -602,7 +632,7 @@ def interpolate_linear(
         .filter(F.col("_grid") == 1)
         .filter(F.col(value).isNotNull())
         .drop("_grid")
-        .withColumn("time", F.timestamp_micros((F.col(time_ns) / 1000).cast("long")))
+        .withColumn("time", F.timestamp_micros(ns_to_us(F.col(time_ns))))
     )
 
 

@@ -401,3 +401,146 @@ def test_v1_write_minute_hour_precision(spark, tmp_path_factory):
     finally:
         api.stop()
         engine.close()
+
+
+# --------------------------------------------------------- ADVICE r7 pins
+
+def test_ns_to_us_division_is_exact_at_epoch_magnitude(spark):
+    """ADVICE r7 (medium, windows.py:141): `(ns / 1000).cast("long")`
+    routes through a double whose ulp at current-epoch ns (~2^60) is
+    256 ns — 1755000000000000896 ns truncated to …001 µs instead of
+    …000, enough to move a near-boundary row into the wrong tz bucket.
+    to_local_ns/local_to_instant_ns must use exact integral division."""
+    from aws_greengrass_labs_database_influxdb_spark.operators.core import ns_to_us
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        local_to_instant_ns,
+        to_local_ns,
+    )
+
+    vals = [1755000000000000896, 1755000000000000897, -1000000000000123456]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.select(
+        F.col("v"),
+        ns_to_us(F.col("v")).alias("us"),
+        to_local_ns(F.col("v"), "America/New_York").alias("loc"),
+    ).collect()
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    for r in got:
+        assert r["us"] == r["v"] // 1000, r
+        off = int(
+            _dt.datetime.fromtimestamp(r["v"] / 1e9, ZoneInfo("America/New_York"))
+            .utcoffset().total_seconds()
+        ) * 10**9
+        assert r["loc"] == r["v"] + off, r
+    # round-trip through the local form is identity away from DST gaps
+    rt = df.select(
+        (local_to_instant_ns(
+            to_local_ns(F.col("v"), "America/New_York"), "America/New_York"
+        ) == F.col("v")).alias("ok")
+    ).collect()
+    assert all(r["ok"] for r in rt)
+
+
+def test_aggwindow_create_empty_dst_gap_start(spark):
+    """ADVICE r7 (low, windows.py:455): a tz window whose LOCAL start
+    falls in the spring-forward gap (NY 2026-03-08 02:00, every: 2h)
+    must keep its aggregated row under createEmpty — the old code
+    derived the aggregate's _stop_ns by round-tripping the start
+    *instant* back to local (gap start shifts 02:00→03:00 local, stop
+    becomes 05:00 local ≠ the spine's 04:00), so the left join dropped
+    the row and emitted a null spine row instead."""
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+    )
+
+    H = 3600 * 10**9
+    base = int(
+        __import__("datetime").datetime(
+            2026, 3, 8, 5, 0, tzinfo=__import__("datetime").timezone.utc
+        ).timestamp()
+    ) * 10**9  # 2026-03-08 00:00 America/New_York (EST)
+    rows = [
+        (base + 30 * 60 * 10**9, 1.0),   # 00:30 local — window [00:00, 02:00)
+        (base + 2 * H + 30 * 60 * 10**9, 5.0),  # 03:30 local (EDT) — [02:00, 04:00)
+    ]
+    df = spark.createDataFrame(
+        [("m", "v", t, x) for t, x in rows],
+        "measurement string, field string, time_ns long, f_float double",
+    )
+    out = aggregate_window(
+        df, "2h", "mean", value="f_float", create_empty=True,
+        range_start=base, range_stop=base + 4 * H,  # 00:00–05:00 local
+        tz="America/New_York",
+    ).select("_start_ns", "_stop_ns", "mean").collect()
+    by_start = {r["_start_ns"]: r for r in out}
+    # [00:00,02:00) local = [05:00Z,07:00Z)
+    assert by_start[base]["mean"] == 1.0
+    assert by_start[base]["_stop_ns"] == base + 2 * H
+    # [02:00,04:00) local: start 02:00 is IN the gap → instant 07:00Z,
+    # stop 04:00 EDT = 08:00Z; the 03:30-local point must be in it
+    gap = by_start[base + 2 * H]
+    assert gap["mean"] == 5.0, "DST-gap-start window lost its aggregate row"
+    assert gap["_stop_ns"] == base + 3 * H
+
+
+def test_flux_option_statements_are_hoisted(points):
+    """ADVICE r7 (low, flux.py:1081): Flux hoists `option` statements
+    script-wide — a script that places options AFTER the query must
+    get the same window alignment as one that places them first."""
+    q_after = (
+        'r = from(bucket:"b") |> range(start: 2024-01-05T00:00:00Z,'
+        " stop: 2024-01-08T00:00:00Z)"
+        " |> aggregateWindow(every: 1d, fn: mean)"
+        ' |> yield(name: "a")\n'
+        "option location = timezone.fixed(offset: -5h)"
+    )
+    q_before = (
+        "option location = timezone.fixed(offset: -5h)\n"
+        'r = from(bucket:"b") |> range(start: 2024-01-05T00:00:00Z,'
+        " stop: 2024-01-08T00:00:00Z)"
+        " |> aggregateWindow(every: 1d, fn: mean)"
+        ' |> yield(name: "a")'
+    )
+    got = sorted(
+        (r["time_ns"], round(r["f_float"], 9))
+        for r in execute_flux(points, q_after).collect()
+    )
+    want = sorted(
+        (r["time_ns"], round(r["f_float"], 9))
+        for r in execute_flux(points, q_before).collect()
+    )
+    assert got == want and got, "option after query must hoist"
+
+
+def test_v2_write_precision_sentinel_not_injectable(spark, tmp_path_factory):
+    """ADVICE r7 (low, httpapi.py:532): the v1-route marker is a
+    function argument, not a query-dict sentinel — a client POSTing
+    /api/v2/write?precision=h&_v1=1 must still get 400."""
+    from aws_greengrass_labs_database_influxdb_spark.control.engine import Engine, EngineConfig
+    from aws_greengrass_labs_database_influxdb_spark.control.httpapi import HttpApi
+    from aws_greengrass_labs_database_influxdb_spark.control.secrets import CredentialsProvider
+
+    cfg = EngineConfig(store_root=str(tmp_path_factory.mktemp("v1inj")))
+    engine = Engine(spark, cfg)
+    engine.setup(CredentialsProvider(GOOD_SECRET))
+    engine.serve()
+    api = HttpApi(engine)
+    host, port = api.start()
+    try:
+        rw = engine.get_publish_json(
+            {"action": "RetrieveToken", "accessLevel": "RW"}
+        )["InfluxDBToken"]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v2/write?bucket={cfg.bucket}"
+            "&precision=h&_v1=1",
+            method="POST", data=b"m1 value=3 5",
+        )
+        req.add_header("Authorization", f"Token {rw}")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+    finally:
+        api.stop()
+        engine.close()
