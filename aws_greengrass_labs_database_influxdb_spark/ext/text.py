@@ -625,11 +625,17 @@ def dsir_importance(
     sum — associative, so Spark and any SQL oracle agree bit-for-bit;
     the final double cast is one exact conversion.
 
-    Scale shape: one explode+groupBy builds the ``dim``-bounded bucket
-    table (4096 rows — kilobytes, broadcast); the corpus-sized gram
-    stream joins against that broadcast and re-aggregates keyed by
-    ``id_col``. Two corpus shuffles total (bucket counts + per-doc
-    sum), no driver collect, no skew key (md5 is uniform).
+    Scale shape: ONE explode pass — the gram stream is pre-aggregated
+    to per-``(doc, bucket)`` counts with map-side combine (the only
+    corpus-sized shuffle), the ``dim``-bounded bucket table (4096 rows
+    — kilobytes, broadcast) is derived from that aggregate, and the
+    weighted per-doc sum re-joins the compact doc×bucket frame, not
+    the raw grams. The r7 form ran the explode+md5 twice (bucket
+    counts, then the join) — same results, ~1.6× the work. The
+    ``n`` multiplier is cast to decimal(10,0) so the delta product
+    stays within precision 38 at scale 9 (a bigint multiplicand
+    overflows and Spark silently truncates the scale — breaks the
+    bit-exact oracle).
     """
     if target is None:
         target = F.col("source") == "src0"
@@ -658,9 +664,14 @@ def dsir_importance(
     )
     from pyspark.sql import Window as W
 
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.col("_is_target").cast("long")).alias("ct"),
+    doc_bucket = grams.groupBy(id_col, "_is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    counts = doc_bucket.groupBy("bucket").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col("_is_target"), F.col("n")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
     )
     tot = W.partitionBy()  # dim-bounded frame: the scalar totals ride along
     a = F.lit(alpha)
@@ -672,11 +683,13 @@ def dsir_importance(
         "bucket", F.round(delta, 9).cast("decimal(18,9)").alias("delta_q")
     )
     return (
-        grams.join(F.broadcast(weights), "bucket")
+        doc_bucket.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("delta_q").cast("double").alias("log_weight"),
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("delta_q") * F.col("n").cast("decimal(10,0)"))
+            .cast("double")
+            .alias("log_weight"),
         )
     )
 

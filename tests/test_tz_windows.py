@@ -226,3 +226,192 @@ from(bucket: "b") |> range(start: -1h) |> count()
 '''
     out = execute_flux(mk(spark, rows), q).collect()
     assert len(out) == 1 and out[0]["count"] == 1
+
+
+# ------------------------------------------------- randomized model gate
+
+def _py_utc_off_ns(tz: str, ns: int) -> int:
+    """UTC offset of ``tz`` at instant ``ns`` — independent zoneinfo
+    model (not the repo's tz_offset_ns)."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    if len(tz) > 3 and tz[:3] in ("GMT", "UTC") and tz[3] in "+-":
+        sign = 1 if tz[3] == "-" else -1  # note: builds the offset TO ADD
+        hh, _, mm = tz[4:].partition(":")
+        return -sign * (int(hh) * 3600 + int(mm or 0) * 60) * 10**9
+    d = dt.datetime.fromtimestamp(ns // 10**9, ZoneInfo(tz))
+    return int(d.utcoffset().total_seconds()) * 10**9
+
+
+def _py_local_to_instant_ns(tz: str, local: int) -> int:
+    """Wall-clock ns → instant ns, resolving spring-forward-gap times
+    the way java.time does (shift forward = interpret with the
+    pre-transition offset, fold=0 in PEP 495 terms)."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    if len(tz) > 3 and tz[:3] in ("GMT", "UTC") and tz[3] in "+-":
+        return local - _py_utc_off_ns(tz, local)
+    sec, sub = divmod(local, 10**9)
+    naive = dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(tzinfo=None)
+    z = naive.replace(tzinfo=ZoneInfo(tz), fold=0)
+    return int(z.timestamp()) * 10**9 + sub
+
+
+def test_tz_window_bucketing_matches_zoneinfo_model(spark):
+    """Randomized gate over the tz window path: for ns-precision rows
+    clustered around real DST transitions (NY, Berlin, Lord Howe's
+    30-minute shift) and fixed offsets, window()'s _start_ns/_stop_ns
+    must equal an independent zoneinfo bucketing model, and
+    aggregate_window(createEmpty:) must emit exactly the local-lattice
+    window set with per-window means (ADVICE r7 area: exact µs split +
+    DST-gap stop derivation)."""
+    import random
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+        duration_ns,
+        tz_offset_ns,
+        window,
+    )
+
+    rng = random.Random(8)
+    transitions = {
+        "America/New_York": [1710054000, 1730613600],   # 2024 Mar/Nov
+        "Europe/Berlin": [1711846800, 1729990800],      # 2024 Mar/Oct
+        "Australia/Lord_Howe": [1712415600, 1728116200],
+        "GMT+05:30": [1710054000],
+        "UTC": [1710054000],
+    }
+    configs = [
+        ("America/New_York", "2h", "0"),
+        ("America/New_York", "30m", "15m"),
+        ("America/New_York", "1d", "0"),
+        ("Europe/Berlin", "1h", "0"),
+        ("Australia/Lord_Howe", "1h", "0"),
+        ("Australia/Lord_Howe", "30m", "0"),
+        ("GMT+05:30", "1d", "0"),
+        ("UTC", "2h", "15m"),
+    ]
+    for tz, every, offset in configs:
+        every_n, offset_n = duration_ns(every), duration_ns(offset)
+        rows = []
+        for base in transitions[tz]:
+            for _ in range(40):
+                t = (base + rng.randrange(-36 * 3600, 36 * 3600)) * 10**9
+                t += rng.randrange(0, 10**9)  # ns part incl. sub-µs
+                rows.append(("m", rng.choice(["a", "b"]), t, rng.random()))
+        df = spark.createDataFrame(
+            rows,
+            "measurement string, field string, time_ns long, f_float double",
+        )
+
+        def model_bucket(t: int) -> int:
+            local = t + _py_utc_off_ns(tz, t)
+            return (local - offset_n) // every_n * every_n + offset_n
+
+        got = window(df, every, offset=offset, tz=tz).select(
+            "time_ns", "_start_ns", "_stop_ns"
+        ).collect()
+        for r in got:
+            b = model_bucket(r["time_ns"])
+            assert r["_start_ns"] == _py_local_to_instant_ns(tz, b), (tz, every, r)
+            assert r["_stop_ns"] == _py_local_to_instant_ns(tz, b + every_n), (
+                tz, every, r,
+            )
+
+        # aggregate_window + createEmpty: exact local-lattice window set
+        lo_t = min(r[2] for r in rows)
+        hi_t = max(r[2] for r in rows) + 1
+        out = aggregate_window(
+            df, every, "mean", by=["measurement", "field"],
+            create_empty=True, range_start=lo_t, range_stop=hi_t,
+            offset=offset, tz=tz,
+        ).select("field", "_start_ns", "_stop_ns", "mean").collect()
+        lo = lo_t + tz_offset_ns(tz, lo_t)
+        hi = hi_t + tz_offset_ns(tz, hi_t)
+        first_w = (lo - offset_n) // every_n * every_n + offset_n
+        lattice = list(range(first_w, hi, every_n))
+        from collections import defaultdict
+
+        vals = defaultdict(list)
+        for _, f, t, x in rows:
+            vals[(f, model_bucket(t))].append(x)
+        # key by (start, stop): in a spring-forward gap two lattice
+        # buckets share a start instant (the gap bucket is zero-width)
+        want = {}
+        for f in ("a", "b"):
+            for b in lattice:
+                xs = vals.get((f, b))
+                want[(
+                    f,
+                    _py_local_to_instant_ns(tz, b),
+                    _py_local_to_instant_ns(tz, b + every_n),
+                )] = sum(xs) / len(xs) if xs else None
+        got_m = {
+            (r["field"], r["_start_ns"], r["_stop_ns"]): r["mean"] for r in out
+        }
+        assert set(got_m) == set(want), (tz, every, "window set")
+        for k, v in want.items():
+            g = got_m[k]
+            if v is None:
+                assert g is None, (tz, every, k)
+            else:
+                assert abs(g - v) < 1e-9, (tz, every, k, g, v)
+
+
+def test_influxql_tz_group_by_matches_zoneinfo_model(spark):
+    """The InfluxQL tz() machinery (separate code path from the Flux
+    location handling: frontends/influxql.py _ws local-domain
+    bucketing) against the same independent zoneinfo model, across the
+    Berlin 2024 spring-forward transition with fill(null) spine."""
+    import random
+    from collections import defaultdict
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import execute_influxql
+
+    tz = "Europe/Berlin"
+    rng = random.Random(31)
+    start_s, stop_s = 1711800000, 1711890000  # spans 2024-03-31 01:00Z jump
+    rows = []
+    for i in range(160):
+        t = rng.randrange(start_s, stop_s) * 10**9 + rng.randrange(10**6) * 1000
+        rows.append(
+            ("events", rng.choice(["click", "view"]), t, float(i % 7))
+        )
+    df = spark.createDataFrame(
+        [(m, et, t, x) for m, et, t, x in rows],
+        "measurement string, event_type string, time_ns long, f_float double",
+    ).withColumn("time", F.timestamp_micros(F.expr("time_ns div 1000"))).withColumn(
+        "field", F.lit("value")
+    )
+    out = execute_influxql(
+        df,
+        f"SELECT mean(value) AS v FROM events "
+        f"WHERE time >= {start_s}s AND time < {stop_s}s "
+        f"GROUP BY time(1h), event_type fill(null) tz('{tz}')",
+        tag_cols=("event_type",),
+    ).collect()
+
+    H = 3600 * 10**9
+    lo = start_s * 10**9 + _py_utc_off_ns(tz, start_s * 10**9)
+    hi = stop_s * 10**9 + _py_utc_off_ns(tz, stop_s * 10**9)
+    lattice = list(range(lo // H * H, hi, H))
+    vals = defaultdict(list)
+    for _, et, t, x in rows:
+        b = (t + _py_utc_off_ns(tz, t)) // H * H
+        vals[(et, b)].append(x)
+    want = defaultdict(int)
+    for et in ("click", "view"):
+        for b in lattice:
+            xs = vals.get((et, b))
+            m = round(sum(xs) / len(xs), 9) if xs else None
+            want[(et, _py_local_to_instant_ns(tz, b), m)] += 1
+    got = defaultdict(int)
+    for r in out:
+        t_ns = int(r["time"].replace(tzinfo=__import__("datetime").timezone.utc)
+                   .timestamp()) * 10**9
+        m = round(r["v"], 9) if r["v"] is not None else None
+        got[(r["event_type"], t_ns, m)] += 1
+    assert dict(got) == dict(want)
