@@ -664,6 +664,14 @@ def dsir_importance(
     )
     from pyspark.sql import Window as W
 
+    # Explicit (vacuously-true) null guard: the broadcast join below
+    # infers isnotnull(bucket) and pushes it below the aggregate on one
+    # branch only, which de-canonicalizes the two doc_bucket subtrees
+    # and defeats ReuseExchange — the corpus-sized explode+md5+partial
+    # aggregate would run TWICE. With the filter present on both
+    # branches the shuffle is computed once and reused (verified:
+    # ReusedExchange in the executed plan).
+    grams = grams.filter(F.col("bucket").isNotNull())
     doc_bucket = grams.groupBy(id_col, "_is_target", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -221,7 +221,10 @@ def exponential_moving_average(
     it bit-for-bit with ``list_reduce`` — see suite/timeseries.EMA_SQL.
     """
     def _ema(pdf: pd.DataFrame) -> pd.Series:
-        v = pdf[value].astype(float).to_numpy()
+        # .tolist() unboxes to Python floats: same IEEE-754 double
+        # arithmetic bit-for-bit, ~4x less per-element overhead than
+        # np.float64 scalar indexing in the sequential fold.
+        v = pdf[value].astype(float).to_numpy().tolist()
         m = len(v)
         out = np.full(m, np.nan)
         if m < n:
@@ -232,10 +235,11 @@ def exponential_moving_average(
             s = s + x
         e = s / float(n)
         out[n - 1] = e
+        o = out.tolist()
         for i in range(n, m):
             e = e + k * (v[i] - e)
-            out[i] = e
-        return pd.Series(out)
+            o[i] = e
+        return pd.Series(o, dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema, needed=(value, *keep))
 
@@ -337,16 +341,19 @@ def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
             return pd.Series(out)
         a = 1.0 / n
         d = np.diff(v)
-        up = np.where(d > 0.0, d, 0.0)
-        dn = np.where(d < 0.0, -d, 0.0)
+        # list fold (Python floats): bit-identical IEEE arithmetic,
+        # much cheaper than np.float64 scalar ops in the recursion
+        up = np.where(d > 0.0, d, 0.0).tolist()
+        dn = np.where(d < 0.0, -d, 0.0).tolist()
         au, ad = up[0], dn[0]
+        o = out.tolist()
         for j in range(1, m - 1):
             au = au + a * (up[j] - au)
             ad = ad + a * (dn[j] - ad)
             i = j + 1  # row carrying the value after delta j
             if i >= n:
-                out[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
-        return pd.Series(out)
+                o[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
+        return pd.Series(o, dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi, needed=(value,))
 
@@ -395,13 +402,16 @@ def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
         safe_vol = np.where(vol != 0.0, vol, 1.0)
         er = np.where(vol != 0.0, change / safe_vol, 0.0)
         sc_arr = (er * (fast - slow) + slow) ** 2
-        prev = v[n - 1]
-        out[n - 1] = prev
+        # list fold for the scalar recursion (bit-identical doubles,
+        # lower per-element overhead than np.float64 indexing)
+        vl, scl, o = v.tolist(), sc_arr.tolist(), out.tolist()
+        prev = vl[n - 1]
+        o[n - 1] = prev
         for j in range(len(idx)):
             i = n + j
-            prev = prev + sc_arr[j] * (v[i] - prev)
-            out[i] = prev
-        return pd.Series(out)
+            prev = prev + scl[j] * (vl[i] - prev)
+            o[i] = prev
+        return pd.Series(o, dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama, needed=(value,))
 
