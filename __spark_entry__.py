@@ -79,7 +79,12 @@ CURATED_FIRST_50: list[str] = [
     "ext_dedup_ngram_jaccard",
     "ext_dedup_minhash_lsh",
     "ext_dedup_clusters",
-    "ext_span_dedup",
+    # r8: surface classifier TRAINING (full-batch logistic-regression
+    # gradient descent, every iteration's weights under a chained-CTE
+    # replay oracle — the first iterative-training gate in the
+    # window); ext_span_dedup rotates out — the dedup family keeps 4
+    # windowed rows and span dedup stays under the full-suite gates
+    "ext_quality_logreg_train",
     # r7: surface the DSIR importance-resampling weights (hashed
     # n-gram target/raw log-ratio under a decimal-quantized exact
     # oracle); ext_semantic_dedup rotates out — the dedup family keeps

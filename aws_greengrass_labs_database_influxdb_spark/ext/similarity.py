@@ -929,3 +929,68 @@ def ivf_pq_residual_topk(
         .select(query_id_col, F.col(id_col).alias("match_id"), "adc",
                 F.col("_rn").cast("int").alias("rank"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    k: int = 16,
+    dims: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``dims``-d
+    embeddings to ``k`` dimensions with a deterministic ±1/√k sign
+    matrix (Achlioptas 2003, public method) — the cheap first stage
+    before ANN indexing or clustering when the raw vectors are too
+    wide to shuffle.
+
+    Output: one row per ``(id_col, dim, rp)`` — ``dim`` ∈ [0, k),
+    ``rp`` the projected coordinate.
+
+    Determinism / oracle: sign(i, j) = +1 iff the first hex digit of
+    md5("i:j:seed") is even — reproducible in any SQL engine. Each
+    product is quantized to decimal(18,9) before the per-dimension
+    sum, so the fold is associative and the result engine-exact
+    regardless of summation order (same trick as dsir/bigram-LM).
+
+    Scale shape: map-only. The sign matrix is a plan literal
+    (``dims``×``k`` doubles — kilobytes); projection is ``k`` in-row
+    ``aggregate`` folds over the vector; no shuffle, no UDF, no
+    driver state — fuses into the scan at any corpus size.
+    """
+    import hashlib
+    import math
+
+    scale = 1.0 / math.sqrt(k)
+
+    def _sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[0]
+        return scale if h in "02468ace" else -scale
+
+    # ONE nested-array literal (the PQ codebook lesson: per-weight
+    # scattered literals bloat the plan; a single CreateArray doesn't)
+    mat = F.array(
+        *[F.array(*[F.lit(_sign(i, j)) for j in range(k)]) for i in range(dims)]
+    )
+    vec = F.col(vec_col)
+
+    def _rp(j: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, i: (
+                acc
+                + F.round(
+                    F.element_at(vec, i + 1).cast("double")
+                    * F.element_at(F.element_at(F.col("_rpm"), i + 1), j + 1),
+                    9,
+                ).cast("decimal(18,9)")
+            ).cast("decimal(28,9)"),
+        ).cast("double")
+
+    rps = F.array(*[_rp(j) for j in range(k)])
+    return (
+        df.withColumn("_rpm", mat)
+        .select(id_col, F.posexplode(rps).alias("dim", "rp"))
+    )

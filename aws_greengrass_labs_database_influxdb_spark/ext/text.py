@@ -741,3 +741,105 @@ def ccnet_perplexity_buckets(
         F.desc("logprob_mean"), F.col(id_col)
     )
     return out.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+
+
+def logreg_quality_train(
+    df: DataFrame,
+    iters: int = 5,
+    lr: float = 0.5,
+    target: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a logistic-regression domain/quality classifier with
+    full-batch gradient descent, entirely as Spark aggregates — the
+    fastText-style "curated vs raw" filter (public method, e.g. GPT-3
+    / CCNet data pipelines) learned at corpus scale.
+
+    Features (exact rational arithmetic per row, no shuffle):
+    alpha_ratio, stop_ratio (capped), distinct_ratio, bias. Label
+    ``target`` (default ``source = 'src0'``).
+
+    Each iteration is ONE map-side-combinable corpus aggregate (four
+    decimal gradient sums + squared-error sum + count → a single
+    row); the weight update is O(features) on the driver — the same
+    bounded-collect shape as BPE's per-round argmax. T iterations =
+    T passes over the corpus; at 100 TB each pass is a plain scan+agg
+    with no wide state.
+
+    Determinism / oracle: the sigmoid is the HARD sigmoid
+    ``clamp(0.25·z + 0.5, 0, 1)`` — piecewise-linear, so no libm
+    ``exp()`` whose last ulp differs across engines; per-row gradient
+    terms quantize to decimal(18,9) before summing (associative); the
+    driver-side weight arithmetic is plain IEEE doubles in a fixed
+    order. A chained-CTE SQL replay reproduces every iteration
+    bit-for-bit (suite ``ext_quality_logreg_train``).
+
+    Output: one row per iteration — ``(iter, n, w_alpha, w_stop,
+    w_distinct, w_bias, sse)`` with the post-update weights and the
+    pre-update squared error.
+    """
+    if target is None:
+        target = F.col("source") == "src0"
+    text = F.col(text_col)
+    chars = F.length(text)
+    toks = _tokens(text)
+    ntok = F.size(toks)
+    feats = (
+        df.withColumn("_y", F.when(target, 1.0).otherwise(0.0))
+        .withColumn(
+            "_x1", F.length(F.regexp_replace(text, "[^A-Za-z ]", "")) / chars
+        )
+        .withColumn(
+            "_x2",
+            F.least(
+                F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to")))
+                / ntok
+                / 0.2,
+                F.lit(1.0),
+            ),
+        )
+        .withColumn("_x3", F.size(F.array_distinct(toks)) / ntok)
+        .filter((chars > 0) & (ntok > 0))
+        .select("_y", "_x1", "_x2", "_x3")
+    )
+    # The feature frame is 4 doubles/row — persist it so the T passes
+    # re-scan 32 bytes/row instead of re-running the text regexes over
+    # the full corpus each iteration (at 100 TB: T compact scans of a
+    # ~1000x smaller spillable frame vs T full text scans).
+    from pyspark import StorageLevel
+
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _q(c: Column) -> Column:
+        return F.round(c, 9).cast("decimal(18,9)")
+
+    w = [0.0, 0.0, 0.0, 0.0]  # alpha, stop, distinct, bias
+    rows = []
+    for t in range(1, iters + 1):
+        z = (
+            F.lit(w[0]) * F.col("_x1")
+            + F.lit(w[1]) * F.col("_x2")
+            + F.lit(w[2]) * F.col("_x3")
+            + F.lit(w[3])
+        )
+        p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), 0.25 * z + 0.5))
+        err = p - F.col("_y")
+        agg = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_q(err * F.col("_x1"))).cast("double").alias("g1"),
+            F.sum(_q(err * F.col("_x2"))).cast("double").alias("g2"),
+            F.sum(_q(err * F.col("_x3"))).cast("double").alias("g3"),
+            F.sum(_q(err)).cast("double").alias("g4"),
+            F.sum(_q(err * err)).cast("double").alias("sse"),
+        ).collect()[0]
+        n = agg["n"]
+        for f, g in enumerate(["g1", "g2", "g3", "g4"]):
+            w[f] = w[f] - lr * (agg[g] / n)
+        rows.append((t, n, w[0], w[1], w[2], w[3], agg["sse"]))
+    feats.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "iter int, n bigint, w_alpha double, w_stop double, "
+        "w_distinct double, w_bias double, sse double",
+    )

@@ -2156,3 +2156,99 @@ def ext_ccnet_buckets(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return ccnet_perplexity_buckets(d)
+
+
+@q(
+    "ext_embedding_rp",
+    """
+    WITH sgn AS (
+      SELECT i, j,
+             CASE WHEN substring(md5(i::VARCHAR || ':' || j::VARCHAR || ':7'), 1, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 / sqrt(16.0) ELSE -(1.0 / sqrt(16.0)) END AS s
+      FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+    e AS (
+      SELECT vec_id, u.i, u.x FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      ii -> {'i': ii - 1, 'x': embedding[ii]})) AS u
+        FROM embeddings)),
+    terms AS (
+      SELECT e.vec_id, sgn.j,
+             round(CAST(e.x AS DOUBLE) * sgn.s, 9)::DECIMAL(18,9) AS g
+      FROM e JOIN sgn USING (i))
+    SELECT vec_id, j AS dim, CAST(sum(g) AS DOUBLE) AS rp
+    FROM terms GROUP BY vec_id, j
+    """,
+)
+def ext_embedding_rp(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64-d → 16-d: the cheap
+    map-only compression pass before ANN indexing / clustering. The
+    ±1/√k sign matrix is an md5-parity plan literal; per-product
+    decimal quantization makes the per-dimension sums associative, so
+    the in-row Spark fold and the oracle's group-by sum agree exactly."""
+    from ..ext.similarity import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_projection(e, k=16, dims=64, seed=7)
+
+
+def _logreg_oracle_sql(iters: int = 5, lr: float = 0.5) -> str:
+    """Chained-CTE replay of logreg_quality_train: iteration t's
+    gradient aggregate reads the weights CTE of iteration t-1, exactly
+    mirroring the engine's per-pass collect-update loop (the BPE
+    k-stage-merge oracle pattern applied to gradient descent)."""
+    toks = (
+        "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    )
+    ctes = [
+        f"base AS (SELECT source, text, {toks} AS l FROM documents)",
+        "feat AS (SELECT"
+        " CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,"
+        " length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text) AS x1,"
+        " least(len(list_filter(l, t -> t IN ('the','and','of','to'))) / len(l)"
+        " / 0.2, 1.0) AS x2,"
+        " len(list_distinct(l)) / len(l) AS x3"
+        " FROM base WHERE length(text) > 0 AND len(l) > 0)",
+        "it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)",
+    ]
+    p = ("greatest(0.0, least(1.0,"
+         " 0.25 * (w1 * x1 + w2 * x2 + w3 * x3 + w4) + 0.5))")
+
+    def s(term: str) -> str:
+        return f"CAST(sum(round(({p} - y) * {term}, 9)::DECIMAL(18,9)) AS DOUBLE)"
+
+    selects = []
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"g{t} AS (SELECT count(*) AS n, {s('x1')} AS g1, {s('x2')} AS g2,"
+            f" {s('x3')} AS g3, {s('1.0')} AS g4,"
+            f" CAST(sum(round(({p} - y) * ({p} - y), 9)::DECIMAL(18,9)) AS DOUBLE)"
+            f" AS sse FROM feat CROSS JOIN it{t - 1})"
+        )
+        ctes.append(
+            f"it{t} AS (SELECT"
+            f" it{t - 1}.w1 - {lr} * (g{t}.g1 / g{t}.n) AS w1,"
+            f" it{t - 1}.w2 - {lr} * (g{t}.g2 / g{t}.n) AS w2,"
+            f" it{t - 1}.w3 - {lr} * (g{t}.g3 / g{t}.n) AS w3,"
+            f" it{t - 1}.w4 - {lr} * (g{t}.g4 / g{t}.n) AS w4"
+            f" FROM g{t} CROSS JOIN it{t - 1})"
+        )
+        selects.append(
+            f"SELECT {t} AS iter, g{t}.n AS n, it{t}.w1 AS w_alpha,"
+            f" it{t}.w2 AS w_stop, it{t}.w3 AS w_distinct, it{t}.w4 AS w_bias,"
+            f" g{t}.sse AS sse FROM g{t} CROSS JOIN it{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@q("ext_quality_logreg_train", _logreg_oracle_sql())
+def ext_quality_logreg_train(spark, sf_dir):
+    """Full-batch gradient-descent training of a curated-vs-raw
+    logistic quality classifier (hard-sigmoid; 5 passes). Each pass is
+    one map-side-combinable corpus aggregate collapsing to a single
+    row — the 100 TB shape of classifier training without MLlib."""
+    from ..ext.text import logreg_quality_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return logreg_quality_train(d, iters=5, lr=0.5)

@@ -765,3 +765,56 @@ def test_ccnet_buckets_balanced_per_lang(spark, sf_dir):
     bad = agg.filter(F.col("min1") < F.col("max3")).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_random_projection_shape_and_norm_preservation(spark, sf_dir):
+    """JL projection: N*k rows, deterministic, and mean squared norm is
+    preserved within a loose JL tolerance (the sign matrix is ±1/sqrt(k),
+    so E[|rp|^2] = |x|^2)."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    out = random_projection(e, k=16, dims=64, seed=7).cache()
+    assert out.count() == n * 16
+    # determinism: same call, same values
+    out2 = random_projection(e, k=16, dims=64, seed=7)
+    assert out.exceptAll(out2).count() == 0
+    rp_norm = (
+        out.groupBy("vec_id").agg(F.sum(F.col("rp") * F.col("rp")).alias("n2"))
+    )
+    orig = e.select(
+        "vec_id",
+        F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        ).alias("o2"),
+    )
+    j = rp_norm.join(orig, "vec_id")
+    row = j.agg(
+        F.avg(F.col("n2") / F.col("o2")).alias("ratio")
+    ).collect()[0]
+    assert 0.7 < row["ratio"] < 1.3, row
+    out.unpersist()
+
+
+def test_logreg_quality_train_learns_separable_labels(spark):
+    """On a trivially separable corpus (target docs all-alphabetic,
+    raw docs digit-heavy => alpha_ratio separates), 5 GD passes push
+    w_alpha up relative to the raw class and the SSE strictly drops
+    from the first to the last iteration."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import logreg_quality_train
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, "the good and clean of text to read more", "src0"))
+        else:
+            rows.append((i, "99 111 00 11 22 33 44 55 66 77 88 xx", "src9"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = logreg_quality_train(df, iters=5, lr=0.5).collect()
+    assert [r["iter"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["n"] == 60 for r in out)
+    assert out[-1]["sse"] < out[0]["sse"]
+    # alpha_ratio is ~1.0 for targets, lower for raw: learned weight > 0
+    assert out[-1]["w_alpha"] > 0.0
