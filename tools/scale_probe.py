@@ -33,6 +33,14 @@ OPS = [
     "ext_similarity_pq",
     "ext_similarity_sq8",
     "bench_skew_window",
+    # r8 additions: the one-pass DSIR aggregate (ReusedExchange), the
+    # corpus-LM + NTILE bucketing, iterative GD training (T compact
+    # passes over a persisted feature frame), and the map-only JL
+    # projection (should be the most linear row of the set)
+    "ext_dsir_importance",
+    "ext_ccnet_buckets",
+    "ext_quality_logreg_train",
+    "ext_embedding_rp",
 ]
 
 
