@@ -660,6 +660,18 @@ class HttpApi:
         bucket = m.group(1)
         self._authorize(handler, "read", org, bucket)
         points = self.engine.store.read_points(org, bucket)
+        # Flux from() tables are keyed by measurement + TAG SET + field
+        # (stock InfluxDB: each series is its own table). The stored
+        # bucket schema carries the serialized tag set as series_key —
+        # without it in the group key, per-series stages (sum, mean,
+        # derivative, aggregateWindow, …) silently merged every series
+        # of a measurement into one stream (r8 facade fix; the DSL
+        # path's from_bucket always grouped this way).
+        gk = (
+            ("measurement", "series_key", "field")
+            if "series_key" in points.columns
+            else ("measurement", "field")
+        )
 
         if re.search(r"\|>\s*to\s*\(", text):
             # write stage present → needs write scope and a store sink
@@ -673,9 +685,9 @@ class HttpApi:
                     org, target_bucket, canonicalize_result(df)
                 )
 
-            results = execute_flux_multi(points, text, sink=_sink)
+            results = execute_flux_multi(points, text, sink=_sink, group_key=gk)
         else:
-            results = execute_flux_multi(points, text)
+            results = execute_flux_multi(points, text, group_key=gk)
 
         # stream: chunked encoding over toLocalIterator — an
         # un-aggregated range() over a big bucket never materializes

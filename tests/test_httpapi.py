@@ -101,8 +101,12 @@ def test_write_then_flux_query(served):
     )
     assert status == 200
     assert body.startswith("#group")
-    # sum of 0..9 = 45 appears in the annotated CSV data rows
-    assert ",45.0" in body
+    # stock Flux semantics: sum() is PER SERIES (from() tables are
+    # keyed by measurement+tag set+field) — host=h1 sums 0+2+4+6+8,
+    # host=h2 sums 1+3+5+7+9; a single merged 45.0 row would be the
+    # r8 facade regression
+    assert ",20.0" in body and ",25.0" in body
+    assert ",45.0" not in body
 
 
 def test_flux_multi_yield_via_http(served):
@@ -129,8 +133,11 @@ def test_flux_multi_yield_via_http(served):
     # two result blocks, each tagged with its yield name in #default
     assert "#default,total," in body
     assert "#default,n," in body
-    assert ",28.0" in body  # sum of 0..7
-    assert ",8" in body  # count
+    # stock per-series tables (r8): h1 sums 0+2+4+6, h2 sums 1+3+5+7,
+    # four points in each series
+    assert ",12.0" in body and ",16.0" in body
+    assert ",28.0" not in body
+    assert ",4" in body  # per-series count
 
 
 def test_lww_overwrite_via_http(served):
@@ -1133,3 +1140,55 @@ def test_integer_field_end_to_end(served):
     series = json.loads(body)["results"][0]["series"][0]
     row = dict(zip(series["columns"], series["values"][0]))
     assert row["mean"] == 2.5 and row["max"] == 5.0
+
+
+def test_flux_per_series_transform_via_http(served):
+    """Per-series stage isolation through the facade: derivative()
+    must compute within each (measurement, tag set, field) series —
+    never across hosts (r8: the facade passed no series key, so every
+    per-series transform silently merged series)."""
+    base, _, tokens = served
+    t0 = T0 + 3_600_000_000_000  # separate hour, away from other tests
+    lines = []
+    for i in range(4):
+        lines.append(f"netiso,host=a rx={float(10 * i)} {t0 + i * 60_000_000_000}")
+        # interleaved in time: host=b rises 5/min, host=a 10/min
+        lines.append(
+            f"netiso,host=b rx={float(5 * i)} {t0 + 30_000_000_000 + i * 60_000_000_000}"
+        )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    assert status == 204
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "netiso")'
+        " |> derivative(unit: 1m)"
+    )
+    status, body = _req(
+        base, "/api/v2/query", "POST",
+        token=tokens["RO"], body={"query": flux, "type": "flux"},
+    )
+    assert status == 200
+    import csv as _csv
+    import io as _io
+
+    vi = mi = None
+    vals = []
+    for row in _csv.reader(_io.StringIO(body)):
+        if not row:
+            continue
+        if row[0].startswith("#"):
+            continue
+        if vi is None:  # header row of the block
+            vi = row.index("_value") if "_value" in row else row.index("f_float")
+            names = ("_measurement", "measurement")
+            mi = next(row.index(n) for n in names if n in row)
+            continue
+        if row[mi] == "netiso" and row[vi]:
+            vals.append(float(row[vi]))
+    # per-series rates: exactly 10.0/min (host=a) and 5.0/min (host=b);
+    # a cross-series merge would interleave the two ramps and produce
+    # alternating garbage deltas instead
+    assert set(vals) == {10.0, 5.0}, vals
+    assert vals.count(10.0) == 3 and vals.count(5.0) == 3, vals
