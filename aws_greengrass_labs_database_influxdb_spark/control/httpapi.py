@@ -162,15 +162,23 @@ def _iter_v1_json(results: list[dict], batch_rows: int = 500):
         if i:
             yield ", "
         series = res.get("series", [])
-        if not any(isinstance(s.get("values"), _StreamedValues) for s in series):
+        # series may be a LAZY iterator (GROUP BY <tag> splits one
+        # streamed row scan into per-tag-set series) — only a concrete
+        # list with no streamed values takes the dump-whole path
+        if isinstance(series, list) and not any(
+            isinstance(s.get("values"), _StreamedValues) for s in series
+        ):
             yield json.dumps(res)
             continue
         yield '{"series": ['
         for si, s in enumerate(series):
             if si:
                 yield ", "
+            tags_part = (
+                ', "tags": ' + json.dumps(s["tags"]) if s.get("tags") else ""
+            )
             yield (
-                '{"name": ' + json.dumps(s["name"])
+                '{"name": ' + json.dumps(s["name"]) + tags_part
                 + ', "columns": ' + json.dumps(s["columns"])
                 + ', "values": ['
             )
@@ -724,11 +732,14 @@ class HttpApi:
             results.append(res)
         if not results:
             raise ApiError(400, "invalid", "empty query")
-        if any(
-            isinstance(s.get("values"), _StreamedValues)
-            for res in results
-            for s in res.get("series", [])
-        ):
+
+        def _is_streamed(res: dict) -> bool:
+            s = res.get("series", [])
+            if not isinstance(s, list):
+                return True  # lazy series generator — MUST NOT iterate here
+            return any(isinstance(x.get("values"), _StreamedValues) for x in s)
+
+        if any(_is_streamed(res) for res in results):
             self._respond_chunks(
                 handler, _iter_v1_json(results), content_type="application/json"
             )
@@ -1033,19 +1044,61 @@ class HttpApi:
                 return ns // div if div else _ns_to_rfc3339(ns)
             return v
 
+        name = re.search(r'FROM\s+"?(\w+)"?', text, re.IGNORECASE)
+        sname = name.group(1) if name else db
+
+        # stock v1 framing: GROUP BY <tag,...> emits ONE SERIES PER TAG
+        # SET, each tagged with {"tags": {...}} and the tag columns
+        # removed from "columns" (Grafana reads the tags dict for
+        # aliasing). The split stays streaming: rows arrive sorted by
+        # the tag columns and itertools.groupby cuts series boundaries
+        # without buffering more than one row group's pull-ahead.
+        gtags: list[str] = []
+        try:
+            from ..frontends.influxql import parse_influxql
+
+            gtags = [
+                t for t in parse_influxql(text).group_tags
+                if t != "*" and t in cols
+            ]
+        except Exception:  # SHOW/DDL forms handled elsewhere
+            gtags = []
+
         # rows reach the driver one partition at a time (mirrors the
         # v2 annotated-CSV path) — a raw SELECT * over a big
         # measurement never materializes in facade memory; the JSON
         # envelope is emitted incrementally by _iter_v1_json
+        if gtags:
+            order = gtags + (["time"] if "time" in cols else [])
+            frozen = result.orderBy(*order)
+            out_cols = [c for c in cols if c not in gtags]
+
+            def _series_gen():
+                import itertools
+
+                it = frozen.toLocalIterator(prefetchPartitions=True)
+                for key, rows in itertools.groupby(
+                    it, key=lambda r: tuple(r[t] for t in gtags)
+                ):
+                    yield {
+                        "name": sname,
+                        "tags": {t: v for t, v in zip(gtags, key)},
+                        "columns": out_cols,
+                        "values": _StreamedValues(
+                            [cell(r, c) for c in out_cols] for r in rows
+                        ),
+                    }
+
+            return {"series": _series_gen()}
+
         frozen = result
 
         def _rows():
             for r in frozen.toLocalIterator(prefetchPartitions=True):
                 yield [cell(r, c) for c in cols]
 
-        name = re.search(r'FROM\s+"?(\w+)"?', text, re.IGNORECASE)
         series = {
-            "name": name.group(1) if name else db,
+            "name": sname,
             "columns": cols,
             "values": _StreamedValues(_rows()),
         }

@@ -1007,6 +1007,20 @@ def _predicate_columns(df: DataFrame, fn_src: str) -> list[str]:
     return out
 
 
+def _series_key_sans_field(df: DataFrame) -> DataFrame:
+    """The stored ``series_key`` embeds the field name as its trailing
+    ``|``-segment (schema.series_key: measurement|tags|field). Once
+    ``_field`` pivots into columns, rows of different fields belong to
+    the SAME output series — strip the suffix so the key no longer
+    splits them (r8: fieldsAsCols through the HTTP facade emitted one
+    half-null row per field instead of one merged wide row)."""
+    if "series_key" in df.columns:
+        df = df.withColumn(
+            "series_key", F.regexp_replace("series_key", r"\|[^|]*$", "")
+        )
+    return df
+
+
 def _promote_value(pipe, alias: str):
     """Flux value-transform stages (derivative/difference/increase/
     cumulativeSum/movingAverage/…EMA) REPLACE ``_value``; the
@@ -1665,15 +1679,26 @@ def _run_pipeline(
             missing = [c for c in (*row_key, *col_keys, val) if c not in df.columns]
             if missing:
                 raise FluxError(f"pivot() references unknown columns {missing}")
+            # stock pivot is PER TABLE: the table's group key joins the
+            # user rowKey in the output grouping (r8 — grouping by the
+            # bare rowKey merged rows across series)
+            grouping, _seen = [], set()
+            for c in (*pipe.group_key, *row_key):
+                if (c in df.columns and c not in col_keys and c != val
+                        and c not in _seen):
+                    grouping.append(c)
+                    _seen.add(c)
+            if "field" in col_keys:
+                df = _series_key_sans_field(df)
             if len(col_keys) > 1:
                 # multi-key pivot: Flux names output columns by joining
                 # the key VALUES with "_" — same effect as pivoting one
                 # concatenated key (r6: extra keys were silently dropped)
                 joined = F.concat_ws("_", *[F.col(c) for c in col_keys])
                 df = df.withColumn("_pivot_key", joined)
-                pipe = pipe._with(df).pivot(row_key, "_pivot_key", val)
+                pipe = pipe._with(df).pivot(grouping, "_pivot_key", val)
             else:
-                pipe = pipe.pivot(row_key, col_keys[0], val)
+                pipe = pipe._with(df).pivot(grouping, col_keys[0], val)
         elif name == "map":
             fn_body = argstr.partition("=>")[2].strip()
             m = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", fn_body, re.DOTALL)
@@ -2084,7 +2109,9 @@ def _run_pipeline(
             ]
             if "field" not in df.columns:
                 raise FluxError(f"{name}() requires a _field column")
-            pipe = pipe.pivot(row_key, "field", val)
+            pipe = pipe._with(_series_key_sans_field(df)).pivot(
+                row_key, "field", val
+            )
         elif name in ("getColumn", "findColumn", "getRecord", "findRecord",
                       "tableFind"):
             # stream-termination extractors. Flux returns an array /

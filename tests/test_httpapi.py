@@ -340,8 +340,10 @@ def test_v1_select_into(served):
 
     sel = urllib.parse.quote("SELECT rx_avg FROM net_hourly GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}", token=tokens["RO"])
-    vals = json.loads(body)["results"][0]["series"][0]["values"]
-    assert len(vals) == 4
+    series = json.loads(body)["results"][0]["series"]
+    # stock v1 framing (r8): one series per host with a tags dict
+    assert {s["tags"]["host"] for s in series} == {"h1", "h2"}
+    assert sum(len(s["values"]) for s in series) == 4
 
 
 def test_delete_predicate_via_http(served):
@@ -464,8 +466,10 @@ def test_v1_continuous_query_ddl_and_run(served):
     sel = urllib.parse.quote("SELECT busy_avg FROM cpu_hourly GROUP BY host")
     _, body = _req(base, f"/query?db=greengrass-telemetry&q={sel}",
                    token=tokens["RO"])
-    vals = json.loads(body)["results"][0]["series"][0]["values"]
-    assert len(vals) == 4
+    series = json.loads(body)["results"][0]["series"]
+    # stock v1 framing (r8): one series per host with a tags dict
+    assert {s["tags"]["host"] for s in series} == {"h1", "h2"}
+    assert sum(len(s["values"]) for s in series) == 4
 
     drop = urllib.parse.quote('DROP CONTINUOUS QUERY cq_cpu ON "greengrass-telemetry"')
     status, _ = _req(base, f"/query?db=greengrass-telemetry&q={drop}",
@@ -1192,3 +1196,81 @@ def test_flux_per_series_transform_via_http(served):
     # alternating garbage deltas instead
     assert set(vals) == {10.0, 5.0}, vals
     assert vals.count(10.0) == 3 and vals.count(5.0) == 3, vals
+
+
+def test_flux_fields_as_cols_merges_fields_via_http(served):
+    """fieldsAsCols through the facade: temp and usage of the SAME tag
+    set merge into one wide row (r8: series_key embedded the field
+    name, so each field stayed its own half-null row)."""
+    base, _, tokens = served
+    t0 = T0 + 7_200_000_000_000
+    lines = "\n".join(
+        f"envx,room=r1 temp={float(20 + i)},hum={float(50 + i)} {t0 + i * 60_000_000_000}"
+        for i in range(3)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body=lines, ctype="text/plain")
+    assert status == 204
+    flux = (
+        'import "influxdata/influxdb/schema"\n'
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "envx")'
+        " |> schema.fieldsAsCols()"
+    )
+    status, body = _req(
+        base, "/api/v2/query", "POST",
+        token=tokens["RO"], body={"query": flux, "type": "flux"},
+    )
+    assert status == 200
+    import csv as _csv
+    import io as _io
+
+    header, data = None, []
+    for row in _csv.reader(_io.StringIO(body)):
+        if not row or row[0].startswith("#"):
+            continue
+        if header is None:
+            header = row
+            continue
+        if "envx" in row:
+            data.append(row)
+    assert "temp" in header and "hum" in header
+    ti, hi = header.index("temp"), header.index("hum")
+    assert len(data) == 3
+    for row in data:  # every row carries BOTH fields
+        assert row[ti] and row[hi], row
+
+
+def test_v1_group_by_tag_emits_per_tag_series(served):
+    """Stock v1 JSON framing: GROUP BY <tag> returns one series per tag
+    set with a "tags" dict, and the tag column removed from columns
+    (Grafana's aliasing contract). r8: tags were inlined as a column in
+    a single merged series."""
+    base, _, tokens = served
+    t0 = T0 + 10_800_000_000_000
+    lines = "\n".join(
+        f"diskiso,host=h{1 + i % 2} free={float(i)} {t0 + i * 60_000_000_000}"
+        for i in range(8)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+    q = urllib.parse.quote(
+        "SELECT MEAN(free) FROM diskiso WHERE time >= '2024-01-01'"
+        " AND time < '2024-01-02' GROUP BY host"
+    )
+    status, body = _req(
+        base, f"/query?db=greengrass-telemetry&q={q}", token=tokens["RO"]
+    )
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"]
+    assert len(series) == 2
+    by_tag = {s["tags"]["host"]: s for s in series}
+    assert set(by_tag) == {"h1", "h2"}
+    for s in series:
+        assert s["name"] == "diskiso"
+        assert "host" not in s["columns"]
+    # h1 holds i=0,2,4,6 → mean 3.0; h2 holds 1,3,5,7 → mean 4.0
+    mi = series[0]["columns"].index("mean")
+    assert by_tag["h1"]["values"][0][mi] == 3.0
+    assert by_tag["h2"]["values"][0][mi] == 4.0
