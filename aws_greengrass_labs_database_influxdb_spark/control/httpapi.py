@@ -199,6 +199,74 @@ def _iter_v1_json(results: list[dict], batch_rows: int = 500):
     yield "]}"
 
 
+def _fluxify_result(df):
+    """Rename engine-internal result columns to the Flux WIRE names a
+    stock client parses (``_measurement``/``_field``/``_value``/
+    ``_time``/``_start``/``_stop``) and materialize the ``tags`` map
+    as one column per tag key — the stock annotated-CSV shape (r8:
+    the facade leaked internal names like ``f_float``/``time_ns``/
+    ``series_key``, which no influxdb-client reader expects).
+
+    Column work only — the streaming shape of the CSV writer is
+    untouched. The tag-key discovery is one small distinct job bounded
+    by tag-KEY cardinality (not values)."""
+    from pyspark.sql import functions as F
+
+    from ..frontends.flux import _VALUE_RESULT_ALIASES
+
+    tags_map = None
+    if "tags" in df.columns:
+        tags_map = F.col("tags")
+    elif "series_key" in df.columns:
+        # aggregated frames carry the serialized key, not the map —
+        # recover the tag set from its middle |-segment
+        # (measurement|k=v,k=v|field, or measurement|k=v,… once the
+        # field segment was pivoted away)
+        tags_map = F.str_to_map(
+            F.split(F.col("series_key"), r"\|").getItem(1), F.lit(","), F.lit("=")
+        )
+    if tags_map is not None:
+        df = df.withColumn("_tags_m", tags_map)
+        keys = [
+            r[0]
+            for r in df.select(
+                F.explode(F.map_keys("_tags_m")).alias("k")
+            ).distinct().collect()
+        ]
+        for k in sorted(keys):
+            if k and k not in df.columns:
+                df = df.withColumn(k, F.col("_tags_m")[k])
+        df = df.drop("_tags_m")
+    for src, dst in (("_start_ns", "_start"), ("_stop_ns", "_stop")):
+        if src in df.columns and dst not in df.columns:
+            df = df.withColumn(
+                dst, F.timestamp_micros(F.expr(f"`{src}` div 1000"))
+            )
+    # the typed value slot → _value (numerics are already folded into
+    # f_float at query entry; a string/bool field keeps its slot)
+    if "_value" not in df.columns:
+        for slot in ("f_float", "f_str", "f_bool"):
+            if slot in df.columns:
+                df = df.withColumnRenamed(slot, "_value")
+                break
+        else:
+            hits = [c for c in df.columns if c in _VALUE_RESULT_ALIASES]
+            if len(hits) == 1:
+                df = df.withColumnRenamed(hits[0], "_value")
+    renames = {"measurement": "_measurement", "field": "_field",
+               "time": "_time"}
+    for src, dst in renames.items():
+        if src in df.columns and dst not in df.columns:
+            df = df.withColumnRenamed(src, dst)
+    drop = [
+        c for c in ("tags", "series_key", "time_ns", "ingest_seq",
+                    "_ts_raw", "ftype", "props", "day", "f_int", "f_uint",
+                    "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns")
+        if c in df.columns
+    ]
+    return df.drop(*drop) if drop else df
+
+
 def _parse_delete_predicate(pred: str):
     """``_measurement="m" AND tag="v"`` → Column (equality conjunctions,
     the grammar the delete API supports)."""
@@ -707,7 +775,7 @@ class HttpApi:
                 if i:
                     yield "\r\n"
                 yield from iter_annotated_csv(
-                    df, result_name=name,
+                    _fluxify_result(df), result_name=name,
                     annotations=annotations, header=csv_header,
                 )
 

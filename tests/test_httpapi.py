@@ -1274,3 +1274,35 @@ def test_v1_group_by_tag_emits_per_tag_series(served):
     mi = series[0]["columns"].index("mean")
     assert by_tag["h1"]["values"][0][mi] == 3.0
     assert by_tag["h2"]["values"][0][mi] == 4.0
+
+
+def test_v2_csv_wire_columns_are_stock(served):
+    """The v2 annotated CSV uses the stock Flux wire names
+    (_measurement/_field/_value/_time/_start/_stop + one column per
+    tag), never engine internals (f_float/time_ns/series_key) — the
+    influxdb-client reader contract (r8)."""
+    base, _, tokens = served
+    t0 = T0 + 14_400_000_000_000
+    lines = "\n".join(
+        f"wirex,host=w{1 + i % 2},dc=d1 load={float(i)} {t0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "wirex")'
+        " |> aggregateWindow(every: 1h, fn: mean)"
+    )
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                   body={"query": flux, "type": "flux"})
+    header = next(
+        r for r in body.split("\r\n") if r.startswith(",result,table,")
+    ).split(",")
+    for required in ("_measurement", "_field", "_value", "_time",
+                     "_start", "_stop", "host", "dc"):
+        assert required in header, header
+    for leaked in ("f_float", "time_ns", "series_key", "measurement",
+                   "field", "ingest_seq", "day"):
+        assert leaked not in header, header
