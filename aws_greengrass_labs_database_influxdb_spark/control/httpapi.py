@@ -1122,15 +1122,40 @@ class HttpApi:
         # the tag columns and itertools.groupby cuts series boundaries
         # without buffering more than one row group's pull-ahead.
         gtags: list[str] = []
+        is_agg = False
         try:
-            from ..frontends.influxql import parse_influxql
+            from ..frontends.influxql import (
+                _NON_TAG_COLS,
+                _map_tag_keys,
+                parse_influxql,
+            )
 
-            gtags = [
-                t for t in parse_influxql(text).group_tags
-                if t != "*" and t in cols
-            ]
+            _ast = parse_influxql(text)
+            gt = _ast.group_tags
+            is_agg = bool(
+                any(fn for fn, _f, _a in _ast.fields)
+                or _ast.nested or _ast.arith
+            )
+            if "*" in gt:
+                # GROUP BY *: the executed frame carries every tag as a
+                # materialized column — recover the list the same way
+                # the frontend expanded it
+                keys = {
+                    c for c in points.columns
+                    if c not in _NON_TAG_COLS and not c.startswith("_")
+                }
+                if "tags" in points.columns:
+                    keys |= set(_map_tag_keys(points))
+                gtags = sorted(k for k in keys if k in cols)
+            else:
+                gtags = [t for t in gt if t != "*" and t in cols]
         except Exception:  # SHOW/DDL forms handled elsewhere
             gtags = []
+
+        # stock v1: an aggregate without GROUP BY time still carries a
+        # leading time column pinned to epoch 0
+        synth_time = is_agg and "time" not in cols
+        t0_cell = (0 if div else _ns_to_rfc3339(0)) if synth_time else None
 
         # rows reach the driver one partition at a time (mirrors the
         # v2 annotated-CSV path) — a raw SELECT * over a big
@@ -1139,7 +1164,8 @@ class HttpApi:
         if gtags:
             order = gtags + (["time"] if "time" in cols else [])
             frozen = result.orderBy(*order)
-            out_cols = [c for c in cols if c not in gtags]
+            data_cols = [c for c in cols if c not in gtags]
+            out_cols = (["time"] if synth_time else []) + data_cols
 
             def _series_gen():
                 import itertools
@@ -1153,21 +1179,27 @@ class HttpApi:
                         "tags": {t: v for t, v in zip(gtags, key)},
                         "columns": out_cols,
                         "values": _StreamedValues(
-                            [cell(r, c) for c in out_cols] for r in rows
+                            ([t0_cell] if synth_time else [])
+                            + [cell(r, c) for c in data_cols]
+                            for r in rows
                         ),
                     }
 
             return {"series": _series_gen()}
 
         frozen = result
+        out_cols = (["time"] if synth_time else []) + cols
 
         def _rows():
             for r in frozen.toLocalIterator(prefetchPartitions=True):
-                yield [cell(r, c) for c in cols]
+                yield (
+                    ([t0_cell] if synth_time else [])
+                    + [cell(r, c) for c in cols]
+                )
 
         series = {
             "name": sname,
-            "columns": cols,
+            "columns": out_cols,
             "values": _StreamedValues(_rows()),
         }
         return {"series": [series]}

@@ -675,8 +675,22 @@ def _extract_subquery(text: str) -> tuple[str, str] | None:
 # the SHOW meta-queries (sources/io promotes hot tags to plain columns).
 _NON_TAG_COLS = frozenset(
     {"measurement", "time", "time_ns", "tags", "field", "ftype", "ingest_seq",
-     "f_float", "f_int", "f_uint", "f_str", "f_bool", "props"}
+     "f_float", "f_int", "f_uint", "f_str", "f_bool", "props",
+     # storage-layer columns of a bucket scan — never tags (r8: they
+     # leaked into SELECT * / GROUP BY * output)
+     "series_key", "day"}
 )
+
+
+def _map_tag_keys(df: DataFrame) -> list[str]:
+    """Distinct tag keys of a tags-map frame — ONE small job bounded by
+    tag-KEY cardinality (not values, not rows)."""
+    return sorted(
+        r[0]
+        for r in df.select(F.explode(F.map_keys("tags")).alias("k"))
+        .distinct()
+        .collect()
+    )
 
 # v1 SHOW FIELD KEYS type names differ from our ftype discriminators
 _V1_FIELD_TYPES = {"float": "float", "int": "integer", "uint": "unsigned",
@@ -1131,11 +1145,14 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
     by = list(ast.group_tags)
     if "*" in by:
-        # GROUP BY *: every promoted tag column (the tags-map variant
-        # would need per-query key discovery; promoted columns are the
-        # canonical hot-tag path)
+        # GROUP BY *: every promoted tag column, plus (for stored
+        # buckets carrying a tags MAP) the discovered map keys — one
+        # small distinct job bounded by tag-key cardinality (r8: the
+        # map variant previously fell through and grouped by nothing)
         by = [c for c in df.columns
               if c not in _NON_TAG_COLS and not c.startswith("_")]
+        if "tags" in df.columns:
+            by = sorted(set(by) | set(_map_tag_keys(df)))
         ast.group_tags = by
     if multi_meas and "measurement" not in by:
         # multi-measurement queries (comma list / regex) never merge
@@ -1231,12 +1248,39 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
             if fld == "*" and fn is None:
-                # SELECT *: every promoted tag column rides along with
-                # the field value (InfluxDB 1.x star semantics)
+                # SELECT *: every tag rides along with the field value
+                # (InfluxDB 1.x star semantics) — promoted columns
+                # directly, tags-map keys materialized (r8; previously
+                # the map variant leaked storage columns instead)
                 for t in df.columns:
                     if (t not in _NON_TAG_COLS and not t.startswith("_")
                             and t not in by):
                         sel.append(F.col(t))
+                if "tags" in df.columns:
+                    for t in _map_tag_keys(df):
+                        if t not in df.columns and t not in by:
+                            sel.append(F.col("tags")[t].alias(t))
+                if "field" in df.columns:
+                    # stock star shape: one column per FIELD KEY per
+                    # timestamp, named by the field (numeric slots;
+                    # string/bool fields stay reachable by name). The
+                    # pivot groups on the row identity already in
+                    # `sel`, so series stay intact.
+                    fields = sorted(
+                        r[0] for r in df.select("field").distinct().collect()
+                    )
+                    row_ident = df.select(*sel).columns
+                    out = (
+                        df.select(*sel, F.col("field"), F.col("f_float"))
+                        .groupBy(*row_ident)
+                        .pivot("field", fields)
+                        .agg(F.first("f_float"))
+                    )
+                    if ast.limit is not None:
+                        out = sl_ops.limit(
+                            out, ast.limit, ast.offset, by=by,
+                            order=["time"], desc=ast.order_desc)
+                    return out
                 sel.append(F.col("f_float").alias(alias))
                 continue
             col = _field_value_col(fld, df)

@@ -1306,3 +1306,39 @@ def test_v2_csv_wire_columns_are_stock(served):
     for leaked in ("f_float", "time_ns", "series_key", "measurement",
                    "field", "ingest_seq", "day"):
         assert leaked not in header, header
+
+
+def test_v1_star_and_group_star_stock_shapes(served):
+    """Stock v1 shapes (r8): SELECT * inlines tags as columns and names
+    the value column by its FIELD KEY (no storage internals); GROUP BY *
+    frames one series per tag set; a bare aggregate carries the
+    epoch-0 time column."""
+    base, _, tokens = served
+    t0 = T0 + 18_000_000_000_000
+    lines = "\n".join(
+        f"starx,host=s{1 + i % 2},dc=dx load={float(i)} {t0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+
+    def v1(q):
+        _, body = _req(base, f"/query?db=greengrass-telemetry&q="
+                       f"{urllib.parse.quote(q)}", token=tokens["RO"])
+        return json.loads(body)["results"][0]["series"]
+
+    s = v1("SELECT * FROM starx LIMIT 3")[0]
+    assert s["columns"] == ["time", "dc", "host", "load"]
+    assert len(s["values"]) == 3
+
+    series = v1("SELECT MEAN(load) FROM starx GROUP BY *")
+    assert {(x["tags"]["host"], x["tags"]["dc"]) for x in series} == {
+        ("s1", "dx"), ("s2", "dx")
+    }
+    for x in series:
+        assert x["columns"] == ["time", "mean"]
+        assert x["values"][0][0] == "1970-01-01T00:00:00Z"
+
+    bare = v1("SELECT MEAN(load) FROM starx")[0]
+    assert bare["columns"] == ["time", "mean"]
+    assert bare["values"] == [["1970-01-01T00:00:00Z", 2.5]]
