@@ -209,11 +209,15 @@ def _fluxify_result(df):
 
     Column work only — the streaming shape of the CSV writer is
     untouched. The tag-key discovery is one small distinct job bounded
-    by tag-KEY cardinality (not values)."""
+    by tag-KEY cardinality (not values).
+
+    Returns ``(df, wire_group_key)`` — the key drives the stock
+    ``#group`` annotation and per-table numbering in the CSV."""
     from pyspark.sql import functions as F
 
     from ..frontends.flux import _VALUE_RESULT_ALIASES
 
+    tag_cols: list[str] = []
     tags_map = None
     if "tags" in df.columns:
         tags_map = F.col("tags")
@@ -237,6 +241,7 @@ def _fluxify_result(df):
             if k and k not in df.columns:
                 df = df.withColumn(k, F.col("_tags_m")[k])
         df = df.drop("_tags_m")
+        tag_cols = [k for k in sorted(keys) if k and k in df.columns]
     for src, dst in (("_start_ns", "_start"), ("_stop_ns", "_stop")):
         if src in df.columns and dst not in df.columns:
             df = df.withColumn(
@@ -264,7 +269,29 @@ def _fluxify_result(df):
                     "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns")
         if c in df.columns
     ]
-    return df.drop(*drop) if drop else df
+    if drop:
+        df = df.drop(*drop)
+    # the wire GROUP KEY: what stock marks true in #group and numbers
+    # tables by — measurement/tags/field/window bounds, never
+    # _time/_value. Regrouped frames (group(columns:["host"]) dropped
+    # series_key) keep their key as bare string columns — fold those
+    # in too.
+    from pyspark.sql import types as T
+
+    known = {"_measurement", "_field", "_start", "_stop", *tag_cols}
+    extra = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+        and not f.name.startswith("_")
+        and f.name not in known
+    ]
+    wire_key = tuple(
+        c for c in ("_measurement", *tag_cols, *extra, "_field",
+                    "_start", "_stop")
+        if c in df.columns
+    )
+    return df, wire_key
 
 
 def _parse_delete_predicate(pred: str):
@@ -774,8 +801,9 @@ class HttpApi:
             for i, (name, df) in enumerate(results.items()):
                 if i:
                     yield "\r\n"
+                wire_df, wire_key = _fluxify_result(df)
                 yield from iter_annotated_csv(
-                    _fluxify_result(df), result_name=name,
+                    wire_df, group_key=wire_key, result_name=name,
                     annotations=annotations, header=csv_header,
                 )
 

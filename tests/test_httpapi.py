@@ -1306,6 +1306,21 @@ def test_v2_csv_wire_columns_are_stock(served):
     for leaked in ("f_float", "time_ns", "series_key", "measurement",
                    "field", "ingest_seq", "day"):
         assert leaked not in header, header
+    # stock per-table numbering: each (tag set) series gets its own
+    # table id, and #group marks the key columns true
+    group_row = next(r for r in body.split("\r\n") if r.startswith("#group"))
+    flags = dict(zip(header, group_row.split(",")))
+    assert flags["host"] == "true" and flags["_measurement"] == "true"
+    assert flags["_value"] == "false" and flags["_time"] == "false"
+    hi, ti = header.index("host"), header.index("table")
+    tables = {}
+    for r in body.split("\r\n"):
+        cells = r.split(",")
+        if len(cells) == len(header) and not r.startswith("#") and cells[ti].isdigit():
+            tables.setdefault(cells[hi], set()).add(cells[ti])
+    assert len(tables.get("w1", set()) | tables.get("w2", set())) >= 2
+    assert tables.get("w1") and tables.get("w2")
+    assert tables["w1"].isdisjoint(tables["w2"])
 
 
 def test_v1_star_and_group_star_stock_shapes(served):
