@@ -950,9 +950,12 @@ def random_projection(
 
     Determinism / oracle: sign(i, j) = +1 iff the first hex digit of
     md5("i:j:seed") is even — reproducible in any SQL engine. Each
-    product is quantized to decimal(18,9) before the per-dimension
-    sum, so the fold is associative and the result engine-exact
-    regardless of summation order (same trick as dsir/bigram-LM).
+    per-dimension sum is a left-to-right DOUBLE fold over a fixed
+    index order (seeded with +0.0 on both engines), so every product
+    and add is the same IEEE-754 operation in the same association —
+    bit-exact without quantization (the LSH/PQ fold precedent; the
+    first cut used decimal-quantized terms, ~2.4x slower for the
+    same answers at BigDecimal speed).
 
     Scale shape: map-only. The sign matrix is a plan literal
     (``dims``×``k`` doubles — kilobytes); projection is ``k`` in-row
@@ -978,16 +981,11 @@ def random_projection(
     def _rp(j: int) -> Column:
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(dims - 1)),
-            F.lit(0).cast("decimal(28,9)"),
-            lambda acc, i: (
-                acc
-                + F.round(
-                    F.element_at(vec, i + 1).cast("double")
-                    * F.element_at(F.element_at(F.col("_rpm"), i + 1), j + 1),
-                    9,
-                ).cast("decimal(18,9)")
-            ).cast("decimal(28,9)"),
-        ).cast("double")
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double")
+            * F.element_at(F.element_at(F.col("_rpm"), i + 1), j + 1),
+        )
 
     rps = F.array(*[_rp(j) for j in range(k)])
     return (

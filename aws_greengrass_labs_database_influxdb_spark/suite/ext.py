@@ -2161,32 +2161,26 @@ def ext_ccnet_buckets(spark, sf_dir):
 @q(
     "ext_embedding_rp",
     """
-    WITH sgn AS (
-      SELECT i, j,
-             CASE WHEN substring(md5(i::VARCHAR || ':' || j::VARCHAR || ':7'), 1, 1)
+    SELECT vec_id, j AS dim,
+           list_reduce(
+             list_prepend(0.0, list_transform(range(0, 64), i ->
+               CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE WHEN substring(
+                        md5(i::VARCHAR || ':' || j::VARCHAR || ':7'), 1, 1)
                        IN ('0','2','4','6','8','a','c','e')
-                  THEN 1.0 / sqrt(16.0) ELSE -(1.0 / sqrt(16.0)) END AS s
-      FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
-    e AS (
-      SELECT vec_id, u.i, u.x FROM (
-        SELECT vec_id,
-               unnest(list_transform(range(1, len(embedding) + 1),
-                      ii -> {'i': ii - 1, 'x': embedding[ii]})) AS u
-        FROM embeddings)),
-    terms AS (
-      SELECT e.vec_id, sgn.j,
-             round(CAST(e.x AS DOUBLE) * sgn.s, 9)::DECIMAL(18,9) AS g
-      FROM e JOIN sgn USING (i))
-    SELECT vec_id, j AS dim, CAST(sum(g) AS DOUBLE) AS rp
-    FROM terms GROUP BY vec_id, j
+                     THEN 1.0 / sqrt(16.0)
+                     ELSE -(1.0 / sqrt(16.0)) END))),
+             (a, b) -> a + b) AS rp
+    FROM embeddings CROSS JOIN range(16) t(j)
     """,
 )
 def ext_embedding_rp(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64-d → 16-d: the cheap
     map-only compression pass before ANN indexing / clustering. The
-    ±1/√k sign matrix is an md5-parity plan literal; per-product
-    decimal quantization makes the per-dimension sums associative, so
-    the in-row Spark fold and the oracle's group-by sum agree exactly."""
+    ±1/√k sign matrix is an md5-parity plan literal; each output
+    coordinate is a fixed-order double fold seeded with +0.0, so the
+    Spark aggregate and the oracle's list_reduce replay the identical
+    IEEE operation sequence (no quantization needed)."""
     from ..ext.similarity import random_projection
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -58,6 +58,8 @@ HEADLINE = [
     "ext_pack_sequences",
     "ext_dsir_importance",
     "ext_ccnet_buckets",
+    "ext_embedding_rp",
+    "ext_quality_logreg_train",
     "influxql_count_fill0",
     "influxql_nested_grafana",
     "influxql_show_meta",
