@@ -1007,6 +1007,67 @@ def _predicate_columns(df: DataFrame, fn_src: str) -> list[str]:
     return out
 
 
+def _tags_map_col(df: DataFrame) -> Column | None:
+    """The frame's tag set as a map Column: the ``tags`` map when
+    present, else parsed from the serialized ``series_key``."""
+    if "tags" in df.columns:
+        return F.col("tags")
+    if "series_key" in df.columns:
+        return F.str_to_map(
+            F.split(F.col("series_key"), r"\|").getItem(1),
+            F.lit(","), F.lit("="),
+        )
+    return None
+
+
+def _frame_tag_keys(df: DataFrame) -> list[str]:
+    """Distinct tag KEYS of the frame — one small job bounded by
+    tag-key cardinality."""
+    m = _tags_map_col(df)
+    if m is None:
+        return []
+    return sorted(
+        r[0]
+        for r in df.select(F.explode(F.map_keys(m)).alias("k")).distinct().collect()
+        if r[0]
+    )
+
+
+def _remove_tags_from_key(df: DataFrame, names: list[str]) -> DataFrame:
+    """Stock keep()/drop() regroup semantics for the tags-map model:
+    removing a tag key must merge series that differ only in it, so
+    BOTH the tags map and the serialized series_key are rewritten to
+    exclude ``names`` (r8: dropping a tag previously left series_key
+    intact and per-series stages stayed split on the dropped tag)."""
+    m = _tags_map_col(df)
+    if m is None:
+        return df
+    filtered = F.map_filter(m, lambda k, v: ~k.isin(*names) & (k != ""))
+    if "tags" in df.columns:
+        df = df.withColumn("tags", filtered)
+        newmap = F.col("tags")
+    else:
+        newmap = filtered
+    if "series_key" in df.columns:
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_keys(newmap)),
+                lambda k: F.concat_ws("=", k, F.element_at(newmap, k)),
+            ),
+        )
+        meas = (
+            F.col("measurement") if "measurement" in df.columns
+            else F.split(F.col("series_key"), r"\|").getItem(0)
+        )
+        fieldp = (
+            F.col("field") if "field" in df.columns
+            else F.split(F.col("series_key"), r"\|").getItem(2)
+        )
+        df = df.withColumn("series_key", F.concat_ws("|", meas, key, fieldp))
+    return df
+
+
 def _series_key_sans_field(df: DataFrame) -> DataFrame:
     """The stored ``series_key`` embeds the field name as its trailing
     ``|``-segment (schema.series_key: measurement|tags|field). Once
@@ -1641,7 +1702,41 @@ def _run_pipeline(
                 cols = _predicate_columns(df, args["fn"])
             else:
                 cols = [COLMAP.get(c, c) for c in _strlist(args["columns"])]
-            pipe = pipe.keep(cols) if name == "keep" else pipe.drop(cols)
+            # tag keys live in the tags map / series_key, not as real
+            # columns — keep/drop of a tag must rewrite the series key
+            # (stock regroup) rather than being a no-op projection
+            tag_keys = (
+                _frame_tag_keys(df)
+                if ("tags" in df.columns or "series_key" in df.columns)
+                else []
+            )
+            if name == "drop":
+                dropped_tags = [
+                    c for c in cols if c in tag_keys and c not in df.columns
+                ]
+                if dropped_tags:
+                    pipe = pipe._with(_remove_tags_from_key(df, dropped_tags))
+                pipe = pipe.drop([c for c in cols if c not in dropped_tags])
+            else:
+                kept_tags = [
+                    c for c in cols if c in tag_keys and c not in df.columns
+                ]
+                if kept_tags:
+                    # kept tags become real columns and JOIN the group
+                    # key (series_key itself is rarely in the keep list)
+                    tmap = _tags_map_col(df)
+                    for t in kept_tags:
+                        df = df.withColumn(t, tmap[t])
+                    pipe = pipe._with(df)
+                kept_real = [c for c in cols if c in df.columns]
+                pipe = pipe.keep(kept_real)
+                extra_key = tuple(
+                    t for t in kept_tags if t not in pipe.group_key
+                )
+                if extra_key:
+                    pipe = pipe._with(
+                        pipe.df, group_key=(*pipe.group_key, *extra_key)
+                    )
         elif name == "rename":
             body = args.get("columns", "{}").strip("{}")
             mapping = {}

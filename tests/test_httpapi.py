@@ -1357,3 +1357,33 @@ def test_v1_star_and_group_star_stock_shapes(served):
     bare = v1("SELECT MEAN(load) FROM starx")[0]
     assert bare["columns"] == ["time", "mean"]
     assert bare["values"] == [["1970-01-01T00:00:00Z", 2.5]]
+
+
+def test_flux_keep_drop_regroup_tags_via_http(served):
+    """Stock keep()/drop() regroup semantics over the facade (r8):
+    dropping a tag merges series that differ only in it; keep() of a
+    tag makes it the group key and aggregates per kept tag."""
+    base, _, tokens = served
+    t0 = T0 + 21_600_000_000_000
+    lines = []
+    for i in range(4):
+        lines.append(f"kdx,host=a,dc=e v={float(i)} {t0 + i * 60_000_000_000}")
+        lines.append(f"kdx,host=b,dc=w v={float(10 * i)} {t0 + i * 60_000_000_000}")
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    R = ("range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+         ' |> filter(fn: (r) => r._measurement == "kdx")')
+
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": f'from(bucket:"greengrass-telemetry") |> {R}'
+                 ' |> drop(columns: ["host", "dc"]) |> sum()',
+        "type": "flux"})
+    # 0+1+2+3 + 0+10+20+30 = 66 merged into ONE table
+    assert ",66.0" in body and ",6.0" not in body.replace(",66.0", "")
+
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": f'from(bucket:"greengrass-telemetry") |> {R}'
+                 ' |> keep(columns: ["_time", "_value", "host"]) |> sum()',
+        "type": "flux"})
+    assert ",6.0" in body and ",60.0" in body  # per-host sums
+    assert ",66.0" not in body
