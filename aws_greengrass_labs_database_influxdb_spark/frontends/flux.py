@@ -1033,21 +1033,14 @@ def _frame_tag_keys(df: DataFrame) -> list[str]:
     )
 
 
-def _remove_tags_from_key(df: DataFrame, names: list[str]) -> DataFrame:
-    """Stock keep()/drop() regroup semantics for the tags-map model:
-    removing a tag key must merge series that differ only in it, so
-    BOTH the tags map and the serialized series_key are rewritten to
-    exclude ``names`` (r8: dropping a tag previously left series_key
-    intact and per-series stages stayed split on the dropped tag)."""
-    m = _tags_map_col(df)
-    if m is None:
-        return df
-    filtered = F.map_filter(m, lambda k, v: ~k.isin(*names) & (k != ""))
+def _with_tags_map(df: DataFrame, newmap: Column) -> DataFrame:
+    """Apply a rewritten tags map: update the ``tags`` column when
+    present and re-serialize ``series_key`` (same format as
+    schema.series_key) so downstream grouping follows the new tag
+    set."""
     if "tags" in df.columns:
-        df = df.withColumn("tags", filtered)
+        df = df.withColumn("tags", newmap)
         newmap = F.col("tags")
-    else:
-        newmap = filtered
     if "series_key" in df.columns:
         key = F.concat_ws(
             ",",
@@ -1066,6 +1059,34 @@ def _remove_tags_from_key(df: DataFrame, names: list[str]) -> DataFrame:
         )
         df = df.withColumn("series_key", F.concat_ws("|", meas, key, fieldp))
     return df
+
+
+def _remove_tags_from_key(df: DataFrame, names: list[str]) -> DataFrame:
+    """Stock keep()/drop() regroup semantics for the tags-map model:
+    removing a tag key must merge series that differ only in it, so
+    BOTH the tags map and the serialized series_key are rewritten to
+    exclude ``names`` (r8: dropping a tag previously left series_key
+    intact and per-series stages stayed split on the dropped tag)."""
+    m = _tags_map_col(df)
+    if m is None:
+        return df
+    return _with_tags_map(
+        df, F.map_filter(m, lambda k, v: ~k.isin(*names) & (k != ""))
+    )
+
+
+def _rename_tag_in_key(df: DataFrame, old: str, new: str) -> DataFrame:
+    """Stock rename() for a map-resident tag key: rewrite the tags map
+    (and series_key) so the tag keeps grouping under its new name
+    (r8: renaming a tag was a silent no-op — the key wasn't a real
+    column)."""
+    m = _tags_map_col(df)
+    if m is None:
+        return df
+    renamed = F.transform_keys(
+        m, lambda k, v: F.when(k == old, F.lit(new)).otherwise(k)
+    )
+    return _with_tags_map(df, renamed)
 
 
 def _series_key_sans_field(df: DataFrame) -> DataFrame:
@@ -1744,6 +1765,20 @@ def _run_pipeline(
                 if ":" in part:
                     k, _, v = part.partition(":")
                     mapping[COLMAP.get(k.strip(), k.strip())] = v.strip().strip('"')
+            # map-resident tag keys rename inside the tags map /
+            # series_key (not a real-column rename)
+            tag_renames = {
+                k: v for k, v in mapping.items() if k not in df.columns
+            }
+            if tag_renames and (
+                "tags" in df.columns or "series_key" in df.columns
+            ):
+                keys = set(_frame_tag_keys(df))
+                for k, v in tag_renames.items():
+                    if k in keys:
+                        df = _rename_tag_in_key(df, k, v)
+                        del mapping[k]
+                pipe = pipe._with(df)
             pipe = pipe.rename(mapping)
         elif name == "set":
             pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
@@ -1980,9 +2015,28 @@ def _run_pipeline(
             from ..operators.selectors import distinct_rows
 
             col = _colname(df, _lit(args.get("column", '"_value"')))
+            tag_distinct = False
             if col not in df.columns:
-                raise FluxError(f"distinct(column:) references unknown column {col!r}")
-            pipe = pipe._with(distinct_rows(df, col, by=pipe.group_key))
+                # a map-resident tag key: materialize it first (stock
+                # distinct over a tag is the dashboard-variable idiom)
+                m = _tags_map_col(df)
+                if m is not None and col in _frame_tag_keys(df):
+                    df = df.withColumn(col, m[col])
+                    pipe = pipe._with(df)
+                    tag_distinct = True
+                else:
+                    raise FluxError(
+                        f"distinct(column:) references unknown column {col!r}"
+                    )
+            out = distinct_rows(df, col, by=pipe.group_key)
+            if tag_distinct:
+                # stock distinct() rebinds the selected values to
+                # _value — retire the old value slots
+                out = out.drop(
+                    *[s for s in ("f_float", "f_int", "f_uint", "f_bool")
+                      if s in out.columns]
+                ).withColumnRenamed(col, "f_str")
+            pipe = pipe._with(out)
         elif name == "sample":
             from ..operators.selectors import sample as _sample
 

@@ -1387,3 +1387,38 @@ def test_flux_keep_drop_regroup_tags_via_http(served):
         "type": "flux"})
     assert ",6.0" in body and ",60.0" in body  # per-host sums
     assert ",66.0" not in body
+
+
+def test_flux_rename_tag_and_distinct_tag_via_http(served):
+    """Stock semantics for map-resident tags (r8): rename() rewrites
+    the tag inside the series key (grouping follows the new name);
+    distinct(column: <tag>) yields the tag values as _value."""
+    base, _, tokens = served
+    t0 = T0 + 25_200_000_000_000
+    lines = []
+    for i in range(3):
+        lines.append(f"rtx,host=a v={float(i)} {t0 + i * 60_000_000_000}")
+        lines.append(f"rtx,host=b v={float(10 * i)} {t0 + i * 60_000_000_000}")
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    R = ('range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)'
+         ' |> filter(fn: (r) => r._measurement == "rtx")')
+
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": f'from(bucket:"greengrass-telemetry") |> {R}'
+                 ' |> rename(columns: {host: "node"})'
+                 ' |> keep(columns: ["_time", "_value", "node"]) |> sum()',
+        "type": "flux"})
+    assert ",3.0" in body and ",30.0" in body  # per-node sums survive
+    assert "node" in body and ",33.0" not in body
+
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": f'from(bucket:"greengrass-telemetry") |> {R}'
+                 ' |> group() |> distinct(column: "host")',
+        "type": "flux"})
+    header = next(r for r in body.split("\r\n")
+                  if r.startswith(",result,table,"))
+    assert "_value" in header.split(",")
+    vals = {r.rsplit(",", 1)[-1] for r in body.split("\r\n")
+            if r.startswith(",,")}
+    assert {"a", "b"} <= vals
