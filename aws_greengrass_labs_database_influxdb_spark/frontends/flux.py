@@ -1710,6 +1710,15 @@ def _run_pipeline(
             cols = [_colname(df, c) for c in _strlist(args.get("columns", '["_time"]'))]
             missing = [c for c in cols if c not in df.columns]
             if missing:
+                # map-resident tag keys: materialize before sorting
+                m = _tags_map_col(df)
+                tag_keys = set(_frame_tag_keys(df)) if m is not None else set()
+                for c in list(missing):
+                    if c in tag_keys:
+                        df = df.withColumn(c, m[c])
+                        missing.remove(c)
+                pipe = pipe._with(df)
+            if missing:
                 raise FluxError(f"sort(columns:) references unknown columns {missing}")
             pipe = pipe.sort(cols, desc=_lit(args.get("desc", "false")) is True)
         elif name == "limit":

@@ -1280,6 +1280,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                         out = sl_ops.limit(
                             out, ast.limit, ast.offset, by=by,
                             order=["time"], desc=ast.order_desc)
+                    if ast.slimit is not None and by:
+                        out = sl_ops.slimit(out, ast.slimit, series=by,
+                                            soffset=ast.soffset)
                     return out
                 sel.append(F.col("f_float").alias(alias))
                 continue
@@ -1298,6 +1301,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             )
             out = sl_ops.limit(out, ast.limit, ast.offset, by=by,
                                order=order_cols, desc=ast.order_desc)
+        if ast.slimit is not None and by:
+            # raw selects honor SLIMIT/SOFFSET too (r8: only the
+            # aggregate path ranked series)
+            out = sl_ops.slimit(out, ast.slimit, series=by,
+                                soffset=ast.soffset)
         return out
 
     # aggregate / selector path (+ arithmetic over aggregates)

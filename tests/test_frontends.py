@@ -2154,3 +2154,22 @@ def test_flux_elapsed_unit_and_first_row_dropped(spark):
     ).orderBy("time_ns").collect()
     assert [r["elapsed"] for r in out] == [60, 60, 60]  # minutes, 3 rows
     assert [r["time_ns"] for r in out] == [t0 + i * 3600 * 10**9 for i in (1, 2, 3)]
+
+
+def test_influxql_slimit_applies_to_raw_selects(pts):
+    """SLIMIT/SOFFSET rank series on RAW selects too, not only
+    aggregates (r8: the raw path returned every series)."""
+    base = ("SELECT value FROM events WHERE time >= '2024-01-01'"
+            " AND time < '2024-01-05' GROUP BY event_type")
+    o1 = execute_influxql(pts, base + " SLIMIT 2")
+    assert o1.select("event_type").distinct().count() == 2
+    o2 = execute_influxql(pts, base + " SLIMIT 2 SOFFSET 1")
+    s1 = {r[0] for r in o1.select("event_type").distinct().collect()}
+    s2 = {r[0] for r in o2.select("event_type").distinct().collect()}
+    assert s1 != s2 and len(s2) == 2
+    star = execute_influxql(
+        pts,
+        "SELECT * FROM events WHERE time >= '2024-01-01'"
+        " AND time < '2024-01-05' GROUP BY event_type SLIMIT 2",
+    )
+    assert star.select("event_type").distinct().count() == 2
