@@ -1422,3 +1422,49 @@ def test_flux_rename_tag_and_distinct_tag_via_http(served):
     vals = {r.rsplit(",", 1)[-1] for r in body.split("\r\n")
             if r.startswith(",,")}
     assert {"a", "b"} <= vals
+
+
+def test_flux_fuzz_via_http_never_5xx(served):
+    """Facade round-trip fuzz: random grammar pipelines posted to
+    /api/v2/query must return 200 with parseable annotated CSV or a
+    typed 400 — never a 5xx (the CSV wire canonicalization and series
+    framing must hold for every stage combination, r8)."""
+    from hypothesis import HealthCheck, given, settings
+
+    from tests.test_property import _flux_script
+
+    base, _, tokens = served
+    t0 = T0 + 28_800_000_000_000
+    lines = []
+    for i in range(12):
+        et = ("click", "view", "error", "purchase")[i % 4]
+        lines.append(
+            f"events,event_type={et} value={float(i * 37 % 211)} "
+            f"{t0 + i * 60_000_000_000}"
+        )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(script=_flux_script())
+    def run(script):
+        q = script.replace('from(bucket:"b")',
+                           'from(bucket:"greengrass-telemetry")')
+        try:
+            status, body = _req(base, "/api/v2/query", "POST",
+                                token=tokens["RO"],
+                                body={"query": q, "type": "flux"})
+        except urllib.error.HTTPError as e:
+            assert e.code < 500, (q, e.code, e.read().decode()[:200])
+            return
+        assert status == 200
+        # every data row must match its block's header width
+        width = None
+        for row in body.split("\r\n"):
+            if row.startswith(",result,table,"):
+                width = len(row.split(","))
+            elif row.startswith(",,") and width is not None:
+                assert len(row.split(",")) == width or '"' in row, (q, row)
+
+    run()
