@@ -612,15 +612,42 @@ class HttpApi:
 
     def _respond_chunks(self, handler, chunks, content_type="text/csv; charset=utf-8"):
         """Chunked transfer encoding: facade memory stays O(chunk) no
-        matter how large the query result is."""
+        matter how large the query result is.
+
+        The FIRST chunk is materialized before the status line goes
+        out, so plan-time and first-batch errors still surface as a
+        proper 400/500. An error after streaming began cannot change
+        the status — stock InfluxDB appends an annotated-CSV *error
+        table* and terminates the chunk stream, and so do we (r8: the
+        old path let the dispatcher write a second "HTTP/1.0 400"
+        status line INTO the chunk stream, corrupting the transfer —
+        found by the facade fuzz)."""
+        import itertools
+
+        it = iter(chunks)
+        try:
+            first = next(it)
+        except StopIteration:
+            first, it = "", iter(())
         handler.send_response(200)
         handler.send_header("Content-Type", content_type)
         handler.send_header("Transfer-Encoding", "chunked")
         handler.end_headers()
-        for chunk in chunks:
-            data = chunk.encode()
+
+        def _write(text: str) -> None:
+            data = text.encode()
             if data:
                 handler.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        try:
+            for chunk in itertools.chain([first], it):
+                _write(chunk)
+        except Exception as exc:  # noqa: BLE001 — mid-stream: emit error table
+            msg = str(exc).split("\n", 1)[0][:500].replace('"', '""')
+            _write(
+                "\r\n#datatype,string,string\r\n#group,true,true\r\n"
+                f'#default,,\r\n,error,reference\r\n,"{msg}",\r\n'
+            )
         handler.wfile.write(b"0\r\n\r\n")
 
     # ------------------------------------------------------------ endpoints
@@ -1189,10 +1216,15 @@ class HttpApi:
         # v2 annotated-CSV path) — a raw SELECT * over a big
         # measurement never materializes in facade memory; the JSON
         # envelope is emitted incrementally by _iter_v1_json
-        if gtags:
-            order = gtags + (["time"] if "time" in cols else [])
+        # series splitters: a retained `measurement` column (multi-
+        # measurement FROM lists / regexes — stock emits one series
+        # PER MEASUREMENT, named by it) plus the GROUP BY tags
+        split_meas = "measurement" in cols
+        splitters = (["measurement"] if split_meas else []) + gtags
+        if splitters:
+            order = splitters + (["time"] if "time" in cols else [])
             frozen = result.orderBy(*order)
-            data_cols = [c for c in cols if c not in gtags]
+            data_cols = [c for c in cols if c not in splitters]
             out_cols = (["time"] if synth_time else []) + data_cols
 
             def _series_gen():
@@ -1200,11 +1232,12 @@ class HttpApi:
 
                 it = frozen.toLocalIterator(prefetchPartitions=True)
                 for key, rows in itertools.groupby(
-                    it, key=lambda r: tuple(r[t] for t in gtags)
+                    it, key=lambda r: tuple(r[t] for t in splitters)
                 ):
-                    yield {
-                        "name": sname,
-                        "tags": {t: v for t, v in zip(gtags, key)},
+                    tags = dict(zip(splitters, key))
+                    meas_name = tags.pop("measurement", None)
+                    series = {
+                        "name": meas_name if split_meas else sname,
                         "columns": out_cols,
                         "values": _StreamedValues(
                             ([t0_cell] if synth_time else [])
@@ -1212,6 +1245,9 @@ class HttpApi:
                             for r in rows
                         ),
                     }
+                    if tags:
+                        series["tags"] = tags
+                    yield series
 
             return {"series": _series_gen()}
 
