@@ -1468,3 +1468,24 @@ def test_flux_fuzz_via_http_never_5xx(served):
                 assert len(row.split(",")) == width or '"' in row, (q, row)
 
     run()
+
+
+def test_v1_multi_measurement_series_per_name(served):
+    """Stock v1 framing (r8): FROM m1, m2 (or a regex) returns one
+    series PER MEASUREMENT, named by it, with no measurement column."""
+    base, _, tokens = served
+    t0 = T0 + 32_400_000_000_000
+    lines = [f"mmx1,host=a v={float(i)} {t0 + i * 60_000_000_000}"
+             for i in range(3)]
+    lines += [f"mmx2,host=a v={float(10 * i)} {t0 + i * 60_000_000_000}"
+              for i in range(3)]
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    q = urllib.parse.quote("SELECT COUNT(v) FROM mmx1, mmx2")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}",
+                   token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"]
+    assert {s["name"] for s in series} == {"mmx1", "mmx2"}
+    for s in series:
+        assert "measurement" not in s["columns"]
+        assert s["values"][0][s["columns"].index("count")] == 3
