@@ -743,6 +743,47 @@ def ccnet_perplexity_buckets(
     return out.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
 
 
+def ccnet_perplexity_buckets_approx(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB path of :func:`ccnet_perplexity_buckets`: per-language
+    ``percentile_approx`` cut points instead of the NTILE sort.
+
+    One aggregate computes every language's quantile thresholds (a
+    rows-per-language-bounded sketch merge — no per-language sort, no
+    skewed window partition when one language dominates the corpus);
+    the thresholds broadcast back and bucket assignment is a map-side
+    comparison. Boundaries are approximate (sketch accuracy
+    ``accuracy``), which is exactly the CCNet paper's operating mode —
+    the exact equal-frequency variant exists for oracle checking.
+
+    Same output contract: ``(id_col, lang_col, n_tokens,
+    logprob_mean, ppl_bucket)`` with bucket 1 = head.
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).withColumn(
+        "logprob_mean", F.round("logprob_mean", 6)
+    )
+    out = df.select(id_col, lang_col).join(scored, id_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = out.groupBy(lang_col).agg(
+        F.percentile_approx("logprob_mean", qs, accuracy).alias("_cuts")
+    )
+    joined = out.join(F.broadcast(cuts), lang_col)
+    # head = most LM-typical (highest score): bucket = 1 + number of
+    # cut points the score exceeds-or-equals, counted from the top
+    bucket = F.lit(n_buckets) - F.aggregate(
+        "_cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("logprob_mean") >= c, 1).otherwise(0),
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("_cuts")
+
+
 def logreg_quality_train(
     df: DataFrame,
     iters: int = 5,

@@ -818,3 +818,28 @@ def test_logreg_quality_train_learns_separable_labels(spark):
     assert out[-1]["sse"] < out[0]["sse"]
     # alpha_ratio is ~1.0 for targets, lower for raw: learned weight > 0
     assert out[-1]["w_alpha"] > 0.0
+
+
+def test_ccnet_approx_buckets_agree_with_exact(spark, sf_dir):
+    """The percentile_approx scale path assigns (nearly) the same
+    buckets as the exact NTILE variant: boundary docs may flip between
+    adjacent buckets, but agreement stays high and no bucket is empty."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import (
+        ccnet_perplexity_buckets,
+        ccnet_perplexity_buckets_approx,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = ccnet_perplexity_buckets(d).select("doc_id", "ppl_bucket")
+    approx = ccnet_perplexity_buckets_approx(d).select(
+        "doc_id", F.col("ppl_bucket").alias("b2")
+    )
+    j = exact.join(approx, "doc_id").cache()
+    n = j.count()
+    agree = j.filter(F.col("ppl_bucket") == F.col("b2")).count()
+    assert agree / n > 0.9, (agree, n)
+    # never off by more than one bucket, and all buckets populated
+    assert j.filter(F.abs(F.col("ppl_bucket") - F.col("b2")) > 1).count() == 0
+    sizes = {r["b2"] for r in j.select("b2").distinct().collect()}
+    assert sizes == {1, 2, 3}
+    j.unpersist()
