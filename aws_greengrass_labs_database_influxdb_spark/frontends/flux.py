@@ -508,6 +508,21 @@ _MAP_FUNCS: dict = {
     "math.round": (("x",), lambda x: F.round(x, 0)),
     "math.trunc": (("x",), lambda x: x.cast("long").cast("double")),
     "math.mMax": (("x", "y"), lambda x, y: F.greatest(x, y)),
+    # experimental time arithmetic: d arrives as a ns-long literal
+    # (factor() parses duration tokens via duration_ns); µs-precision
+    # timestamp math matches the engine's time column resolution
+    "experimental.addDuration": (
+        ("d", "to"),
+        lambda d, to: F.timestamp_micros(
+            F.unix_micros(to) + F.floor(d / 1000).cast("long")
+        ),
+    ),
+    "experimental.subDuration": (
+        ("d", "from"),
+        lambda d, frm: F.timestamp_micros(
+            F.unix_micros(frm) - F.floor(d / 1000).cast("long")
+        ),
+    ),
     # date package: truncation via exact ns arithmetic (units w/d/h/m/s
     # — epoch-aligned like window()); extractors via Spark datetime fns
     "date.truncate": (

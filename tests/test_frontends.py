@@ -2203,3 +2203,25 @@ def test_flux_map_record_replacement_drops_unmentioned(pts):
     )
     row = shifted.limit(1).collect()[0]
     assert row["time_ns"] // 1000 == int(row["time"].timestamp() * 1e6)
+
+
+def test_flux_experimental_add_sub_duration(pts):
+    """experimental.addDuration/subDuration in map(): timestamp moves
+    by the literal duration and the engine's ns twin follows."""
+    base = ('from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z,'
+            ' stop: 2024-01-02T00:00:00Z)'
+            ' |> filter(fn: (r) => r.event_type == "click") ')
+    orig = execute_flux(pts, base + "|> limit(n: 1)").collect()[0]
+    add = execute_flux(
+        pts, base + "|> map(fn: (r) => ({r with _time:"
+                    " experimental.addDuration(d: 1h, to: r._time)}))"
+                    " |> limit(n: 1)"
+    ).collect()[0]
+    sub = execute_flux(
+        pts, base + "|> map(fn: (r) => ({r with _time:"
+                    " experimental.subDuration(d: 30m, from: r._time)}))"
+                    " |> limit(n: 1)"
+    ).collect()[0]
+    assert add["time_ns"] - orig["time_ns"] == 3_600_000_000_000
+    assert orig["time_ns"] - sub["time_ns"] == 1_800_000_000_000
+    assert (add["time"] - orig["time"]).total_seconds() == 3600
