@@ -211,8 +211,11 @@ def _fluxify_result(df):
     untouched. The tag-key discovery is one small distinct job bounded
     by tag-KEY cardinality (not values).
 
-    Returns ``(df, wire_group_key)`` — the key drives the stock
-    ``#group`` annotation and per-table numbering in the CSV."""
+    Returns a list of ``(df, wire_group_key)`` splits — one per result
+    datatype (usually a single entry). The key drives the stock
+    ``#group`` annotation and per-table numbering in the CSV; each
+    split gets its own annotation block (schema change = new header,
+    per the annotated-CSV spec)."""
     from pyspark.sql import functions as F
 
     from ..frontends.flux import _VALUE_RESULT_ALIASES
@@ -247,51 +250,105 @@ def _fluxify_result(df):
             df = df.withColumn(
                 dst, F.timestamp_micros(F.expr(f"`{src}` div 1000"))
             )
-    # the typed value slot → _value (numerics are already folded into
-    # f_float at query entry; a string/bool field keeps its slot)
+    # the typed value slot → _value. unify_numeric_value guarantees an
+    # f_float column on every frame (null for string/bool points), so a
+    # fixed f_float-first preference silently discarded string/bool
+    # field values (r9 ADVICE-high fix): pick the slot the frame's
+    # ``ftype`` discriminator says is populated, and when a frame mixes
+    # datatypes, split it into one table per type (stock emits a fresh
+    # annotation block per schema — handled by the caller iterating the
+    # returned splits).
+    splits: list = []
     if "_value" not in df.columns:
-        for slot in ("f_float", "f_str", "f_bool"):
-            if slot in df.columns:
-                df = df.withColumnRenamed(slot, "_value")
-                break
+        slots = [s for s in ("f_float", "f_str", "f_bool") if s in df.columns]
+        if len(slots) > 1:
+            # which slots actually hold data? ftype is authoritative
+            # (kept even on legitimately-null values, e.g. createEmpty
+            # spines); the distinct is bounded by the 5 field types.
+            slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
+                       "string": "f_str", "bool": "f_bool"}
+            if "ftype" in df.columns:
+                ftypes = [
+                    r[0]
+                    for r in df.select("ftype").distinct().collect()
+                    if r[0] in slot_of
+                ]
+                live = sorted(
+                    {slot_of[t] for t in ftypes}, key=slots.index
+                )
+                if len(live) > 1:
+                    for slot in live:
+                        types = [t for t, s in slot_of.items() if s == slot]
+                        splits.append(
+                            (df.filter(F.col("ftype").isin(types))
+                               .withColumnRenamed(slot, "_value"),
+                             slot)
+                        )
+                else:
+                    df = df.withColumnRenamed(live[0] if live else "f_float",
+                                              "_value")
+            else:
+                # no discriminator: one columnar count job finds the
+                # populated slot(s); split on non-null as best effort.
+                counts = df.agg(
+                    *[F.count(F.col(s)).alias(s) for s in slots]
+                ).first()
+                live = [s for s in slots if counts[s] > 0]
+                if len(live) > 1:
+                    for slot in live:
+                        splits.append(
+                            (df.filter(F.col(slot).isNotNull())
+                               .withColumnRenamed(slot, "_value"),
+                             slot)
+                        )
+                else:
+                    df = df.withColumnRenamed(live[0] if live else "f_float",
+                                              "_value")
+        elif slots:
+            df = df.withColumnRenamed(slots[0], "_value")
         else:
             hits = [c for c in df.columns if c in _VALUE_RESULT_ALIASES]
             if len(hits) == 1:
                 df = df.withColumnRenamed(hits[0], "_value")
-    renames = {"measurement": "_measurement", "field": "_field",
-               "time": "_time"}
-    for src, dst in renames.items():
-        if src in df.columns and dst not in df.columns:
-            df = df.withColumnRenamed(src, dst)
-    drop = [
-        c for c in ("tags", "series_key", "time_ns", "ingest_seq",
-                    "_ts_raw", "ftype", "props", "day", "f_int", "f_uint",
-                    "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns")
-        if c in df.columns
-    ]
-    if drop:
-        df = df.drop(*drop)
-    # the wire GROUP KEY: what stock marks true in #group and numbers
-    # tables by — measurement/tags/field/window bounds, never
-    # _time/_value. Regrouped frames (group(columns:["host"]) dropped
-    # series_key) keep their key as bare string columns — fold those
-    # in too.
-    from pyspark.sql import types as T
+    def _finish(frame):
+        renames = {"measurement": "_measurement", "field": "_field",
+                   "time": "_time"}
+        for src, dst in renames.items():
+            if src in frame.columns and dst not in frame.columns:
+                frame = frame.withColumnRenamed(src, dst)
+        drop = [
+            c for c in ("tags", "series_key", "time_ns", "ingest_seq",
+                        "_ts_raw", "ftype", "props", "day", "f_int", "f_uint",
+                        "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns")
+            if c in frame.columns
+        ]
+        if drop:
+            frame = frame.drop(*drop)
+        # the wire GROUP KEY: what stock marks true in #group and numbers
+        # tables by — measurement/tags/field/window bounds, never
+        # _time/_value. Regrouped frames (group(columns:["host"]) dropped
+        # series_key) keep their key as bare string columns — fold those
+        # in too.
+        from pyspark.sql import types as T
 
-    known = {"_measurement", "_field", "_start", "_stop", *tag_cols}
-    extra = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, T.StringType)
-        and not f.name.startswith("_")
-        and f.name not in known
-    ]
-    wire_key = tuple(
-        c for c in ("_measurement", *tag_cols, *extra, "_field",
-                    "_start", "_stop")
-        if c in df.columns
-    )
-    return df, wire_key
+        known = {"_measurement", "_field", "_start", "_stop", *tag_cols}
+        extra = [
+            f.name
+            for f in frame.schema.fields
+            if isinstance(f.dataType, T.StringType)
+            and not f.name.startswith("_")
+            and f.name not in known
+        ]
+        wire_key = tuple(
+            c for c in ("_measurement", *tag_cols, *extra, "_field",
+                        "_start", "_stop")
+            if c in frame.columns
+        )
+        return frame, wire_key
+
+    if splits:
+        return [_finish(frame) for frame, _slot in splits]
+    return [_finish(df)]
 
 
 def _parse_delete_predicate(pred: str):
@@ -642,12 +699,21 @@ class HttpApi:
         try:
             for chunk in itertools.chain([first], it):
                 _write(chunk)
-        except Exception as exc:  # noqa: BLE001 — mid-stream: emit error table
-            msg = str(exc).split("\n", 1)[0][:500].replace('"', '""')
-            _write(
-                "\r\n#datatype,string,string\r\n#group,true,true\r\n"
-                f'#default,,\r\n,error,reference\r\n,"{msg}",\r\n'
-            )
+        except Exception as exc:  # noqa: BLE001 — mid-stream: emit typed error
+            # the error fragment must match the stream's content type
+            # (r9 ADVICE fix: CSV error text inside a JSON envelope left
+            # clients with unparseable output) — CSV gets the stock
+            # annotated error table; JSON gets a JSON error object the
+            # client can detect after its truncated envelope.
+            raw = str(exc).split("\n", 1)[0][:500]
+            if content_type.startswith("application/json"):
+                _write("\n" + json.dumps({"error": raw}))
+            else:
+                msg = raw.replace('"', '""')
+                _write(
+                    "\r\n#datatype,string,string\r\n#group,true,true\r\n"
+                    f'#default,,\r\n,error,reference\r\n,"{msg}",\r\n'
+                )
         handler.wfile.write(b"0\r\n\r\n")
 
     # ------------------------------------------------------------ endpoints
@@ -828,11 +894,18 @@ class HttpApi:
             for i, (name, df) in enumerate(results.items()):
                 if i:
                     yield "\r\n"
-                wire_df, wire_key = _fluxify_result(df)
-                yield from iter_annotated_csv(
-                    wire_df, group_key=wire_key, result_name=name,
-                    annotations=annotations, header=csv_header,
-                )
+                # table numbering continues across datatype splits of
+                # one result (shared table_ids dict); each split emits
+                # its own annotation block (schema changed).
+                table_ids: dict = {}
+                for j, (wire_df, wire_key) in enumerate(_fluxify_result(df)):
+                    if j:
+                        yield "\r\n"
+                    yield from iter_annotated_csv(
+                        wire_df, group_key=wire_key, result_name=name,
+                        annotations=annotations, header=csv_header,
+                        table_ids=table_ids,
+                    )
 
         self._respond_chunks(handler, _gen())
 

@@ -58,6 +58,7 @@ def iter_annotated_csv(
     result_name: str = "_result",
     annotations: tuple[str, ...] = ("group", "datatype", "default"),
     header: bool = True,
+    table_ids: dict | None = None,
 ) -> Iterator[str]:
     """Stream a result DataFrame as Flux annotated-CSV chunks.
 
@@ -67,6 +68,8 @@ def iter_annotated_csv(
     facade never holds the full result. ``annotations``/``header``
     mirror the v2 dialect object (r6): each annotation row is emitted
     only when requested, in the engine's group/datatype/default order.
+    Pass a shared ``table_ids`` dict to continue table numbering across
+    multiple blocks of one result (datatype splits, r9).
     """
     cols = df.columns
     dtypes = [_dtype(f.dataType) for f in df.schema.fields]
@@ -87,7 +90,8 @@ def iter_annotated_csv(
         yield head
     if group_key:
         df = df.orderBy(*group_key)
-    table_ids: dict[tuple, int] = {}
+    if table_ids is None:
+        table_ids = {}
     buf: list[str] = []
     for r in df.toLocalIterator(prefetchPartitions=True):
         key = tuple(str(r[k]) for k in group_key) if group_key else ()

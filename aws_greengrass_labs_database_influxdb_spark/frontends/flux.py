@@ -1756,12 +1756,14 @@ def _run_pipeline(
                 else []
             )
             if name == "drop":
-                dropped_tags = [
-                    c for c in cols if c in tag_keys and c not in df.columns
-                ]
+                # a dropped tag must leave series_key/tags even when it
+                # was materialized as a real column earlier (sort,
+                # distinct, keep — r9 ADVICE fix: series that differ
+                # only in the dropped tag must merge per stock regroup)
+                dropped_tags = [c for c in cols if c in tag_keys]
                 if dropped_tags:
                     pipe = pipe._with(_remove_tags_from_key(df, dropped_tags))
-                pipe = pipe.drop([c for c in cols if c not in dropped_tags])
+                pipe = pipe.drop([c for c in cols if c in pipe.df.columns])
             else:
                 kept_tags = [
                     c for c in cols if c in tag_keys and c not in df.columns

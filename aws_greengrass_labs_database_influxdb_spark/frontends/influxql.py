@@ -1283,7 +1283,13 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                     if ast.slimit is not None and by:
                         out = sl_ops.slimit(out, ast.slimit, series=by,
                                             soffset=ast.soffset)
-                    return out
+                    # the pivot's groupBy destroyed row order — stock
+                    # returns time-ascending (or DESC) values always,
+                    # not only under LIMIT (r9 ADVICE fix)
+                    tcol = (F.col("time").desc() if ast.order_desc
+                            else F.col("time"))
+                    return out.orderBy(*[c for c in by if c in out.columns],
+                                       tcol)
                 sel.append(F.col("f_float").alias(alias))
                 continue
             col = _field_value_col(fld, df)

@@ -2194,14 +2194,12 @@ def test_flux_map_record_replacement_drops_unmentioned(pts):
         pts, base + "|> map(fn: (r) => ({r with d2: r._value * 2.0}))"
     )
     assert "event_type" in ext.columns and "d2" in ext.columns
-    # _time rewrite re-syncs time_ns: a +1h shift moves window starts
-    shifted = execute_flux(
-        pts, base + '|> map(fn: (r) => ({r with _time: '
-                    'experimental.addDuration(d: 1h, to: r._time)}))'
-        if False else
-        base + "|> map(fn: (r) => ({r with _value: r._value}))"
+    # identity map keeps time_ns in sync with time (the +1h shift case
+    # is covered by test_flux_experimental_add_sub_duration below)
+    kept = execute_flux(
+        pts, base + "|> map(fn: (r) => ({r with _value: r._value}))"
     )
-    row = shifted.limit(1).collect()[0]
+    row = kept.limit(1).collect()[0]
     assert row["time_ns"] // 1000 == int(row["time"].timestamp() * 1e6)
 
 

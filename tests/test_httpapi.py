@@ -1489,3 +1489,71 @@ def test_v1_multi_measurement_series_per_name(served):
     for s in series:
         assert "measurement" not in s["columns"]
         assert s["values"][0][s["columns"].index("count")] == 3
+
+
+def test_flux_string_bool_fields_reach_value(served):
+    """r9 ADVICE-high fix: after unify_numeric_value every frame has an
+    f_float column, so the old f_float-first _value binding silently
+    dropped string/bool field values. The typed slot must be selected
+    by the ftype discriminator and mixed-type results must split into
+    one table per datatype with continued table numbering."""
+    base, _, tokens = served
+    t0 = T0 + 40_000_000_000_000
+    lines = "\n".join([
+        f'typedmix,host=h1 status="ok",up=true,load=1.5 {t0}',
+        f'typedmix,host=h1 status="degraded",up=false,load=2.5 '
+        f"{t0 + 60_000_000_000}",
+    ])
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-03T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "typedmix")'
+    )
+    status, body = _req(base, "/api/v2/query", "POST",
+                        token=tokens["RO"], body={"query": flux,
+                                                  "type": "flux"})
+    assert status == 200
+    # the real string/bool values are on the wire, not null-discarded
+    assert ",status,ok," in body and ",status,degraded," in body
+    assert ",up,true," in body and ",up,false," in body
+    assert ",load,1.5," in body and ",load,2.5," in body
+    # one #datatype per split: double, string, boolean value columns
+    dtypes = [ln for ln in body.splitlines() if ln.startswith("#datatype")]
+    value_types = sorted(ln.split(",")[5] for ln in dtypes)
+    assert value_types == ["boolean", "double", "string"]
+    # table numbering continues across the datatype splits
+    tids = {ln.split(",")[2] for ln in body.splitlines()
+            if ln.startswith(",,")}
+    assert tids == {"0", "1", "2"}
+
+
+def test_flux_drop_materialized_tag_merges_series(served):
+    """r9 ADVICE-medium fix: when a tag was materialized as a real
+    column by an earlier stage (sort on the tag), drop() must ALSO
+    remove it from series_key/tags — series that differ only in the
+    dropped tag merge, exactly as when the tag was map-resident."""
+    base, _, tokens = served
+    t0 = T0 + 43_200_000_000_000
+    lines = []
+    for i in range(4):
+        lines.append(f"dmx,host=a v={float(i)} {t0 + i * 60_000_000_000}")
+        lines.append(f"dmx,host=b v={float(10 * i)} {t0 + i * 60_000_000_000}")
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    # sort(columns:["host"]) materializes the tag as a real column,
+    # then drop must still merge the two hosts into one summed table
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": 'from(bucket:"greengrass-telemetry")'
+                 " |> range(start: 2024-01-01T00:00:00Z,"
+                 " stop: 2024-01-03T00:00:00Z)"
+                 ' |> filter(fn: (r) => r._measurement == "dmx")'
+                 ' |> sort(columns: ["host", "_time"])'
+                 ' |> drop(columns: ["host"]) |> sum()',
+        "type": "flux"})
+    assert ",66.0" in body          # 6 + 60 merged into ONE table
+    assert ",6.0" not in body.replace(",66.0", "")
+    assert ",60.0" not in body.replace(",66.0", "")
