@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from . import _cfold
+
 
 def _orderlist(order) -> list[str]:
     return [order] if isinstance(order, str) else list(order)
@@ -219,29 +221,47 @@ def exponential_moving_average(
     applyInPandas per series; the arithmetic is an explicit sequential
     fold (seed = sequential sum / n) so the DuckDB oracle can reproduce
     it bit-for-bit with ``list_reduce`` — see suite/timeseries.EMA_SQL.
+
+    The fold runs in the native kernel (_cfold — same expression tree,
+    FMA contraction disabled, self-checked at load) when available, so
+    a multi-hundred-million-row series pays C speed, not Python
+    bytecode; the Python fold below is the gated fallback and the
+    bit-exactness reference (test_analytics_native_parity).
     """
     def _ema(pdf: pd.DataFrame) -> pd.Series:
-        # .tolist() unboxes to Python floats: same IEEE-754 double
-        # arithmetic bit-for-bit, ~4x less per-element overhead than
-        # np.float64 scalar indexing in the sequential fold.
-        v = pdf[value].astype(float).to_numpy().tolist()
-        m = len(v)
-        out = np.full(m, np.nan)
-        if m < n:
-            return pd.Series(out)
-        k = 2.0 / (n + 1)
-        s = 0.0
-        for x in v[:n]:
-            s = s + x
-        e = s / float(n)
-        out[n - 1] = e
-        o = out.tolist()
-        for i in range(n, m):
-            e = e + k * (v[i] - e)
-            o[i] = e
-        return pd.Series(o, dtype=float)
+        va = pdf[value].astype(float).to_numpy()
+        return pd.Series(ema_values(va, n), dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema, needed=(value, *keep))
+
+
+def ema_values(va: np.ndarray, n: int, native: bool = True) -> np.ndarray:
+    """The EMA fold on a sorted value array (native kernel when
+    available; Python-float fold otherwise — bit-identical, see
+    test_analytics_native)."""
+    m = len(va)
+    if native and m >= n:
+        out = _cfold.ema(va, n, 2.0 / (n + 1))
+        if out is not None:
+            return out
+    # .tolist() unboxes to Python floats: same IEEE-754 double
+    # arithmetic bit-for-bit, ~4x less per-element overhead than
+    # np.float64 scalar indexing in the sequential fold.
+    v = va.tolist()
+    out = np.full(m, np.nan)
+    if m < n:
+        return out
+    k = 2.0 / (n + 1)
+    s = 0.0
+    for x in v[:n]:
+        s = s + x
+    e = s / float(n)
+    out[n - 1] = e
+    o = out.tolist()
+    for i in range(n, m):
+        e = e + k * (v[i] - e)
+        o[i] = e
+    return np.asarray(o, dtype=float)
 
 
 def double_ema(df, n, value="f_float", by=("measurement", "field"),
@@ -335,27 +355,37 @@ def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
     """
     def _rsi(pdf: pd.DataFrame) -> pd.Series:
         v = pdf[value].astype(float).to_numpy()
-        m = len(v)
-        out = np.full(m, np.nan)
-        if m <= n:
-            return pd.Series(out)
-        a = 1.0 / n
-        d = np.diff(v)
-        # list fold (Python floats): bit-identical IEEE arithmetic,
-        # much cheaper than np.float64 scalar ops in the recursion
-        up = np.where(d > 0.0, d, 0.0).tolist()
-        dn = np.where(d < 0.0, -d, 0.0).tolist()
-        au, ad = up[0], dn[0]
-        o = out.tolist()
-        for j in range(1, m - 1):
-            au = au + a * (up[j] - au)
-            ad = ad + a * (dn[j] - ad)
-            i = j + 1  # row carrying the value after delta j
-            if i >= n:
-                o[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
-        return pd.Series(o, dtype=float)
+        return pd.Series(rsi_values(v, n), dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi, needed=(value,))
+
+
+def rsi_values(v: np.ndarray, n: int, native: bool = True) -> np.ndarray:
+    """The Wilder-RSI fold on a sorted value array (native kernel when
+    available; Python-float fold otherwise — bit-identical)."""
+    m = len(v)
+    out = np.full(m, np.nan)
+    if m <= n:
+        return out
+    if native:
+        nat = _cfold.rsi(v, n)
+        if nat is not None:
+            return nat
+    a = 1.0 / n
+    d = np.diff(v)
+    # list fold (Python floats): bit-identical IEEE arithmetic,
+    # much cheaper than np.float64 scalar ops in the recursion
+    up = np.where(d > 0.0, d, 0.0).tolist()
+    dn = np.where(d < 0.0, -d, 0.0).tolist()
+    au, ad = up[0], dn[0]
+    o = out.tolist()
+    for j in range(1, m - 1):
+        au = au + a * (up[j] - au)
+        ad = ad + a * (dn[j] - ad)
+        i = j + 1  # row carrying the value after delta j
+        if i >= n:
+            o[i] = 100.0 if ad == 0.0 else 100.0 - 100.0 / (1.0 + au / ad)
+    return np.asarray(o, dtype=float)
 
 
 def kaufmans_er(df, n, value="f_float", by=("measurement", "field"),
@@ -389,31 +419,42 @@ def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
     """
     def _kama(pdf: pd.DataFrame) -> pd.Series:
         v = pdf[value].astype(float).to_numpy()
-        m = len(v)
-        out = np.full(m, np.nan)
-        if m <= n:
-            return pd.Series(out)
-        fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
-        # cs[i] = |Δ| cumsum through row i; window sum = cs[i] − cs[i−n]
-        cs = np.concatenate(([0.0], np.cumsum(np.abs(np.diff(v)))))
-        idx = np.arange(n, m)
-        change = np.abs(v[idx] - v[idx - n])
-        vol = cs[idx] - cs[idx - n]
-        safe_vol = np.where(vol != 0.0, vol, 1.0)
-        er = np.where(vol != 0.0, change / safe_vol, 0.0)
-        sc_arr = (er * (fast - slow) + slow) ** 2
-        # list fold for the scalar recursion (bit-identical doubles,
-        # lower per-element overhead than np.float64 indexing)
-        vl, scl, o = v.tolist(), sc_arr.tolist(), out.tolist()
-        prev = vl[n - 1]
-        o[n - 1] = prev
-        for j in range(len(idx)):
-            i = n + j
-            prev = prev + scl[j] * (vl[i] - prev)
-            o[i] = prev
-        return pd.Series(o, dtype=float)
+        return pd.Series(kama_values(v, n), dtype=float)
 
     return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama, needed=(value,))
+
+
+def kama_values(v: np.ndarray, n: int, native: bool = True) -> np.ndarray:
+    """KAMA on a sorted value array: numpy-vectorized efficiency-ratio
+    inputs, then the scalar smoothing recursion (native kernel when
+    available; Python-float fold otherwise — bit-identical)."""
+    m = len(v)
+    out = np.full(m, np.nan)
+    if m <= n:
+        return out
+    fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
+    # cs[i] = |Δ| cumsum through row i; window sum = cs[i] − cs[i−n]
+    cs = np.concatenate(([0.0], np.cumsum(np.abs(np.diff(v)))))
+    idx = np.arange(n, m)
+    change = np.abs(v[idx] - v[idx - n])
+    vol = cs[idx] - cs[idx - n]
+    safe_vol = np.where(vol != 0.0, vol, 1.0)
+    er = np.where(vol != 0.0, change / safe_vol, 0.0)
+    sc_arr = (er * (fast - slow) + slow) ** 2
+    if native:
+        nat = _cfold.kama(v, n, sc_arr)
+        if nat is not None:
+            return nat
+    # list fold for the scalar recursion (bit-identical doubles,
+    # lower per-element overhead than np.float64 indexing)
+    vl, scl, o = v.tolist(), sc_arr.tolist(), out.tolist()
+    prev = vl[n - 1]
+    o[n - 1] = prev
+    for j in range(len(idx)):
+        i = n + j
+        prev = prev + scl[j] * (vl[i] - prev)
+        o[i] = prev
+    return np.asarray(o, dtype=float)
 
 
 def chande_momentum_oscillator(df, n, value="f_float", by=("measurement", "field"),
