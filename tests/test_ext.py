@@ -843,3 +843,24 @@ def test_ccnet_approx_buckets_agree_with_exact(spark, sf_dir):
     sizes = {r["b2"] for r in j.select("b2").distinct().collect()}
     assert sizes == {1, 2, 3}
     j.unpersist()
+
+
+def test_ccnet_auto_routes_by_docs_per_lang(spark, sf_dir):
+    """r9 (VERDICT r8 #2): the auto wrapper picks the exact NTILE path
+    while every language fits the documented per-language bound and
+    switches to the percentile_approx sketch path beyond it — pinned on
+    both sides of the threshold by inspecting the physical plan."""
+    from aws_greengrass_labs_database_influxdb_spark.ext.text import (
+        ccnet_perplexity_buckets_auto,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # suite scale is far below the default threshold → exact NTILE
+    exact = ccnet_perplexity_buckets_auto(d)
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" in plan and "percentile_approx" not in plan
+    # force the threshold below the corpus → approx path, same contract
+    approx = ccnet_perplexity_buckets_auto(d, max_exact_docs_per_lang=1)
+    plan2 = approx._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan2 and "ntile(" not in plan2
+    assert exact.columns == approx.columns
