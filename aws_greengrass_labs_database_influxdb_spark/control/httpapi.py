@@ -199,6 +199,57 @@ def _iter_v1_json(results: list[dict], batch_rows: int = 500):
     yield "]}"
 
 
+def _iter_v1_json_chunked(results: list[dict], chunk_size: int):
+    """v1 ``chunked=true`` wire shape (r9 probe): a sequence of
+    newline-delimited COMPLETE ``{"results": [...]}`` documents, each
+    carrying at most ``chunk_size`` rows of one series. A series split
+    across documents marks every non-final piece ``"partial": true``
+    (series level), and a statement with more data to come marks its
+    result entry partial too — exactly the stock v1 contract clients
+    like influxdb-python's chunked reader parse.
+
+    Streaming shape: rows are pulled lazily (``_StreamedValues`` pass
+    through ``toLocalIterator``) — facade memory stays O(chunk_size).
+    """
+    for res in results:
+        sid = res.get("statement_id", 0)
+        # one-series look-ahead tells whether the statement has more
+        # data (drives the result-level partial flag) without
+        # materializing a lazy per-tag-set series generator
+        sit = iter(res.get("series", []))
+        cur = next(sit, None)
+        if cur is None:
+            doc = dict(res)
+            doc["statement_id"] = sid
+            yield json.dumps({"results": [doc]}) + "\n"
+            continue
+        while cur is not None:
+            nxt = next(sit, None)
+            vals = cur.get("values", [])
+            rows_iter = vals.rows if isinstance(vals, _StreamedValues) else iter(vals)
+            pending = next(rows_iter, None)
+            first_batch = True
+            while first_batch or pending is not None:
+                batch = []
+                while pending is not None and len(batch) < chunk_size:
+                    batch.append(pending)
+                    pending = next(rows_iter, None)
+                series_more = pending is not None
+                s_doc = {"name": cur.get("name")}
+                if cur.get("tags"):
+                    s_doc["tags"] = cur["tags"]
+                s_doc["columns"] = cur.get("columns", [])
+                s_doc["values"] = batch
+                if series_more:
+                    s_doc["partial"] = True
+                r_doc = {"statement_id": sid, "series": [s_doc]}
+                if series_more or nxt is not None:
+                    r_doc["partial"] = True
+                yield json.dumps({"results": [r_doc]}) + "\n"
+                first_batch = False
+            cur = nxt
+
+
 def _fluxify_result(df):
     """Rename engine-internal result columns to the Flux WIRE names a
     stock client parses (``_measurement``/``_field``/``_value``/
@@ -840,9 +891,14 @@ class HttpApi:
         org = q.get("org") or self.engine.config.org
         ctype = handler.headers.get("Content-Type", "")
         text = body.decode()
-        # v2 dialect object: which annotation rows + header to emit
+        # v2 dialect object: which annotation rows + header to emit,
+        # plus delimiter / commentPrefix / dateTimeFormat (r9 probe:
+        # stock honors all five; dateTimeFormat defaults RFC3339 —
+        # which DROPS fractional seconds — vs RFC3339Nano)
         annotations: tuple = ("group", "datatype", "default")
         csv_header = True
+        delimiter, comment_prefix = ",", "#"
+        datetime_format = "RFC3339"
         if "json" in ctype:
             req = json.loads(text)
             text = req.get("query", "")
@@ -850,6 +906,15 @@ class HttpApi:
             if "annotations" in dialect:
                 annotations = tuple(dialect["annotations"])
             csv_header = bool(dialect.get("header", True))
+            delimiter = dialect.get("delimiter", ",")
+            comment_prefix = dialect.get("commentPrefix", "#")
+            datetime_format = dialect.get("dateTimeFormat", "RFC3339")
+            if len(delimiter) != 1 or delimiter == '"':
+                raise ApiError(400, "invalid",
+                               "dialect delimiter must be a single non-quote character")
+            if datetime_format not in ("RFC3339", "RFC3339Nano"):
+                raise ApiError(400, "invalid",
+                               "dialect dateTimeFormat must be RFC3339 or RFC3339Nano")
         m = _FROM_BUCKET_RX.search(text)
         if not m:
             raise ApiError(400, "invalid", 'query must reference bucket: "..."')
@@ -904,7 +969,9 @@ class HttpApi:
                     yield from iter_annotated_csv(
                         wire_df, group_key=wire_key, result_name=name,
                         annotations=annotations, header=csv_header,
-                        table_ids=table_ids,
+                        table_ids=table_ids, delimiter=delimiter,
+                        comment_prefix=comment_prefix,
+                        datetime_format=datetime_format,
                     )
 
         self._respond_chunks(handler, _gen())
@@ -928,6 +995,20 @@ class HttpApi:
             results.append(res)
         if not results:
             raise ApiError(400, "invalid", "empty query")
+
+        if q.get("chunked") in ("true", "1"):
+            # stock v1 chunked mode: newline-delimited complete JSON
+            # documents of at most chunk_size rows each, with partial
+            # flags while a series/statement has more data (r9 probe)
+            try:
+                chunk_size = max(1, int(q.get("chunk_size", 10000)))
+            except ValueError:
+                chunk_size = 10000
+            self._respond_chunks(
+                handler, _iter_v1_json_chunked(results, chunk_size),
+                content_type="application/json",
+            )
+            return
 
         def _is_streamed(res: dict) -> bool:
             s = res.get("series", [])

@@ -38,16 +38,25 @@ def _dtype(dt: T.DataType) -> str:
     return "string"
 
 
-def _fmt(v) -> str:
+def _fmt(v, delimiter: str = ",", datetime_format: str | None = None) -> str:
     if v is None:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if hasattr(v, "isoformat"):  # datetime
+    if hasattr(v, "isoformat"):  # datetime (tz-naive UTC micros)
+        if datetime_format == "RFC3339":
+            # stock Go time.Format(RFC3339): fractional seconds dropped
+            return v.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+        if datetime_format == "RFC3339Nano":
+            # trailing zeros trimmed, exactly Go's RFC3339Nano
+            s = v.strftime("%Y-%m-%dT%H:%M:%S")
+            if v.microsecond:
+                s += "." + f"{v.microsecond:06d}".rstrip("0")
+            return s + "Z"
         s = v.isoformat()
         return s + "Z" if "+" not in s and not s.endswith("Z") else s
     s = str(v)
-    if any(c in s for c in ',"\n'):
+    if any(c in s for c in delimiter + '"\n'):
         s = '"' + s.replace('"', '""') + '"'
     return s
 
@@ -59,33 +68,44 @@ def iter_annotated_csv(
     annotations: tuple[str, ...] = ("group", "datatype", "default"),
     header: bool = True,
     table_ids: dict | None = None,
+    delimiter: str = ",",
+    comment_prefix: str = "#",
+    datetime_format: str | None = None,
 ) -> Iterator[str]:
     """Stream a result DataFrame as Flux annotated-CSV chunks.
 
     Tables split on the group key; ``table`` numbers them in sorted
     group-key order. The sort is a Spark job (``orderBy``); rows reach
     the driver one partition at a time via ``toLocalIterator()`` — the
-    facade never holds the full result. ``annotations``/``header``
-    mirror the v2 dialect object (r6): each annotation row is emitted
-    only when requested, in the engine's group/datatype/default order.
-    Pass a shared ``table_ids`` dict to continue table numbering across
-    multiple blocks of one result (datatype splits, r9).
+    facade never holds the full result. ``annotations``/``header``/
+    ``delimiter``/``comment_prefix``/``datetime_format`` mirror the v2
+    dialect object (r6; delimiter/commentPrefix/dateTimeFormat r9):
+    annotation rows are emitted only when requested, cells join on the
+    dialect delimiter (values containing it get quoted), annotation
+    markers use the dialect comment prefix, and timestamps honor
+    RFC3339 (stock: fractional seconds dropped) vs RFC3339Nano
+    (fraction with trailing zeros trimmed). ``datetime_format=None``
+    keeps the engine's lossless isoformat (micros kept) for internal
+    round-trips. Pass a shared ``table_ids`` dict to continue table
+    numbering across multiple blocks of one result (datatype splits,
+    r9).
     """
+    d, p = delimiter, comment_prefix
     cols = df.columns
     dtypes = [_dtype(f.dataType) for f in df.schema.fields]
     head = ""
     if "group" in annotations:
         head += (
-            "#group,false,false,"
-            + ",".join("true" if c in group_key else "false" for c in cols)
+            p + "group" + d + "false" + d + "false" + d
+            + d.join("true" if c in group_key else "false" for c in cols)
             + "\r\n"
         )
     if "datatype" in annotations:
-        head += "#datatype,string,long," + ",".join(dtypes) + "\r\n"
+        head += p + "datatype" + d + "string" + d + "long" + d + d.join(dtypes) + "\r\n"
     if "default" in annotations:
-        head += "#default," + result_name + ",," + "," * (len(cols) - 1) + "\r\n"
+        head += p + "default" + d + result_name + d + d + d * (len(cols) - 1) + "\r\n"
     if header:
-        head += ",result,table," + ",".join(cols) + "\r\n"
+        head += d + "result" + d + "table" + d + d.join(cols) + "\r\n"
     if head:
         yield head
     if group_key:
@@ -96,7 +116,10 @@ def iter_annotated_csv(
     for r in df.toLocalIterator(prefetchPartitions=True):
         key = tuple(str(r[k]) for k in group_key) if group_key else ()
         tid = table_ids.setdefault(key, len(table_ids))
-        buf.append(",," + str(tid) + "," + ",".join(_fmt(r[c]) for c in cols) + "\r\n")
+        buf.append(
+            d + d + str(tid) + d
+            + d.join(_fmt(r[c], d, datetime_format) for c in cols) + "\r\n"
+        )
         if len(buf) >= 1000:
             yield "".join(buf)
             buf = []

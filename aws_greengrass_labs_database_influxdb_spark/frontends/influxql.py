@@ -1312,7 +1312,12 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             # aggregate path ranked series)
             out = sl_ops.slimit(out, ast.slimit, series=by,
                                 soffset=ast.soffset)
-        return out
+        # stock emits raw values time-ascending (or DESC) always — a
+        # bare `SELECT f FROM m` with no LIMIT must not leak partition
+        # concat order (r9 probe 2)
+        tcol = F.col("time").desc() if ast.order_desc else F.col("time")
+        ties = [c for c in ("ingest_seq",) if c in out.columns]
+        return out.orderBy(*[c for c in by if c in out.columns], tcol, *ties)
 
     # aggregate / selector path (+ arithmetic over aggregates)
     return _finish(_execute_aggregate(df, ast, by), ast, by)

@@ -1557,3 +1557,102 @@ def test_flux_drop_materialized_tag_merges_series(served):
     assert ",66.0" in body          # 6 + 60 merged into ONE table
     assert ",6.0" not in body.replace(",66.0", "")
     assert ",60.0" not in body.replace(",66.0", "")
+
+
+def test_v1_raw_select_time_ordered_without_limit(served):
+    """r9 probe 2 fix: a bare ``SELECT f FROM m`` (no LIMIT, no GROUP
+    BY) must return values time-ascending — stock never leaks
+    partition concat order on the raw path."""
+    base, _, tokens = served
+    t0 = T0 + 86_400_000_000_000 * 3
+    # write out of order so shuffle order != time order
+    lines = [f"raword v={float(i)} {t0 + i * 60_000_000_000}"
+             for i in (5, 1, 4, 0, 3, 2)]
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    import urllib.parse as up
+    q = up.quote("SELECT v FROM raword")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}&epoch=ns",
+                   token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert [v[0] for v in vals] == sorted(v[0] for v in vals)
+    assert [v[1] for v in vals] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    # and DESC still honored
+    q = up.quote("SELECT v FROM raword ORDER BY time DESC")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}&epoch=ns",
+                   token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert [v[1] for v in vals] == [5.0, 4.0, 3.0, 2.0, 1.0, 0.0]
+
+
+def test_v1_chunked_true_ndjson_partial_flags(served):
+    """r9 probe 2: ``chunked=true&chunk_size=N`` must emit newline-
+    delimited COMPLETE {"results":[...]} docs of ≤N rows, with
+    series-level AND result-level ``partial: true`` on every non-final
+    piece (the stock v1 contract influxdb-python's chunked reader
+    parses)."""
+    base, _, tokens = served
+    t0 = T0 + 86_400_000_000_000 * 4
+    lines = [f"chk v={float(i)} {t0 + i * 60_000_000_000}" for i in range(5)]
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body="\n".join(lines), ctype="text/plain")
+    import urllib.parse as up
+    q = up.quote("SELECT v FROM chk")
+    _, body = _req(base,
+                   f"/query?db=greengrass-telemetry&q={q}"
+                   "&chunked=true&chunk_size=2&epoch=ns",
+                   token=tokens["RO"])
+    docs = [json.loads(ln) for ln in body.splitlines() if ln.strip()]
+    assert len(docs) == 3  # 2 + 2 + 1 rows
+    rows = []
+    for i, doc in enumerate(docs):
+        res = doc["results"][0]
+        ser = res["series"][0]
+        assert ser["name"] == "chk"
+        assert len(ser["values"]) <= 2
+        rows += ser["values"]
+        last = i == len(docs) - 1
+        assert res.get("partial", False) is (not last)
+        assert ser.get("partial", False) is (not last)
+    assert [r[1] for r in rows] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_v2_dialect_delimiter_comment_prefix_datetime_format(served):
+    """r9 probe 4/5: the v2 dialect's delimiter/commentPrefix/
+    dateTimeFormat are honored — cells join on the dialect delimiter,
+    annotation rows use the dialect comment prefix, and RFC3339 drops
+    fractional seconds while RFC3339Nano trims trailing zeros (Go
+    time.Format semantics)."""
+    base, _, tokens = served
+    t0 = T0 + 86_400_000_000_000 * 5
+    # 123.456 ms fraction to tell the two datetime formats apart
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"],
+         body=f"dlx v=7.5 {t0 + 123_456_000}", ctype="text/plain")
+    flux = ('from(bucket:"greengrass-telemetry")'
+            " |> range(start: 2024-01-05T00:00:00Z,"
+            " stop: 2024-01-07T00:00:00Z)"
+            ' |> filter(fn: (r) => r._measurement == "dlx")')
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": flux, "type": "flux",
+        "dialect": {"delimiter": ";", "commentPrefix": "%"}})
+    assert "%datatype;string;long;" in body
+    assert "%group;false;false;" in body
+    assert ";result;table;" in body
+    assert ";;0;" in body
+    assert "#datatype" not in body
+    # default dateTimeFormat=RFC3339: fraction dropped
+    assert "2024-01-06T00:00:00Z" in body
+    assert "2024-01-06T00:00:00.123456Z" not in body
+    _, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"], body={
+        "query": flux, "type": "flux",
+        "dialect": {"dateTimeFormat": "RFC3339Nano"}})
+    assert "2024-01-06T00:00:00.123456Z" in body
+    # invalid dialect values are typed 400s, not 5xx
+    for bad in ({"delimiter": "--"}, {"dateTimeFormat": "unix"}):
+        try:
+            _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                 body={"query": flux, "type": "flux", "dialect": bad})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

@@ -444,3 +444,143 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert got <= expected_all
     assert ("a", "2024-01-01T00:00:00", 3) in got
     assert ("b", "2024-01-01T00:01:00", 1) in got
+
+
+def test_ingest_resumes_after_crash_between_write_and_commit(spark, store, tmp_path):
+    """Failure injection (r9): the ingest foreachBatch crashes AFTER
+    the store write succeeds but BEFORE the checkpoint commits its
+    offsets — the worst-case window for duplicates. On restart the
+    batch is re-delivered (offsets were never committed) and rewritten
+    with a newer ingest_seq; LWW resolution converges to exactly one
+    value per (series, time, field) — the value-idempotence claim in
+    streaming/ingest.py:15-20, now tested on a crashed run."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text(
+        "\n".join(
+            f"SystemMetrics,host=h1 CpuUsage={i}.0 {T0 + i * MIN_NS}"
+            for i in range(10)
+        )
+    )
+
+    real_write = store.write_points
+    crashed = {"done": False}
+
+    def crashing_write(org, bucket, pts):
+        real_write(org, bucket, pts)  # the write LANDS...
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before offset commit")
+
+    store.write_points = crashing_write
+    try:
+        with pytest.raises(StreamingQueryException):
+            q = stream_lineprotocol_ingest(
+                spark, str(in_dir), store, "o", "b",
+                checkpoint=str(tmp_path / "ck"),
+            )
+            q.awaitTermination(120)
+    finally:
+        store.write_points = real_write
+    assert crashed["done"]
+
+    # restart, same checkpoint: the uncommitted batch re-delivers and
+    # is written a SECOND time — LWW must keep exactly one copy
+    _run_ingest(spark, store, in_dir, tmp_path / "ck")
+
+    pts = store.read_points("o", "b")
+    rows = pts.filter(F.col("field") == "CpuUsage").collect()
+    assert len(rows) == 10  # no duplicates despite the double write
+    got = {r.time_ns: r.f_float for r in rows}
+    assert got == {T0 + i * MIN_NS: float(i) for i in range(10)}
+
+
+def test_rollup_maintenance_resumes_after_midbatch_crash(spark, store, tmp_path):
+    """Failure injection (r9): RollupMaintenanceTask's foreachBatch is
+    killed mid-refresh — the first touched day partition is rebuilt,
+    then the sink raises, so the batch dies with the rollup half-
+    updated and offsets uncommitted. A restart on the same checkpoint
+    must re-deliver the batch, rebuild ALL touched days (day-rebuild
+    is idempotent: dynamic partition overwrite from LWW-resolved
+    points), and converge to the batch recompute — the exactly-once
+    claim of streaming/tasks.py RollupMaintenanceTask, tested on a
+    crashed run instead of a clean one."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import (
+        aggregate_window,
+    )
+    from aws_greengrass_labs_database_influxdb_spark.plans.rollup import RollupCatalog
+    from aws_greengrass_labs_database_influxdb_spark.streaming import (
+        RollupMaintenanceTask,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt_i, ckpt_m = tmp_path / "cki", tmp_path / "ckm"
+    by = ("measurement", "series_key", "field")
+
+    (in_dir / "a.txt").write_text(
+        "\n".join(
+            f"SystemMetrics,host=h1 CpuUsage={i}.0 {T0 + i * MIN_NS}"
+            for i in range(120)
+        )
+    )
+    _run_ingest(spark, store, in_dir, ckpt_i)
+
+    cat = RollupCatalog(spark, str(tmp_path / "rollups"))
+    cat.materialize("cpu_1m", store.read_points("o", "b"), "1m", by)
+
+    # late batch touching TWO days: an overwrite in day 1 + new day 11
+    day2 = T0 + 10 * 86_400 * 10**9
+    (in_dir / "b.txt").write_text(
+        f"SystemMetrics,host=h1 CpuUsage=999.0 {T0}\n"
+        + "\n".join(
+            f"SystemMetrics,host=h1 CpuUsage={i}.5 {day2 + i * MIN_NS}"
+            for i in range(60)
+        )
+    )
+    _run_ingest(spark, store, in_dir, ckpt_i)
+
+    class CrashingCatalog:
+        """Delegates to the real catalog; first refresh_days call
+        rebuilds only ONE of the touched days, then dies."""
+
+        def __init__(self, real):
+            self._real = real
+            self.crashed = False
+
+        def refresh_days(self, name, pts, days):
+            if not self.crashed and len(days) > 1:
+                self.crashed = True
+                self._real.refresh_days(name, pts, sorted(days)[:1])
+                raise RuntimeError("injected crash mid-refresh")
+            return self._real.refresh_days(name, pts, days)
+
+    wrapper = CrashingCatalog(cat)
+    with pytest.raises(StreamingQueryException):
+        task = RollupMaintenanceTask(
+            spark, store, "o", "b", wrapper, "cpu_1m", checkpoint=str(ckpt_m)
+        )
+        task.start(available_now=True).awaitTermination(120)
+    assert wrapper.crashed  # the partial write + crash really happened
+
+    # restart on the SAME checkpoint: batch re-delivers, full refresh
+    task = RollupMaintenanceTask(
+        spark, store, "o", "b", wrapper, "cpu_1m", checkpoint=str(ckpt_m)
+    )
+    task.start(available_now=True).awaitTermination(120)
+
+    pts = store.read_points("o", "b")
+    routed = cat.aggregate_window(
+        pts, "1h", "max", by=by,
+        range_start=T0, range_stop=day2 + 3600 * 10**9,
+    )
+    direct = aggregate_window(pts, "1h", "max", by=by)
+    key = lambda r: (r.series_key, r["_start_ns"])  # noqa: E731
+    a = {key(r): r["max"] for r in routed.collect()}
+    b = {key(r): r["max"] for r in direct.collect()}
+    assert a == b
+    assert [v for (sk, ws), v in a.items() if ws == T0] == [999.0]
