@@ -180,6 +180,12 @@ class RollupCatalog:
             "_day", F.expr(f"_start_ns div {DAY_NS}")
         )
         d = self._dir(name)
+        # one task → one file per day partition: the rollup comes out
+        # of a 32-way aggregate shuffle, and writing that directly
+        # sprays tasks×days tiny files (rollup rows per day are few —
+        # a single clustered file per day is the right layout, and
+        # routed reads list far fewer footers)
+        rp = rp.repartition("_day").sortWithinPartitions(*by, "_start_ns")
         rp.write.mode("overwrite").partitionBy("_day").parquet(str(d / "data"))
         # watermark from the written rollup (tiny relative to points):
         # ranges ending past it may include unrolled-up writes → direct.
@@ -202,6 +208,9 @@ class RollupCatalog:
             .filter(F.col("_day").isin(list(days)))
         )
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # same one-file-per-day clustering as materialize (the refresh
+        # rewrites whole day partitions, so layout stays uniform)
+        rp = rp.repartition("_day").sortWithinPartitions(*spec.by, "_start_ns")
         rp.write.mode("overwrite").partitionBy("_day").parquet(
             str(self._dir(name) / "data")
         )

@@ -35,6 +35,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let data volume, not a fixed constant, pick reduce-task
+        # counts: start every shuffle at 8×CPUs partitions and let AQE
+        # coalesce down by size. With the flat N-CPUs default, a 30×
+        # corpus packs 3× more rows per reduce partition until sorts
+        # spill — the ngram-shingle aggregate measured 4.1× wall for a
+        # 3× data step at 32 fixed partitions vs 2.4× with this pair
+        # (SCALE.md §shuffle-partitions). 8 MiB advisory (not the 64
+        # MiB default) because shuffle bytes underestimate in-memory
+        # row expansion ~5-10× for the string/struct-heavy frames this
+        # engine aggregates (shingles, tag maps, signature arrays).
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(8 * int(cpus) if str(cpus).isdigit() else 256))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

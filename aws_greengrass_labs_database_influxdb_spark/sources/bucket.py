@@ -50,6 +50,12 @@ class BucketMeta:
 
 
 class BucketStore:
+    # max parquet files one append creates per (measurement, day)
+    # directory — write-side clustering bound (see write_points). 4
+    # balances the small-files problem against per-day write
+    # parallelism; raise for hot-partition ingest at cluster scale.
+    WRITE_FILES_PER_PARTITION = 4
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
@@ -140,6 +146,19 @@ class BucketStore:
             else:
                 df = df.withColumn("ingest_seq", fallback)
         df = df.withColumn("day", F.expr(f"time_ns div {DAY_NS}"))
+        # Cluster the append so each (measurement, day) directory gets
+        # at most WRITE_FILES_PER_PARTITION files per batch instead of
+        # one per upstream task (a 32-task batch spanning 30 days used
+        # to spray ~960 tiny files — the classic small-files problem;
+        # at 100 TB it also bloats the footer-listing cost of every
+        # read). Hashing series_key into k buckets keeps k-way write
+        # parallelism inside a hot day, so one giant day never
+        # serializes into a single task.
+        df = df.repartition(
+            F.col("measurement"), F.col("day"),
+            F.pmod(F.xxhash64("series_key"),
+                   F.lit(self.WRITE_FILES_PER_PARTITION)),
+        )
         with self._mutation_lock(org, name):
             (
                 df.write.mode("append")

@@ -87,6 +87,14 @@ class CQRegistry:
         # still folded into its (already-run) window on the next run —
         # the LWW write-back makes the overlap idempotent
         for_ns = _parse_duration(for_tok) if for_tok else 2 * every_ns
+        # stock InfluxDB parses the FULL inner statement at CREATE time
+        # and rejects it with a parse error — validate here with the
+        # same parser run_due will use (INTO stripped, exactly as the
+        # run path rewrites it), so an invalid body can never register
+        # silently and first fail at its scheduled run (r9 DDL fuzz)
+        from ..frontends.influxql import parse_influxql
+
+        parse_influxql(_INTO_RX.sub("FROM", inner))
         cq = ContinuousQuery(name, db, inner.strip(), every_ns, for_ns)
         if (db, name) in self._cqs:
             raise InfluxQLError(f"continuous query {name!r} already exists on {db!r}")

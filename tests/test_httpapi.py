@@ -1656,3 +1656,125 @@ def test_v2_dialect_delimiter_comment_prefix_datetime_format(served):
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_v1_ddl_admin_fuzz_typed_errors_never_5xx(served):
+    """Grammar-fuzz the v1 DDL/admin surface (r9): every CREATE/DROP/
+    GRANT/REVOKE/SET/SHOW/DELETE statement — valid or mutated — must
+    yield a 200 with parseable results or a TYPED 4xx JSON error,
+    never a 5xx; and a statement containing a guaranteed-garbage token
+    must never silently succeed."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base, _, tokens = served
+    import urllib.parse as up
+
+    TEMPLATES = [
+        "CREATE DATABASE fuzz_scratch",
+        "DROP DATABASE fuzz_scratch",
+        "SHOW DATABASES",
+        "SHOW RETENTION POLICIES ON greengrass-telemetry",
+        "CREATE USER fz_u WITH PASSWORD 'FuzzPass#12345'",
+        "CREATE USER fz_adm WITH PASSWORD 'FuzzPass#12345' WITH ALL PRIVILEGES",
+        "DROP USER fz_u",
+        "SET PASSWORD FOR fz_u = 'FuzzPass#54321'",
+        "GRANT READ ON fuzz_scratch TO fz_u",
+        "GRANT ALL TO fz_u",
+        "REVOKE WRITE ON fuzz_scratch FROM fz_u",
+        "REVOKE ALL PRIVILEGES FROM fz_u",
+        "SHOW USERS",
+        "SHOW GRANTS FOR fz_u",
+        "DROP MEASUREMENT fuzzm",
+        "DROP SERIES FROM fuzzm",
+        "DELETE FROM fuzzm WHERE time < now()",
+        "CREATE CONTINUOUS QUERY fz_cq ON greengrass-telemetry BEGIN "
+        "SELECT mean(value) INTO fuzz_1h FROM fuzzm GROUP BY time(1h) END",
+        "DROP CONTINUOUS QUERY fz_cq ON greengrass-telemetry",
+        "SHOW CONTINUOUS QUERIES",
+    ]
+    GARB = "ZZGARBAGEZZ"
+
+    def post(stmt, tok):
+        return _req(base, f"/query?db=greengrass-telemetry&q={up.quote(stmt)}",
+                    "POST", token=tok)
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ti=st.integers(0, len(TEMPLATES) - 1), mut=st.integers(0, 4),
+           pos=st.integers(0, 30))
+    def run(ti, mut, pos):
+        stmt = TEMPLATES[ti]
+        words = stmt.split(" ")
+        must_error = False
+        if mut == 1:  # garbage appended → guaranteed invalid
+            stmt, must_error = stmt + " " + GARB, True
+        elif mut == 2:  # garbage inserted mid-statement → invalid
+            words.insert(pos % (len(words) + 1), GARB)
+            stmt, must_error = " ".join(words), True
+        elif mut == 3 and len(words) > 1:  # drop a word (may stay valid)
+            del words[pos % len(words)]
+            stmt = " ".join(words)
+        elif mut == 4:  # duplicate a word (may stay valid)
+            words.insert(pos % len(words), words[pos % len(words)])
+            stmt = " ".join(words)
+        try:
+            status, body = post(stmt, tokens["Admin"])
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 500, (stmt, e.code)
+            json.loads(e.read().decode())  # typed JSON error body
+            return
+        assert status == 200, stmt
+        doc = json.loads(body)
+        assert "results" in doc, stmt
+        if must_error:
+            assert any("error" in r for r in doc["results"]), (
+                "garbage statement silently succeeded", stmt)
+
+    run()
+
+
+def test_v1_ddl_requires_admin_and_does_not_mutate_on_denial(served):
+    """A non-admin token must get a typed 401/403 from user DDL — and
+    the denied statement must not have mutated state (no half-applied
+    CREATE USER)."""
+    base, _, tokens = served
+    import urllib.parse as up
+
+    stmt = "CREATE USER fz_sneaky WITH PASSWORD 'FuzzPass#12345'"
+    try:
+        _req(base, f"/query?db=greengrass-telemetry&q={up.quote(stmt)}",
+             "POST", token=tokens["RO"])
+        raise AssertionError("expected auth error")
+    except urllib.error.HTTPError as e:
+        assert e.code in (401, 403)
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={up.quote('SHOW USERS')}",
+                   "POST", token=tokens["Admin"])
+    users = [v[0] for v in
+             json.loads(body)["results"][0]["series"][0]["values"]]
+    assert "fz_sneaky" not in users
+
+
+def test_v1_create_cq_rejects_invalid_inner_select(served):
+    """r9 DDL-fuzz finding: CREATE CONTINUOUS QUERY used to store the
+    inner statement verbatim, so a body that can never execute
+    registered silently and first failed at its scheduled run. Stock
+    parses the full statement at CREATE — now so do we: typed 400, and
+    the broken CQ must NOT be registered."""
+    base, _, tokens = served
+    import urllib.parse as up
+
+    bad = ("CREATE CONTINUOUS QUERY fz_badcq ON greengrass-telemetry BEGIN "
+           "SELECT mean(value) ZZGARBAGEZZ INTO fuzz_1h FROM fuzzm "
+           "GROUP BY time(1h) END")
+    try:
+        _req(base, f"/query?db=greengrass-telemetry&q={up.quote(bad)}",
+             "POST", token=tokens["Admin"])
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    _, body = _req(
+        base,
+        f"/query?db=greengrass-telemetry&q={up.quote('SHOW CONTINUOUS QUERIES')}",
+        "POST", token=tokens["Admin"])
+    assert "fz_badcq" not in body
