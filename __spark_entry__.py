@@ -120,8 +120,17 @@ CURATED_FIRST_50: list[str] = [
     "flux_dashboard",
     "influxql_subquery",
     "influxql_count_fill0",
-    "influxql_percentile_integral",
-    "influxql_multi_transform",
+    # r9: surface the two stdlib long-tail closures from VERDICT r8
+    # "What's missing" #2 — bitwise.(s*/u*) under a HUGEINT logical-
+    # shift oracle, and the geo package (shapeData pivot + circle
+    # filterRows + ST_Distance under an exact haversine oracle).
+    # influxql_percentile_integral rotates out (the quantile family
+    # stays windowed via ts_histogram_quantile) and
+    # influxql_multi_transform rotates out (the transform family
+    # stays windowed via ts_ema/ts_interpolate_linear); both remain
+    # under the full-suite gates.
+    "flux_text_bitwise",
+    "flux_text_geo",
     # r6: surface the events.duration text form (per-series dwell-time
     # primitive, ns-exact lead oracle); flux_text_quantile rotates out
     # — the quantile family stays windowed via ts_histogram_quantile

@@ -508,6 +508,48 @@ _MAP_FUNCS: dict = {
     "math.round": (("x",), lambda x: F.round(x, 0)),
     "math.trunc": (("x",), lambda x: x.cast("long").cast("double")),
     "math.mMax": (("x", "y"), lambda x, y: F.greatest(x, y)),
+    # bitwise package (Flux stdlib `bitwise.`): s* operates on int64,
+    # u* on uint64. The engine models uint as the int64 slot (two's-
+    # complement bit pattern), so and/or/xor/not/clear/set/lshift are
+    # bit-identical across both families; only right-shift differs
+    # (arithmetic vs logical) — srshift uses sign-extending shiftright,
+    # urshift uses shiftrightunsigned. All JVM-side Column ops.
+    "bitwise.sand": (("a", "b"), lambda a, b: a.bitwiseAND(b)),
+    "bitwise.sor": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
+    "bitwise.sxor": (("a", "b"), lambda a, b: a.bitwiseXOR(b)),
+    "bitwise.snot": (("a",), lambda a: F.bitwise_not(a.cast("long"))),
+    "bitwise.sclear": (
+        ("a", "b"),
+        lambda a, b: a.bitwiseAND(F.bitwise_not(b.cast("long"))),
+    ),
+    "bitwise.sset": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
+    "bitwise.slshift": (
+        ("a", "b"),
+        lambda a, b: F.call_function("shiftleft", a.cast("long"), b.cast("int")),
+    ),
+    "bitwise.srshift": (
+        ("a", "b"),
+        lambda a, b: F.call_function("shiftright", a.cast("long"), b.cast("int")),
+    ),
+    "bitwise.uand": (("a", "b"), lambda a, b: a.bitwiseAND(b)),
+    "bitwise.uor": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
+    "bitwise.uxor": (("a", "b"), lambda a, b: a.bitwiseXOR(b)),
+    "bitwise.unot": (("a",), lambda a: F.bitwise_not(a.cast("long"))),
+    "bitwise.uclear": (
+        ("a", "b"),
+        lambda a, b: a.bitwiseAND(F.bitwise_not(b.cast("long"))),
+    ),
+    "bitwise.uset": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
+    "bitwise.ulshift": (
+        ("a", "b"),
+        lambda a, b: F.call_function("shiftleft", a.cast("long"), b.cast("int")),
+    ),
+    "bitwise.urshift": (
+        ("a", "b"),
+        lambda a, b: F.call_function(
+            "shiftrightunsigned", a.cast("long"), b.cast("int")
+        ),
+    ),
     # experimental time arithmetic: d arrives as a ns-long literal
     # (factor() parses duration tokens via duration_ns); µs-precision
     # timestamp math matches the engine's time column resolution
@@ -572,12 +614,53 @@ _MAP_FUNCS: dict = {
 }
 
 
+def _geo_st_fn(df: DataFrame, fn: str, argstr: str) -> Column:
+    """``geo.ST_Distance/ST_DWithin/ST_Contains`` inside map()/filter():
+    region is a literal record, geometry a {lat:, lon:} record whose
+    values may reference row columns. Haversine km, all Column trig."""
+    from ..operators import geo as geo_ops
+
+    args = _split_args(argstr)
+    if "geometry" not in args or "region" not in args:
+        raise FluxError(f"geo.{fn} requires region: and geometry:")
+    g = {k: _parse_arith(df, v) for k, v in _record_refs(args["geometry"])}
+    if "lat" not in g or "lon" not in g:
+        raise FluxError(f"geo.{fn} geometry must be a {{lat:, lon:}} record")
+    region = _parse_geo_region(args["region"])
+    if fn == "ST_Contains":
+        try:
+            return geo_ops.region_strict_predicate(region, g["lat"], g["lon"])
+        except ValueError as e:
+            raise FluxError(str(e)) from None
+    if not ({"lat", "lon"} <= region.keys() and "radius" not in region):
+        raise FluxError(
+            f"geo.{fn} needs a point region ({{lat:, lon:}}) — distances "
+            "to box/circle/polygon edges are not supported"
+        )
+    dist = geo_ops.haversine_km(
+        g["lat"], g["lon"], F.lit(region["lat"]), F.lit(region["lon"])
+    )
+    if fn == "ST_Distance":
+        return dist
+    if "distance" not in args:
+        raise FluxError("geo.ST_DWithin requires distance:")
+    return dist <= F.lit(float(_lit(args["distance"])))
+
+
+_GEO_ST_RX = re.compile(
+    r"^geo\.(ST_Distance|ST_DWithin|ST_Contains)\s*\((.*)\)$", re.DOTALL
+)
+
+
 def _parse_map_value(df: DataFrame, s: str) -> Column:
     """A ``map()`` field value: either Flux conditional syntax
     ``if <pred> then <v> else <v>`` (chainable via ``else if``, the
     dashboard banding idiom) compiled to ``F.when``, or plain
     arithmetic. All JVM-side — no UDF."""
     s = s.strip()
+    gm = _GEO_ST_RX.match(s)
+    if gm:
+        return _geo_st_fn(df, gm.group(1), gm.group(2))
     m = re.match(r"(?s)^if\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+)$", s)
     if m:
         try:
@@ -1176,6 +1259,65 @@ def execute_flux_multi(
     return {k: p.df for k, p in yields.items()}
 
 
+# Test-injectable transport for http.post: callable(url, headers: dict,
+# body: bytes) -> status int. None → real urllib POST. The hook is the
+# same honest escape hatch the multimodal decode_fn uses: production
+# behavior is real, tests swap in a recorder without a live listener.
+HTTP_POST_TRANSPORT = None
+
+
+def _default_http_transport(url: str, headers: dict, body: bytes) -> int:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, method="POST")
+    for k, v in headers.items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status
+    except urllib.error.HTTPError as e:
+        return e.code
+    except OSError as e:  # connection refused / DNS / socket timeout
+        raise FluxError(f"http.post to {url!r} failed: {e}") from None
+
+
+def _http_post_stmt(argstr: str) -> int:
+    """Flux stdlib ``http.post(url:, headers:, data:)`` as a script
+    statement (the task/alert side-channel idiom). Driver-side, one
+    call per statement — never inside a distributed plan. Returns the
+    HTTP status code like stock. ``data`` accepts a string literal or
+    ``bytes(v: "...")``; ``headers`` a record of string literals."""
+    args = _split_args(argstr)
+    if "url" not in args:
+        raise FluxError("http.post requires url:")
+    url = _lit(args["url"])
+    if not re.match(r"^https?://", url):
+        raise FluxError(f"http.post url must be http(s), got {url!r}")
+    headers = {}
+    if "headers" in args:
+        rec = args["headers"].strip()
+        if not (rec.startswith("{") and rec.endswith("}")):
+            raise FluxError("http.post headers: must be a record literal")
+        for k, v in _record_refs(rec):
+            headers[k.strip('"')] = _lit(v)
+    body = b""
+    if "data" in args:
+        d = args["data"].strip()
+        bm = re.match(r'^bytes\s*\(\s*v\s*:\s*("(?:[^"\\]|\\.)*")\s*\)$',
+                      d, re.DOTALL)
+        raw = bm.group(1) if bm else d
+        if not (raw.startswith('"') and raw.endswith('"')):
+            raise FluxError(
+                'http.post data: must be a string or bytes(v: "...") literal'
+            )
+        body = (
+            _lit(raw).replace("\\n", "\n").replace('\\"', '"').encode()
+        )
+    transport = HTTP_POST_TRANSPORT or _default_http_transport
+    return int(transport(url, headers, body))
+
+
 def _execute_flux_script(
     points, query, now_ns, group_key, tag_cols, sink, result_name
 ):
@@ -1217,6 +1359,17 @@ def _execute_flux_script(
     for stmt in statements:
         am = re.match(r"^\s*(\w+)\s*=(?![=~>])\s*(.*)$", stmt, re.DOTALL)
         name, body = (am.group(1), am.group(2)) if am else (None, stmt)
+        hm = re.match(r"^\s*http\.post\s*\((.*)\)\s*$", body, re.DOTALL)
+        if hm:
+            status = _http_post_stmt(hm.group(1))
+            if name:
+                # `code = http.post(...)` binds a scalar, not a table;
+                # a 1-row frame keeps it referenceable (array.from-like)
+                env[name] = Pipeline(
+                    points.sparkSession.createDataFrame(
+                        [(status,)], "status: long"),
+                    (), order=())
+            continue
         pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink,
                              yields=yields, location=location)
         if name:
@@ -1532,7 +1685,15 @@ def _run_pipeline(
             # args["fn"] (not raw argstr) so sibling args like
             # onEmpty: don't leak into the predicate text
             fn_src = args["fn"] if "fn" in args else argstr
-            pipe = pipe.filter(_parse_predicate(df, fn_src.partition("=>")[2]))
+            pred_src = fn_src.partition("=>")[2].strip()
+            gm = _GEO_ST_RX.match(pred_src)
+            if gm and gm.group(1) in ("ST_Contains", "ST_DWithin"):
+                # boolean geo predicate as the whole filter body (the
+                # geofencing idiom) — ST_Distance needs a comparison,
+                # which belongs in map() + a plain filter
+                pipe = pipe.filter(_geo_st_fn(df, gm.group(1), gm.group(2)))
+            else:
+                pipe = pipe.filter(_parse_predicate(df, pred_src))
         elif name == "group":
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
             mode = _lit(args.get("mode", '"by"'))
@@ -2335,6 +2496,91 @@ def _run_pipeline(
                 pipe = pipe._with(df.offset(idx).limit(1), group_key=())
             else:  # tableFind: the filtered tables themselves
                 pipe = pipe._with(df)
+        elif name in ("geo.filterRows", "geo.gridFilter", "geo.strictFilter",
+                      "geo.shapeData", "geo.toRows"):
+            pipe = _geo_stage(pipe, name, args)
         else:
             raise FluxError(f"unsupported Flux function {name!r}")
     return pipe
+
+
+def _parse_geo_region(src: str) -> dict:
+    """A Flux geo region record literal → dict: box {minLat,...},
+    circle {lat, lon, radius}, polygon {points: [{lat, lon}, ...]},
+    or a bare point {lat, lon} (the ST_* geometry form)."""
+    s = src.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise FluxError(f"geo region must be a record literal, got {src!r}")
+    args = _split_args(s[1:-1])
+    if "points" in args:
+        pts_src = args["points"].strip()
+        if not (pts_src.startswith("[") and pts_src.endswith("]")):
+            raise FluxError("polygon region needs points: [{lat:, lon:}, ...]")
+        pts = []
+        for rec in _split_toplevel_records(pts_src):
+            kv = {k: v for k, v in _record_refs(rec)}
+            try:
+                pts.append({"lat": float(kv["lat"]), "lon": float(kv["lon"])})
+            except (KeyError, ValueError):
+                raise FluxError(f"polygon point needs numeric lat:/lon:, got {rec!r}")
+        return {"points": pts}
+    out = {}
+    for k, v in args.items():
+        try:
+            out[k] = float(v)
+        except ValueError:
+            raise FluxError(f"geo region field {k} must be numeric, got {v!r}")
+    return out
+
+
+def _geo_stage(pipe: Pipeline, name: str, args) -> Pipeline:
+    """The ``experimental/geo`` pipeline stages. Rows gain lat/lon
+    columns via shapeData/toRows (pivoting the lat/lon fields); the
+    filters compile to JVM Column predicates (operators/geo.py). The
+    filter stages auto-shape a raw points frame the way stock
+    filterRows pivots internally, so
+    ``from |> range |> geo.filterRows(region:)`` works directly."""
+    from ..operators import geo as geo_ops
+
+    df = pipe.df
+
+    def _shaped(level: int = 10, lat_f: str = "lat", lon_f: str = "lon"):
+        if "lat" in df.columns and "lon" in df.columns:
+            return pipe
+        if "field" not in df.columns:
+            raise FluxError(
+                f"{name}() needs lat/lon columns or lat/lon fields to pivot"
+            )
+        shaped = geo_ops.shape_data(
+            _series_key_sans_field(df), lat_f, lon_f, level,
+            field_col="field", value_col=_colname(df, "_value"),
+        )
+        return pipe._with(
+            shaped,
+            group_key=tuple(c for c in pipe.group_key if c != "field"),
+        )
+
+    if name == "geo.toRows":
+        return _shaped()
+    if name == "geo.shapeData":
+        return _shaped(
+            level=int(_lit(args.get("level", "10"))),
+            lat_f=_lit(args["latField"]),
+            lon_f=_lit(args["lonField"]),
+        )
+    region = _parse_geo_region(args["region"])
+    shaped = _shaped()
+    lat, lon = F.col("lat"), F.col("lon")
+    try:
+        if name == "geo.gridFilter":
+            pred = geo_ops.region_grid_predicate(region, lat, lon)
+        elif name == "geo.strictFilter":
+            pred = geo_ops.region_strict_predicate(region, lat, lon)
+        else:  # geo.filterRows: coarse cover + (default) exact filter
+            pred = geo_ops.region_grid_predicate(region, lat, lon)
+            strict = _lit(args.get("strict", "true"))
+            if strict in (True, "true"):
+                pred = pred & geo_ops.region_strict_predicate(region, lat, lon)
+    except ValueError as e:
+        raise FluxError(str(e)) from None
+    return shaped.filter(pred)

@@ -504,6 +504,13 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             # execution (Grafana's per-series default)
             out.group_tags.append("*")
             continue
+        # a GROUP BY item must be one identifier (bare word, or quoted
+        # — quotes may carry spaces); two space-separated tokens like
+        # `GROUP BY junk time(1h)` are a missing-comma syntax error in
+        # stock InfluxQL, not a tag key (r9 DDL fuzz: that shape used
+        # to register as a never-matching tag and silently succeed)
+        if not re.match(r'^"[^"]+"$|^[\w.\-]+$', g):
+            raise InfluxQLError(f"bad GROUP BY expression {g!r}")
         out.group_tags.append(g.strip('"'))
 
     out.order_desc = (m.group("ord") or "").upper() == "DESC"

@@ -96,15 +96,35 @@ def push_time_filter(
         return lit
 
     raw_type = df.schema[raw_col].dataType if raw_col in df.columns else None
+    # bucket-store frames carry the physical `day` PARTITION column
+    # (time_ns div DAY_NS, sources/bucket.py write_points): the
+    # equivalent superset predicate on it prunes whole day DIRECTORIES
+    # before any footer is opened — without it a 2-day CQ recompute
+    # window still listed every file of the bucket's history (r9).
+    # `div` truncation is monotone non-decreasing in time_ns, so the
+    # day bounds are implied by the exact time_ns bounds on both
+    # signs of the epoch.
+    has_day = "day" in df.columns
+    from ..sources.bucket import DAY_NS as _DAY_NS
+
+    def _day_of(ns: int) -> int:
+        q, r = divmod(int(ns), _DAY_NS)
+        # match Spark's `div` (truncate toward zero) used at write time
+        return q if (int(ns) >= 0 or r == 0) else q + 1
+
     c = F.col(time_ns_col)
     if start_ns is not None:
         df = df.filter(c >= F.lit(start_ns))
         if raw_type is not None:
             df = df.filter(F.col(raw_col) >= _raw_lit(start_ns, raw_type))
+        if has_day:
+            df = df.filter(F.col("day") >= F.lit(_day_of(start_ns)))
     if stop_ns is not None:
         df = df.filter(c < F.lit(stop_ns))
         if raw_type is not None:
             df = df.filter(F.col(raw_col) < _raw_lit(int(stop_ns) + 1000, raw_type))
+        if has_day:
+            df = df.filter(F.col("day") <= F.lit(_day_of(int(stop_ns) - 1)))
     return df
 
 

@@ -185,7 +185,12 @@ class BucketStore:
         df = self.spark.read.schema(self._stored_schema()).parquet(str(data))
         if not lww:
             return df
-        w = W.partitionBy("measurement", "series_key", "time_ns").orderBy(
+        # `day` is redundant in the key (determined by time_ns) but
+        # listing it makes it a PARTITION COLUMN of the window, so a
+        # downstream day-range filter (push_time_filter's partition-
+        # pruning superset, r9) pushes below the dedup instead of
+        # LWW-shuffling the bucket's entire history first.
+        w = W.partitionBy("measurement", "day", "series_key", "time_ns").orderBy(
             F.desc("ingest_seq")
         )
         return (

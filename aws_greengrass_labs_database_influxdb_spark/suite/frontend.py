@@ -947,6 +947,105 @@ def flux_text_map_funcs(spark, sf_dir):
 
 
 @q(
+    "flux_text_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255 AS band,
+           event_id | 4096 AS bset,
+           xor(event_id, 1365) AS bxor,
+           event_id & ~15 AS bclr,
+           event_id << 3 AS bls,
+           ~event_id AS bnot,
+           CAST(((~event_id)::HUGEINT & 18446744073709551615) >> 8 AS BIGINT)
+             AS brsu
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    """,
+)
+def flux_text_bitwise(spark, sf_dir):
+    """Flux stdlib ``bitwise.`` package inside ``map()``: the s*/u*
+    families compile to JVM-side Column bit ops (bitwiseAND/OR/XOR,
+    bitwise_not, shiftleft/shiftright/shiftrightunsigned — zero UDF).
+    ``urshift`` on a negative input (here ``snot`` of a non-negative
+    seq) proves the logical-shift path: the oracle reproduces it with
+    DuckDB HUGEINT masking since ``>>`` on BIGINT sign-extends."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-08T00:00:00Z)'
+        " |> map(fn: (r) => ({ r with"
+        "   band: bitwise.sand(a: r.ingest_seq, b: 255),"
+        "   bset: bitwise.uset(a: r.ingest_seq, b: 4096),"
+        "   bxor: bitwise.sxor(a: r.ingest_seq, b: 1365),"
+        "   bclr: bitwise.uclear(a: r.ingest_seq, b: 15),"
+        "   bls: bitwise.slshift(a: r.ingest_seq, b: 3),"
+        "   bnot: bitwise.snot(a: r.ingest_seq),"
+        "   brsu: bitwise.urshift(a: bitwise.unot(a: r.ingest_seq), b: 8) }))",
+    )
+    return out.select(
+        F.col("ingest_seq").alias("event_id"),
+        "band", "bset", "bxor", "bclr", "bls", "bnot", "brsu",
+    )
+
+
+@q(
+    "flux_text_geo",
+    """
+    WITH g AS (
+      SELECT event_id,
+             40.0 + ((event_id * 13) % 500) * 0.002::DOUBLE - 0.5 AS lat,
+             -74.5 + ((event_id * 37) % 1000) * 0.001::DOUBLE AS lon
+      FROM events),
+    d AS (
+      SELECT event_id, lat, lon,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+             )) AS dist
+      FROM g)
+    SELECT event_id, lat, lon, round(dist, 6) AS d_km
+    FROM d WHERE dist <= 30.0
+    """,
+)
+def flux_text_geo(spark, sf_dir):
+    """Flux ``experimental/geo`` through the string frontend:
+    shapeData pivots synthetic lat/lon FIELDS into columns (one
+    conditional-agg shuffle + the vectorized-numpy S2 token UDF),
+    filterRows applies the circle region as a codegen'd bbox-cover +
+    haversine predicate, ST_Distance computes km in Column trig. The
+    oracle replays the identical haversine in DuckDB (lat/lon derive
+    from event_id with exact integer arithmetic, so both engines see
+    bit-identical coordinates)."""
+    from ..sources.io import load_table, result_to_points
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("ts").cast("timestamp").alias("time"),
+        F.col("event_id").cast("string").alias("eid"),
+        (F.lit(40.0) + ((F.col("event_id") * 13) % 500) * 0.002 - 0.5)
+        .alias("lat"),
+        (F.lit(-74.5) + ((F.col("event_id") * 37) % 1000) * 0.001).alias("lon"),
+    )
+    pts = result_to_points(base, "geopts")
+    out = execute_flux(
+        pts,
+        'import "experimental/geo"\n'
+        'from(bucket:"b")'
+        ' |> geo.shapeData(latField: "lat", lonField: "lon", level: 12)'
+        " |> geo.filterRows(region: {lat: 40.0, lon: -74.0, radius: 30.0})"
+        " |> map(fn: (r) => ({ r with d: geo.ST_Distance("
+        "region: {lat: 40.0, lon: -74.0},"
+        " geometry: {lat: r.lat, lon: r.lon}) }))",
+    )
+    return out.select(
+        F.col("tags")["eid"].cast("long").alias("event_id"),
+        "lat", "lon",
+        F.round("d", 6).alias("d_km"),
+    )
+
+
+@q(
     "influxql_selector_tags",
     """
     WITH r AS (

@@ -34,6 +34,36 @@ def test_bench_bodies_still_produce_rows(spark, sf_dir):
     assert QUERIES["bench_rollup_refresh"](spark, sf_dir).count() > 0
 
 
+def test_bench_stores_steady_state_rows_stable(spark, sf_dir, tmp_path, monkeypatch):
+    """r9 (VERDICT r8 item 8): the maintenance benches keep their bulk
+    build behind a validity marker and re-run only the per-cycle work.
+    The returned rows must be VALUE-IDENTICAL between the cold (build)
+    run and warm (steady-state) runs — and a marker from a different
+    sf/generation must force a rebuild, not serve stale rows."""
+    import aws_greengrass_labs_database_influxdb_spark.suite.bench_ops as bo
+
+    monkeypatch.setattr(bo, "_BENCH_ROOT", str(tmp_path / "bench"))
+
+    def snap(fn):
+        pdf = fn(spark, sf_dir).toPandas()
+        cols = sorted(pdf.columns)
+        return pdf.reindex(cols, axis=1).sort_values(by=cols).reset_index(drop=True)
+
+    for name in ("bench_cq_run", "bench_rollup_refresh"):
+        fn = bo.bench_cq_run if name == "bench_cq_run" else bo.bench_rollup_refresh
+        cold = snap(fn)
+        warm1 = snap(fn)
+        warm2 = snap(fn)
+        assert cold.equals(warm1) and cold.equals(warm2), name
+    # stale marker (wrong fingerprint) → rebuild path, same rows
+    mk = bo._marker_load(f"{bo._BENCH_ROOT}/cqstore")
+    assert mk is not None and mk["runs"] == 3
+    bo._marker_save(f"{bo._BENCH_ROOT}/cqstore", {**mk, "max_ns": -1})
+    rebuilt = snap(bo.bench_cq_run)
+    assert rebuilt.equals(snap(bo.bench_cq_run))
+    assert bo._marker_load(f"{bo._BENCH_ROOT}/cqstore")["runs"] == 2
+
+
 def test_skew_window_hot_series_salted_and_recursive_bounded(spark, sf_dir):
     """The skew bench's structural claims: the hot series (~50% of all
     rows) splits across window starts in the hash-agg key (time-salted,

@@ -1726,6 +1726,91 @@ def test_flux_map_conversion_scalars(pts):
         )
 
 
+def test_flux_map_bitwise_package(pts):
+    """``bitwise.`` stdlib in map(): s*/u* families as JVM Column bit
+    ops. urshift vs srshift differ exactly on negative inputs (logical
+    vs arithmetic right shift); everything checked against Python ints
+    (& 0xFFFF... masking for the unsigned view)."""
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> limit(n: 5) |> map(fn: (r) => ({r with '
+        "a1: bitwise.sand(a: r.ingest_seq, b: 12), "
+        "o1: bitwise.sor(a: r.ingest_seq, b: 3), "
+        "x1: bitwise.sxor(a: r.ingest_seq, b: 255), "
+        "n1: bitwise.snot(a: r.ingest_seq), "
+        "c1: bitwise.uclear(a: r.ingest_seq, b: 7), "
+        "s1: bitwise.uset(a: r.ingest_seq, b: 8), "
+        "l1: bitwise.slshift(a: r.ingest_seq, b: 4), "
+        "rs: bitwise.srshift(a: bitwise.snot(a: r.ingest_seq), b: 8), "
+        "ru: bitwise.urshift(a: bitwise.unot(a: r.ingest_seq), b: 8)}))",
+    ).collect()
+    assert out
+    M = (1 << 64) - 1
+    for r in out:
+        v = r.ingest_seq
+        assert r.a1 == v & 12
+        assert r.o1 == v | 3
+        assert r.x1 == v ^ 255
+        assert r.n1 == ~v
+        assert r.c1 == v & ~7
+        assert r.s1 == v | 8
+        assert r.l1 == v << 4
+        assert r.rs == (~v) >> 8  # arithmetic: sign-extends
+        # logical: shift the 64-bit two's-complement pattern
+        ru = ((~v) & M) >> 8
+        assert r.ru == ru if ru <= (1 << 63) - 1 else r.ru == ru - (1 << 64)
+        assert r.rs != r.ru  # negative input discriminates the two
+
+
+def test_flux_http_post_statement(pts):
+    """``http.post`` as a script statement: parsed args reach the
+    transport (url / headers record / bytes() data), the returned
+    status binds via ``code = http.post(...)``, and malformed calls are
+    typed FluxErrors. Transport injected — the real-socket path is
+    covered in test_httpapi.py."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import flux as fluxmod
+
+    calls = []
+
+    def fake(url, headers, body):
+        calls.append((url, headers, body))
+        return 204
+
+    fluxmod.HTTP_POST_TRANSPORT = fake
+    try:
+        out = execute_flux(
+            pts,
+            'import "http"\n'
+            'http.post(url: "http://example.test/hook", '
+            'headers: {authorization: "Token t0", x: "y"}, '
+            'data: bytes(v: "m,f=1 v=2"))\n'
+            'code = http.post(url: "http://example.test/hook2")\n'
+            'from(bucket:"b") |> limit(n: 1)',
+        )
+        assert out.count() == 1
+        assert calls[0] == (
+            "http://example.test/hook",
+            {"authorization": "Token t0", "x": "y"},
+            b"m,f=1 v=2",
+        )
+        assert calls[1][0] == "http://example.test/hook2"
+        # the bound scalar frame carries the status
+        got = execute_flux(
+            pts,
+            'c = http.post(url: "http://example.test/h3")\nc',
+        ).collect()
+        assert [r.status for r in got] == [204]
+        with pytest.raises(FluxError, match="url"):
+            execute_flux(pts, 'http.post(data: "x")')
+        with pytest.raises(FluxError, match="http"):
+            execute_flux(pts, 'http.post(url: "ftp://bad")')
+        with pytest.raises(FluxError, match="data"):
+            execute_flux(
+                pts, 'http.post(url: "http://e.test", data: 12)')
+    finally:
+        fluxmod.HTTP_POST_TRANSPORT = None
+
+
 def test_influxql_type_disambiguators(pts):
     """``ident::field`` / ``ident::tag`` (query-builder syntax) parse
     and equal the bare spelling; ``::<type>`` casts are a typed error."""

@@ -1734,6 +1734,68 @@ def test_v1_ddl_admin_fuzz_typed_errors_never_5xx(served):
     run()
 
 
+def test_flux_http_post_real_socket_roundtrip(served):
+    """``http.post`` end-to-end over a real socket: a Flux script posts
+    line protocol to the engine's own /api/v2/write, then a follow-up
+    query reads the point back — the stock task/alert side-channel
+    idiom with zero injection."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import (
+        execute_flux,
+    )
+
+    base, engine, tokens = served
+    t = T0 + 555 * 60_000_000_000
+    pts = engine.store.read_points("greengrass", "greengrass-telemetry")
+    execute_flux(
+        pts,
+        f'import "http"\n'
+        f'http.post(url: "{base}/api/v2/write?bucket=greengrass-telemetry", '
+        f'headers: {{Authorization: "Token {tokens["RW"]}"}}, '
+        f'data: bytes(v: "httped,src=flux posted=42.0 {t}"))\n'
+        f'from(bucket:"b") |> limit(n: 1)',
+    ).collect()
+    import urllib.parse as up
+
+    q = up.quote("SELECT posted FROM httped")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={q}",
+                   "POST", token=tokens["RO"])
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert vals and vals[0][1] == 42.0
+
+
+def test_v1_group_by_missing_comma_is_syntax_error(served):
+    """r9 DDL-fuzz finding (caught as a state-dependent flake, then
+    pinned by an exhaustive mutation sweep): ``GROUP BY junk time(1h)``
+    — two items with the comma missing — used to parse as ONE quoted-
+    stripped tag key named ``"junk time(1h)"``, which never matches any
+    series and therefore SILENTLY succeeded (worst inside CREATE
+    CONTINUOUS QUERY, which registered a CQ that groups by nothing).
+    Stock treats a GROUP BY item that is not a single identifier /
+    time() / * as a syntax error; now so do we."""
+    base, _, tokens = served
+    import urllib.parse as up
+
+    for stmt in (
+        "SELECT mean(value) FROM fuzzm GROUP BY ZZGARBAGEZZ time(1h)",
+        "CREATE CONTINUOUS QUERY fz_gb ON greengrass-telemetry BEGIN "
+        "SELECT mean(value) INTO fuzz_1h FROM fuzzm "
+        "GROUP BY ZZGARBAGEZZ time(1h) END",
+    ):
+        try:
+            _, body = _req(
+                base, f"/query?db=greengrass-telemetry&q={up.quote(stmt)}",
+                "POST", token=tokens["Admin"])
+            doc = json.loads(body)
+            assert any("error" in r for r in doc["results"]), stmt
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 500
+    # the comma'd form (a real tag + time window) still parses
+    ok = "SELECT mean(value) FROM fuzzm GROUP BY host, time(1h)"
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={up.quote(ok)}",
+                   "POST", token=tokens["Admin"])
+    assert "error" not in json.loads(body)["results"][0]
+
+
 def test_v1_ddl_requires_admin_and_does_not_mutate_on_denial(served):
     """A non-admin token must get a typed 401/403 from user DDL — and
     the denied statement must not have mutated state (no half-applied
