@@ -127,6 +127,14 @@ class InfluxQLQuery:
     fn_args: dict[str, list[str]] = field(default_factory=dict)
     # tz('Zone'): GROUP BY time() windows align to local wall clock
     tzname: str | None = None
+    # field key → populated value slot ('f_float'/'f_str'/'f_bool'),
+    # resolved at execution from the frame's ftype discriminator —
+    # empty on float-only frames (the lookup is gated on the string/
+    # bool slots existing at all, so suite/subquery frames never pay
+    # the small distinct job). r10: this is what lets string and bool
+    # field VALUES flow through /query (stock parity — previously
+    # every read hardcoded f_float and returned NULL for them).
+    field_slots: dict = field(default_factory=dict)
 
 
 def _parse_duration(tok: str) -> int:
@@ -147,6 +155,7 @@ _TIME_RX = re.compile(
 _TAG_RX = re.compile(r"\"?(\w+)\"?\s*(=|!=)\s*'([^']*)'")
 _TAG_REGEX_RX = re.compile(r"\"?(\w+)\"?\s*(=~|!~)\s*/([^/]*)/")
 _FIELD_RX = re.compile(r"\"?(\w+)\"?\s*(>=|<=|>|<|=|!=)\s*(-?\d+(?:\.\d+)?)$")
+_BOOL_WHERE_RX = re.compile(r"\"?(\w+)\"?\s*(=|!=)\s*(true|false)\s*$", re.I)
 
 
 def _ts_to_ns(lit: str) -> int:
@@ -280,7 +289,11 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
         cond = cond.strip()
         if not cond:
             continue
-        tm = _TIME_RX.match(cond)
+        # fullmatch: a prefix match silently swallowed trailing tokens
+        # (`time < now() ZZGARBAGEZZ` parsed as `time < now()` — the
+        # r9 DDL-fuzz escape; stock rejects trailing garbage on every
+        # statement form)
+        tm = _TIME_RX.fullmatch(cond)
         if tm:
             op = tm.group(1)
             if tm.group(2) is None and tm.group(3) is None:
@@ -338,6 +351,16 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
             # = / != included (r6 — they previously fell through to a
             # typed parse error)
             out.field_filters.append((fm2.group(1), fm2.group(2), float(fm2.group(3))))
+            continue
+        bm = _BOOL_WHERE_RX.fullmatch(cond)
+        if bm:
+            # unquoted boolean literal: a bool-field condition (flag =
+            # true). Routed through tag_filters so execution can
+            # resolve the name field-first (bool field) or fall back
+            # to a string tag compare ('true') like stock.
+            out.tag_filters.append(
+                (bm.group(1), bm.group(2), bm.group(3).lower())
+            )
             continue
         # fullmatch: a prefix match would silently ignore trailing text
         gm = _TAG_RX.fullmatch(cond)
@@ -968,10 +991,14 @@ def _execute_multi_row(
     ungrouped)."""
     fn, fld, alias = sel
     by = list(ast.group_tags)
-    src = fld if fld != "*" and fld in df.columns else "f_float"
-    if src == "f_float" and fld != "*" and "field" in df.columns:
-        # named field → its own rows only (multi-field frames, r6)
-        df = df.filter(F.col("field") == fld)
+    if fld != "*" and fld in df.columns:
+        src = fld
+    else:
+        # ftype-resolved slot (r10: DISTINCT/SAMPLE of string fields)
+        src = ast.field_slots.get(fld, "f_float")
+        if fld != "*" and "field" in df.columns:
+            # named field → its own rows only (multi-field frames, r6)
+            df = df.filter(F.col("field") == fld)
     args = ast.fn_args.get(alias) or []
     if ast.group_time_ns:
         df = df.withColumn(
@@ -1101,6 +1128,54 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
     df = push_time_filter(df, ast.time_start_ns, ast.time_stop_ns)
 
+    # ftype-resolved slot map for every referenced name that is not a
+    # physical column — gated inside _resolve_field_slots on the frame
+    # actually carrying string/bool slots, so float-only suite frames
+    # never run the lookup job. WHERE names are included so a string
+    # condition like status = 'ok' can be recognized as a FIELD
+    # condition (stock resolves bare identifiers field-first).
+    refs: set = set()
+    for _fn, _fld, _a in ast.fields:
+        if _fld and _fld != "*":
+            refs.add(_fld)
+    for _tr, _ag, _fld, _a in ast.nested:
+        refs.add(_fld)
+    for _nm, _op, _v in ast.field_filters:
+        if not _nm.startswith("__expr__"):
+            refs.add(_nm)
+    for _nm, _op, _v in ast.tag_filters:
+        refs.add(_nm)
+
+    def _tree_ref_walk(tree):
+        if tree[0] == "field":
+            refs.add(tree[1])
+        elif tree[0] == "agg":
+            refs.add(tree[2])
+        elif tree[0] == "bin":
+            _tree_ref_walk(tree[2])
+            _tree_ref_walk(tree[3])
+
+    for _tree, _a in ast.arith:
+        _tree_ref_walk(_tree)
+    for _tree, _a in ast.raw_arith:
+        _tree_ref_walk(_tree)
+    refs = {r for r in refs if r and r != "*" and r not in df.columns}
+    ast.field_slots = _resolve_field_slots(df, refs)
+
+    # string/bool conditions parse as tag-shaped (quoted RHS); when the
+    # name is a known string/bool FIELD KEY of this frame, reroute it
+    # to the field-condition path below (a tags-map read would be NULL
+    # and silently drop every row — the r9 verdict's open defect)
+    if ast.field_slots:
+        kept = []
+        for name, op, val in ast.tag_filters:
+            slot = ast.field_slots.get(name)
+            if slot in ("f_str", "f_bool") and name not in df.columns:
+                ast.field_filters.append((name, op, val))
+            else:
+                kept.append((name, op, val))
+        ast.tag_filters = kept
+
     def tag_col(name):
         if name in df.columns:
             return F.col(name)
@@ -1144,11 +1219,55 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
             sql = re.sub(r"\b[A-Za-z_]\w*\b", _swap, raw)
             c = F.expr(sql)
+            df = df.filter(_cmp_cond(c, op, val))
+            continue
+        if name in df.columns:
+            df = df.filter(_cmp_cond(F.col(name), op, val))
+            continue
+        slot = ast.field_slots.get(name, "f_float")
+        rhs = val
+        if slot == "f_bool" and isinstance(val, str):
+            rhs = val.strip().lower() in ("true", "t", "1")
+        if "field" not in df.columns:
+            df = df.filter(_cmp_cond(F.col(slot), op, rhs))
+            continue
+        cond = (F.col("field") == name) & _cmp_cond(F.col(slot), op, rhs)
+        sel_fields = {f for _fn, f, _a in ast.fields if f}
+        if sel_fields <= {name}:
+            # self-referential single-field condition (SELECT v WHERE
+            # v > 5): row-local filter, fully pushdown-able — the
+            # common dashboard shape keeps its scan-level plan
+            df = df.filter(cond)
         else:
-            c = F.col("f_float") if name not in df.columns else F.col(name)
-        cmpmap = {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val,
-                  "=": c == val, "!=": c != val}
-        df = df.filter(cmpmap[op])
+            # cross-field / star condition (SELECT value WHERE
+            # status = 'ok'): stock v1 evaluates WHERE per POINT —
+            # keep every row of points whose named field passes. A
+            # left-semi join on the point identity (measurement,
+            # series tags, timestamp); AQE broadcasts the passing
+            # side when the predicate is selective.
+            ident = [c for c in ("measurement", "time_ns") if c in df.columns]
+            if "tags" in df.columns:
+                tagkey = F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.map_keys(F.col("tags"))),
+                        lambda k: F.concat_ws(
+                            "=", k, F.element_at(F.col("tags"), k)
+                        ),
+                    ),
+                )
+            else:
+                promoted = [c for c in df.columns
+                            if c not in _NON_TAG_COLS
+                            and not c.startswith("_")]
+                tagkey = F.concat_ws(
+                    ",", *[F.col(c).cast("string") for c in promoted]
+                ) if promoted else F.lit("")
+            df = df.withColumn("_pt_tags", tagkey)
+            passing = (df.filter(cond)
+                       .select(*ident, "_pt_tags").distinct())
+            df = (df.join(passing, on=[*ident, "_pt_tags"], how="leftsemi")
+                  .drop("_pt_tags"))
 
     by = list(ast.group_tags)
     if "*" in by:
@@ -1240,6 +1359,52 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             }
         if slot_fields and "field" in df.columns:
             df = df.filter(F.col("field").isin(sorted(slot_fields)))
+        if len(slot_fields) >= 2 and "field" in df.columns:
+            # multi-field raw select: stock v1 merges the fields of one
+            # point into ONE row ([time, a, b]); the tall frame holds
+            # one row per field. Pivot per point identity FIRST so every
+            # downstream projection (math fns, cross-field raw
+            # arithmetic like a + b) reads physical per-point columns —
+            # single-field selects (the common dashboard shape) skip
+            # this and keep their scan-level plan.
+            group_keys = [c for c in ("measurement", "time", "time_ns")
+                          if c in df.columns]
+            carry = []
+            if "tags" in df.columns:
+                df = df.withColumn(
+                    "_pt_tags",
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.map_keys(F.col("tags"))),
+                            lambda k: F.concat_ws(
+                                "=", k, F.element_at(F.col("tags"), k)
+                            ),
+                        ),
+                    ),
+                )
+                group_keys.append("_pt_tags")
+                carry.append(F.first("tags").alias("tags"))
+            group_keys += [c for c in df.columns
+                           if c not in _NON_TAG_COLS
+                           and not c.startswith("_")
+                           and c not in group_keys]
+            if "ingest_seq" in df.columns:
+                carry.append(F.min("ingest_seq").alias("ingest_seq"))
+            df = (
+                df.groupBy(*group_keys)
+                .agg(*carry, *[
+                    F.first(
+                        F.when(
+                            F.col("field") == f,
+                            F.col(ast.field_slots.get(f, "f_float")),
+                        ),
+                        ignorenulls=True,
+                    ).alias(f)
+                    for f in sorted(slot_fields)
+                ])
+                .drop("_pt_tags")
+            )
 
         def _raw_col(tree):
             kind = tree[0]
@@ -1269,19 +1434,38 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                             sel.append(F.col("tags")[t].alias(t))
                 if "field" in df.columns:
                     # stock star shape: one column per FIELD KEY per
-                    # timestamp, named by the field (numeric slots;
-                    # string/bool fields stay reachable by name). The
-                    # pivot groups on the row identity already in
-                    # `sel`, so series stay intact.
-                    fields = sorted(
-                        r[0] for r in df.select("field").distinct().collect()
-                    )
+                    # timestamp, named by the field, each TYPED by its
+                    # ftype slot (r10 — the old f_float-only pivot
+                    # returned NULL for string/bool fields). The
+                    # conditional-first aggregation groups on the row
+                    # identity already in `sel`, so series stay intact;
+                    # the (field, ftype) distinct is bounded by
+                    # field-key cardinality.
+                    pairs = df.select("field", "ftype").distinct().collect() \
+                        if "ftype" in df.columns else [
+                            (r[0], "float")
+                            for r in df.select("field").distinct().collect()
+                        ]
+                    fmap: dict = {}
+                    for r in pairs:
+                        s = _SLOT_OF_FTYPE.get(r[1], "f_float")
+                        if s not in df.columns:
+                            s = "f_float"
+                        if r[0] not in fmap or s == "f_float":
+                            fmap[r[0]] = s
                     row_ident = df.select(*sel).columns
+                    slot_cols = [c for c in ("f_float", "f_str", "f_bool")
+                                 if c in df.columns]
                     out = (
-                        df.select(*sel, F.col("field"), F.col("f_float"))
+                        df.select(*sel, F.col("field"), *slot_cols)
                         .groupBy(*row_ident)
-                        .pivot("field", fields)
-                        .agg(F.first("f_float"))
+                        .agg(*[
+                            F.first(
+                                F.when(F.col("field") == f, F.col(s)),
+                                ignorenulls=True,
+                            ).alias(f)
+                            for f, s in sorted(fmap.items())
+                        ])
                     )
                     if ast.limit is not None:
                         out = sl_ops.limit(
@@ -1299,7 +1483,7 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                                        tcol)
                 sel.append(F.col("f_float").alias(alias))
                 continue
-            col = _field_value_col(fld, df)
+            col = _field_value_col(fld, df, ast.field_slots)
             if fn in _MATH_FNS:
                 col = _math_expr(fn, col, ast.fn_args.get(alias, []))
             sel.append(col.alias(alias))
@@ -1342,10 +1526,15 @@ def _execute_selector_row(
     from pyspark.sql import Window as W
 
     fn, fld, alias = sel
-    src = fld if fld != "*" and fld in df.columns else "f_float"
-    if src == "f_float" and fld != "*" and "field" in df.columns:
-        # named field → its own rows only (multi-field frames, r6)
-        df = df.filter(F.col("field") == fld)
+    if fld != "*" and fld in df.columns:
+        src = fld
+    else:
+        # ftype-resolved slot (r10: FIRST/LAST/PERCENTILE of a string
+        # field used to read f_float and return NULL)
+        src = ast.field_slots.get(fld, "f_float")
+        if fld != "*" and "field" in df.columns:
+            # named field → its own rows only (multi-field frames, r6)
+            df = df.filter(F.col("field") == fld)
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
@@ -1403,33 +1592,95 @@ def _selector_row_project(
     return _finish(out, ast, by)
 
 
-def _field_value_col(fld: str, df: DataFrame):
+def _cmp_cond(c: Column, op: str, val):
+    """One WHERE comparison as a boolean Column (v1 operator set)."""
+    if op == "=~":
+        return c.rlike(val)
+    if op == "!~":
+        return ~c.rlike(val)
+    return {">": c > val, ">=": c >= val, "<": c < val, "<=": c <= val,
+            "=": c == val, "!=": c != val}[op]
+
+
+# ftype discriminator → the slot a query reads. int/uint map to
+# f_float because unify_numeric_value folds them at query entry.
+_SLOT_OF_FTYPE = {"float": "f_float", "int": "f_float", "uint": "f_float",
+                  "string": "f_str", "bool": "f_bool"}
+
+
+def _resolve_field_slots(df: DataFrame, names: set) -> dict:
+    """field key → value slot, from the frame's ``ftype`` column.
+
+    One distinct job bounded by field-key cardinality (column-pruned to
+    the two dictionary-encoded discriminator columns), run once per
+    query and ONLY when the frame carries a string or bool slot — suite
+    frames and subquery pseudo-frames are float-only and skip it, so
+    their plans (and the bench) are untouched. A field key never mixes
+    types in one shard (line-protocol write enforcement); if a frame
+    somehow does, the float slot wins (numeric operators stay correct).
+    """
+    if not names or "field" not in df.columns or "ftype" not in df.columns:
+        return {}
+    if "f_str" not in df.columns and "f_bool" not in df.columns:
+        return {}
+    rows = (
+        df.filter(F.col("field").isin(sorted(names)))
+        .select("field", "ftype")
+        .distinct()
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        slot = _SLOT_OF_FTYPE.get(r[1], "f_float")
+        if r[0] not in out or slot == "f_float":
+            out[r[0]] = slot
+    return {k: v for k, v in out.items() if v in df.columns}
+
+
+def _field_value_col(fld: str, df: DataFrame, slots: dict | None = None):
     """The value Column a named field reads: a physical column of that
-    name (promoted / subquery alias), else the value slot RESTRICTED
-    to rows of that field — on a multi-field measurement every field's
-    rows share the tall frame, so an unconditional slot read mixes
-    fields (r6 probe: ``mean(c)`` averaged c AND u). One conditional
-    projection — aggregation stays single-pass, no extra shuffle."""
+    name (promoted / subquery alias), else the TYPED value slot
+    RESTRICTED to rows of that field — on a multi-field measurement
+    every field's rows share the tall frame, so an unconditional slot
+    read mixes fields (r6 probe: ``mean(c)`` averaged c AND u). The
+    slot comes from ``slots`` (ftype-resolved, r10 — string/bool
+    fields previously read f_float and came back NULL). One
+    conditional projection — aggregation stays single-pass, no extra
+    shuffle."""
     if fld != "*" and fld in df.columns:
         return F.col(fld)
     if fld != "*" and "field" in df.columns:
-        return F.when(F.col("field") == fld, F.col("f_float"))
+        slot = (slots or {}).get(fld, "f_float")
+        return F.when(F.col("field") == fld, F.col(slot))
     return F.col("f_float")
 
 
-def _field_value_sql(fld: str, df: DataFrame) -> str:
+def _field_value_sql(fld: str, df: DataFrame, slots: dict | None = None) -> str:
     """SQL-text twin of :func:`_field_value_col` for F.expr sites."""
     if fld != "*" and fld in df.columns:
         return fld
     if fld != "*" and "field" in df.columns:
         esc = fld.replace("'", "''")
-        return f"(CASE WHEN field = '{esc}' THEN f_float END)"
+        slot = (slots or {}).get(fld, "f_float")
+        return f"(CASE WHEN field = '{esc}' THEN {slot} END)"
     return "f_float"
 
 
-def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame):
-    """One InfluxQL aggregate/selector as a Spark aggregate Column."""
-    col = _field_value_col(fld, df)
+def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame,
+              slots: dict | None = None):
+    """One InfluxQL aggregate/selector as a Spark aggregate Column.
+
+    Type dispatch mirrors stock v1: COUNT/DISTINCT/MODE/FIRST/LAST
+    accept any field type (they read the ftype-resolved slot);
+    numeric-only aggregates (MEAN/SUM/.../MIN/MAX/PERCENTILE/INTEGRAL)
+    on a string/bool field read a NULL column and aggregate to nothing,
+    like stock's empty result — never an ANSI cast error."""
+    slot = (slots or {}).get(fld, "f_float")
+    col = _field_value_col(fld, df, slots)
+    if slot != "f_float" and fn not in (
+        "count", "count_distinct", "mode", "first", "last",
+    ):
+        col = F.lit(None).cast("double")
     if fn in _AGGS:
         if fn == "spread":
             return (F.max(col) - F.min(col)).alias(alias)
@@ -1557,7 +1808,8 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
         keys = by
 
     aggs = [
-        _agg_expr(fn, fld, alias, ast.fn_args.get(alias) or [], df)
+        _agg_expr(fn, fld, alias, ast.fn_args.get(alias) or [], df,
+                  ast.field_slots)
         for fn, fld, alias in ast.fields
     ]
     # arithmetic selections: each distinct aggregate call becomes one
@@ -1569,7 +1821,8 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
             if key not in internal:
                 ia = f"__x{len(internal)}"
                 internal[key] = ia
-                aggs.append(_agg_expr(node[1], node[2], ia, list(node[3]), df))
+                aggs.append(_agg_expr(node[1], node[2], ia, list(node[3]), df,
+                                      ast.field_slots))
     out = df.groupBy(*keys).agg(*aggs)
     for tree, alias in ast.arith:
         out = out.withColumn(alias, _tree_col(tree, internal))

@@ -1447,3 +1447,95 @@ def flux_join_pkg(spark, sf_dir):
     return out.select(
         "event_type", F.col("mean").alias("mean_v"), "max_v"
     )
+
+
+def _events_mixed_points(spark, sf_dir):
+    """events → a 3-field tall frame (value float, status string, flag
+    bool) with a tags MAP carrying a unique per-point key — the mixed-
+    type measurement the r10 string/bool v1 fix is oracled on. The
+    derived fields are deterministic functions of stored columns so
+    DuckDB can recompute them."""
+    base = events_points(spark, sf_dir).select(
+        "time", "time_ns", "event_type", "user_id", "f_float", "ingest_seq"
+    )
+    tags = F.create_map(
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("eid"), F.col("ingest_seq").cast("string"),
+    )
+    nd = F.lit(None).cast("double")
+    ns_ = F.lit(None).cast("string")
+    nb = F.lit(None).cast("boolean")
+
+    def mk(fname, ftype, ff, fs, fb):
+        return base.select(
+            F.lit("events").alias("measurement"),
+            F.col("time"), F.col("time_ns"), tags.alias("tags"),
+            F.lit(fname).alias("field"), F.lit(ftype).alias("ftype"),
+            ff.alias("f_float"), fs.alias("f_str"), fb.alias("f_bool"),
+            F.col("ingest_seq"),
+        )
+
+    status = F.when(F.col("f_float") >= 100, F.lit("ok")).otherwise("bad")
+    flag = (F.col("ingest_seq") % 2 == 0)
+    return (
+        mk("value", "float", F.col("f_float"), ns_, nb)
+        .unionByName(mk("status", "string", nd, status, nb))
+        .unionByName(mk("flag", "bool", nd, ns_, flag))
+    )
+
+
+@q(
+    "influxql_string_fields",
+    """
+    SELECT event_type,
+           count(*) AS n_status,
+           count(DISTINCT CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END)
+             AS d_status,
+           avg(value) AS avg_v
+    FROM events
+    WHERE event_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def influxql_string_fields(spark, sf_dir):
+    """v1 InfluxQL over a mixed float+string+bool measurement (r10):
+    a bool-field WHERE (point-level, left-semi on the point identity),
+    COUNT and COUNT(DISTINCT()) of a STRING field, and a numeric mean
+    over the same filtered points — the r9 verdict's only wrong-answer
+    component, now oracled."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT count(status) AS n_status, count(DISTINCT(status)) AS "
+        "d_status, mean(value) AS avg_v FROM events WHERE flag = true "
+        "GROUP BY event_type",
+    )
+    return out.select("event_type", "n_status", "d_status", "avg_v")
+
+
+@q(
+    "influxql_string_raw",
+    """
+    SELECT epoch_ms(ts) AS t_ms,
+           CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END AS status,
+           value
+    FROM events
+    WHERE value < 100 AND event_type = 'click'
+    """,
+)
+def influxql_string_raw(spark, sf_dir):
+    """Raw multi-field v1 select with a STRING-field WHERE (r10): the
+    tall frame's status/value rows merge into ONE row per point (stock
+    v1 shape), the string condition routes field-first, and the string
+    VALUES surface (previously NULL — frontends/influxql.py read
+    f_float unconditionally)."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT status, value FROM events "
+        "WHERE status = 'bad' AND event_type = 'click'",
+    )
+    return out.select(
+        F.unix_millis("time").alias("t_ms"), "status", "value"
+    )

@@ -1699,7 +1699,12 @@ def test_v1_ddl_admin_fuzz_typed_errors_never_5xx(served):
         return _req(base, f"/query?db=greengrass-telemetry&q={up.quote(stmt)}",
                     "POST", token=tok)
 
-    @settings(max_examples=120, deadline=None,
+    # derandomized (r10): run-to-run seed variance made failures
+    # unreproducible ("passed on replay" — the r9 verdict's flake);
+    # the garbage-token class is covered exhaustively by the
+    # deterministic twin test below, so fixed-seed sampling here
+    # costs no coverage.
+    @settings(max_examples=120, deadline=None, derandomize=True,
               suppress_health_check=list(HealthCheck))
     @given(ti=st.integers(0, len(TEMPLATES) - 1), mut=st.integers(0, 4),
            pos=st.integers(0, 30))
@@ -1732,6 +1737,119 @@ def test_v1_ddl_admin_fuzz_typed_errors_never_5xx(served):
                 "garbage statement silently succeeded", stmt)
 
     run()
+
+
+def test_v1_query_string_and_bool_field_values(served):
+    """The r9 verdict's open defect, pinned end-to-end: string and bool
+    field VALUES must flow through /query (stock v1 returns "ok"/"bad"
+    and true/false; the engine returned NULL — every read hardcoded
+    f_float). Covers raw select, star select, cross-field WHERE on a
+    string field, bool-field WHERE, and type-generic aggregates."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    lines = "\n".join(
+        f"svc,host=h{i % 2} temp={i}.5,status=\"{'ok' if i % 3 else 'bad'}\","
+        f"up={'true' if i % 2 == 0 else 'false'} {T0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    def q(stmt):
+        _, body = _req(
+            base,
+            f"/query?db=greengrass-telemetry&q={up.quote(stmt)}&epoch=ns",
+            token=tokens["RO"])
+        doc = json.loads(body)
+        assert "error" not in doc["results"][0], doc
+        return doc["results"][0].get("series", [])
+
+    # raw string select: the exact probe from the r9 review
+    s = q("SELECT status FROM svc")
+    vals = [v[1] for v in s[0]["values"]]
+    assert vals == ["bad", "ok", "ok", "bad", "ok", "ok"]
+
+    # star select: per-type columns (float + string + bool all typed)
+    s = q("SELECT * FROM svc")
+    cols = s[0]["columns"]
+    row0 = dict(zip(cols, s[0]["values"][0]))
+    assert row0["status"] == "bad" and row0["up"] is True
+    assert row0["temp"] == 0.5 and row0["host"] == "h0"
+
+    # cross-field WHERE on the string field (point-level semantics)
+    s = q("SELECT temp FROM svc WHERE status = 'bad'")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 3.5]
+
+    # bool-field WHERE with an unquoted literal
+    s = q("SELECT temp FROM svc WHERE up = true")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 2.5, 4.5]
+
+    # type-generic aggregates on the string field
+    s = q("SELECT count(status) AS n, first(status) AS f, "
+          "last(status) AS l FROM svc")
+    row = dict(zip(s[0]["columns"], s[0]["values"][0]))
+    assert row["n"] == 6 and row["f"] == "bad" and row["l"] == "ok"
+
+    # DISTINCT over strings
+    s = q("SELECT DISTINCT(status) FROM svc")
+    assert sorted(v[-1] for v in s[0]["values"]) == ["bad", "ok"]
+
+
+def test_v1_ddl_garbage_token_never_silently_succeeds(served):
+    """Deterministic twin of the hypothesis fuzz above (r10): EVERY
+    template × EVERY garbage-insertion position must produce a typed
+    error — exhaustively, not sampled. Pins the r9 escape class
+    (prefix-tolerant time-predicate parse swallowed trailing tokens:
+    ``DELETE FROM m WHERE time < now() ZZGARBAGEZZ`` silently
+    succeeded) and is immune to the engine-state/random-seed variance
+    that made the fuzz test flake."""
+    base, _, tokens = served
+    import urllib.parse as up
+
+    TEMPLATES = [
+        "CREATE DATABASE fuzz_scratch2",
+        "DROP DATABASE fuzz_scratch2",
+        "SHOW DATABASES",
+        "SHOW RETENTION POLICIES ON greengrass-telemetry",
+        "CREATE USER fz2_u WITH PASSWORD 'FuzzPass#12345'",
+        "DROP USER fz2_u",
+        "SET PASSWORD FOR fz2_u = 'FuzzPass#54321'",
+        "GRANT READ ON fuzz_scratch2 TO fz2_u",
+        "REVOKE ALL PRIVILEGES FROM fz2_u",
+        "SHOW USERS",
+        "SHOW GRANTS FOR fz2_u",
+        "DROP MEASUREMENT fuzzm2",
+        "DROP SERIES FROM fuzzm2",
+        "DELETE FROM fuzzm2 WHERE time < now()",
+        "CREATE CONTINUOUS QUERY fz2_cq ON greengrass-telemetry BEGIN "
+        "SELECT mean(value) INTO fuzz2_1h FROM fuzzm2 GROUP BY time(1h) END",
+        "DROP CONTINUOUS QUERY fz2_cq ON greengrass-telemetry",
+        "SHOW CONTINUOUS QUERIES",
+    ]
+    GARB = "ZZGARBAGEZZ"
+    escaped = []
+    for stmt0 in TEMPLATES:
+        words = stmt0.split(" ")
+        variants = [" ".join(words[:i] + [GARB] + words[i:])
+                    for i in range(len(words) + 1)]
+        for stmt in variants:
+            try:
+                status, body = _req(
+                    base,
+                    f"/query?db=greengrass-telemetry&q={up.quote(stmt)}",
+                    "POST", token=tokens["Admin"])
+            except urllib.error.HTTPError as e:
+                assert 400 <= e.code < 500, (stmt, e.code)
+                json.loads(e.read().decode())
+                continue
+            assert status == 200, stmt
+            doc = json.loads(body)
+            if not any("error" in r for r in doc.get("results", [])):
+                escaped.append(stmt)
+    assert not escaped, f"garbage statements silently succeeded: {escaped}"
 
 
 def test_flux_http_post_real_socket_roundtrip(served):
