@@ -131,13 +131,18 @@ CURATED_FIRST_50: list[str] = [
     # under the full-suite gates.
     "flux_text_bitwise",
     "flux_text_geo",
-    # r6: surface the events.duration text form (per-series dwell-time
-    # primitive, ns-exact lead oracle); flux_text_quantile rotates out
-    # — the quantile family stays windowed via ts_histogram_quantile
-    # and influxql_percentile_integral, and under the full-suite gates
-    "flux_text_events_duration",
+    # r10: surface the v1 string/bool field-value fix — the r9
+    # verdict's only wrong-answer component. influxql_string_fields
+    # (bool-field WHERE with point-level semantics + COUNT/
+    # COUNT(DISTINCT) of a string field) and influxql_string_raw
+    # (multi-field raw select merged per point + string-field WHERE).
+    # flux_text_events_duration and flux_text_map_funcs rotate out —
+    # the text-scalar family stays windowed via flux_text_bitwise/
+    # flux_text_geo/flux_text_reduce, and both remain under the
+    # full-suite gates.
+    "influxql_string_fields",
+    "influxql_string_raw",
     "flux_text_statecount",
-    "flux_text_map_funcs",
     # r4: reduce() was r3's one open §2.2.10 gap — surface its oracle
     # row in the driver window (EMA stays covered by ts_ema above and
     # the full-suite gates)

@@ -30,11 +30,12 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     """Exact top-k by count (ties → smallest value first): the
     baseline and the oracle for the sketch path."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no single-partition window over ALL distinct terms, r10);
+    # the rank column is then computed over the ≤k survivors only.
+    top = counts.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
     w = W.orderBy(F.desc("cnt"), F.asc(col))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def _misra_gries(values, capacity: int) -> dict:
@@ -90,8 +91,8 @@ def heavy_hitters(
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # same TakeOrdered top-k as heavy_hitters_exact (r10): rank only
+    # the ≤k survivors, never the full candidate set in one partition
+    top = recount.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
     w = W.orderBy(F.desc("cnt"), F.asc(col))
-    return (
-        recount.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

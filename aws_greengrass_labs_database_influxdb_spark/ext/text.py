@@ -493,10 +493,13 @@ def pmi_collocations(
             ),
         )
     )
+    # top-N via orderBy+limit (TakeOrderedAndProject, r10): the old
+    # unpartitioned row_number ranked EVERY scored bigram in one window
+    # partition; rank is now computed over the ≤top_n survivors only
+    top = scored.orderBy(F.desc("pmi"), F.asc("u"), F.asc("v")).limit(top_n)
     w = W.orderBy(F.desc("pmi"), F.asc("u"), F.asc("v"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("u", "v", "cuv", "cu", "cv", "pmi", "rank")
     )
 
@@ -903,16 +906,35 @@ def logreg_quality_train(
 
     w = [0.0, 0.0, 0.0, 0.0]  # alpha, stop, distinct, bias
     rows = []
+    # Weights enter each pass as a 1-row BROADCAST frame, not plan
+    # literals (r10): literal weights change every iteration, so every
+    # pass paid a fresh Catalyst plan + whole-stage codegen JIT (~1 s
+    # each — over half the query's wall time at bench scale). With
+    # parameter columns the generated code is byte-identical across
+    # passes and the codegen cache hits; the per-pass cost is one
+    # 1-row broadcast. Arithmetic is unchanged (same IEEE operand
+    # values, same expression tree), so the chained-CTE oracle replay
+    # stays bit-exact.
+    from pyspark.sql import types as T
+
+    spark_w = df.sparkSession
+    wschema = T.StructType.fromDDL(
+        "_pw1 double, _pw2 double, _pw3 double, _pw4 double"
+    )
     for t in range(1, iters + 1):
+        wdf = spark_w.createDataFrame(
+            spark_w.sparkContext.parallelize([tuple(w)], 1), wschema
+        )
+        it_frame = feats.crossJoin(F.broadcast(wdf))
         z = (
-            F.lit(w[0]) * F.col("_x1")
-            + F.lit(w[1]) * F.col("_x2")
-            + F.lit(w[2]) * F.col("_x3")
-            + F.lit(w[3])
+            F.col("_pw1") * F.col("_x1")
+            + F.col("_pw2") * F.col("_x2")
+            + F.col("_pw3") * F.col("_x3")
+            + F.col("_pw4")
         )
         p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), 0.25 * z + 0.5))
         err = p - F.col("_y")
-        agg = feats.agg(
+        agg = it_frame.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_q(err * F.col("_x1"))).cast("double").alias("g1"),
             F.sum(_q(err * F.col("_x2"))).cast("double").alias("g2"),
@@ -926,8 +948,18 @@ def logreg_quality_train(
         rows.append((t, n, w[0], w[1], w[2], w[3], agg["sse"]))
     feats.unpersist()
     spark = df.sparkSession
-    return spark.createDataFrame(
-        rows,
+    # single-slice parallelize: the default createDataFrame spreads T
+    # driver rows over defaultParallelism (32) near-empty partitions
+    # (32 no-op tasks per downstream action), and coalesce(1) is WORSE
+    # here — its one task inherits locality preferences from all 32
+    # parents and stalls ~4.5 s on the locality wait (r10, measured:
+    # coalesce1 4.3-9.1 s vs slice1 0.23 s on idle local[32]).
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
         "iter int, n bigint, w_alpha double, w_stop double, "
-        "w_distinct double, w_bias double, sse double",
+        "w_distinct double, w_bias double, sse double"
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
     )

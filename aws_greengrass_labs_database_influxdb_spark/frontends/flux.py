@@ -136,9 +136,10 @@ def _parse_stage(stage: str) -> tuple[str, str]:
     return m.group(1), m.group(2).strip()
 
 
-def _split_args(argstr: str) -> dict[str, str]:
-    """Top-level k: v pairs (respecting nesting + strings + lambdas)."""
-    args: dict[str, str] = {}
+def _split_top(argstr: str) -> list[str]:
+    """Split on top-level commas (respecting nesting + strings +
+    lambdas) — the shared scanner under ``_split_args`` and
+    ``_record_refs``."""
     depth, instr, buf = 0, False, []
     parts = []
     for c in argstr:
@@ -163,7 +164,13 @@ def _split_args(argstr: str) -> dict[str, str]:
             buf.append(c)
     if "".join(buf).strip():
         parts.append("".join(buf))
-    for p in parts:
+    return parts
+
+
+def _split_args(argstr: str) -> dict[str, str]:
+    """Top-level k: v pairs (respecting nesting + strings + lambdas)."""
+    args: dict[str, str] = {}
+    for p in _split_top(argstr):
         k, _, v = p.partition(":")
         args[k.strip()] = v.strip()
     return args
@@ -397,6 +404,37 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
     return out
 
 
+#: standard Flux string escapes (public spec: \n \r \t \" \\ \$);
+#: unknown sequences pass through verbatim
+_FLUX_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", '"': '"',
+                 "\\": "\\", "$": "$"}
+
+
+def _unescape_flux_str(s: str) -> str:
+    """One regex pass over Flux escapes — sequential replaces corrupt
+    inputs where an escaped backslash precedes an escape letter."""
+    return re.sub(
+        r"\\(.)",
+        lambda m: _FLUX_ESCAPES.get(m.group(1), "\\" + m.group(1)),
+        s,
+    )
+
+
+def _bit_shift(kind: str, a: Column, b: Column) -> Column:
+    """bitwise shift with Go/Flux >= 64 semantics (r10 ADVICE): the
+    JVM masks the count mod 64 (shiftleft(a, 64) == a), Go shifts out
+    to 0 (or sign-fill for the arithmetic right shift)."""
+    a64, bi = a.cast("long"), b.cast("int")
+    fn = {"l": "shiftleft", "r": "shiftright", "u": "shiftrightunsigned"}[kind]
+    shifted = F.call_function(fn, a64, bi)
+    sat = (
+        F.call_function("shiftright", a64, F.lit(63))  # sign-fill
+        if kind == "r"
+        else F.lit(0).cast("long")
+    )
+    return F.when(bi >= F.lit(64), sat).otherwise(shifted)
+
+
 def _lit(v: str):
     v = v.strip()
     if v.startswith('"'):
@@ -523,14 +561,8 @@ _MAP_FUNCS: dict = {
         lambda a, b: a.bitwiseAND(F.bitwise_not(b.cast("long"))),
     ),
     "bitwise.sset": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
-    "bitwise.slshift": (
-        ("a", "b"),
-        lambda a, b: F.call_function("shiftleft", a.cast("long"), b.cast("int")),
-    ),
-    "bitwise.srshift": (
-        ("a", "b"),
-        lambda a, b: F.call_function("shiftright", a.cast("long"), b.cast("int")),
-    ),
+    "bitwise.slshift": (("a", "b"), lambda a, b: _bit_shift("l", a, b)),
+    "bitwise.srshift": (("a", "b"), lambda a, b: _bit_shift("r", a, b)),
     "bitwise.uand": (("a", "b"), lambda a, b: a.bitwiseAND(b)),
     "bitwise.uor": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
     "bitwise.uxor": (("a", "b"), lambda a, b: a.bitwiseXOR(b)),
@@ -540,15 +572,10 @@ _MAP_FUNCS: dict = {
         lambda a, b: a.bitwiseAND(F.bitwise_not(b.cast("long"))),
     ),
     "bitwise.uset": (("a", "b"), lambda a, b: a.bitwiseOR(b)),
-    "bitwise.ulshift": (
-        ("a", "b"),
-        lambda a, b: F.call_function("shiftleft", a.cast("long"), b.cast("int")),
-    ),
+    "bitwise.ulshift": (("a", "b"), lambda a, b: _bit_shift("l", a, b)),
     "bitwise.urshift": (
         ("a", "b"),
-        lambda a, b: F.call_function(
-            "shiftrightunsigned", a.cast("long"), b.cast("int")
-        ),
+        lambda a, b: _bit_shift("u", a, b),
     ),
     # experimental time arithmetic: d arrives as a ns-long literal
     # (factor() parses duration tokens via duration_ns); µs-precision
@@ -644,7 +671,15 @@ def _geo_st_fn(df: DataFrame, fn: str, argstr: str) -> Column:
         return dist
     if "distance" not in args:
         raise FluxError("geo.ST_DWithin requires distance:")
-    return dist <= F.lit(float(_lit(args["distance"])))
+    try:
+        radius_km = float(_lit(args["distance"]))
+    except (TypeError, ValueError):
+        # a column reference or non-numeric literal (r10 ADVICE: the
+        # bare float() raised an untyped ValueError for direct callers)
+        raise FluxError(
+            "geo.ST_DWithin distance: must be a numeric literal"
+        ) from None
+    return dist <= F.lit(radius_km)
 
 
 _GEO_ST_RX = re.compile(
@@ -1021,9 +1056,14 @@ def _split_toplevel_records(s: str) -> list[str]:
 
 
 def _record_refs(s: str) -> list[tuple[str, str]]:
-    """``{k1: v1, k2: v2}`` → [(k1, v1), ...] (identifier values)."""
+    """``{k1: v1, k2: v2}`` → [(k1, v1), ...] (identifier values).
+    Quote/depth-aware via the shared top-level scanner (r10 ADVICE: a
+    quoted value containing a comma used to mis-split on it)."""
+    inner = s.strip()
+    if inner.startswith("{") and inner.endswith("}"):
+        inner = inner[1:-1]
     out = []
-    for part in s.strip().strip("{}").split(","):
+    for part in _split_top(inner):
         if part.strip():
             k, _, v = part.partition(":")
             out.append((k.strip(), v.strip()))
@@ -1311,9 +1351,10 @@ def _http_post_stmt(argstr: str) -> int:
             raise FluxError(
                 'http.post data: must be a string or bytes(v: "...") literal'
             )
-        body = (
-            _lit(raw).replace("\\n", "\n").replace('\\"', '"').encode()
-        )
+        # single-pass unescape of the standard Flux string escapes
+        # (r10 ADVICE: sequential str.replace turned the 2-char source
+        # sequence \\n into a newline and left \t and \\ unconverted)
+        body = _unescape_flux_str(_lit(raw)).encode()
     transport = HTTP_POST_TRANSPORT or _default_http_transport
     return int(transport(url, headers, body))
 
@@ -2563,11 +2604,18 @@ def _geo_stage(pipe: Pipeline, name: str, args) -> Pipeline:
     if name == "geo.toRows":
         return _shaped()
     if name == "geo.shapeData":
+        # typed-FluxError arg validation (r10 ADVICE: raw KeyError
+        # bypassed the convention for direct callers)
+        for req in ("latField", "lonField"):
+            if req not in args:
+                raise FluxError(f"geo.shapeData requires {req}:")
         return _shaped(
             level=int(_lit(args.get("level", "10"))),
             lat_f=_lit(args["latField"]),
             lon_f=_lit(args["lonField"]),
         )
+    if "region" not in args:
+        raise FluxError(f"{name}() requires region:")
     region = _parse_geo_region(args["region"])
     shaped = _shaped()
     lat, lon = F.col("lat"), F.col("lon")

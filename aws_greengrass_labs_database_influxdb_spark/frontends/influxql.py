@@ -1228,6 +1228,17 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         rhs = val
         if slot == "f_bool" and isinstance(val, str):
             rhs = val.strip().lower() in ("true", "t", "1")
+        elif slot in ("f_str", "f_bool") and isinstance(val, (int, float)):
+            # numeric comparison against a string/bool field: stock
+            # yields no rows; never let ANSI cast errors surface
+            df = df.filter(F.lit(False))
+            continue
+        elif slot == "f_float" and op in (">", ">=", "<", "<=") \
+                and isinstance(val, str):
+            # string-literal range compare against a numeric field —
+            # same stock no-rows contract
+            df = df.filter(F.lit(False))
+            continue
         if "field" not in df.columns:
             df = df.filter(_cmp_cond(F.col(slot), op, rhs))
             continue
@@ -1526,6 +1537,40 @@ def _execute_selector_row(
     from pyspark.sql import Window as W
 
     fn, fld, alias = sel
+    # companion FIELDS (SELECT LAST(value), status): stock returns the
+    # picked point's other field values — in the tall frame those live
+    # on sibling rows, so attach them as per-point columns first (one
+    # window on the point identity; r10 — they previously fell through
+    # to a tags-map read and came back NULL). Known-field detection
+    # rides the ftype slot map, so float-only frames are unchanged.
+    comp = [f2 for _fn2, f2, _a2 in bare
+            if f2 != "*" and f2 not in df.columns and f2 in ast.field_slots]
+    if comp and "field" in df.columns:
+        if "tags" in df.columns:
+            pt_tags = F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_keys(F.col("tags"))),
+                    lambda k: F.concat_ws("=", k, F.element_at(F.col("tags"), k)),
+                ),
+            )
+        else:
+            pt_tags = F.lit("")
+        df = df.withColumn("_pt_tags", pt_tags)
+        wpt = W.partitionBy(
+            *[c for c in ("measurement", "_pt_tags", "time_ns")
+              if c in df.columns or c == "_pt_tags"]
+        )
+        for f2 in comp:
+            df = df.withColumn(
+                f2,
+                F.first(
+                    F.when(F.col("field") == f2,
+                           F.col(ast.field_slots[f2])),
+                    ignorenulls=True,
+                ).over(wpt),
+            )
+        df = df.drop("_pt_tags")
     if fld != "*" and fld in df.columns:
         src = fld
     else:

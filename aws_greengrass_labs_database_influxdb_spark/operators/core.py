@@ -104,7 +104,15 @@ def push_time_filter(
     # `div` truncation is monotone non-decreasing in time_ns, so the
     # day bounds are implied by the exact time_ns bounds on both
     # signs of the epoch.
-    has_day = "day" in df.columns
+    # provenance-gated (r10 ADVICE): only the bucket store's own
+    # partition column qualifies — read_points marks it with column
+    # metadata; a user-computed column named `day` (e.g. added by map()
+    # before a range push) must not be silently range-filtered.
+    has_day = (
+        "day" in df.columns
+        and isinstance(df.schema["day"].dataType, T.LongType)
+        and df.schema["day"].metadata.get("spark_graft.partition") == "day"
+    )
     from ..sources.bucket import DAY_NS as _DAY_NS
 
     def _day_of(ns: int) -> int:

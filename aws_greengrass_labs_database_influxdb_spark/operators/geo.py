@@ -62,13 +62,20 @@ def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     ).astype(np.int64)
     u = np.empty_like(x)
     v = np.empty_like(x)
+    # denominator is the SIGNED dominant component on every face (the
+    # public ValidFaceXYZtoUV: face 3 u=z/x v=y/x with x<0, face 4
+    # u=z/y v=-x/y, face 5 u=-y/z v=-x/z). r10 ADVICE fix: dividing by
+    # the positive magnitude on faces 3-5 negated both u and v —
+    # internally consistent, but diverging from real S2 ids for any
+    # point whose dominant axis is negative. Pinned by the
+    # FaceUVtoXYZ roundtrip + face-center golden tests.
     for f, (uexpr, vexpr, dexpr) in enumerate((
         (lambda: y, lambda: z, lambda: x),
         (lambda: -x, lambda: z, lambda: y),
         (lambda: -x, lambda: -y, lambda: z),
-        (lambda: z, lambda: y, lambda: -x),
-        (lambda: z, lambda: -x, lambda: -y),
-        (lambda: -y, lambda: -x, lambda: -z),
+        (lambda: z, lambda: y, lambda: x),
+        (lambda: z, lambda: -x, lambda: y),
+        (lambda: -y, lambda: -x, lambda: z),
     )):
         m = face == f
         if m.any():

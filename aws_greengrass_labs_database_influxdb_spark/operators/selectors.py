@@ -166,11 +166,9 @@ def _ranked_series(
     """
     per_series = df.groupBy(*series).agg(agg.alias("_rank_v"))
     order = F.desc("_rank_v") if desc else F.asc("_rank_v")
-    keep = (
-        per_series.withColumn("_rn", F.row_number().over(W.orderBy(order, *series)))
-        .filter(F.col("_rn") <= n)
-        .select(*series)
-    )
+    # orderBy+limit plans TakeOrderedAndProject — no single-partition
+    # window even at high series cardinality (r10, verdict r9 #3)
+    keep = per_series.orderBy(order, *series).limit(n).select(*series)
     return df.join(F.broadcast(keep), on=list(series), how="left_semi")
 
 

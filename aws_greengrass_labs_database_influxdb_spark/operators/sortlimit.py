@@ -39,9 +39,17 @@ def limit(
     cols = [order] if isinstance(order, str) else list(order)
     ob = [F.desc(c) if desc else F.asc(c) for c in cols]
     if not by:
-        w = W.orderBy(*ob)
-    else:
-        w = W.partitionBy(*by).orderBy(*ob)
+        # global head: orderBy+limit plans TakeOrderedAndProject — a
+        # per-partition top-(offset+n) merge on the driver, no
+        # single-partition window shuffle (r9 verdict: the ungrouped
+        # row_number funneled the WHOLE frame through one task).
+        # Same determinism as row_number: ties resolve by the caller's
+        # tie-break columns in ``order``.
+        out = df.orderBy(*ob)
+        if offset:
+            out = out.offset(offset)
+        return out.limit(n)
+    w = W.partitionBy(*by).orderBy(*ob)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
@@ -74,11 +82,12 @@ def slimit(
     Series are ordered by their key; the kept set is small → broadcast
     semi-join back, so the big side never fully shuffles.
     """
-    keys = (
-        df.select(*series)
-        .distinct()
-        .withColumn("_sn", F.row_number().over(W.orderBy(*[F.asc(c) for c in series])))
-        .filter((F.col("_sn") > soffset) & (F.col("_sn") <= soffset + n))
-        .select(*series)
-    )
+    # orderBy+offset+limit → TakeOrderedAndProject over the distinct
+    # series keys (r10: the row_number variant ranked every key in one
+    # window partition — fine at dashboard cardinality, wrong at 100 TB
+    # tag cardinality)
+    keys = df.select(*series).distinct().orderBy(*[F.asc(c) for c in series])
+    if soffset:
+        keys = keys.offset(soffset)
+    keys = keys.limit(n)
     return df.join(F.broadcast(keys), on=list(series), how="left_semi")

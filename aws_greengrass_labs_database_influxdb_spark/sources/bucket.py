@@ -183,6 +183,12 @@ class BucketStore:
             # concurrent-client pattern, not an error — r6)
             return self.spark.createDataFrame([], self._stored_schema())
         df = self.spark.read.schema(self._stored_schema()).parquet(str(data))
+        # provenance mark (r10 ADVICE): push_time_filter prunes on the
+        # `day` partition column ONLY when this metadata flag says the
+        # column is the store's time_ns-derived directory key — a
+        # user-computed column that merely shares the name must not be
+        # range-filtered. Metadata rides the column through projections.
+        df = df.withMetadata("day", {"spark_graft.partition": "day"})
         if not lww:
             return df
         # `day` is redundant in the key (determined by time_ns) but

@@ -1539,3 +1539,127 @@ def influxql_string_raw(spark, sf_dir):
     return out.select(
         F.unix_millis("time").alias("t_ms"), "status", "value"
     )
+
+
+# Convex test quad for the polygon oracle — 3-decimal vertices so no
+# 2-decimal data point lies exactly on an edge; the ray-cast uses only
+# +-*/ and comparisons (no libm), so Spark and DuckDB agree bit-for-bit
+# when the SQL mirrors the exact expression tree.
+_GEO_QUAD = [(-20.333, -100.777), (35.666, -60.333),
+             (50.111, 20.555), (-10.222, 60.999)]
+
+
+def _poly_oracle_edges(pts) -> str:
+    """DuckDB ray-cast terms mirroring operators.geo._poly_contains —
+    same literals, same operation order, XOR-chained with <>."""
+    terms = []
+    n = len(pts)
+    for k in range(n):
+        la1, lo1 = pts[k]
+        la2, lo2 = pts[(k + 1) % n]
+        if la1 == la2:
+            continue
+        terms.append(
+            f"((({la1} > lat) != ({la2} > lat)) AND "
+            f"lon < ({lo2} - ({lo1})) * (lat - ({la1})) / "
+            f"({la2} - ({la1})) + ({lo1}))"
+        )
+    # XOR-fold with explicit parens: DuckDB's parser rejects a bare
+    # a != b != c comparison chain
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"(({acc}) != ({t}))"
+    return acc
+
+
+def _geo_latlon_points(spark, sf_dir):
+    """events → a 2-field (lat, lon) tall frame: deterministic float-
+    exact derivations (fmod / integer arithmetic only) so DuckDB can
+    recompute the coordinates bit-for-bit."""
+    base = events_points(spark, sf_dir).select(
+        "time", "time_ns", "f_float", "user_id", "ingest_seq"
+    )
+    tags = F.create_map(F.lit("eid"), F.col("ingest_seq").cast("string"))
+    lat = (F.col("f_float") % F.lit(120.0)) - F.lit(60.0)
+    lon = ((F.col("user_id") * F.lit(7)) % F.lit(360)).cast("double") - F.lit(180.0)
+
+    def mk(fname, val):
+        return base.select(
+            F.lit("geopts").alias("measurement"),
+            F.col("time"), F.col("time_ns"), tags.alias("tags"),
+            F.lit(fname).alias("field"), F.lit("float").alias("ftype"),
+            val.alias("f_float"), F.col("ingest_seq"),
+        )
+
+    return mk("lat", lat).unionByName(mk("lon", lon))
+
+
+@q(
+    "flux_geo_polygon_filter",
+    f"""
+    WITH pts AS (
+      SELECT event_id, (value % 120) - 60 AS lat,
+             CAST((user_id * 7) % 360 AS DOUBLE) - 180 AS lon
+      FROM events)
+    SELECT event_id, lat, lon FROM pts
+    WHERE {_poly_oracle_edges(_GEO_QUAD)}
+    """,
+)
+def flux_geo_polygon_filter(spark, sf_dir):
+    """geo.filterRows with a POLYGON region through the Flux frontend
+    (r10, verdict r9 #5): lat/lon fields pivot via shape_data, the
+    coarse grid cover ANDs with the exact ray-cast — oracled against a
+    DuckDB point-in-polygon with the identical (libm-free) expression
+    tree."""
+    from ..frontends import execute_flux
+
+    pts = _geo_latlon_points(spark, sf_dir)
+    quad = ", ".join(
+        "{lat: %s, lon: %s}" % (la, lo) for la, lo in _GEO_QUAD
+    )
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> geo.filterRows(region: {points: [%s]})' % quad,
+    )
+    return out.select(
+        F.col("tags")["eid"].cast("long").alias("event_id"), "lat", "lon"
+    )
+
+
+@q(
+    "flux_geo_st_distance",
+    """
+    WITH pts AS (
+      SELECT event_id, (value % 120) - 60 AS lat,
+             CAST((user_id * 7) % 360 AS DOUBLE) - 180 AS lon
+      FROM events)
+    SELECT event_id,
+           round(2.0 * 6371.0088 * asin(sqrt(
+             sin(radians(lat - 40.713) / 2) * sin(radians(lat - 40.713) / 2)
+             + cos(radians(40.713)) * cos(radians(lat))
+               * sin(radians(lon - (-74.006)) / 2)
+               * sin(radians(lon - (-74.006)) / 2)
+           )), 4) AS d_km
+    FROM pts
+    """,
+)
+def flux_geo_st_distance(spark, sf_dir):
+    """geo.ST_Distance inside map() through the Flux frontend (r10):
+    haversine km to a fixed point, rounded to 4 decimals (trig crosses
+    libm implementations; same tolerance class as the pmi/log oracle).
+
+    NOTE the oracle swaps the argument order of the symmetric formula
+    (point first) to mirror haversine_km(lat, lon, LIT, LIT)."""
+    from ..frontends import execute_flux
+
+    pts = _geo_latlon_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> geo.toRows() |> map(fn: (r) => ({r with '
+        "d_km: geo.ST_Distance(region: {lat: 40.713, lon: -74.006}, "
+        "geometry: {lat: r.lat, lon: r.lon})}))",
+    )
+    return out.select(
+        F.col("tags")["eid"].cast("long").alias("event_id"),
+        F.round(F.col("d_km"), 4).alias("d_km"),
+    )

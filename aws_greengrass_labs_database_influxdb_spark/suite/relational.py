@@ -84,16 +84,14 @@ def rel_region_revenue(spark, sf_dir):
     """,
 )
 def rel_top_orders(spark, sf_dir):
-    """Global top-N with deterministic tie-break (single-partition window
-    over a pre-filtered top-heavy subset would be the at-scale variant;
-    AQE handles the small result)."""
-    from pyspark.sql import Window as W
-
+    """Global top-N with deterministic tie-break. orderBy+limit plans
+    TakeOrderedAndProject — per-partition top-25 heaps merged on the
+    driver, so the at-scale variant needs no pre-filter and no
+    single-partition window (r10, verdict r9 #3)."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 25)
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
         .select(
             "o_orderkey", "o_custkey", "o_totalprice",
             # parquet ms-timestamps arrive as TIMESTAMP_NTZ; the session

@@ -1056,14 +1056,14 @@ def ts_highest_average(spark, sf_dir):
         F.col("f_float").cast("decimal(12,2)"),
     )
     # deterministic rank: decimal-exact mean via sum/cast/count
-    from pyspark.sql import Window as W
-
     per = p.groupBy("user_id").agg(
         (F.sum("_avg_exact").cast("double") / F.count(F.lit(1))).alias("avg_v")
     )
+    # orderBy+limit → TakeOrderedAndProject, no single-partition window
+    # even at high series cardinality (r10, verdict r9 #3)
     keep = (
-        per.withColumn("_rn", F.row_number().over(W.orderBy(F.desc("avg_v"), F.asc("user_id"))))
-        .filter(F.col("_rn") <= 3)
+        per.orderBy(F.desc("avg_v"), F.asc("user_id"))
+        .limit(3)
         .select("user_id")
     )
     kept = p.join(F.broadcast(keep), "user_id", "left_semi")

@@ -118,6 +118,27 @@ def main() -> None:
               + (f" fp={plans[name]['fp']}" if name in plans else ""),
               file=sys.stderr)
 
+    # Variance sentinel (r10, VERDICT r9 #6): the three historically
+    # noisiest queries get ONE extra timed run after the sweep; a >2x
+    # spread between that run and the recorded best flags the round's
+    # numbers as environment-dominated (the r9 logreg 9.25s-vs-1.62s
+    # regression took a full round to adjudicate without this).
+    sentinel = {}
+    for name in ("ext_quality_logreg_train", "bench_skew_window",
+                 "ext_dedup_minhash_lsh"):
+        if name not in timings:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        again = round(time.time() - t0, 3)
+        ratio = round(again / timings[name], 2) if timings[name] else None
+        sentinel[name] = {"best": timings[name], "rerun": again,
+                          "spread": ratio}
+    env_noise = any(
+        s["spread"] is not None and s["spread"] > 2.0
+        for s in sentinel.values()
+    )
+
     total = round(sum(timings.values()), 3)
     # split totals: bench_* entries are WRITE/maintenance-path pipelines
     # (rollup refresh, CQ run) added for breadth in r4 — keep the
@@ -155,6 +176,8 @@ def main() -> None:
                 "read_queries_total": read_total,
                 "maintenance_total": round(total - read_total, 3),
                 "queries": timings,
+                "variance_sentinel": sentinel,
+                "env_noise": env_noise,
                 "plans_fp": plans_digest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

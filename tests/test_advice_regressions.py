@@ -544,3 +544,95 @@ def test_v2_write_precision_sentinel_not_injectable(spark, tmp_path_factory):
     finally:
         api.stop()
         engine.close()
+
+
+def test_push_time_filter_day_prune_is_provenance_gated(spark):
+    """r10 ADVICE: a user-computed column named `day` (not the bucket
+    store's time_ns-derived partition key) must NOT be range-filtered
+    by push_time_filter — only the metadata-marked store column
+    qualifies."""
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.core import push_time_filter
+
+    ns0 = 1704067200 * 10**9  # 2024-01-01
+    rows = [(ns0 + i * 3600 * 10**9, i % 3) for i in range(48)]
+    df = spark.createDataFrame(rows, "time_ns long, day long")
+
+    # all 48 points are inside the time range; the fake `day` column
+    # (values 0..2) would be wiped out by a day >= 19723 filter
+    got = push_time_filter(df, ns0, ns0 + 48 * 3600 * 10**9)
+    assert got.count() == 48
+
+    # the marked store column DOES prune: same data, day derived from
+    # time_ns and metadata-marked like sources/bucket.py read_points
+    from aws_greengrass_labs_database_influxdb_spark.sources.bucket import DAY_NS
+
+    marked = (
+        df.withColumn("day", F.expr(f"time_ns div {DAY_NS}"))
+        .withMetadata("day", {"spark_graft.partition": "day"})
+    )
+    lo = ns0 + 24 * 3600 * 10**9  # second day only
+    got2 = push_time_filter(marked, lo, ns0 + 48 * 3600 * 10**9)
+    assert got2.count() == 24
+    plan = got2._jdf.queryExecution().optimizedPlan().toString()
+    assert "day" in plan  # the day predicate survived into the plan
+
+
+def test_flux_string_unescape_single_pass():
+    """r10 ADVICE: sequential str.replace turned the Flux source
+    sequence backslash-backslash-n into a newline and left \\t and
+    \\\\ unconverted; the single-pass unescape keeps each escape
+    independent."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import _unescape_flux_str
+
+    assert _unescape_flux_str("a\\nb") == "a\nb"
+    assert _unescape_flux_str("a\\tb") == "a\tb"
+    assert _unescape_flux_str("a\\rb") == "a\rb"
+    assert _unescape_flux_str('a\\"b') == 'a"b'
+    # escaped backslash followed by 'n': literal backslash + n, NOT \n
+    assert _unescape_flux_str("a\\\\nb") == "a\\nb"
+    assert _unescape_flux_str("\\\\\\n") == "\\\n"
+    # unknown escapes pass through verbatim
+    assert _unescape_flux_str("a\\qb") == "a\\qb"
+
+
+def test_flux_record_refs_quote_aware():
+    """r10 ADVICE: a quoted header value containing a comma used to
+    mis-split on the raw comma."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import _record_refs
+
+    got = _record_refs('{Accept: "text/html, application/json", X: y}')
+    assert got == [("Accept", '"text/html, application/json"'), ("X", "y")]
+    # nested record values stay intact too
+    got = _record_refs("{a: {b: 1, c: 2}, d: 3}")
+    assert got == [("a", "{b: 1, c: 2}"), ("d", "3")]
+
+
+def test_flux_bitwise_shift_ge_64_saturates(spark):
+    """r10 ADVICE: JVM shifts mask the count mod 64 (slshift(a,64)
+    returns a); Go/Flux shifts to 0 (sign-fill for srshift)."""
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import execute_flux
+
+    df = (
+        spark.range(1)
+        .withColumn("measurement", F.lit("m"))
+        .withColumn("time_ns", F.lit(0).cast("long"))
+        .withColumn("time", F.timestamp_micros(F.lit(0)))
+        .withColumn("field", F.lit("v"))
+        .withColumn("f_float", F.lit(1.0))
+        .withColumn("ftype", F.lit("float"))
+    )
+    out = execute_flux(
+        df,
+        'import "bitwise"\nfrom(bucket:"b") |> map(fn: (r) => ({r with '
+        "a: bitwise.slshift(a: 1, b: 64), "
+        "b: bitwise.srshift(a: -8, b: 64), "
+        "c: bitwise.srshift(a: 8, b: 99), "
+        "d: bitwise.urshift(a: -8, b: 64), "
+        "e: bitwise.ulshift(a: 1, b: 70), "
+        "f: bitwise.slshift(a: 1, b: 2)}))",
+    ).select("a", "b", "c", "d", "e", "f").first()
+    assert (out.a, out.b, out.c, out.d, out.e, out.f) == (0, -1, 0, 0, 0, 4)

@@ -291,3 +291,99 @@ def test_flux_geo_typed_errors(geo_pts):
             'from(bucket:"b") |> geo.toRows() |> map(fn: (r) => ({r with '
             "d: geo.ST_Distance(region: {lat: 1.0, lon: 2.0})}))",
         )
+
+
+def test_s2_face_uv_roundtrips_through_published_face_table():
+    """The two public S2 tables must compose to identity: XYZ →
+    (face, u, v) via ValidFaceXYZtoUV, then back via FaceUVtoXYZ
+    ((1,u,v), (-u,1,v), (-u,-v,1), (-1,-v,-u), (v,-1,-u), (v,u,-1)),
+    normalized. The r9 ADVICE sign bug (dividing by the positive
+    magnitude on faces 3-5) negates u and v there — internally
+    consistent, so only this cross-table identity catches it."""
+    import numpy as np
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.geo import _xyz_to_face_uv
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(500, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    x, y, z = pts[:, 0].copy(), pts[:, 1].copy(), pts[:, 2].copy()
+    face, u, v = _xyz_to_face_uv(x, y, z)
+
+    one = np.ones_like(u)
+    table = {
+        0: lambda u, v: (one, u, v),
+        1: lambda u, v: (-u, one, v),
+        2: lambda u, v: (-u, -v, one),
+        3: lambda u, v: (-one, -v, -u),
+        4: lambda u, v: (v, -one, -u),
+        5: lambda u, v: (v, u, -one),
+    }
+    rx = np.empty_like(x)
+    ry = np.empty_like(y)
+    rz = np.empty_like(z)
+    for f, fn in table.items():
+        m = face == f
+        a, b, c = fn(u, v)
+        rx[m], ry[m], rz[m] = a[m], b[m], c[m]
+    norm = np.sqrt(rx * rx + ry * ry + rz * rz)
+    assert np.allclose(rx / norm, x, atol=1e-12)
+    assert np.allclose(ry / norm, y, atol=1e-12)
+    assert np.allclose(rz / norm, z, atol=1e-12)
+
+
+def test_s2_face_center_tokens_golden():
+    """Level-0 golden tokens: the six face cells have ids
+    (face << 61) | 2^60 → tokens 1/3/5/7/9/b — a library-independent
+    fact of the public cell-id layout. Faces 3-5 (negative dominant
+    axis: the Americas / south pole band) pin the r10 sign fix."""
+    import numpy as np
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.geo import (
+        s2_cell_ids,
+        s2_token_of,
+    )
+
+    centers = [  # (lat, lon) of each face center
+        (0.0, 0.0), (0.0, 90.0), (90.0, 0.0),
+        (0.0, 180.0), (0.0, -90.0), (-90.0, 0.0),
+    ]
+    lat = np.array([c[0] for c in centers])
+    lon = np.array([c[1] for c in centers])
+    ids = s2_cell_ids(lat, lon, 0)
+    toks = [s2_token_of(int(i)) for i in ids]
+    assert toks == ["1", "3", "5", "7", "9", "b"]
+
+
+def test_s2_negative_face_uv_signs():
+    """Spot signs on faces 3-5 per ValidFaceXYZtoUV (signed
+    denominator). Face 3 (x<0): u=z/x so a northern point has u<0;
+    face 4 (y<0): v=-x/y so x>0 gives v>0; face 5 (z<0): u=-y/z so
+    y>0 gives u>0."""
+    import numpy as np
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.geo import _xyz_to_face_uv
+
+    # face 3: lon 180, lat +10 → x<0, z>0 ⇒ u = z/x < 0
+    lat, lon = np.radians(10.0), np.radians(180.0)
+    x = np.array([np.cos(lat) * np.cos(lon)])
+    y = np.array([np.cos(lat) * np.sin(lon)])
+    z = np.array([np.sin(lat)])
+    f, u, v = _xyz_to_face_uv(x, y, z)
+    assert f[0] == 3 and u[0] < 0
+
+    # face 4: lon -80 (x>0, y<0 dominant) ⇒ v = -x/y > 0
+    lat, lon = np.radians(0.0), np.radians(-80.0)
+    x = np.array([np.cos(lat) * np.cos(lon)])
+    y = np.array([np.cos(lat) * np.sin(lon)])
+    z = np.array([np.sin(lat)])
+    f, u, v = _xyz_to_face_uv(x, y, z)
+    assert f[0] == 4 and v[0] > 0
+
+    # face 5: lat -80, lon 90 (z<0 dominant, y>0) ⇒ u = -y/z > 0
+    lat, lon = np.radians(-80.0), np.radians(90.0)
+    x = np.array([np.cos(lat) * np.cos(lon)])
+    y = np.array([np.cos(lat) * np.sin(lon)])
+    z = np.array([np.sin(lat)])
+    f, u, v = _xyz_to_face_uv(x, y, z)
+    assert f[0] == 5 and u[0] > 0

@@ -1797,6 +1797,13 @@ def test_v1_query_string_and_bool_field_values(served):
     s = q("SELECT DISTINCT(status) FROM svc")
     assert sorted(v[-1] for v in s[0]["values"]) == ["bad", "ok"]
 
+    # companion FIELD on a selector row: stock returns the PICKED
+    # point's other field values (they live on sibling rows in the
+    # tall frame — r10 attaches them per point before the pick)
+    s = q("SELECT last(temp) AS lt, status FROM svc")
+    row = dict(zip(s[0]["columns"], s[0]["values"][0]))
+    assert row["lt"] == 5.5 and row["status"] == "ok"
+
 
 def test_v1_ddl_garbage_token_never_silently_succeeds(served):
     """Deterministic twin of the hypothesis fuzz above (r10): EVERY
@@ -1958,3 +1965,52 @@ def test_v1_create_cq_rejects_invalid_inner_select(served):
         f"/query?db=greengrass-telemetry&q={up.quote('SHOW CONTINUOUS QUERIES')}",
         "POST", token=tokens["Admin"])
     assert "fz_badcq" not in body
+
+
+def test_v1_chunked_ndjson_bounded_driver_pull():
+    """r10 (verdict r9 #7): the chunked NDJSON writer must pull rows
+    LAZILY — after emitting k documents it may have consumed at most
+    k*chunk_size + 1 source rows (one look-ahead), for a result far
+    larger than chunk_size; every chunk carries <= chunk_size rows and
+    partial flags are correct across many chunks. This is the
+    boundedness property the r9 wire-shape tests did not assert."""
+    from aws_greengrass_labs_database_influxdb_spark.control.httpapi import (
+        _StreamedValues,
+        _iter_v1_json_chunked,
+    )
+
+    N, CHUNK = 1000, 7
+    pulled = {"n": 0}
+
+    def _rows():
+        for i in range(N):
+            pulled["n"] += 1
+            yield [i, float(i)]
+
+    results = [{
+        "statement_id": 0,
+        "series": [{
+            "name": "m", "columns": ["time", "v"],
+            "values": _StreamedValues(_rows()),
+        }],
+    }]
+    docs = []
+    gen = _iter_v1_json_chunked(results, CHUNK)
+    for k, line in enumerate(gen, start=1):
+        doc = json.loads(line)
+        docs.append(doc)
+        # boundedness: emitted k docs => consumed <= k*CHUNK + 1 rows
+        assert pulled["n"] <= k * CHUNK + 1, (k, pulled["n"])
+
+    total = sum(len(d["results"][0]["series"][0]["values"]) for d in docs)
+    assert total == N
+    assert len(docs) == -(-N // CHUNK)  # ceil(N / CHUNK) documents
+    for i, d in enumerate(docs):
+        s = d["results"][0]["series"][0]
+        assert len(s["values"]) <= CHUNK
+        is_last = i == len(docs) - 1
+        assert s.get("partial", False) == (not is_last)
+        assert d["results"][0].get("partial", False) == (not is_last)
+    # rows arrive in order, none duplicated or dropped
+    flat = [v[0] for d in docs for v in d["results"][0]["series"][0]["values"]]
+    assert flat == list(range(N))
