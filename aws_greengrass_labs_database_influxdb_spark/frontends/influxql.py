@@ -1145,6 +1145,9 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             refs.add(_nm)
     for _nm, _op, _v in ast.tag_filters:
         refs.add(_nm)
+    for _grp in ast.or_tag_groups:
+        for _nm, _op, _v in _grp:
+            refs.add(_nm)
 
     def _tree_ref_walk(tree):
         if tree[0] == "field":
@@ -1190,13 +1193,65 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             "!~": lambda: ~c.rlike(val),
         }[op]()
 
+    def _point_semi(frame: DataFrame, cond: Column) -> DataFrame:
+        """Keep every row of POINTS where ``cond`` holds on any of the
+        point's rows — v1's per-point WHERE over the tall frame. One
+        left-semi join on the point identity (measurement, serialized
+        series tags, timestamp); AQE broadcasts the passing side when
+        the predicate is selective."""
+        ident = [c for c in ("measurement", "time_ns") if c in frame.columns]
+        if "tags" in frame.columns:
+            tagkey = F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_keys(F.col("tags"))),
+                    lambda k: F.concat_ws(
+                        "=", k, F.element_at(F.col("tags"), k)
+                    ),
+                ),
+            )
+        else:
+            promoted = [c for c in frame.columns
+                        if c not in _NON_TAG_COLS
+                        and not c.startswith("_")]
+            tagkey = F.concat_ws(
+                ",", *[F.col(c).cast("string") for c in promoted]
+            ) if promoted else F.lit("")
+        frame = frame.withColumn("_pt_tags", tagkey)
+        passing = (frame.filter(cond)
+                   .select(*ident, "_pt_tags").distinct())
+        return (frame.join(passing, on=[*ident, "_pt_tags"], how="leftsemi")
+                .drop("_pt_tags"))
+
+    def _field_cond(name: str, op: str, val) -> Column:
+        """Row-local condition for a known string/bool FIELD key."""
+        slot = ast.field_slots[name]
+        rhs = val
+        if slot == "f_bool" and isinstance(val, str):
+            rhs = val.strip().lower() in ("true", "t", "1")
+        return (F.col("field") == name) & _cmp_cond(F.col(slot), op, rhs)
+
     for name, op, val in ast.tag_filters:
         df = df.filter(tag_cond(name, op, val))
     for group in ast.or_tag_groups:
-        acc = tag_cond(*group[0])
-        for cond in group[1:]:
-            acc = acc | tag_cond(*cond)
-        df = df.filter(acc)
+        # OR groups may mix tag conditions with string/bool FIELD
+        # conditions (r10): any field member makes the whole group
+        # point-level (a field's value lives on one row of the point,
+        # so a row-local OR would drop the point's other-field rows)
+        conds = []
+        any_field = False
+        for name, op, val in group:
+            if (name in ast.field_slots and name not in df.columns
+                    and "field" in df.columns
+                    and ast.field_slots[name] in ("f_str", "f_bool")):
+                any_field = True
+                conds.append(_field_cond(name, op, val))
+            else:
+                conds.append(tag_cond(name, op, val))
+        acc = conds[0]
+        for c in conds[1:]:
+            acc = acc | c
+        df = _point_semi(df, acc) if any_field else df.filter(acc)
     for name, op, val in ast.field_filters:
         if name.startswith("__expr__"):
             # arithmetic condition: swap each identifier for its
@@ -1252,33 +1307,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         else:
             # cross-field / star condition (SELECT value WHERE
             # status = 'ok'): stock v1 evaluates WHERE per POINT —
-            # keep every row of points whose named field passes. A
-            # left-semi join on the point identity (measurement,
-            # series tags, timestamp); AQE broadcasts the passing
-            # side when the predicate is selective.
-            ident = [c for c in ("measurement", "time_ns") if c in df.columns]
-            if "tags" in df.columns:
-                tagkey = F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.map_keys(F.col("tags"))),
-                        lambda k: F.concat_ws(
-                            "=", k, F.element_at(F.col("tags"), k)
-                        ),
-                    ),
-                )
-            else:
-                promoted = [c for c in df.columns
-                            if c not in _NON_TAG_COLS
-                            and not c.startswith("_")]
-                tagkey = F.concat_ws(
-                    ",", *[F.col(c).cast("string") for c in promoted]
-                ) if promoted else F.lit("")
-            df = df.withColumn("_pt_tags", tagkey)
-            passing = (df.filter(cond)
-                       .select(*ident, "_pt_tags").distinct())
-            df = (df.join(passing, on=[*ident, "_pt_tags"], how="leftsemi")
-                  .drop("_pt_tags"))
+            # keep every row of points whose named field passes.
+            df = _point_semi(df, cond)
 
     by = list(ast.group_tags)
     if "*" in by:

@@ -1804,6 +1804,13 @@ def test_v1_query_string_and_bool_field_values(served):
     row = dict(zip(s[0]["columns"], s[0]["values"][0]))
     assert row["lt"] == 5.5 and row["status"] == "ok"
 
+    # OR groups mixing string-field and tag conditions evaluate
+    # per POINT (a field's value lives on one row of the point)
+    s = q("SELECT temp FROM svc WHERE (status = 'bad' OR status = 'ok')")
+    assert len(s[0]["values"]) == 6
+    s = q("SELECT temp FROM svc WHERE (status = 'bad' OR host = 'h0')")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 2.5, 3.5, 4.5]
+
 
 def test_v1_ddl_garbage_token_never_silently_succeeds(served):
     """Deterministic twin of the hypothesis fuzz above (r10): EVERY
