@@ -1926,8 +1926,18 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
                     alias, F.coalesce(F.col(alias), F.lit(0))
                 )
         if isinstance(ast.fill, float):
+            from pyspark.sql import types as _T
+
             for c in value_cols:
-                out = out.withColumn(c, F.coalesce(F.col(c), F.lit(ast.fill)))
+                # numeric fill literal applies to NUMERIC columns only
+                # (r10: coalesce(string_col, 0.0) casts the strings to
+                # double under ANSI and crashes at runtime on the first
+                # non-numeric value; string/bool aggregates keep null
+                # for empty windows)
+                if isinstance(out.schema[c].dataType, _T.NumericType):
+                    out = out.withColumn(
+                        c, F.coalesce(F.col(c), F.lit(ast.fill))
+                    )
         elif ast.fill == "previous":
             from pyspark.sql import Window as W
 

@@ -1811,6 +1811,25 @@ def test_v1_query_string_and_bool_field_values(served):
     s = q("SELECT temp FROM svc WHERE (status = 'bad' OR host = 'h0')")
     assert sorted(v[1] for v in s[0]["values"]) == [0.5, 2.5, 3.5, 4.5]
 
+    # regex operators route to the string slot too
+    s = q("SELECT temp FROM svc WHERE status =~ /^b/")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 3.5]
+
+    # numeric fill literal must not crash a string aggregate column
+    # (r10: coalesce(string, 0.0) was an ANSI runtime cast error);
+    # strings keep null for empty windows, numeric columns get the fill
+    s = q("SELECT first(status) AS fs, count(temp) AS n FROM svc WHERE "
+          "time >= '2024-01-01' AND time < '2024-01-01T01:00:00Z' "
+          "GROUP BY time(10m) fill(7)")
+    rows = s[0]["values"]
+    assert len(rows) == 6  # six 10-minute windows in the hour
+    cols = s[0]["columns"]
+    fs_i, n_i = cols.index("fs"), cols.index("n")
+    # all six points land in the first window (minutes 0-5): its first
+    # status is "bad"; empty windows keep NULL strings, count stays 0
+    assert [r[fs_i] for r in rows] == ["bad", None, None, None, None, None]
+    assert [r[n_i] for r in rows] == [6, 0, 0, 0, 0, 0]
+
 
 def test_v1_ddl_garbage_token_never_silently_succeeds(served):
     """Deterministic twin of the hypothesis fuzz above (r10): EVERY
