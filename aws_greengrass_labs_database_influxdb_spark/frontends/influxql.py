@@ -991,6 +991,10 @@ def _execute_multi_row(
     ungrouped)."""
     fn, fld, alias = sel
     by = list(ast.group_tags)
+    # TOP/BOTTOM/SAMPLE may carry companion FIELDS too (r10):
+    # SELECT TOP(value, 3), status — same per-point stitch as the
+    # selector-row path
+    df = _attach_companion_fields(df, ast, extras)
     if fld != "*" and fld in df.columns:
         src = fld
     else:
@@ -1555,6 +1559,61 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     return _finish(_execute_aggregate(df, ast, by), ast, by)
 
 
+def _attach_companion_fields(df: DataFrame, ast: InfluxQLQuery, bare) -> DataFrame:
+    """Attach companion FIELD values as per-point physical columns.
+
+    ``SELECT LAST(value), status`` returns the PICKED point's other
+    field values (stock v1) — in the tall frame those live on sibling
+    rows, so stitch them on with one window over the point identity
+    (r10: they previously fell through to a tags-map read and came
+    back NULL). Which bare names are fields comes from the ftype slot
+    map; when the frame is float-only (slot lookup skipped at query
+    entry) a forced lookup resolves just the bare names — one distinct
+    job bounded by field-key cardinality, only on this query shape.
+    """
+    if "field" not in df.columns:
+        return df
+    names = {f2 for _fn2, f2, _a2 in bare
+             if f2 != "*" and f2 not in df.columns}
+    if not names:
+        return df
+    unknown = names - set(ast.field_slots)
+    if unknown:
+        ast.field_slots = {
+            **_resolve_field_slots(df, unknown, force=True),
+            **ast.field_slots,
+        }
+    comp = [f2 for f2 in sorted(names) if f2 in ast.field_slots]
+    if not comp:
+        return df
+    from pyspark.sql import Window as W
+
+    if "tags" in df.columns:
+        pt_tags = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_keys(F.col("tags"))),
+                lambda k: F.concat_ws("=", k, F.element_at(F.col("tags"), k)),
+            ),
+        )
+    else:
+        pt_tags = F.lit("")
+    df = df.withColumn("_pt_tags", pt_tags)
+    wpt = W.partitionBy(
+        *[c for c in ("measurement", "time_ns") if c in df.columns],
+        "_pt_tags",
+    )
+    for f2 in comp:
+        df = df.withColumn(
+            f2,
+            F.first(
+                F.when(F.col("field") == f2, F.col(ast.field_slots[f2])),
+                ignorenulls=True,
+            ).over(wpt),
+        )
+    return df.drop("_pt_tags")
+
+
 def _execute_selector_row(
     df: DataFrame, ast: InfluxQLQuery, sel, bare, by: list, tag_col
 ) -> DataFrame:
@@ -1567,40 +1626,7 @@ def _execute_selector_row(
     from pyspark.sql import Window as W
 
     fn, fld, alias = sel
-    # companion FIELDS (SELECT LAST(value), status): stock returns the
-    # picked point's other field values — in the tall frame those live
-    # on sibling rows, so attach them as per-point columns first (one
-    # window on the point identity; r10 — they previously fell through
-    # to a tags-map read and came back NULL). Known-field detection
-    # rides the ftype slot map, so float-only frames are unchanged.
-    comp = [f2 for _fn2, f2, _a2 in bare
-            if f2 != "*" and f2 not in df.columns and f2 in ast.field_slots]
-    if comp and "field" in df.columns:
-        if "tags" in df.columns:
-            pt_tags = F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.map_keys(F.col("tags"))),
-                    lambda k: F.concat_ws("=", k, F.element_at(F.col("tags"), k)),
-                ),
-            )
-        else:
-            pt_tags = F.lit("")
-        df = df.withColumn("_pt_tags", pt_tags)
-        wpt = W.partitionBy(
-            *[c for c in ("measurement", "_pt_tags", "time_ns")
-              if c in df.columns or c == "_pt_tags"]
-        )
-        for f2 in comp:
-            df = df.withColumn(
-                f2,
-                F.first(
-                    F.when(F.col("field") == f2,
-                           F.col(ast.field_slots[f2])),
-                    ignorenulls=True,
-                ).over(wpt),
-            )
-        df = df.drop("_pt_tags")
+    df = _attach_companion_fields(df, ast, bare)
     if fld != "*" and fld in df.columns:
         src = fld
     else:
@@ -1683,20 +1709,22 @@ _SLOT_OF_FTYPE = {"float": "f_float", "int": "f_float", "uint": "f_float",
                   "string": "f_str", "bool": "f_bool"}
 
 
-def _resolve_field_slots(df: DataFrame, names: set) -> dict:
+def _resolve_field_slots(df: DataFrame, names: set, force: bool = False) -> dict:
     """field key → value slot, from the frame's ``ftype`` column.
 
     One distinct job bounded by field-key cardinality (column-pruned to
     the two dictionary-encoded discriminator columns), run once per
     query and ONLY when the frame carries a string or bool slot — suite
     frames and subquery pseudo-frames are float-only and skip it, so
-    their plans (and the bench) are untouched. A field key never mixes
-    types in one shard (line-protocol write enforcement); if a frame
-    somehow does, the float slot wins (numeric operators stay correct).
-    """
+    their plans (and the bench) are untouched. ``force=True`` bypasses
+    that gate for the rare paths that need to know whether a bare name
+    IS a field key at all (selector-row companions on float-only
+    frames). A field key never mixes types in one shard (line-protocol
+    write enforcement); if a frame somehow does, the float slot wins
+    (numeric operators stay correct)."""
     if not names or "field" not in df.columns or "ftype" not in df.columns:
         return {}
-    if "f_str" not in df.columns and "f_bool" not in df.columns:
+    if not force and "f_str" not in df.columns and "f_bool" not in df.columns:
         return {}
     rows = (
         df.filter(F.col("field").isin(sorted(names)))
