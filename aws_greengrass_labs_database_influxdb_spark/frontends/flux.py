@@ -229,6 +229,30 @@ def _colname(df: DataFrame, name: str) -> str:
     return mapped
 
 
+def _value_slot_runtime(df: DataFrame, col: str) -> str:
+    """Resolve which slot ``_value`` denotes for ops whose semantics
+    need the ACTUAL values (distinct/unique/sort): when the frame
+    carries string/bool slots and its ftype discriminator says exactly
+    one non-float type is live, that slot is the value column. One
+    bounded distinct job (≤5 field types), only on frames that carry
+    the extra slots and only for these explicit user ops — float-only
+    frames return ``col`` untouched at plan time."""
+    if col != "f_float" or "ftype" not in df.columns:
+        return col
+    extra = [s for s in ("f_str", "f_bool") if s in df.columns]
+    if not extra:
+        return col
+    slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
+               "string": "f_str", "bool": "f_bool"}
+    live = sorted({
+        slot_of.get(r[0], "f_float")
+        for r in df.select("ftype").distinct().collect()
+    })
+    if len(live) == 1 and live[0] in df.columns:
+        return live[0]
+    return col
+
+
 def _col(df: DataFrame, name: str) -> Column:
     name = _colname(df, name)
     if name in df.columns:
@@ -327,10 +351,23 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
                     )
         elif lit.startswith('"'):
             val = lit[1:-1]
+            if _colname(df, name) == "f_float" and "f_str" in df.columns:
+                # _value compared to a STRING literal: bind the string
+                # slot (r10 — the f_float binding cast "ok" to double
+                # under ANSI and crashed; stock Flux's _value is typed
+                # per table and a string table compares strings)
+                c = F.col("f_str")
         elif lit in ("true", "false"):
             val = lit == "true"
+            if _colname(df, name) == "f_float" and "f_bool" in df.columns:
+                # _value compared to a BOOL literal → the bool slot
+                c = F.col("f_bool")
         elif lit.startswith("/"):
             val = lit[1:-1]
+            if (op in ("=~", "!~") and _colname(df, name) == "f_float"
+                    and "f_str" in df.columns):
+                # regex on _value: only the string slot can match
+                c = F.col("f_str")
         else:
             val = (
                 float(lit) if ("." in lit or "e" in lit or "E" in lit)
@@ -1836,6 +1873,11 @@ def _run_pipeline(
                 pipe = pipe.rename({"_value_agg": "f_float"})
         elif name in AGG_STAGES:
             col = _colname(df, _lit(args.get("column", '"_value"')))
+            if name in ("count", "mode"):
+                # type-generic aggregates read the frame's live slot —
+                # count() of a string field counted f_float NULLs as 0
+                # (r10); numeric aggregates keep the float binding
+                col = _value_slot_runtime(df, col)
             if col not in df.columns:
                 raise FluxError(f"{name}(column:) references unknown column {col!r}")
             pipe = pipe.aggregate(name, column=col, alias=name)
@@ -1923,8 +1965,11 @@ def _run_pipeline(
                 pipe = pipe.fill(value=_lit(args["value"]), column=col)
         elif name == "sort":
             # _colname, not raw COLMAP: after an aggregate, _value means
-            # the (single) result column (e.g. `mean`), not f_float
-            cols = [_colname(df, c) for c in _strlist(args.get("columns", '["_time"]'))]
+            # the (single) result column (e.g. `mean`), not f_float;
+            # _value_slot_runtime: on a string/bool-typed frame it means
+            # that slot (r10)
+            cols = [_value_slot_runtime(df, _colname(df, c))
+                    for c in _strlist(args.get("columns", '["_time"]'))]
             missing = [c for c in cols if c not in df.columns]
             if missing:
                 # map-resident tag keys: materialize before sorting
@@ -2056,7 +2101,44 @@ def _run_pipeline(
                 df = df.withColumn("_pivot_key", joined)
                 pipe = pipe._with(df).pivot(grouping, "_pivot_key", val)
             else:
-                pipe = pipe._with(df).pivot(grouping, col_keys[0], val)
+                typed = None
+                if (val == "f_float" and col_keys[0] == "field"
+                        and "ftype" in df.columns
+                        and any(s in df.columns for s in ("f_str", "f_bool"))):
+                    # per-type pivot (r10): on a mixed measurement the
+                    # f_float-only pivot returned NULL for string/bool
+                    # fields — each output column reads its ftype slot
+                    # (conditional-first aggregation; the (field,ftype)
+                    # distinct is bounded by field-key cardinality)
+                    slot_of = {"float": "f_float", "int": "f_float",
+                               "uint": "f_float", "string": "f_str",
+                               "bool": "f_bool"}
+                    fmap: dict = {}
+                    for r in df.select("field", "ftype").distinct().collect():
+                        s = slot_of.get(r[1], "f_float")
+                        if s not in df.columns:
+                            s = "f_float"
+                        if r[0] not in fmap or s == "f_float":
+                            fmap[r[0]] = s
+                    if any(s != "f_float" for s in fmap.values()):
+                        typed = df.groupBy(*grouping).agg(*[
+                            F.first(
+                                F.when(F.col("field") == f, F.col(s)),
+                                ignorenulls=True,
+                            ).alias(f)
+                            for f, s in sorted(fmap.items())
+                        ])
+                if typed is not None:
+                    pipe = pipe._with(
+                        typed,
+                        group_key=tuple(c for c in pipe.group_key
+                                        if c in typed.columns),
+                        order=tuple(c for c in pipe.order
+                                    if c in typed.columns)
+                        or (("time",) if "time" in typed.columns else ()),
+                    )
+                else:
+                    pipe = pipe._with(df).pivot(grouping, col_keys[0], val)
         elif name == "map":
             fn_body = argstr.partition("=>")[2].strip()
             m = re.match(r"^\(?\s*\{(.*)\}\s*\)?$", fn_body, re.DOTALL)
@@ -2255,14 +2337,18 @@ def _run_pipeline(
         elif name == "unique":
             from ..operators.selectors import unique as _unique
 
-            col = _colname(df, _lit(args.get("column", '"_value"')))
+            col = _value_slot_runtime(
+                df, _colname(df, _lit(args.get("column", '"_value"')))
+            )
             if col not in df.columns:
                 raise FluxError(f"unique(column:) references unknown column {col!r}")
             pipe = pipe._with(_unique(df, col, by=pipe.group_key))
         elif name == "distinct":
             from ..operators.selectors import distinct_rows
 
-            col = _colname(df, _lit(args.get("column", '"_value"')))
+            col = _value_slot_runtime(
+                df, _colname(df, _lit(args.get("column", '"_value"')))
+            )
             tag_distinct = False
             if col not in df.columns:
                 # a map-resident tag key: materialize it first (stock

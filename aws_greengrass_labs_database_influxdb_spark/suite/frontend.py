@@ -1663,3 +1663,32 @@ def flux_geo_st_distance(spark, sf_dir):
         F.col("tags")["eid"].cast("long").alias("event_id"),
         F.round(F.col("d_km"), 4).alias("d_km"),
     )
+
+
+@q(
+    "influxql_selector_companion",
+    """
+    WITH pts AS (
+      SELECT event_type, ts, value,
+             CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END AS status,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events)
+    SELECT event_type, epoch_ms(ts) AS t_ms, value AS lv, status
+    FROM pts WHERE rn = 1
+    """,
+)
+def influxql_selector_companion(spark, sf_dir):
+    """Selector row with a companion STRING FIELD (r10):
+    ``SELECT LAST(value), status ... GROUP BY event_type`` returns the
+    PICKED point's status — stitched per point from the sibling row of
+    the tall frame. Deterministic because events timestamps are unique
+    (so the per-group latest point is unique)."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT last(value) AS lv, status FROM events GROUP BY event_type",
+    )
+    return out.select(
+        "event_type", F.unix_millis("time").alias("t_ms"), "lv", "status"
+    )

@@ -2308,3 +2308,97 @@ def test_flux_experimental_add_sub_duration(pts):
     assert add["time_ns"] - orig["time_ns"] == 3_600_000_000_000
     assert orig["time_ns"] - sub["time_ns"] == 1_800_000_000_000
     assert (add["time"] - orig["time"]).total_seconds() == 3600
+
+
+@pytest.fixture(scope="module")
+def mixed_pts(spark):
+    """A 3-field (float + string + bool) tall frame for the r10 Flux
+    string-value fixes."""
+    import pyspark.sql.types as T
+
+    rows = []
+    for i, (t, temp, st, okv) in enumerate([
+            (1000, 1.5, "ok", True), (2000, 2.5, "bad", False),
+            (3000, 3.5, "ok", True)]):
+        ns = t * 1_000_000_000
+        base = dict(measurement="m", time_ns=ns, tags={"host": "a"},
+                    ingest_seq=i * 10)
+        rows.append({**base, "field": "temp", "ftype": "float",
+                     "f_float": temp, "f_str": None, "f_bool": None})
+        rows.append({**base, "field": "status", "ftype": "string",
+                     "f_float": None, "f_str": st, "f_bool": None})
+        rows.append({**base, "field": "ok", "ftype": "bool",
+                     "f_float": None, "f_str": None, "f_bool": okv})
+    schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("time_ns", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ingest_seq", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("ftype", T.StringType()),
+        T.StructField("f_float", T.DoubleType()),
+        T.StructField("f_str", T.StringType()),
+        T.StructField("f_bool", T.BooleanType()),
+    ])
+    return spark.createDataFrame(rows, schema).withColumn(
+        "time", F.timestamp_micros(F.expr("time_ns div 1000")))
+
+
+def test_flux_string_value_filter_and_aggregates(mixed_pts):
+    """r10: _value compared to a string/bool literal binds the typed
+    slot (the f_float binding was an ANSI runtime cast error); count()
+    of a string field counts rows; distinct/sort read the live slot."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status" '
+        'and r._value == "ok")',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["ok", "ok"]
+
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok" '
+        "and r._value == true)",
+    ).collect()
+    assert [r["f_bool"] for r in out] == [True, True]
+
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> count()",
+    ).collect()
+    assert out[0]["count"] == 3
+
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> distinct()",
+    ).collect()
+    assert sorted(r["f_str"] for r in out) == ["bad", "ok"]
+
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> sort(columns: ["_value"])',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["bad", "ok", "ok"]
+
+    # regex on _value binds the string slot
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._value =~ /^b/)',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["bad"]
+
+
+def test_flux_pivot_mixed_types(mixed_pts):
+    """r10: pivot on a mixed measurement emits per-type columns (the
+    f_float-only pivot returned NULL for string/bool fields)."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> pivot(rowKey: ["_time"], '
+        'columnKey: ["_field"], valueColumn: "_value")',
+    ).orderBy("time").collect()
+    assert [r["status"] for r in out] == ["ok", "bad", "ok"]
+    assert [r["ok"] for r in out] == [True, False, True]
+    assert [r["temp"] for r in out] == [1.5, 2.5, 3.5]
