@@ -1852,6 +1852,11 @@ def _run_pipeline(
                 )
             else:
                 vcol = _colname(df, _lit(args.get("column", '"_value"')))
+                if fnarg in ("first", "last", "count", "mode"):
+                    # type-generic window fns read the live slot (r10:
+                    # aggregateWindow(fn: last) on a string field
+                    # returned NULLs)
+                    vcol = _value_slot_runtime(df, vcol)
                 if vcol not in df.columns:
                     raise FluxError(
                         f"aggregateWindow() has no value column {vcol!r} "

@@ -2390,6 +2390,16 @@ def test_flux_string_value_filter_and_aggregates(mixed_pts):
     ).collect()
     assert [r["f_str"] for r in out] == ["bad"]
 
+    # aggregateWindow(fn: last) on a string field returns the strings
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T01:00:00Z) "
+        '|> filter(fn: (r) => r._field == "status") '
+        "|> aggregateWindow(every: 30m, fn: last)",
+    ).orderBy("time_ns").collect()
+    assert [r["f_float"] for r in out] == ["ok", "ok"]
+
 
 def test_flux_pivot_mixed_types(mixed_pts):
     """r10: pivot on a mixed measurement emits per-type columns (the
