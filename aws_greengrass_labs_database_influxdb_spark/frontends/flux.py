@@ -1999,6 +1999,18 @@ def _run_pipeline(
                 cols = _predicate_columns(df, args["fn"])
             else:
                 cols = [COLMAP.get(c, c) for c in _strlist(args["columns"])]
+                if "f_float" in cols and (
+                        "f_str" in df.columns or "f_bool" in df.columns):
+                    # keep/drop of _value covers every value slot (+ the
+                    # ftype discriminator on keep, so downstream slot
+                    # resolution and the wire facade still work) — a
+                    # float-only keep silently dropped string/bool
+                    # values (r10)
+                    extra = [s for s in ("f_str", "f_bool")
+                             if s in df.columns]
+                    if name == "keep" and "ftype" in df.columns:
+                        extra.append("ftype")
+                    cols = cols + [c for c in extra if c not in cols]
             # tag keys live in the tags map / series_key, not as real
             # columns — keep/drop of a tag must rewrite the series key
             # (stock regroup) rather than being a no-op projection
@@ -2061,7 +2073,8 @@ def _run_pipeline(
         elif name == "set":
             pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
         elif name == "duplicate":
-            src = _colname(df, _lit(args["column"]))
+            # _value on a string/bool-typed frame means that slot (r10)
+            src = _value_slot_runtime(df, _colname(df, _lit(args["column"])))
             if src not in df.columns:
                 raise FluxError(
                     f"duplicate(column:) references unknown column {src!r}"

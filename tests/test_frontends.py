@@ -2401,6 +2401,26 @@ def test_flux_string_value_filter_and_aggregates(mixed_pts):
     assert [r["f_float"] for r in out] == ["ok", "ok"]
 
 
+def test_flux_keep_duplicate_string_value(mixed_pts):
+    """r10: keep(columns: ["_value"]) must retain every value slot
+    (+ ftype) on a mixed frame, and duplicate(column: "_value") must
+    copy the live slot — both previously operated on f_float only."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> keep(columns: ["_time", "_value"])',
+    )
+    assert "f_str" in out.columns
+    assert sorted(r["f_str"] for r in out.collect()) == ["bad", "ok", "ok"]
+
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> duplicate(column: "_value", as: "v2")',
+    ).orderBy("time_ns").collect()
+    assert [r["v2"] for r in out] == ["ok", "bad", "ok"]
+
+
 def test_flux_pivot_mixed_types(mixed_pts):
     """r10: pivot on a mixed measurement emits per-type columns (the
     f_float-only pivot returned NULL for string/bool fields)."""
