@@ -1302,7 +1302,27 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             df = df.filter(_cmp_cond(F.col(slot), op, rhs))
             continue
         cond = (F.col("field") == name) & _cmp_cond(F.col(slot), op, rhs)
+        # every field the SELECTION reads — including aggregate
+        # arithmetic, nested transforms, and raw arithmetic trees
+        # (r10: an empty ast.fields for mean(a)+mean(b) wrongly
+        # routed a cross-field condition row-local, dropping b's rows)
         sel_fields = {f for _fn, f, _a in ast.fields if f}
+        for _tr2, _ag2, _fld2, _a2 in ast.nested:
+            sel_fields.add(_fld2)
+
+        def _sel_walk(tree):
+            if tree[0] == "field":
+                sel_fields.add(tree[1])
+            elif tree[0] == "agg":
+                sel_fields.add(tree[2])
+            elif tree[0] == "bin":
+                _sel_walk(tree[2])
+                _sel_walk(tree[3])
+
+        for _tree2, _a2 in ast.arith:
+            _sel_walk(_tree2)
+        for _tree2, _a2 in ast.raw_arith:
+            _sel_walk(_tree2)
         if sel_fields <= {name}:
             # self-referential single-field condition (SELECT v WHERE
             # v > 5): row-local filter, fully pushdown-able — the
