@@ -804,7 +804,14 @@ class HttpApi:
         df = self.engine.spark.createDataFrame(
             pdf[[f.name for f in POINTS_SCHEMA.fields]], POINTS_SCHEMA
         )
-        self.engine.store.write_points(org, bucket, df)
+        from ..sources.bucket import FieldTypeConflict
+
+        try:
+            self.engine.store.write_points(org, bucket, df)
+        except FieldTypeConflict as e:
+            # stock partial-write contract: valid points landed, the
+            # conflicting field is reported with 422 unprocessable
+            raise ApiError(422, "unprocessable entity", str(e)) from None
         self._respond(handler, 204, None)
 
     def _handle_tasks(self, handler, method: str, path: str, q: dict,
@@ -1142,6 +1149,9 @@ class HttpApi:
             self.engine.store.delete_predicate(
                 org, db, -(2**62), 2**62, F.col("measurement") == dm.group(1)
             )
+            # the dropped measurement's field-type pins go with it
+            # (stock: a re-created measurement may choose new types)
+            self.engine.store.forget_measurement_types(org, db, dm.group(1))
             return {}
         if re.match(r"(?is)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+\S+)?\s*$",
                     text):
@@ -1296,7 +1306,13 @@ class HttpApi:
             points = self.engine.store.read_points(org, db)
             result = execute_influxql(points, f"{im.group(1)} {im.group(3)}")
             new_pts = result_to_points(result, im.group(2))
-            self.engine.store.write_points(org, db, new_pts)
+            from ..sources.bucket import FieldTypeConflict
+
+            try:
+                self.engine.store.write_points(org, db, new_pts)
+            except FieldTypeConflict as e:
+                # v1 returns the conflict as a statement-level error
+                return {"error": str(e)}
             n = new_pts.count()
             return {"series": [{"name": "result",
                                 "columns": ["time", "written"],

@@ -37,6 +37,24 @@ from ..schema import POINTS_SCHEMA, series_key
 DAY_NS = 86_400 * 10**9
 
 
+class FieldTypeConflict(ValueError):
+    """A write carried a field whose type conflicts with the type
+    already pinned for that (measurement, field) — stock rejects the
+    conflicting points with a 422 'field type conflict' partial-write
+    error. ``conflicts`` is [(measurement, field, have, got), ...]."""
+
+    def __init__(self, conflicts):
+        self.conflicts = list(conflicts)
+        m, f, have, got = self.conflicts[0]
+        more = (f" (+{len(self.conflicts) - 1} more)"
+                if len(self.conflicts) > 1 else "")
+        super().__init__(
+            f"field type conflict: input field \"{f}\" on measurement "
+            f"\"{m}\" is type {got}, already exists as type {have} — "
+            f"dropped{more}"
+        )
+
+
 @dataclass
 class BucketMeta:
     org: str
@@ -126,12 +144,71 @@ class BucketStore:
     def _data_dir(self, org: str, name: str) -> Path:
         return self.root / org / name / "data"
 
+    # ------------------------------------------------------ field types
+
+    def _types_path(self, org: str, name: str) -> Path:
+        return self.root / org / name / "_field_types.json"
+
+    def field_types(self, org: str, name: str) -> dict:
+        """The bucket's field-type catalog: {measurement: {field:
+        ftype}} — maintained by write_points, the authority for stock's
+        per-field type pinning (a field key has ONE type; a conflicting
+        write is rejected with the v1/v2 'field type conflict' error)."""
+        p = self._types_path(org, name)
+        if not p.exists():
+            return {}
+        return json.loads(p.read_text())
+
+    def forget_measurement_types(self, org: str, name: str,
+                                 measurement: str) -> None:
+        """DROP MEASUREMENT resets its fields' type pins (stock: the
+        constraint lives with the data; dropped data frees it)."""
+        with self._mutation_lock(org, name):
+            cat = self.field_types(org, name)
+            if measurement in cat:
+                del cat[measurement]
+                self._types_path(org, name).write_text(json.dumps(cat))
+
     # ---------------------------------------------------------------- write
 
     def write_points(self, org: str, name: str, points: DataFrame) -> None:
         """Append points (canonical schema). Adds ``series_key`` and the
-        ``day`` partition column; never rewrites existing data."""
+        ``day`` partition column; never rewrites existing data.
+
+        Field-type enforcement (r10, stock parity): each (measurement,
+        field) is pinned to the first ftype ever written; points whose
+        ftype conflicts are EXCLUDED from the append and reported by
+        raising :class:`FieldTypeConflict` AFTER the valid rows land —
+        the stock partial-write-then-422 contract. One bounded distinct
+        job per write (≤ fields × 5 types)."""
         df = points
+        conflicts: list[tuple[str, str, str, str]] = []
+        if "ftype" in df.columns:
+            new = [
+                (r[0], r[1], r[2])
+                for r in df.select("measurement", "field", "ftype")
+                .distinct().collect()
+            ]
+            with self._mutation_lock(org, name):
+                cat = self.field_types(org, name)
+                for m, f, t in sorted(new):
+                    have = cat.get(m, {}).get(f)
+                    if have is None:
+                        cat.setdefault(m, {})[f] = t
+                    elif have != t:
+                        conflicts.append((m, f, have, t))
+                self._types_path(org, name).parent.mkdir(
+                    parents=True, exist_ok=True
+                )
+                self._types_path(org, name).write_text(json.dumps(cat))
+            if conflicts:
+                # drop only the conflicting (measurement, field,
+                # incoming-type) triples — a literal isin over one
+                # concatenated key keeps it a single codegen'd predicate
+                key = F.concat_ws("\x1f", "measurement", "field", "ftype")
+                bad_keys = ["\x1f".join((m, f, t))
+                            for m, f, _h, t in conflicts]
+                df = df.filter(~key.isin(bad_keys))
         if "series_key" not in df.columns:
             df = series_key(df)
         if "ingest_seq" not in df.columns or df.schema["ingest_seq"].nullable:
@@ -165,6 +242,10 @@ class BucketStore:
                 .partitionBy("measurement", "day")
                 .parquet(str(self._data_dir(org, name)))
             )
+        if conflicts:
+            # raised AFTER the valid rows landed — stock's partial
+            # write: the client gets the 422, the good points stay
+            raise FieldTypeConflict(conflicts)
 
     # ----------------------------------------------------------------- read
 

@@ -46,8 +46,20 @@ def stream_lineprotocol_ingest(
     lines = spark.readStream.text(input_path)
 
     def _sink(batch_df, batch_id: int):
+        from ..sources.bucket import FieldTypeConflict
+
         pts = lines_df_to_points(batch_df, precision=precision)
-        store.write_points(org, bucket, with_ingest_seq(pts))
+        try:
+            store.write_points(org, bucket, with_ingest_seq(pts))
+        except FieldTypeConflict as e:
+            # stock relay behavior: the conflicting points are rejected
+            # (422 at the write API), the stream keeps flowing — a
+            # poison batch must not wedge continuous ingest
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ingest batch %s: %s", batch_id, e
+            )
 
     writer = lines.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:

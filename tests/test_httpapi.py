@@ -2040,3 +2040,49 @@ def test_v1_chunked_ndjson_bounded_driver_pull():
     # rows arrive in order, none duplicated or dropped
     flat = [v[0] for d in docs for v in d["results"][0]["series"][0]["values"]]
     assert flat == list(range(N))
+
+
+def test_write_field_type_conflict_422_partial(served):
+    """Stock parity (r10): a write whose field type conflicts with the
+    pinned (measurement, field) type is rejected with 422 'field type
+    conflict'; NON-conflicting points in the same request still land
+    (partial write), and DROP MEASUREMENT frees the pin."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    t = T0 + 900 * 60_000_000_000
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"],
+                     body=f"typed,host=a v=1.5 {t}", ctype="text/plain")
+    assert status == 204
+
+    # conflicting type for v (string), plus a valid point w=2.0
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+             token=tokens["RW"],
+             body=f'typed,host=a v="oops" {t + 60_000_000_000}\n'
+                  f"typed,host=a w=2.0 {t + 60_000_000_000}",
+             ctype="text/plain")
+    assert e.value.code == 422
+    err = json.loads(e.value.read().decode())
+    assert "field type conflict" in err["message"]
+
+    # the valid point landed (partial write), the conflicting one did not
+    qs = up.quote("SELECT v, w FROM typed")
+    _, body = _req(base, f"/query?db=greengrass-telemetry&q={qs}&epoch=ns",
+                   token=tokens["RO"])
+    series = json.loads(body)["results"][0]["series"][0]
+    vals = {tuple(v) for v in series["values"]}
+    cols = series["columns"]
+    wi, vi = cols.index("w"), cols.index("v")
+    assert any(v[wi] == 2.0 for v in vals)
+    assert all(v[vi] != "oops" for v in vals)
+
+    # DROP MEASUREMENT frees the type pin: the string write succeeds
+    _req(base, f"/query?db=greengrass-telemetry&q={up.quote('DROP MEASUREMENT typed')}",
+         "POST", token=tokens["Admin"])
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"],
+                     body=f'typed,host=a v="now-a-string" {t}',
+                     ctype="text/plain")
+    assert status == 204
