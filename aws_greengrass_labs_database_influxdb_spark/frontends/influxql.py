@@ -32,6 +32,14 @@ itself).
 The parser is a small regex/recursive-descent over this grammar; the
 compiled plan is pure DataFrame composition (one groupBy per query +
 the window-spine join for fill).
+
+Field typing (r10): every read resolves a field's value slot
+(f_float / f_str / f_bool) from the frame's ``ftype`` discriminator —
+string and bool field values flow through raw selects, star selects,
+WHERE (incl. OR groups, per-POINT for cross-field conditions),
+type-generic aggregates (COUNT/DISTINCT/MODE/FIRST/LAST), selector
+companions, and TOP/BOTTOM/SAMPLE. Numeric-only aggregates on a
+non-numeric field yield empty results (stock), never cast errors.
 """
 
 from __future__ import annotations
@@ -336,13 +344,22 @@ def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> N
             # OR disjunction of tag conditions — parenthesized or bare
             # (r6: the bare form used to prefix-match the first
             # condition and silently DROP the rest)
-            group: list[tuple[str, str, str]] = []
+            group: list[tuple[str, str, object]] = []
             for sub in re.split(r"(?i)\s+OR\s+", bare):
                 sub = sub.strip()
                 gm = _TAG_RX.fullmatch(sub) or _TAG_REGEX_RX.fullmatch(sub)
-                if not gm:
-                    raise InfluxQLError(f"cannot parse OR condition {sub!r}")
-                group.append((gm.group(1), gm.group(2), gm.group(3)))
+                if gm:
+                    group.append((gm.group(1), gm.group(2), gm.group(3)))
+                    continue
+                fm = _FIELD_RX.match(sub)
+                if fm:
+                    # numeric member: a FIELD condition (stock supports
+                    # `(v > 5 OR v < 1)` — r10; previously a parse error)
+                    group.append(
+                        (fm.group(1), fm.group(2), float(fm.group(3)))
+                    )
+                    continue
+                raise InfluxQLError(f"cannot parse OR condition {sub!r}")
             out.or_tag_groups.append(group)
             continue
         fm2 = _FIELD_RX.match(cond)
@@ -1245,7 +1262,23 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         conds = []
         any_field = False
         for name, op, val in group:
-            if (name in ast.field_slots and name not in df.columns
+            if isinstance(val, float):
+                # numeric member ⇒ field condition (v1: tags are strings)
+                if name in df.columns:
+                    conds.append(_cmp_cond(F.col(name), op, val))
+                elif "field" in df.columns:
+                    any_field = True
+                    slot = ast.field_slots.get(name, "f_float")
+                    if slot in ("f_str", "f_bool"):
+                        conds.append(F.lit(False))  # type mismatch: no rows
+                    else:
+                        conds.append(
+                            (F.col("field") == name)
+                            & _cmp_cond(F.col(slot), op, val)
+                        )
+                else:
+                    conds.append(_cmp_cond(F.col("f_float"), op, val))
+            elif (name in ast.field_slots and name not in df.columns
                     and "field" in df.columns
                     and ast.field_slots[name] in ("f_str", "f_bool")):
                 any_field = True

@@ -1815,6 +1815,14 @@ def test_v1_query_string_and_bool_field_values(served):
     s = q("SELECT temp FROM svc WHERE status =~ /^b/")
     assert sorted(v[1] for v in s[0]["values"]) == [0.5, 3.5]
 
+    # numeric OR-group members are FIELD conditions (stock supports
+    # `(v > 5 OR v < 1)`; r10 — previously a parse error), and they
+    # mix with string-field members point-level
+    s = q("SELECT temp FROM svc WHERE (temp > 4 OR temp < 1)")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 4.5, 5.5]
+    s = q("SELECT temp FROM svc WHERE (temp > 4 OR status = 'bad')")
+    assert sorted(v[1] for v in s[0]["values"]) == [0.5, 3.5, 4.5, 5.5]
+
     # numeric fill literal must not crash a string aggregate column
     # (r10: coalesce(string, 0.0) was an ANSI runtime cast error);
     # strings keep null for empty windows, numeric columns get the fill
