@@ -2094,3 +2094,54 @@ def test_write_field_type_conflict_422_partial(served):
                      body=f'typed,host=a v="now-a-string" {t}',
                      ctype="text/plain")
     assert status == 204
+
+
+def test_flux_string_ops_compose_over_wire(served):
+    """r10: the typed-slot operators compose end-to-end over the v2
+    wire — a string _value filter feeds count(), and a mixed-type
+    pivot emits per-type columns in one annotated-CSV table."""
+    base, _, tokens = served
+    t0 = T0 + 45_000_000_000_000
+    lines = "\n".join([
+        f'svcmix,host=h1 state="up",load=1.5 {t0}',
+        f'svcmix,host=h1 state="down",load=2.5 {t0 + 60_000_000_000}',
+        f'svcmix,host=h1 state="up",load=3.5 {t0 + 120_000_000_000}',
+    ])
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    # string _value filter |> count(): 2 "up" points
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-03T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "svcmix"'
+        ' and r._value == "up")'
+        " |> count()"
+    )
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+    assert status == 200
+    data_rows = [ln for ln in body.splitlines() if ln.startswith(",,")]
+    assert any(",2" in ln or ln.endswith(",2") or ",2," in ln
+               for ln in data_rows), body
+
+    # mixed pivot over the wire: per-type columns in one table
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-03T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "svcmix")'
+        ' |> pivot(rowKey: ["_time"], columnKey: ["_field"],'
+        ' valueColumn: "_value")'
+    )
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+    assert status == 200
+    header = next(ln for ln in body.splitlines() if ",state" in ln
+                  and ",load" in ln)
+    cols = header.split(",")
+    li, si = cols.index("load"), cols.index("state")
+    rows = [ln.split(",") for ln in body.splitlines() if ln.startswith(",,")]
+    got = sorted((r[li], r[si]) for r in rows if len(r) == len(cols))
+    assert got == [("1.5", "up"), ("2.5", "down"), ("3.5", "up")]
