@@ -1304,7 +1304,10 @@ class HttpApi:
 
             self._authorize(handler, "write", org, db)
             points = self.engine.store.read_points(org, db)
-            result = execute_influxql(points, f"{im.group(1)} {im.group(3)}")
+            result = execute_influxql(
+                points, f"{im.group(1)} {im.group(3)}",
+                field_types=self.engine.store.field_types(org, db),
+            )
             new_pts = result_to_points(result, im.group(2))
             from ..sources.bucket import FieldTypeConflict
 
@@ -1320,7 +1323,12 @@ class HttpApi:
 
         self._authorize(handler, "read", org, db)
         points = self.engine.store.read_points(org, db)
-        result = execute_influxql(points, text)
+        # the store's field-type catalog resolves field slots
+        # driver-side — no per-query distinct job (r10)
+        result = execute_influxql(
+            points, text,
+            field_types=self.engine.store.field_types(org, db),
+        )
         div = {"ns": 1, "u": 1000, "us": 1000, "ms": 10**6, "s": 10**9}.get(epoch)
         # epoch ns computed in the plan (unix_micros is tz-independent);
         # collect() returns naive local-tz datetimes, so any driver-side

@@ -1087,7 +1087,8 @@ def _execute_multi_row(
 
 
 def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = (),
-                     now_ns: int | None = None) -> DataFrame:
+                     now_ns: int | None = None,
+                     field_types: dict | None = None) -> DataFrame:
     """Compile + run an InfluxQL query against a canonical points DF.
 
     ``tag_cols`` names promoted tag columns available for GROUP BY /
@@ -1095,6 +1096,12 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     subqueries run the inner query first and treat its result as the
     outer query's measurement (DataFrame composition — the inner plan
     feeds the outer directly, no materialization).
+
+    ``field_types`` is the bucket store's field-type catalog
+    ``{measurement: {field: ftype}}`` (BucketStore.field_types) — when
+    provided, field→slot resolution reads it driver-side with ZERO
+    Spark jobs; without it, mixed-type frames run one bounded distinct
+    job on the ftype discriminator (r10).
     """
     if re.match(r"(?is)^\s*SHOW\b", query):
         if re.search(r"(?i)\bCARDINALITY\b", query):
@@ -1109,7 +1116,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         # is the Catalyst plan — EXPLAIN returns the optimized logical +
         # physical plan for the statement; ANALYZE executes it first so
         # AQE's final (adaptive) physical plan is shown.
-        inner = execute_influxql(points, em.group(2), tag_cols)
+        inner = execute_influxql(points, em.group(2), tag_cols,
+                                 field_types=field_types)
         if em.group(1):
             inner.count()  # drive execution so AQE finalizes the plan
         qe = inner._jdf.queryExecution()
@@ -1126,7 +1134,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     sub = _extract_subquery(query.strip().rstrip(";"))
     if sub is not None:
         inner_text, outer_text = sub
-        inner = execute_influxql(points, inner_text, tag_cols)
+        inner = execute_influxql(points, inner_text, tag_cols,
+                                 field_types=field_types)
         if "time" not in inner.columns:
             # aggregate rows without time grouping carry timestamp 0 in
             # InfluxQL (SELECT mean(m) FROM (SELECT mean(v) .. GROUP BY tag))
@@ -1184,7 +1193,26 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     for _tree, _a in ast.raw_arith:
         _tree_ref_walk(_tree)
     refs = {r for r in refs if r and r != "*" and r not in df.columns}
-    ast.field_slots = _resolve_field_slots(df, refs)
+    if field_types is not None:
+        # catalog-driven: zero Spark jobs. Only the QUERIED
+        # measurements' maps apply (a field name may type differently
+        # across measurements; float wins on a cross-measurement mix).
+        if ast.measurement_regex is not None:
+            metas = [m for m in field_types
+                     if re.search(ast.measurement_regex, m)]
+        else:
+            metas = [m for m in (ast.measurements or [ast.measurement])]
+        slots: dict = {}
+        for m in metas:
+            for f, t in (field_types.get(m) or {}).items():
+                if f in refs:
+                    s = _SLOT_OF_FTYPE.get(t, "f_float")
+                    if f not in slots or s == "f_float":
+                        slots[f] = s
+        ast.field_slots = {k: v for k, v in slots.items()
+                           if v in df.columns}
+    else:
+        ast.field_slots = _resolve_field_slots(df, refs)
 
     # string/bool conditions parse as tag-shaped (quoted RHS); when the
     # name is a known string/bool FIELD KEY of this frame, reroute it
@@ -1539,8 +1567,15 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                     # identity already in `sel`, so series stay intact;
                     # the (field, ftype) distinct is bounded by
                     # field-key cardinality.
-                    pairs = df.select("field", "ftype").distinct().collect() \
-                        if "ftype" in df.columns else [
+                    # NOTE: deliberately NOT read from the field-type
+                    # catalog — stock star columns are the fields with
+                    # points IN THE QUERIED RANGE, which only the
+                    # filtered frame knows (the catalog lists every
+                    # field ever written)
+                    if "ftype" in df.columns:
+                        pairs = df.select("field", "ftype").distinct().collect()
+                    else:
+                        pairs = [
                             (r[0], "float")
                             for r in df.select("field").distinct().collect()
                         ]
