@@ -143,7 +143,10 @@ class CQRegistry:
             points = self.store.read_points(self.org, db)
             windowed = push_time_filter(points, start_ns, stop_ns)
             sel = _INTO_RX.sub("FROM", cq.statement)
-            result = execute_influxql(windowed, sel)
+            result = execute_influxql(
+                windowed, sel,
+                field_types=self.store.field_types(self.org, db),
+            )
             pts = result_to_points(result, cq.target)
             self.store.write_points(self.org, db, pts)
             written[name] = pts.count()
