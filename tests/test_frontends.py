@@ -1870,10 +1870,19 @@ def test_influxql_bare_or_tag_disjunction(pts):
             pts, "SELECT count(value) FROM events "
             "WHERE event_type = 'click' nonsense trailing",
         )
+    # numeric OR members are FIELD conditions since r10 (stock supports
+    # `(v > 5 OR v < 1)`; this used to pin the parse-error limitation)
+    n = execute_influxql(
+        pts, "SELECT count(value) AS n FROM events "
+        "WHERE value > 5 OR value < 1",
+    ).collect()[0]["n"]
+    direct = pts.filter((F.col("f_float") > 5) | (F.col("f_float") < 1)).count()
+    assert n == direct
+    # genuinely unparseable OR members still raise typed errors
     with pytest.raises(InfluxQLError, match="OR condition"):
         execute_influxql(
             pts, "SELECT count(value) FROM events "
-            "WHERE value > 5 OR value < 1",
+            "WHERE value ZZNOPE 5 OR value < 1",
         )
 
 
