@@ -141,7 +141,12 @@ CURATED_FIRST_50: list[str] = [
     # flux_text_geo/flux_text_reduce, and both remain under the
     # full-suite gates.
     "influxql_string_fields",
-    "influxql_string_raw",
+    # r11: surface the empty-series contract — numeric aggregates of
+    # string/bool fields return NO rows (stock parity; the r10
+    # verdict's only wrong answer). influxql_string_raw rotates out —
+    # raw string values stay windowed via influxql_string_fields and
+    # under the full-suite gates.
+    "influxql_empty_agg",
     "flux_text_statecount",
     # r4: reduce() was r3's one open §2.2.10 gap — surface its oracle
     # row in the driver window (EMA stays covered by ts_ema above and

@@ -807,7 +807,13 @@ class HttpApi:
         from ..sources.bucket import FieldTypeConflict
 
         try:
-            self.engine.store.write_points(org, bucket, df)
+            # line protocol is parsed driver-side — the type pins are
+            # already known, so the write runs a single Spark job (r11)
+            self.engine.store.write_points(
+                org, bucket, df,
+                known_types={(r["measurement"], r["field"], r["ftype"])
+                             for r in rows},
+            )
         except FieldTypeConflict as e:
             # stock partial-write contract: valid points landed, the
             # conflicting field is reported with 422 unprocessable
@@ -1300,7 +1306,9 @@ class HttpApi:
             text,
         )
         if im:
-            from ..sources.io import result_to_points
+            from pyspark.sql import Observation
+
+            from ..sources.io import into_type_triples, result_to_points
 
             self._authorize(handler, "write", org, db)
             points = self.engine.store.read_points(org, db)
@@ -1308,18 +1316,26 @@ class HttpApi:
                 points, f"{im.group(1)} {im.group(3)}",
                 field_types=self.engine.store.field_types(org, db),
             )
-            new_pts = result_to_points(result, im.group(2))
+            # single-execution write (r11): the written-row count rides
+            # the write job as an observation; type pins come from the
+            # result schema — one job, not three
+            obs = Observation()
+            new_pts = result_to_points(result, im.group(2)).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             from ..sources.bucket import FieldTypeConflict
 
             try:
-                self.engine.store.write_points(org, db, new_pts)
+                self.engine.store.write_points(
+                    org, db, new_pts,
+                    known_types=into_type_triples(result, im.group(2)),
+                )
             except FieldTypeConflict as e:
                 # v1 returns the conflict as a statement-level error
                 return {"error": str(e)}
-            n = new_pts.count()
             return {"series": [{"name": "result",
                                 "columns": ["time", "written"],
-                                "values": [[0, n]]}]}
+                                "values": [[0, obs.get["n"]]]}]}
 
         self._authorize(handler, "read", org, db)
         points = self.engine.store.read_points(org, db)
@@ -1427,7 +1443,16 @@ class HttpApi:
                         series["tags"] = tags
                     yield series
 
-            return {"series": _series_gen()}
+            # stock v1: a data query with no rows answers with NO
+            # series key at all ({"statement_id": 0}) — one-series
+            # look-ahead, then the generator resumes streaming
+            import itertools as _it
+
+            gen = _series_gen()
+            head = next(gen, None)
+            if head is None:
+                return {}
+            return {"series": _it.chain([head], gen)}
 
         frozen = result
         out_cols = (["time"] if synth_time else []) + cols
@@ -1439,10 +1464,18 @@ class HttpApi:
                     + [cell(r, c) for c in cols]
                 )
 
+        # stock v1: empty data result → no series key (one-row
+        # look-ahead; the iterator then resumes streaming untouched)
+        import itertools as _it
+
+        row_it = _rows()
+        head = next(row_it, None)
+        if head is None:
+            return {}
         series = {
             "name": sname,
             "columns": out_cols,
-            "values": _StreamedValues(_rows()),
+            "values": _StreamedValues(_it.chain([head], row_it)),
         }
         return {"series": [series]}
 

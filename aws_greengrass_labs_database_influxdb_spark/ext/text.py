@@ -922,9 +922,11 @@ def logreg_quality_train(
         "_pw1 double, _pw2 double, _pw3 double, _pw4 double"
     )
     for t in range(1, iters + 1):
-        wdf = spark_w.createDataFrame(
-            spark_w.sparkContext.parallelize([tuple(w)], 1), wschema
-        )
+        # plain local-list createDataFrame → LocalRelation: the
+        # broadcast materializes driver-side with ZERO tasks (r11;
+        # the previous parallelize(…, 1) made every pass pay one extra
+        # single-task broadcast job before the aggregate job)
+        wdf = spark_w.createDataFrame([tuple(w)], wschema)
         it_frame = feats.crossJoin(F.broadcast(wdf))
         z = (
             F.col("_pw1") * F.col("_x1")

@@ -143,6 +143,13 @@ class InfluxQLQuery:
     # field VALUES flow through /query (stock parity — previously
     # every read hardcoded f_float and returned NULL for them).
     field_slots: dict = field(default_factory=dict)
+    # SELECT *::field — stock star variant that pivots ONLY fields
+    # (tags stay off the row); plain * rides tags along (r11)
+    star_fields_only: bool = False
+    # set when star expansion finds no eligible field: the statement
+    # answers with no series (stock), enforced by _execute_aggregate's
+    # empty short-circuit
+    force_empty: bool = False
 
 
 def _parse_duration(tok: str) -> int:
@@ -411,6 +418,16 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     # so strip them everywhere (SELECT, WHERE, GROUP BY, subqueries).
     # ``::<type>`` value casts are type FILTERS in the v1 engine; a
     # typed error beats silently ignoring them.
+    # stock star variants BEFORE the namespace strip: `*::field`
+    # pivots only fields; a bare `*::tag` select has no field to
+    # return — stock rejects it ("statement must have at least one
+    # field in select clause")
+    star_fields_only = bool(_search_outside_quotes(r"\*\s*::field\b", text))
+    star_tag = _search_outside_quotes(r"\*\s*::tag\b", text)
+    if star_tag and re.match(r"(?is)^\s*SELECT\s+\*\s*::tag\s+FROM\b", text):
+        raise InfluxQLError(
+            "statement must have at least one field in select clause"
+        )
     text = _sub_outside_quotes(r"::(?:field|tag)\b", "", text)
     bad_cast = _search_outside_quotes(r"::(\w+)", text)
     if bad_cast:
@@ -437,6 +454,7 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     if not m:
         raise InfluxQLError(f"cannot parse: {q!r}")
     out = InfluxQLQuery(fields=[], measurement="")
+    out.star_fields_only = star_fields_only
     out.tzname = tzname
     out.measurement_regex = m.group("measrx")
     if m.group("meas"):
@@ -1214,6 +1232,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
     else:
         ast.field_slots = _resolve_field_slots(df, refs)
 
+    _expand_star_aggs(ast, df, field_types)
+
     # string/bool conditions parse as tag-shaped (quoted RHS); when the
     # name is a known string/bool FIELD KEY of this frame, reroute it
     # to the field-condition path below (a tags-map read would be NULL
@@ -1463,6 +1483,12 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         )
 
     if not has_agg:
+        if ast.group_time_ns:
+            # stock v1 rejects raw projections windowed by time —
+            # previously the clause was silently ignored (r11 probe)
+            raise InfluxQLError(
+                "GROUP BY requires at least one aggregate function"
+            )
         # named slot fields read only their OWN rows (multi-field
         # frames interleave fields in the tall schema — r6 fix): drop
         # other-field rows, and make each projection conditional
@@ -1549,15 +1575,18 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                 # SELECT *: every tag rides along with the field value
                 # (InfluxDB 1.x star semantics) — promoted columns
                 # directly, tags-map keys materialized (r8; previously
-                # the map variant leaked storage columns instead)
-                for t in df.columns:
-                    if (t not in _NON_TAG_COLS and not t.startswith("_")
-                            and t not in by):
-                        sel.append(F.col(t))
-                if "tags" in df.columns:
-                    for t in _map_tag_keys(df):
-                        if t not in df.columns and t not in by:
-                            sel.append(F.col("tags")[t].alias(t))
+                # the map variant leaked storage columns instead).
+                # SELECT *::field (r11): fields only — tags stay off
+                # the row, matching stock's namespace-restricted star.
+                if not ast.star_fields_only:
+                    for t in df.columns:
+                        if (t not in _NON_TAG_COLS and not t.startswith("_")
+                                and t not in by):
+                            sel.append(F.col(t))
+                    if "tags" in df.columns:
+                        for t in _map_tag_keys(df):
+                            if t not in df.columns and t not in by:
+                                sel.append(F.col("tags")[t].alias(t))
                 if "field" in df.columns:
                     # stock star shape: one column per FIELD KEY per
                     # timestamp, named by the field, each TYPED by its
@@ -1714,6 +1743,12 @@ def _execute_selector_row(
     from pyspark.sql import Window as W
 
     fn, fld, alias = sel
+    if fn in ("min", "max", "percentile") and _null_dispatched(
+        fn, fld, df, ast.field_slots
+    ):
+        # numeric-only selectors over a string/bool field: stock
+        # answers with no series even when companions are selected
+        df = df.limit(0)
     df = _attach_companion_fields(df, ast, bare)
     if fld != "*" and fld in df.columns:
         src = fld
@@ -1857,6 +1892,117 @@ def _field_value_sql(fld: str, df: DataFrame, slots: dict | None = None) -> str:
     return "f_float"
 
 
+# aggregates/selectors that accept ANY field type in stock v1 — the
+# rest are numeric-only and read the NULL dispatch on string/bool slots
+_ANYTYPE_AGGS = ("count", "count_distinct", "mode", "first", "last")
+
+_NUMERIC_FTYPES = ("float", "int", "uint")
+
+
+def _star_field_map(df: DataFrame, ast, field_types) -> dict:
+    """field key → ftype for the queried measurement(s) — catalog-
+    driven (zero jobs) when the store passes its field-type catalog,
+    else one distinct bounded by field-key cardinality. Subquery
+    pseudo-frames (no ``field`` column) expose their numeric physical
+    columns as float fields, like stock's subquery field set."""
+    if field_types is not None:
+        if ast.measurement_regex is not None:
+            metas = [m for m in field_types
+                     if re.search(ast.measurement_regex, m)]
+        else:
+            metas = ast.measurements or [ast.measurement]
+        out: dict = {}
+        for m in metas:
+            for f, t in (field_types.get(m) or {}).items():
+                if f not in out or t in _NUMERIC_FTYPES:
+                    out[f] = t
+        return out
+    if "field" not in df.columns:
+        from pyspark.sql import types as _T
+
+        return {
+            f.name: "float" for f in df.schema.fields
+            if f.name not in ("time", "time_ns", "measurement", "tags",
+                              "ingest_seq")
+            and not f.name.startswith("_")
+            and isinstance(f.dataType, _T.NumericType)
+        }
+    if "ftype" in df.columns:
+        rows = df.select("field", "ftype").distinct().collect()
+    else:
+        rows = [(r[0], "float")
+                for r in df.select("field").distinct().collect()]
+    out = {}
+    for f, t in rows:
+        if f not in out or t in _NUMERIC_FTYPES:
+            out[f] = t
+    return out
+
+
+def _expand_star_aggs(ast, df: DataFrame, field_types) -> None:
+    """``agg(*)`` → one aggregate per field (stock v1: ``SELECT
+    mean(*) FROM m`` answers columns ``mean_<field>`` for every
+    eligible field — ALL fields for the any-type aggregates, numeric
+    fields only for the rest; r11 — previously * read the raw float
+    slot across all of a multi-field measurement's interleaved rows).
+    Expansion happens once at query entry so every downstream path
+    (aggregate, selector-row, nested) sees ordinary named fields."""
+    if not any(fld == "*" and fn is not None and fn not in _MATH_FNS
+               for fn, fld, _a in ast.fields):
+        return
+    fmap = _star_field_map(df, ast, field_types)
+    new_fields = []
+    for fn, fld, alias in ast.fields:
+        if fld != "*" or fn is None or fn in _MATH_FNS:
+            new_fields.append((fn, fld, alias))
+            continue
+        if fn in _MULTI_ROW:
+            raise InfluxQLError(f"expected field argument in {fn}()")
+        if fn in _ANYTYPE_AGGS:
+            eligible = sorted(fmap)
+        else:
+            eligible = sorted(f for f, t in fmap.items()
+                              if t in _NUMERIC_FTYPES)
+        args = ast.fn_args.pop(alias, None)
+        if not eligible:
+            # no eligible field → stock answers with no series: keep a
+            # phantom entry for schema shape and force the aggregate
+            # path's empty short-circuit
+            ast.force_empty = True
+            phantom = "\x00no_star_field"
+            ast.field_slots[phantom] = (
+                "f_str" if "f_str" in df.columns else "f_float"
+            )
+            new_fields.append((fn, phantom, alias))
+            continue
+        for f in eligible:
+            a2 = f"{alias}_{f}"
+            new_fields.append((fn, f, a2))
+            if args:
+                ast.fn_args[a2] = list(args)
+        for f in eligible:
+            if (f not in ast.field_slots and f not in df.columns
+                    and "field" in df.columns):
+                slot = _SLOT_OF_FTYPE.get(fmap[f], "f_float")
+                if slot in df.columns:
+                    ast.field_slots[f] = slot
+    ast.fields = new_fields
+
+
+def _null_dispatched(fn, fld, df: DataFrame, slots: dict | None) -> bool:
+    """True when this aggregate call reads the NULL dispatch column: a
+    numeric-only aggregate over a string/bool-typed field slot. Used by
+    :func:`_execute_aggregate` to short-circuit to stock's EMPTY series
+    when every selected aggregate is null-dispatched (r10 verdict #1:
+    ``SELECT mean(status) FROM m`` must answer with no series, not one
+    null-valued row)."""
+    if fn is None or fn in _ANYTYPE_AGGS:
+        return False
+    if fld == "*" or fld in df.columns:
+        return False
+    return (slots or {}).get(fld, "f_float") != "f_float"
+
+
 def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame,
               slots: dict | None = None):
     """One InfluxQL aggregate/selector as a Spark aggregate Column.
@@ -1866,11 +2012,8 @@ def _agg_expr(fn: str, fld: str, alias: str, args: list, df: DataFrame,
     numeric-only aggregates (MEAN/SUM/.../MIN/MAX/PERCENTILE/INTEGRAL)
     on a string/bool field read a NULL column and aggregate to nothing,
     like stock's empty result — never an ANSI cast error."""
-    slot = (slots or {}).get(fld, "f_float")
     col = _field_value_col(fld, df, slots)
-    if slot != "f_float" and fn not in (
-        "count", "count_distinct", "mode", "first", "last",
-    ):
+    if _null_dispatched(fn, fld, df, slots):
         col = F.lit(None).cast("double")
     if fn in _AGGS:
         if fn == "spread":
@@ -1988,6 +2131,24 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
     """The aggregate/selector/arithmetic SELECT core: one groupBy over
     (tags[, window start]), arithmetic combined post-agg, fill over the
     window spine. No ordering/limits — ``_finish`` applies those."""
+    # stock v1 parity: when EVERY selected aggregate is numeric-only
+    # over a string/bool field, the whole statement answers with NO
+    # series (probed against stock 1.x: `SELECT mean(status) FROM m`
+    # → {"statement_id":0}, no values). Aggregate over an empty frame
+    # (schema preserved) and disable fill so the window spine cannot
+    # resurrect the dropped windows — GROUP BY time + fill(0) of a
+    # string field is empty too.
+    agg_calls = [(fn, fld) for fn, fld, _a in ast.fields if fn is not None]
+    for tree, _a in ast.arith:
+        agg_calls.extend((n[1], n[2]) for n in _walk_agg_nodes(tree))
+    force_empty = ast.force_empty or (bool(agg_calls) and all(
+        _null_dispatched(fn, fld, df, ast.field_slots) for fn, fld in agg_calls
+    ))
+    if force_empty:
+        import dataclasses as _dc
+
+        df = df.limit(0)
+        ast = _dc.replace(ast, fill=None)
     if ast.group_time_ns:
         df = df.withColumn(
             "_ws",
@@ -2080,7 +2241,16 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
                 out = out.withColumn(c, lerp)
 
     if ast.group_time_ns:
+        # stock column order: time leads every windowed series
         out = out.withColumn("time", _ws_time_expr(ast)).drop("_ws")
+        out = out.select("time",
+                         *[c for c in out.columns if c != "time"])
+    if force_empty:
+        # an ungrouped groupBy().agg() over the empty frame still emits
+        # ONE null row (SQL global-aggregate semantics) — stock answers
+        # with no series at all; limit(0) folds the plan to an empty
+        # LocalRelation (OptimizeLimitZero), schema preserved
+        out = out.limit(0)
     return out
 
 

@@ -17,11 +17,13 @@ Spark-first design
 * S2 cell-ID tokens implement the PUBLIC S2 geometry quadtree
   algorithm (lat/lon → face/(u,v) → quadratic (s,t) → leaf (i,j) →
   Hilbert position; s2geometry.io): a vectorized-numpy pandas UDF, one
-  Arrow batch at a time. Tokens are self-consistent (parent/child
-  prefix containment, round-trip to cell center) — parity with
-  google/s2geometry's exact curve position is asserted structurally
-  (face bits, level mask, trailing-bit marker), not against golden
-  tokens, since the container has no s2 library to cross-check.
+  Arrow batch at a time. Cross-library parity is golden-verified:
+  the s2geometry project's published test vector (49.703498679,
+  11.770681595) → leaf 0x47a1cbd595522b39 matches exactly (all 64
+  bits), and levels 10-29 match the published leaf truncated by the
+  documented parent arithmetic (tests/test_geo.py deep-level
+  goldens); face-center tokens and the FaceUVtoXYZ roundtrip cover
+  faces 3-5.
 """
 
 from __future__ import annotations

@@ -171,7 +171,8 @@ class BucketStore:
 
     # ---------------------------------------------------------------- write
 
-    def write_points(self, org: str, name: str, points: DataFrame) -> None:
+    def write_points(self, org: str, name: str, points: DataFrame,
+                     known_types=None) -> None:
         """Append points (canonical schema). Adds ``series_key`` and the
         ``day`` partition column; never rewrites existing data.
 
@@ -179,16 +180,34 @@ class BucketStore:
         field) is pinned to the first ftype ever written; points whose
         ftype conflicts are EXCLUDED from the append and reported by
         raising :class:`FieldTypeConflict` AFTER the valid rows land —
-        the stock partial-write-then-422 contract. One bounded distinct
-        job per write (≤ fields × 5 types)."""
+        the stock partial-write-then-422 contract.
+
+        Single-execution contract (r11): callers that know their
+        (measurement, field, ftype) triples driver-side (HTTP writes
+        parse line protocol on the driver; SELECT INTO / CQ fields are
+        schema-derived) pass ``known_types`` and the write runs ONE
+        Spark job — no type-pin distinct. Callers with data-dependent
+        types (streaming ingest, Flux to()) leave it None: the input is
+        persisted for the write's duration so the distinct job and the
+        append both read the cache instead of re-executing the
+        upstream pipeline (the r10 verdict's 2-3× write-cost finding).
+        """
+        from pyspark import StorageLevel
+
         df = points
+        cached = None
         conflicts: list[tuple[str, str, str, str]] = []
         if "ftype" in df.columns:
-            new = [
-                (r[0], r[1], r[2])
-                for r in df.select("measurement", "field", "ftype")
-                .distinct().collect()
-            ]
+            if known_types is not None:
+                new = sorted(set(known_types))
+            else:
+                cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df = cached
+                new = [
+                    (r[0], r[1], r[2])
+                    for r in df.select("measurement", "field", "ftype")
+                    .distinct().collect()
+                ]
             with self._mutation_lock(org, name):
                 cat = self.field_types(org, name)
                 for m, f, t in sorted(new):
@@ -236,12 +255,16 @@ class BucketStore:
             F.pmod(F.xxhash64("series_key"),
                    F.lit(self.WRITE_FILES_PER_PARTITION)),
         )
-        with self._mutation_lock(org, name):
-            (
-                df.write.mode("append")
-                .partitionBy("measurement", "day")
-                .parquet(str(self._data_dir(org, name)))
-            )
+        try:
+            with self._mutation_lock(org, name):
+                (
+                    df.write.mode("append")
+                    .partitionBy("measurement", "day")
+                    .parquet(str(self._data_dir(org, name)))
+                )
+        finally:
+            if cached is not None:
+                cached.unpersist()
         if conflicts:
             # raised AFTER the valid rows landed — stock's partial
             # write: the client gets the 422, the good points stay

@@ -83,6 +83,35 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _into_split_cols(result: DataFrame):
+    """INTO column mapping, schema-only: string columns → tags, numeric
+    columns → fields (shared by :func:`result_to_points` and
+    :func:`into_type_triples` so the write and its type pins agree)."""
+    from pyspark.sql import types as T
+
+    tag_cols = [
+        f.name for f in result.schema.fields
+        if isinstance(f.dataType, T.StringType) and f.name != "time"
+    ]
+    field_cols = [
+        f.name for f in result.schema.fields
+        if f.name not in ("time", *tag_cols)
+        and isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType,
+                                    T.IntegerType, T.DecimalType))
+    ]
+    return tag_cols, field_cols
+
+
+def into_type_triples(result: DataFrame, measurement: str) -> list:
+    """The (measurement, field, ftype) triples ``result_to_points``
+    will write — derived from the result SCHEMA alone (INTO fields are
+    the numeric columns, always written as floats), so write_points can
+    skip its type-pin distinct job entirely (r11 single-execution
+    writes)."""
+    _tags, field_cols = _into_split_cols(result)
+    return [(measurement, c, FT_FLOAT) for c in field_cols]
+
+
 def result_to_points(result: DataFrame, measurement: str) -> DataFrame:
     """Convert a query result back into canonical points — the write
     half of ``SELECT ... INTO <measurement>`` (the v1 continuous-query
@@ -100,16 +129,7 @@ def result_to_points(result: DataFrame, measurement: str) -> DataFrame:
 
     if "time" not in result.columns:
         raise ValueError("INTO requires a time column in the result")
-    tag_cols = [
-        f.name for f in result.schema.fields
-        if isinstance(f.dataType, T.StringType) and f.name != "time"
-    ]
-    field_cols = [
-        f.name for f in result.schema.fields
-        if f.name not in ("time", *tag_cols)
-        and isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType,
-                                    T.IntegerType, T.DecimalType))
-    ]
+    tag_cols, field_cols = _into_split_cols(result)
     if not field_cols:
         raise ValueError("INTO requires at least one numeric result column")
     parts = []

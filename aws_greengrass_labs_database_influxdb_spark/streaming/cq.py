@@ -132,9 +132,12 @@ class CQRegistry:
         stream's foreachBatch, or a test): re-running is idempotent, so
         "run at least every ``every``" is the only contract.
         """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         from ..frontends.influxql import execute_influxql
         from ..operators.core import push_time_filter
-        from ..sources.io import result_to_points
+        from ..sources.io import into_type_triples, result_to_points
 
         written: dict[str, int] = {}
         for (db, name), cq in self._cqs.items():
@@ -147,7 +150,18 @@ class CQRegistry:
                 windowed, sel,
                 field_types=self.store.field_types(self.org, db),
             )
-            pts = result_to_points(result, cq.target)
-            self.store.write_points(self.org, db, pts)
-            written[name] = pts.count()
+            # single-execution write (r11, verdict #2): the row count
+            # rides the WRITE job as an observation metric, and the
+            # type pins come from the result schema — one Spark job per
+            # CQ run instead of three (write + pin-distinct + count all
+            # re-ran the unpersisted aggregate).
+            obs = Observation()
+            pts = result_to_points(result, cq.target).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            self.store.write_points(
+                self.org, db, pts,
+                known_types=into_type_triples(result, cq.target),
+            )
+            written[name] = obs.get["n"]
         return written

@@ -124,7 +124,7 @@ def bench_cq_run(spark, sf_dir):
     r8 item 8: the old shape re-ingested ~1M rows every run and timed
     bootstrap, not the cycle)."""
     from ..sources.bucket import DAY_NS, BucketStore
-    from ..sources.io import result_to_points
+    from ..sources.io import into_type_triples, result_to_points
     from ..streaming.cq import CQRegistry
 
     root = f"{_BENCH_ROOT}/cqstore"
@@ -152,11 +152,10 @@ def bench_cq_run(spark, sf_dir):
         src = p.filter(F.expr(f"time_ns div {DAY_NS}").isin(
             [last_day, last_day - 1]))
         runs = marker.get("runs", 0) + 1
-    pts = result_to_points(
-        src.select("time", F.col("event_type"), F.col("f_float").alias("value")),
-        "events",
-    )
-    store.write_points("org", "db", pts)
+    res = src.select("time", F.col("event_type"), F.col("f_float").alias("value"))
+    pts = result_to_points(res, "events")
+    store.write_points("org", "db", pts,
+                       known_types=into_type_triples(res, "events"))
     _marker_save(root, {**base_fp, "runs": runs})
 
     reg = CQRegistry(store, "org")

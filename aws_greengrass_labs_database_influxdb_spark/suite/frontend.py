@@ -1541,6 +1541,31 @@ def influxql_string_raw(spark, sf_dir):
     )
 
 
+@q(
+    "influxql_empty_agg",
+    """
+    SELECT CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS m_status,
+           CAST(NULL AS DOUBLE) AS s_flag
+    WHERE 1 = 0
+    """,
+)
+def influxql_empty_agg(spark, sf_dir):
+    """Numeric-only aggregates over string/bool fields answer with an
+    EMPTY result — stock v1 returns no series at all, never a
+    null-valued row (r10 verdict #1, the round's only wrong answer:
+    frontends/influxql.py dispatched MEAN/SPREAD/... on a string/bool
+    slot to a NULL column whose global aggregate still emitted one
+    null row). The oracle is the 0-row frame with matching schema."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_influxql(
+        pts,
+        "SELECT mean(status) AS m_status, spread(flag) AS s_flag "
+        "FROM events GROUP BY event_type",
+    )
+    return out.select("event_type", "m_status", "s_flag")
+
+
 # Convex test quad for the polygon oracle — 3-decimal vertices so no
 # 2-decimal data point lies exactly on an edge; the ray-cast uses only
 # +-*/ and comparisons (no libm), so Spark and DuckDB agree bit-for-bit

@@ -118,14 +118,18 @@ def main() -> None:
               + (f" fp={plans[name]['fp']}" if name in plans else ""),
               file=sys.stderr)
 
-    # Variance sentinel (r10, VERDICT r9 #6): the three historically
-    # noisiest queries get ONE extra timed run after the sweep; a >2x
-    # spread between that run and the recorded best flags the round's
-    # numbers as environment-dominated (the r9 logreg 9.25s-vs-1.62s
-    # regression took a full round to adjudicate without this).
+    # Variance sentinel (r10, VERDICT r9 #6; widened r11, VERDICT r10
+    # #3): the historically noisiest queries get ONE extra timed run
+    # after the sweep. r10's driver regression sat entirely in the
+    # disk-bound maintenance trio, which the sentinel did not cover —
+    # the environment attribution was argued, not measured. Now the
+    # maintenance writers are in, and the noise flag fires at >=1.5x
+    # spread on ANY sentinel query (the r10 minhash 1.85x spread
+    # passed a 2x threshold as "clean").
     sentinel = {}
     for name in ("ext_quality_logreg_train", "bench_skew_window",
-                 "ext_dedup_minhash_lsh"):
+                 "ext_dedup_minhash_lsh", "bench_cq_run",
+                 "bench_rollup_refresh"):
         if name not in timings:
             continue
         t0 = time.time()
@@ -135,7 +139,7 @@ def main() -> None:
         sentinel[name] = {"best": timings[name], "rerun": again,
                           "spread": ratio}
     env_noise = any(
-        s["spread"] is not None and s["spread"] > 2.0
+        s["spread"] is not None and s["spread"] >= 1.5
         for s in sentinel.values()
     )
 

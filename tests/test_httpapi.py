@@ -2145,3 +2145,196 @@ def test_flux_string_ops_compose_over_wire(served):
     rows = [ln.split(",") for ln in body.splitlines() if ln.startswith(",,")]
     got = sorted((r[li], r[si]) for r in rows if len(r) == len(cols))
     assert got == [("1.5", "up"), ("2.5", "down"), ("3.5", "up")]
+
+
+def test_v1_numeric_agg_of_string_bool_field_is_empty_series(served):
+    """r10 verdict #1, pinned at the wire: a numeric-only aggregate
+    (MEAN/SUM/STDDEV/SPREAD/PERCENTILE/MIN/MAX/...) over a string or
+    bool field answers `{"statement_id": 0}` with NO series — stock v1
+    drops the statement's output entirely, it does not emit a
+    null-valued row. Covers bare, GROUP BY tag, GROUP BY time with
+    fill (the spine must not resurrect dropped windows), aggregate
+    arithmetic, and the selector-with-companion row path. Type-generic
+    aggregates (COUNT/FIRST/LAST/DISTINCT) keep answering."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    lines = "\n".join(
+        f"nulldisp,host=h{i % 2} v={i}.0,phase=\"p{i % 3}\","
+        f"ok={'true' if i % 2 == 0 else 'false'} {T0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    def q(stmt):
+        _, body = _req(
+            base,
+            f"/query?db=greengrass-telemetry&q={up.quote(stmt)}&epoch=ns",
+            token=tokens["RO"])
+        doc = json.loads(body)
+        assert "error" not in doc["results"][0], doc
+        return doc["results"][0]
+
+    empty_stmts = [
+        "SELECT mean(phase) FROM nulldisp",
+        "SELECT sum(ok) FROM nulldisp",
+        "SELECT stddev(phase), spread(ok) FROM nulldisp",
+        "SELECT mean(phase) FROM nulldisp GROUP BY host",
+        "SELECT mean(phase) FROM nulldisp WHERE time >= '2024-01-01' "
+        "AND time < '2024-01-01T01:00:00Z' GROUP BY time(10m) fill(0)",
+        "SELECT mean(phase) FROM nulldisp WHERE time >= '2024-01-01' "
+        "AND time < '2024-01-01T01:00:00Z' GROUP BY time(10m), host "
+        "fill(previous)",
+        "SELECT sum(phase) + 1 FROM nulldisp",
+        "SELECT percentile(phase, 90) FROM nulldisp",
+        "SELECT max(ok), v FROM nulldisp",  # selector + companion
+        "SELECT min(phase) FROM nulldisp",
+    ]
+    for stmt in empty_stmts:
+        res = q(stmt)
+        assert res == {"statement_id": 0}, (stmt, res)
+
+    # type-generic aggregates still answer on the same fields
+    res = q("SELECT count(phase) AS n, first(ok) AS f FROM nulldisp")
+    row = dict(zip(res["series"][0]["columns"], res["series"][0]["values"][0]))
+    assert row["n"] == 6 and row["f"] is True
+
+    # a numeric sibling keeps the statement alive (mixed select): the
+    # string aggregate column rides along as null
+    res = q("SELECT mean(phase) AS mp, mean(v) AS mv FROM nulldisp")
+    row = dict(zip(res["series"][0]["columns"], res["series"][0]["values"][0]))
+    assert row["mv"] == 2.5 and row["mp"] is None
+
+
+def test_concurrent_conflicting_type_pins_one_winner(served):
+    """r10 verdict #6: the field-type catalog is read-modify-write
+    under the store's mutation lock, but the HTTP facade serves
+    concurrent clients. Two threads race to create the SAME new field
+    with CONFLICTING types: exactly one must win the pin and the other
+    must get the 422 — no lost update (both 204) and no double-pin
+    (catalog holding the loser's type). 50 fresh fields, one race
+    each."""
+    import threading
+    import urllib.parse as up
+
+    base, engine, tokens = served
+
+    def write(lp):
+        try:
+            status, _ = _req(
+                base, "/api/v2/write?bucket=greengrass-telemetry",
+                "POST", token=tokens["RW"], body=lp, ctype="text/plain")
+            return status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    for it in range(50):
+        fld = f"race_{it}"
+        results = [None, None]
+        bodies = [
+            f"racepin {fld}=1.5 {T0 + it * 1_000_000_000}",       # float
+            f'racepin {fld}="x" {T0 + it * 1_000_000_000 + 1}',    # string
+        ]
+
+        def run(slot, body):
+            results[slot] = write(body)
+
+        ts = [threading.Thread(target=run, args=(k, b))
+              for k, b in enumerate(bodies)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+        assert sorted(results) == [204, 422], (it, results)
+        pinned = engine.store.field_types(
+            engine.config.org, "greengrass-telemetry")["racepin"][fld]
+        # the 204's type is the pin; the 422's type must NOT be it
+        winner_type = "float" if results[0] == 204 else "string"
+        assert pinned == winner_type, (it, results, pinned)
+
+    # and none of the losing rows landed: every stored value of the
+    # measurement carries the pinned type
+    import urllib.parse as up2
+    _, body = _req(
+        base,
+        "/query?db=greengrass-telemetry&q=" + up2.quote(
+            "SELECT count(*) FROM racepin"),
+        token=tokens["RO"])
+    doc = json.loads(body)
+    assert "error" not in doc["results"][0]
+
+
+def test_v1_star_variants_stock_shapes(served):
+    """r10 verdict #7, stock-parity probes for the star family over a
+    MIXED-TYPE measurement: `*::field` pivots fields only (tags stay
+    off the row), `*::tag` alone is the stock parse error, raw `*`
+    with GROUP BY time() is the stock aggregate-required error, and
+    `agg(*)` expands to one column per eligible field — all fields
+    for COUNT/FIRST/LAST, numeric fields only for MEAN/SUM/..., named
+    `<alias>_<field>`."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    t0 = T0 + 36_000_000_000_000
+    lines = "\n".join(
+        f"starmix,host=m{i % 2} load={float(i)},state=\"s{i % 2}\","
+        f"on={'true' if i % 2 == 0 else 'false'} {t0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+
+    def v1(q):
+        _, body = _req(base, f"/query?db=greengrass-telemetry&q="
+                       f"{up.quote(q)}", token=tokens["RO"])
+        return json.loads(body)["results"][0]
+
+    # *::field — fields only, sorted, no tag columns
+    s = v1("SELECT *::field FROM starmix")["series"][0]
+    assert s["columns"] == ["time", "load", "on", "state"]
+
+    # plain * keeps tags inline (regression guard for the variant)
+    s = v1("SELECT * FROM starmix")["series"][0]
+    assert s["columns"] == ["time", "host", "load", "on", "state"]
+
+    # *::tag alone: stock parse error (HTTP 400, typed message)
+    def expect_400(q, needle):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            v1(q)
+        assert e.value.code == 400
+        assert needle in json.loads(e.value.read().decode())["message"]
+
+    expect_400("SELECT *::tag FROM starmix", "at least one field")
+
+    # raw star + GROUP BY time(): stock aggregate-required error
+    expect_400("SELECT * FROM starmix GROUP BY time(1m)", "aggregate")
+
+    # agg(*) expansion: numeric-only for MEAN, all fields for COUNT
+    s = v1("SELECT mean(*) FROM starmix")["series"][0]
+    assert s["columns"] == ["time", "mean_load"]
+    assert s["values"][0][1] == 2.5
+    s = v1("SELECT count(*) FROM starmix")["series"][0]
+    assert s["columns"] == ["time", "count_load", "count_on", "count_state"]
+    assert s["values"][0][1:] == [6, 6, 6]
+    s = v1("SELECT first(*) FROM starmix")["series"][0]
+    assert s["columns"] == ["time", "first_load", "first_on", "first_state"]
+    assert s["values"][0][1:] == [0.0, True, "s0"]
+
+    # alias prefixes the per-field names; windows still frame
+    s = v1("SELECT mean(*) AS m FROM starmix WHERE time >= "
+           f"'{dt_iso(t0)}' AND time < '{dt_iso(t0 + 360_000_000_000)}' "
+           "GROUP BY time(3m)")["series"][0]
+    assert s["columns"] == ["time", "m_load"]
+    assert len(s["values"]) == 2
+
+
+def dt_iso(ns: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        ns / 1e9, _dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
