@@ -253,6 +253,19 @@ def _value_slot_runtime(df: DataFrame, col: str) -> str:
     return col
 
 
+def _reject_non_numeric_agg(df: DataFrame, col: str, fn: str) -> None:
+    """Stock Flux rejects numeric-only aggregates over string/bool
+    series with a typed runtime error. Resolves the live slot via the
+    same bounded probe as :func:`_value_slot_runtime` (no job on
+    float-only frames) and raises the stock-shaped message."""
+    live = _value_slot_runtime(df, col)
+    if live in ("f_str", "f_bool"):
+        t = "string" if live == "f_str" else "bool"
+        raise FluxError(
+            f"unsupported input type for {fn} aggregate: {t}"
+        )
+
+
 def _col(df: DataFrame, name: str) -> Column:
     name = _colname(df, name)
     if name in df.columns:
@@ -1857,6 +1870,10 @@ def _run_pipeline(
                     # aggregateWindow(fn: last) on a string field
                     # returned NULLs)
                     vcol = _value_slot_runtime(df, vcol)
+                else:
+                    # numeric window fns over string/bool series are a
+                    # typed error in stock Flux (r11)
+                    _reject_non_numeric_agg(df, vcol, fnarg)
                 if vcol not in df.columns:
                     raise FluxError(
                         f"aggregateWindow() has no value column {vcol!r} "
@@ -1883,11 +1900,21 @@ def _run_pipeline(
                 # count() of a string field counted f_float NULLs as 0
                 # (r10); numeric aggregates keep the float binding
                 col = _value_slot_runtime(df, col)
+            else:
+                # numeric-only aggregate over a string/bool series is a
+                # TYPED error in stock Flux ("unsupported input type
+                # for mean aggregate: string") — r11, the Flux twin of
+                # the v1 empty-series fix; previously a null-mean row
+                _reject_non_numeric_agg(df, col, name)
             if col not in df.columns:
                 raise FluxError(f"{name}(column:) references unknown column {col!r}")
             pipe = pipe.aggregate(name, column=col, alias=name)
         elif name in ("min", "max"):
             vcol = _colname(df, _lit(args.get("column", '"_value"')))
+            # selectors pick a ROW by value order — Flux compares any
+            # sortable type, so string/bool series select by their live
+            # slot (lexicographic / false<true), like sort() does (r11)
+            vcol = _value_slot_runtime(df, vcol)
             if vcol not in df.columns:
                 raise FluxError(f"{name}() has no value column to select on")
             pipe = pipe.min(vcol) if name == "min" else pipe.max(vcol)

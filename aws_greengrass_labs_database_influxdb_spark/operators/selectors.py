@@ -17,11 +17,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def _keep_row(df: DataFrame, by: Sequence[str], order, alias: str) -> DataFrame:
-    """Return one original row per group: min_by over the given order struct."""
+def _keep_row(df: DataFrame, by: Sequence[str], order, alias: str,
+              pick=F.min_by) -> DataFrame:
+    """Return one original row per group: min_by/max_by over the given
+    order struct (rows whose order expression is NULL are skipped by
+    the aggregate's null-ordering semantics)."""
     others = [c for c in df.columns]
     row = F.struct(*[F.col(c) for c in others])
-    agg = F.min_by(row, order).alias("_row")
+    agg = pick(row, order).alias("_row")
     out = df.groupBy(*by).agg(agg)
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in others])
 
@@ -54,19 +57,29 @@ def last(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFram
 def min_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
-    """InfluxQL MIN: row with smallest value; ties → earliest time."""
-    return _keep_row(
-        df, by, F.struct(F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)), "min"
+    """InfluxQL MIN: row with smallest value; ties → earliest time.
+    Works on any orderable type (r11: strings compare lexicographic,
+    bools false<true — Flux selector semantics); null-valued rows are
+    skipped via the null order guard."""
+    order = F.when(
+        F.col(value).isNotNull(),
+        F.struct(F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)),
     )
+    return _keep_row(df, by, order, "min")
 
 
 def max_selector(
     df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
-    """InfluxQL MAX: row with largest value; ties → earliest time."""
-    return _keep_row(
-        df, by, F.struct(-F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)), "max"
+    """InfluxQL MAX: row with largest value; ties → earliest time.
+    max_by over (value, -time, -seq) instead of min_by over the negated
+    value (r11) so non-numeric orderable types select too."""
+    tb = [-c for c in _tiebreak(df)]
+    order = F.when(
+        F.col(value).isNotNull(),
+        F.struct(F.col(value), *_opt_time(df, time_ns, negate=True), *tb),
     )
+    return _keep_row(df, by, order, "max", pick=F.max_by)
 
 
 def top(

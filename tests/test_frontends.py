@@ -2441,3 +2441,62 @@ def test_flux_pivot_mixed_types(mixed_pts):
     assert [r["status"] for r in out] == ["ok", "bad", "ok"]
     assert [r["ok"] for r in out] == [True, False, True]
     assert [r["temp"] for r in out] == [1.5, 2.5, 3.5]
+
+
+def test_flux_numeric_agg_on_string_bool_is_typed_error(mixed_pts):
+    """r11 (the Flux twin of the v1 empty-series fix): numeric-only
+    aggregates over a string/bool series raise stock Flux's typed
+    runtime error ("unsupported input type for mean aggregate:
+    string"), both bare and through aggregateWindow; type-generic
+    aggregates keep answering; min/max SELECT by the live slot
+    (lexicographic strings / false<true bools) like sort()."""
+    import pytest as _pt
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError
+
+    for script, needle in [
+        ('from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+         "|> mean()", "mean aggregate: string"),
+        ('from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+         "|> sum()", "sum aggregate: bool"),
+        ('from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+         "|> stddev()", "stddev aggregate: string"),
+        ('from(bucket:"b") '
+         "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T01:00:00Z) "
+         '|> filter(fn: (r) => r._field == "status") '
+         "|> aggregateWindow(every: 30m, fn: mean)",
+         "mean aggregate: string"),
+    ]:
+        with _pt.raises(FluxError) as e:
+            execute_flux(mixed_pts, script).collect()
+        assert needle in str(e.value), script
+
+    # type-generic aggregates still answer
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> count()",
+    ).collect()
+    assert out[0]["count"] == 3
+
+    # min/max select the row by the live slot's order
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> min()",
+    ).collect()
+    assert len(out) == 1 and out[0]["f_str"] == "bad"
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> max()",
+    ).collect()
+    assert len(out) == 1 and out[0]["f_bool"] is True
+
+    # numeric series keep aggregating normally
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> mean()",
+    ).collect()
+    assert out[0]["mean"] == 2.5
