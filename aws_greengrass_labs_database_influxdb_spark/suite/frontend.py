@@ -1542,6 +1542,33 @@ def influxql_string_raw(spark, sf_dir):
 
 
 @q(
+    "influxql_star_agg",
+    """
+    SELECT event_type,
+           count(*) AS count_flag,
+           count(*) AS count_status,
+           count(value) AS count_value,
+           avg(value) AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def influxql_star_agg(spark, sf_dir):
+    """``agg(*)`` star expansion over a mixed-type measurement (r11):
+    COUNT(*) fans out to one column per FIELD (all types), MEAN(*) to
+    the numeric fields only, named ``<fn>_<field>`` — stock v1's
+    per-field expansion, previously a single aggregate over the raw
+    float slot of ALL interleaved rows (a wrong answer on any
+    multi-field measurement)."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_influxql(
+        pts, "SELECT count(*), mean(*) FROM events GROUP BY event_type"
+    )
+    return out.select("event_type", "count_flag", "count_status",
+                      "count_value", "mean_value")
+
+
+@q(
     "influxql_empty_agg",
     """
     SELECT CAST(NULL AS VARCHAR) AS event_type,
