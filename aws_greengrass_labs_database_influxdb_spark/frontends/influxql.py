@@ -464,6 +464,19 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         out.measurement = out.measurements[0]
 
     # SELECT list
+    # duplicate output names get stock's _N suffix (`SELECT
+    # mean(a), mean(b)` → mean, mean_1) — duplicate columns made every
+    # later by-name reference ambiguous (r11 fuzz escape)
+    _alias_seen: dict[str, int] = {}
+
+    def _uniq(alias: str) -> str:
+        n = _alias_seen.get(alias)
+        if n is None:
+            _alias_seen[alias] = 0
+            return alias
+        _alias_seen[alias] = n + 1
+        return f"{alias}_{n + 1}"
+
     for part in re.split(r",(?![^()]*\))", m.group("sel")):
         part = part.strip()
         # nested transform-over-aggregate: DERIVATIVE(MEAN(value), 1s)
@@ -478,7 +491,7 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             outer, inner = nm.group(1).lower(), nm.group(2).lower()
             if inner not in _AGGS and inner not in _SELECTORS:
                 raise InfluxQLError(f"cannot nest {inner!r} inside {outer!r}")
-            alias = nm.group(5) or outer
+            alias = _uniq(nm.group(5) or outer)
             out.nested.append((outer, inner, nm.group(3), alias))
             if nm.group(4):
                 out.fn_args[alias] = [a.strip().strip('"') for a in nm.group(4).split(",")]
@@ -488,7 +501,7 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         expr_src, expr_alias = am.group(1).strip(), am.group(2)
         if expr_src == "*":
             # raw star projection: all tags + the field value
-            out.fields.append((None, "*", expr_alias or "value"))
+            out.fields.append((None, "*", _uniq(expr_alias or "value")))
             continue
         tree = _parse_select_arith(expr_src)
         if tree is not None and tree[0] == "bin":
@@ -499,10 +512,10 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
                 )
             if "field" in kinds:
                 out.raw_arith.append(
-                    (tree, expr_alias or _default_arith_alias(tree))
+                    (tree, _uniq(expr_alias or _default_arith_alias(tree)))
                 )
             else:
-                out.arith.append((tree, expr_alias or _default_arith_alias(tree)))
+                out.arith.append((tree, _uniq(expr_alias or _default_arith_alias(tree))))
             continue
         cd = re.match(
             r'(?i)^count\s*\(\s*distinct\s*\(\s*"?(\w+)"?\s*\)\s*\)'
@@ -511,7 +524,8 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         )
         if cd:
             # COUNT(DISTINCT(field)) — reference names the column `count`
-            out.fields.append(("count_distinct", cd.group(1), cd.group(2) or "count"))
+            out.fields.append(("count_distinct", cd.group(1),
+                               _uniq(cd.group(2) or "count")))
             continue
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
@@ -523,7 +537,7 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             args = [a.strip().strip('"') for a in fm.group(2).split(",") if a.strip()]
             if not args:
                 raise InfluxQLError(f"{fn} needs a field argument")
-            alias = fm.group(3) or fn
+            alias = _uniq(fm.group(3) or fn)
             out.fields.append((fn, args[0], alias))
             if len(args) > 1:
                 out.fn_args[alias] = args[1:]
@@ -531,7 +545,8 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             cm = re.match(r'^"?([\w*]+)"?(?:\s+AS\s+"?(\w+)"?)?$', part)
             if not cm:
                 raise InfluxQLError(f"bad select expression {part!r}")
-            out.fields.append((None, cm.group(1), cm.group(2) or cm.group(1)))
+            out.fields.append((None, cm.group(1),
+                               _uniq(cm.group(2) or cm.group(1))))
 
     _parse_where(m.group("where") or "", out, now_ns)
 
@@ -2224,8 +2239,15 @@ def _execute_aggregate(df: DataFrame, ast: InfluxQLQuery, by: list) -> DataFrame
         # "null" → the spine join already produced null rows
         elif ast.fill == "linear":
             from pyspark.sql import Window as W
+            from pyspark.sql import types as _T
 
             for c in value_cols:
+                # linear interpolation is numeric-only (stock: string/
+                # bool columns keep null in empty windows) — the lerp
+                # arithmetic on a boolean `last(flag)` column was an
+                # AnalysisException escape (r11 extended fuzz)
+                if not isinstance(out.schema[c].dataType, _T.NumericType):
+                    continue
                 wp = W.partitionBy(*by).orderBy("_ws").rowsBetween(W.unboundedPreceding, 0)
                 wn = W.partitionBy(*by).orderBy("_ws").rowsBetween(0, W.unboundedFollowing)
                 v, t = F.col(c), F.col("_ws")

@@ -2500,3 +2500,25 @@ def test_flux_numeric_agg_on_string_bool_is_typed_error(mixed_pts):
         "|> mean()",
     ).collect()
     assert out[0]["mean"] == 2.5
+
+
+def test_fill_linear_skips_non_numeric_aggregate_columns(mixed_pts):
+    """r11 extended-fuzz escape: fill(linear)'s interpolation
+    arithmetic on a boolean/string aggregate column (last(flag)) was
+    an AnalysisException. Linear fill is numeric-only (stock keeps
+    null for non-numeric columns in empty windows); numeric siblings
+    still interpolate."""
+    out = execute_influxql(
+        mixed_pts,
+        "SELECT last(ok) AS lo, mean(temp) AS mt FROM m "
+        "WHERE time >= '1970-01-01T00:16:00Z' AND "
+        "time < '1970-01-01T00:51:00Z' "
+        "GROUP BY time(5m) fill(linear)",
+    ).orderBy("time").collect()
+    assert len(out) == 8  # 00:15 .. 00:50 five-minute windows
+    # boolean column: observed windows keep values, gaps stay null
+    assert out[0]["lo"] is True and out[1]["lo"] is None
+    # numeric column interpolates across the gap between points
+    mts = [r["mt"] for r in out]
+    assert mts[0] == 1.5 and mts[-1] == 3.5
+    assert all(m is not None for m in mts)  # interior interpolated
