@@ -622,6 +622,16 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
         # that field's own rows (multi-field frames interleave — r6;
         # an unknown field then correctly yields no rows, like v1)
         src = fld if fld in df.columns else "f_float"
+        if src != "f_float":
+            from pyspark.sql import types as _T
+
+            if not isinstance(df.schema[src].dataType, _T.NumericType):
+                # transform of a non-numeric (subquery-promoted
+                # string/bool) column: stock computes nothing — an
+                # empty frame with the column re-typed double keeps
+                # the output schema and avoids the ANSI cast crash
+                # / lag-arithmetic AnalysisException (r11)
+                df = df.limit(0).withColumn(src, F.lit(None).cast("double"))
         if src == "f_float" and fld != "*" and "field" in df.columns:
             df = df.filter(F.col("field") == fld)
         args = ast.fn_args.get(alias, [])
@@ -1578,7 +1588,7 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             if kind == "num":
                 return F.lit(tree[1])
             if kind == "field":
-                return _field_value_col(tree[1], df)
+                return _numeric_value_col(tree[1], df, ast.field_slots)
             _, op, l, r = tree
             lc, rc = _raw_col(l), _raw_col(r)
             return {"+": lc + rc, "-": lc - rc,
@@ -1660,9 +1670,11 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                                        tcol)
                 sel.append(F.col("f_float").alias(alias))
                 continue
-            col = _field_value_col(fld, df, ast.field_slots)
             if fn in _MATH_FNS:
-                col = _math_expr(fn, col, ast.fn_args.get(alias, []))
+                col = _math_expr(fn, _numeric_value_col(fld, df, ast.field_slots),
+                                 ast.fn_args.get(alias, []))
+            else:
+                col = _field_value_col(fld, df, ast.field_slots)
             sel.append(col.alias(alias))
         for tree, alias in ast.raw_arith:
             # per-row field arithmetic (SELECT value * 8 / 1024 ...) —
@@ -1878,6 +1890,20 @@ def _resolve_field_slots(df: DataFrame, names: set, force: bool = False) -> dict
     return {k: v for k, v in out.items() if v in df.columns}
 
 
+def _numeric_value_col(fld: str, df: DataFrame, slots: dict | None = None):
+    """Value column for NUMERIC consumption (math fns, arithmetic):
+    a non-numeric physical column (subquery-promoted string/bool)
+    reads NULL instead of crashing the ANSI cast at runtime (r11 —
+    stock computes nothing for them); slot-typed string/bool fields
+    already read NULL through f_float."""
+    if fld != "*" and fld in df.columns:
+        from pyspark.sql import types as _T
+
+        if not isinstance(df.schema[fld].dataType, _T.NumericType):
+            return F.lit(None).cast("double")
+    return _field_value_col(fld, df, slots)
+
+
 def _field_value_col(fld: str, df: DataFrame, slots: dict | None = None):
     """The value Column a named field reads: a physical column of that
     name (promoted / subquery alias), else the TYPED value slot
@@ -2006,15 +2032,22 @@ def _expand_star_aggs(ast, df: DataFrame, field_types) -> None:
 
 def _null_dispatched(fn, fld, df: DataFrame, slots: dict | None) -> bool:
     """True when this aggregate call reads the NULL dispatch column: a
-    numeric-only aggregate over a string/bool-typed field slot. Used by
-    :func:`_execute_aggregate` to short-circuit to stock's EMPTY series
-    when every selected aggregate is null-dispatched (r10 verdict #1:
-    ``SELECT mean(status) FROM m`` must answer with no series, not one
+    numeric-only aggregate over a string/bool-typed field slot, or over
+    a non-numeric PHYSICAL column (subquery-promoted string/bool —
+    r11: ``mean(status)`` over a subquery's string column was an ANSI
+    runtime cast crash). Used by :func:`_execute_aggregate` to
+    short-circuit to stock's EMPTY series when every selected
+    aggregate is null-dispatched (r10 verdict #1: ``SELECT
+    mean(status) FROM m`` must answer with no series, not one
     null-valued row)."""
     if fn is None or fn in _ANYTYPE_AGGS:
         return False
-    if fld == "*" or fld in df.columns:
+    if fld == "*":
         return False
+    if fld in df.columns:
+        from pyspark.sql import types as _T
+
+        return not isinstance(df.schema[fld].dataType, _T.NumericType)
     return (slots or {}).get(fld, "f_float") != "f_float"
 
 

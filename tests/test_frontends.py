@@ -2522,3 +2522,47 @@ def test_fill_linear_skips_non_numeric_aggregate_columns(mixed_pts):
     mts = [r["mt"] for r in out]
     assert mts[0] == 1.5 and mts[-1] == 3.5
     assert all(m is not None for m in mts)  # interior interpolated
+
+
+def test_numeric_ops_on_promoted_string_columns_never_crash(mixed_pts):
+    """r11: subqueries promote string/bool fields to PHYSICAL columns;
+    numeric consumption of those (aggregates, math fns, arithmetic,
+    transforms) crashed the ANSI cast at runtime or the lag arithmetic
+    at analysis. Stock computes nothing for them: aggregates
+    short-circuit to the empty result, transforms yield no rows, math
+    fns and arithmetic read NULL."""
+    # numeric-only aggregate over the promoted string column → empty
+    out = execute_influxql(
+        mixed_pts, "SELECT mean(status) FROM (SELECT status, temp FROM m)"
+    )
+    assert out.count() == 0
+    # mixed with a numeric sibling: statement stays alive, string null
+    row = execute_influxql(
+        mixed_pts,
+        "SELECT mean(status) AS ms, mean(temp) AS mt "
+        "FROM (SELECT status, temp FROM m)",
+    ).collect()[0]
+    assert row["ms"] is None and row["mt"] == 2.5
+    # type-generic aggregates answer on the promoted column
+    row = execute_influxql(
+        mixed_pts, "SELECT count(status) AS n FROM (SELECT status FROM m)"
+    ).collect()[0]
+    assert row["n"] == 3
+    # transforms of the promoted string column yield no rows
+    for fn in ("derivative(status)", "cumulative_sum(status)",
+               "moving_average(status, 2)"):
+        out = execute_influxql(
+            mixed_pts, f"SELECT {fn} FROM (SELECT status FROM m)"
+        )
+        assert out.count() == 0, fn
+    # math fns / arithmetic read NULL, never crash
+    rows = execute_influxql(
+        mixed_pts, "SELECT abs(status) AS a, status + 1 AS b "
+        "FROM (SELECT status FROM m)"
+    ).collect()
+    assert all(r["a"] is None and r["b"] is None for r in rows)
+    # numeric-only SELECTOR over the promoted column → empty
+    out = execute_influxql(
+        mixed_pts, "SELECT max(status), temp FROM (SELECT status, temp FROM m)"
+    )
+    assert out.count() == 0

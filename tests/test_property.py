@@ -987,8 +987,23 @@ _MIX_GROUP = st.sampled_from([
 ])
 
 
+_MIX_OUTER = st.sampled_from([
+    # outer selections over a subquery that promotes string/bool
+    # fields to PHYSICAL columns (r11: numeric consumption of those
+    # crashed the ANSI cast / lag arithmetic)
+    "mean(status)", "count(status)", "first(status)", "max(status)",
+    "abs(status)", "status + 1", "derivative(status)",
+    "cumulative_sum(status)", "moving_average(status, 2)",
+    "mean(status), mean(value)", "mean(*)", "value * 2", "last(value)",
+])
+
+
 @st.composite
 def _iql_mixed_query(draw):
+    if draw(st.integers(0, 4)) == 0:  # 1-in-5: subquery shape
+        outer = draw(_MIX_OUTER)
+        return (f"SELECT {outer} FROM "
+                "(SELECT status, flag, value FROM events)")
     sel = draw(_MIX_SEL)
     parts = [f"SELECT {sel} FROM events"]
     w = draw(_MIX_WHERE)
