@@ -832,6 +832,12 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             raw = t[3:-2] if t.startswith('r["') else t[2:]
             name = _colname(df, raw)
             if name in dtypes:
+                if name == "f_float":
+                    # r._value on a string/bool-typed frame means that
+                    # slot (r11: strings.toUpper(v: r._value) read
+                    # f_float and returned NULL; same r10 class as
+                    # the comparison binding)
+                    name = _value_slot_runtime(df, name)
                 return F.col(name), dtypes[name] == "string"
             # tags-map fallback: tag values are strings by model
             return _col(df, raw), True

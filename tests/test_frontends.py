@@ -2566,3 +2566,38 @@ def test_numeric_ops_on_promoted_string_columns_never_crash(mixed_pts):
         mixed_pts, "SELECT max(status), temp FROM (SELECT status, temp FROM m)"
     )
     assert out.count() == 0
+
+
+def test_flux_map_reads_live_value_slot(mixed_pts):
+    """r11 (same class as the r10 comparison binding): r._value inside
+    map()'s record function must read the frame's LIVE slot — string
+    functions and string concatenation over a string series previously
+    read f_float and returned NULL. Numeric frames keep the float
+    binding (plan untouched — the slot probe is gated on extra slots
+    existing)."""
+    out = execute_flux(
+        mixed_pts,
+        'import "strings"\n'
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with y: strings.toUpper(v: r._value), '
+        'z: r._value + "!"}))',
+    ).orderBy("time_ns").collect()
+    assert [r["y"] for r in out] == ["OK", "BAD", "OK"]
+    assert [r["z"] for r in out] == ["ok!", "bad!", "ok!"]
+
+    # conditional over the string slot composes
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with lvl: if r._value == "bad" then 1.0 '
+        "else 0.0}))",
+    ).orderBy("time_ns").collect()
+    assert [r["lvl"] for r in out] == [0.0, 1.0, 0.0]
+
+    # numeric series keep numeric map semantics
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> map(fn: (r) => ({r with y: r._value * 2.0}))",
+    ).orderBy("time_ns").collect()
+    assert [r["y"] for r in out] == [3.0, 5.0, 7.0]
