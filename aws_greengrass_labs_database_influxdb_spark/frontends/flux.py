@@ -546,6 +546,18 @@ def _location_value(expr: str) -> str:
 
 AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "skew"}
 
+#: stages whose INPUT must be numeric in stock Flux — over a
+#: string/bool series they raise the typed "unsupported input type"
+#: error instead of computing NULLs from the float slot (r11)
+_NUMERIC_INPUT_STAGES = {
+    "quantile", "integral", "histogram", "histogramQuantile",
+    "derivative", "difference", "increase", "cumulativeSum",
+    "movingAverage", "timedMovingAverage",
+    "exponentialMovingAverage", "doubleEMA", "tripleEMA",
+    "kaufmansAMA", "kaufmansER", "chandeMomentumOscillator",
+    "relativeStrengthIndex", "holtWinters",
+}
+
 _ARITH_TOKEN_RX = re.compile(
     r'r\.\w+|r\["[^"]+"\]'
     r"|\d+(?:ns|us|ms|mo|[smhdwy])\b"  # duration literal (before numbers)
@@ -1023,10 +1035,19 @@ def _reduce_stage(df: DataFrame, args: dict[str, str], pipe) -> DataFrame:
     if terms is not None:
         return _fold.linear_fold(df, by, terms)
 
-    # general sequential fold (applyInPandas)
+    # general sequential fold (applyInPandas). r._value resolves to
+    # the frame's LIVE slot (r11: a string-building reduce over a
+    # string series read f_float and crashed the Python fold with
+    # str+float); float-only frames keep the plan-time binding.
+    vslot = (_value_slot_runtime(df, "f_float")
+             if "f_float" in df.columns else "f_float")
+
+    def _resolve(n: str) -> str:
+        c = _colname(df, n)
+        return vslot if c == "f_float" else c
+
     steps = {
-        k: _fold.compile_scalar(updates.get(k, f"accumulator.{k}"),
-                                lambda n: _colname(df, n))
+        k: _fold.compile_scalar(updates.get(k, f"accumulator.{k}"), _resolve)
         for k in identity
     }
 
@@ -1034,12 +1055,13 @@ def _reduce_stage(df: DataFrame, args: dict[str, str], pipe) -> DataFrame:
         return {k: fn(row, acc) for k, fn in steps.items()}
 
     needed = by + sorted(
-        {c for c in df.columns if c in ("f_float", "time_ns", "ingest_seq")}
-        | {_colname(df, n[2:]) for src in updates.values()
-           for n in re.findall(r"r\.\w+", src) if _colname(df, n[2:]) in df.columns}
+        {c for c in df.columns
+         if c in (vslot, "f_float", "time_ns", "ingest_seq")}
+        | {_resolve(n[2:]) for src in updates.values()
+           for n in re.findall(r"r\.\w+", src) if _resolve(n[2:]) in df.columns}
         # compile_scalar also accepts r["..."] bracket field references
-        | {_colname(df, n) for src in updates.values()
-           for n in re.findall(r'r\["([^"]+)"\]', src) if _colname(df, n) in df.columns}
+        | {_resolve(n) for src in updates.values()
+           for n in re.findall(r'r\["([^"]+)"\]', src) if _resolve(n) in df.columns}
     )
     pruned = df.select(*dict.fromkeys(needed))
     return _fold.pandas_fold(
@@ -1767,6 +1789,13 @@ def _run_pipeline(
                 raise FluxError(f"{name}() requires a _time column")
         if name in _VALUE_STAGES and _colname(df, "_value") not in df.columns:
             raise FluxError(f"{name}() has no value column to transform")
+        if (name in _NUMERIC_INPUT_STAGES
+                and _colname(df, "_value") == "f_float"):
+            # numeric-input stages over a string/bool series are typed
+            # errors in stock Flux ("unsupported input type for
+            # derivative: string") — previously they computed NULLs
+            # from the float slot (r11, same class as the mean() fix)
+            _reject_non_numeric_agg(df, "f_float", name)
         if name == "range":
             # start: is required in Flux — a mis-spelled key must not
             # silently skip the time filter (r6 source-arg hardening)

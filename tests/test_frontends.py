@@ -2501,6 +2501,29 @@ def test_flux_numeric_agg_on_string_bool_is_typed_error(mixed_pts):
     ).collect()
     assert out[0]["mean"] == 2.5
 
+    # the numeric-input stage family rejects string series too (r11):
+    # quantile/derivative/increase/histogram/cumulativeSum/EMA/...
+    for stage in ("quantile(q: 0.5)", "derivative()", "increase()",
+                  "histogram(bins: [0.0, 1.0])", "cumulativeSum()",
+                  "movingAverage(n: 2)", "exponentialMovingAverage(n: 2)"):
+        with _pt.raises(FluxError) as e:
+            execute_flux(
+                mixed_pts,
+                'from(bucket:"b") |> filter(fn: (r) => r._field == '
+                f'"status") |> {stage}',
+            ).collect()
+        assert "unsupported input type" in str(e.value), stage
+
+    # ...while reduce() builds strings sequentially over the live slot
+    # (previously read f_float and crashed the Python fold, r11)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> reduce(fn: (r, accumulator) => "
+        '({acc: accumulator.acc + r._value}), identity: {acc: ""})',
+    ).collect()
+    assert out[0]["acc"] == "okbadok"  # time order
+
 
 def test_fill_linear_skips_non_numeric_aggregate_columns(mixed_pts):
     """r11 extended-fuzz escape: fill(linear)'s interpolation
