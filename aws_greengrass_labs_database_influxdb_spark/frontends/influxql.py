@@ -61,6 +61,10 @@ class InfluxQLError(ValueError):
 
 
 _DURATION_RX = re.compile(r"^(\d+)(ns|u|µ|ms|s|m|h|d|w)$")
+# field-position regex selections (`SELECT /val/`, `mean(/val/)`)
+# carry their pattern behind this marker through the (fn, fld, alias)
+# tuples — expanded like `*` restricted to matching keys (r11)
+_RE_FLD = "\x00re:"
 _AGGS = {
     "count": "count", "sum": "sum", "mean": "mean", "median": "median",
     "mode": "mode", "stddev": "stddev", "spread": "spread",
@@ -503,6 +507,14 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             # raw star projection: all tags + the field value
             out.fields.append((None, "*", _uniq(expr_alias or "value")))
             continue
+        rsel = re.match(r"^/(.+)/$", expr_src)
+        if rsel:
+            # regex selection: like * restricted to keys matching the
+            # pattern (stock matches field AND tag keys)
+            out.fields.append(
+                (None, _RE_FLD + rsel.group(1), _uniq(expr_alias or "value"))
+            )
+            continue
         tree = _parse_select_arith(expr_src)
         if tree is not None and tree[0] == "bin":
             kinds = _tree_atom_kinds(tree)
@@ -527,6 +539,25 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             out.fields.append(("count_distinct", cd.group(1),
                                _uniq(cd.group(2) or "count")))
             continue
+        # fn(/re/): the regex literal may itself contain parens
+        # (mean(/^(a|b)/)), which the generic fm regex below cannot
+        # bracket-match — recognize the regex-argument call first (r11)
+        fr = re.match(
+            r"(?i)^(\w+)\s*\(\s*/(.+)/\s*(?:,\s*([^)]*))?\)"
+            r'(?:\s+AS\s+"?(\w+)"?)?$',
+            part,
+        )
+        if fr:
+            fn = fr.group(1).lower()
+            if (fn not in _AGGS and fn not in _SELECTORS
+                    and fn not in _ARG_AGGS and fn not in _MULTI_ROW):
+                raise InfluxQLError(f"unsupported function {fn!r}")
+            alias = _uniq(fr.group(4) or fn)
+            out.fields.append((fn, _RE_FLD + fr.group(2), alias))
+            if fr.group(3):
+                out.fn_args[alias] = [a.strip().strip('"')
+                                      for a in fr.group(3).split(",")]
+            continue
         fm = re.match(r"(?i)^(\w+)\s*\(\s*([^)]*)\s*\)(?:\s+AS\s+\"?(\w+)\"?)?$", part)
         if fm:
             fn = fm.group(1).lower()
@@ -538,7 +569,13 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
             if not args:
                 raise InfluxQLError(f"{fn} needs a field argument")
             alias = _uniq(fm.group(3) or fn)
-            out.fields.append((fn, args[0], alias))
+            fld0 = args[0]
+            rm0 = re.match(r"^/(.+)/$", fld0)
+            if rm0:
+                # agg(/re/): per-field expansion over matching keys,
+                # like agg(*) (stock regex field selection)
+                fld0 = _RE_FLD + rm0.group(1)
+            out.fields.append((fn, fld0, alias))
             if len(args) > 1:
                 out.fn_args[alias] = args[1:]
         else:
@@ -1235,7 +1272,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         _tree_ref_walk(_tree)
     for _tree, _a in ast.raw_arith:
         _tree_ref_walk(_tree)
-    refs = {r for r in refs if r and r != "*" and r not in df.columns}
+    refs = {r for r in refs if r and r != "*" and r not in df.columns
+            and not r.startswith(_RE_FLD)}
     if field_types is not None:
         # catalog-driven: zero Spark jobs. Only the QUERIED
         # measurements' maps apply (a field name may type differently
@@ -1527,7 +1565,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         slot_fields: set = set()
         for fn, fld, alias in ast.fields:
-            if fld != "*" and fld not in df.columns:
+            if (fld != "*" and not fld.startswith(_RE_FLD)
+                    and fld not in df.columns):
                 slot_fields.add(fld)
         for tree, _alias in ast.raw_arith:
             slot_fields = {
@@ -1596,21 +1635,29 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
-            if fld == "*" and fn is None:
+            if (fld == "*" or fld.startswith(_RE_FLD)) and fn is None:
                 # SELECT *: every tag rides along with the field value
                 # (InfluxDB 1.x star semantics) — promoted columns
                 # directly, tags-map keys materialized (r8; previously
                 # the map variant leaked storage columns instead).
                 # SELECT *::field (r11): fields only — tags stay off
                 # the row, matching stock's namespace-restricted star.
+                # SELECT /re/ (r11): star restricted to keys matching
+                # the pattern — stock matches field AND tag keys.
+                rx = fld[len(_RE_FLD):] if fld.startswith(_RE_FLD) else None
+
+                def _key_ok(k: str) -> bool:
+                    return rx is None or re.search(rx, k) is not None
+
                 if not ast.star_fields_only:
                     for t in df.columns:
                         if (t not in _NON_TAG_COLS and not t.startswith("_")
-                                and t not in by):
+                                and t not in by and _key_ok(t)):
                             sel.append(F.col(t))
                     if "tags" in df.columns:
                         for t in _map_tag_keys(df):
-                            if t not in df.columns and t not in by:
+                            if (t not in df.columns and t not in by
+                                    and _key_ok(t)):
                                 sel.append(F.col("tags")[t].alias(t))
                 if "field" in df.columns:
                     # stock star shape: one column per FIELD KEY per
@@ -1635,11 +1682,17 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                         ]
                     fmap: dict = {}
                     for r in pairs:
+                        if not _key_ok(r[0]):
+                            continue
                         s = _SLOT_OF_FTYPE.get(r[1], "f_float")
                         if s not in df.columns:
                             s = "f_float"
                         if r[0] not in fmap or s == "f_float":
                             fmap[r[0]] = s
+                    if not fmap:
+                        # regex matched no FIELD key (tags-only or
+                        # nothing): stock answers with no series
+                        return df.select(*sel).limit(0)
                     row_ident = df.select(*sel).columns
                     slot_cols = [c for c in ("f_float", "f_str", "f_bool")
                                  if c in df.columns]
@@ -1987,23 +2040,32 @@ def _expand_star_aggs(ast, df: DataFrame, field_types) -> None:
     fields only for the rest; r11 — previously * read the raw float
     slot across all of a multi-field measurement's interleaved rows).
     Expansion happens once at query entry so every downstream path
-    (aggregate, selector-row, nested) sees ordinary named fields."""
-    if not any(fld == "*" and fn is not None and fn not in _MATH_FNS
+    (aggregate, selector-row, nested) sees ordinary named fields.
+    Regex selections (``mean(/val/)``, marked ``_RE_FLD``) expand the
+    same way over the matching field keys (r11)."""
+
+    def _is_star(fld: str) -> bool:
+        return fld == "*" or fld.startswith(_RE_FLD)
+
+    if not any(_is_star(fld) and fn is not None and fn not in _MATH_FNS
                for fn, fld, _a in ast.fields):
         return
     fmap = _star_field_map(df, ast, field_types)
     new_fields = []
     for fn, fld, alias in ast.fields:
-        if fld != "*" or fn is None or fn in _MATH_FNS:
+        if not _is_star(fld) or fn is None or fn in _MATH_FNS:
             new_fields.append((fn, fld, alias))
             continue
         if fn in _MULTI_ROW:
             raise InfluxQLError(f"expected field argument in {fn}()")
+        rx = fld[len(_RE_FLD):] if fld.startswith(_RE_FLD) else None
         if fn in _ANYTYPE_AGGS:
             eligible = sorted(fmap)
         else:
             eligible = sorted(f for f, t in fmap.items()
                               if t in _NUMERIC_FTYPES)
+        if rx is not None:
+            eligible = [f for f in eligible if re.search(rx, f)]
         args = ast.fn_args.pop(alias, None)
         if not eligible:
             # no eligible field → stock answers with no series: keep a

@@ -2338,3 +2338,41 @@ def dt_iso(ns: int) -> str:
     return _dt.datetime.fromtimestamp(
         ns / 1e9, _dt.timezone.utc
     ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def test_v1_regex_field_selection(served):
+    """Stock regex field selection (r11): `SELECT /re/` expands like *
+    restricted to matching FIELD and TAG keys; `agg(/re/)` expands
+    per matching field like agg(*); a regex matching no field answers
+    with no series."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    t0 = T0 + 72_000_000_000_000
+    lines = "\n".join(
+        f"rgx,host=r{i % 2} water_level={i}.5,level_desc=\"d{i % 2}\","
+        f"battery={i * 2}.0 {t0 + i * 60_000_000_000}"
+        for i in range(4)
+    )
+    _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+         token=tokens["RW"], body=lines, ctype="text/plain")
+
+    def v1(q):
+        _, body = _req(base, f"/query?db=greengrass-telemetry&q="
+                       f"{up.quote(q)}", token=tokens["RO"])
+        return json.loads(body)["results"][0]
+
+    # raw regex star: matching fields + matching tags, sorted
+    s = v1("SELECT /level/ FROM rgx")["series"][0]
+    assert s["columns"] == ["time", "level_desc", "water_level"]
+    assert len(s["values"]) == 4
+
+    # agg(/re/) expands per matching numeric field
+    s = v1("SELECT mean(/^(water|batt)/) FROM rgx")["series"][0]
+    assert s["columns"] == ["time", "mean_battery", "mean_water_level"]
+    assert s["values"][0][1:] == [3.0, 2.0]
+
+    # regex matching only a tag key (host) → no series
+    assert v1("SELECT /host/ FROM rgx") == {"statement_id": 0}
+    # regex matching nothing → no series
+    assert v1("SELECT mean(/nope/) FROM rgx") == {"statement_id": 0}

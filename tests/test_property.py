@@ -969,6 +969,10 @@ _MIX_SEL = st.sampled_from([
     "status", "flag", "status, value", "*", "*::field",
     # selector + companion over mixed types
     "last(value), status", "max(value), flag", "first(status), value",
+    # regex field selections (r11): star-like expansion over matching
+    # keys; tags-only / no-match regexes answer empty
+    "/val/", "/val|stat/", "/event/", "/zzz/",
+    "mean(/val/)", "count(/./)", "mean(/zzz/)", "first(/stat/)",
 ])
 _MIX_WHERE = st.sampled_from([
     "", "WHERE time >= '2024-01-01' AND time < '2024-01-20'",
