@@ -253,6 +253,21 @@ def _value_slot_runtime(df: DataFrame, col: str) -> str:
     return col
 
 
+def _slot_of_sparktype(dtype) -> tuple[str, str]:
+    """Which value slot (and ftype tag) a compiled map() expression's
+    Spark type lands in: the engine folds all numerics into the double
+    ``f_float`` slot (schema.unify_numeric_value's documented
+    divergence — int surfaces as float downstream), strings into
+    ``f_str``, booleans into ``f_bool``."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StringType):
+        return "f_str", "string"
+    if isinstance(dtype, T.BooleanType):
+        return "f_bool", "bool"
+    return "f_float", "float"
+
+
 def _reject_non_numeric_agg(df: DataFrame, col: str, fn: str) -> None:
     """Stock Flux rejects numeric-only aggregates over string/bool
     series with a typed runtime error. Resolves the live slot via the
@@ -1900,10 +1915,16 @@ def _run_pipeline(
                 )
             else:
                 vcol = _colname(df, _lit(args.get("column", '"_value"')))
-                if fnarg in ("first", "last", "count", "mode"):
+                if fnarg in ("first", "last", "count", "mode",
+                             "min", "max"):
                     # type-generic window fns read the live slot (r10:
                     # aggregateWindow(fn: last) on a string field
-                    # returned NULLs)
+                    # returned NULLs). min/max are SELECTORS — stock
+                    # Flux compares any orderable type inside
+                    # aggregateWindow exactly as bare min()/max() do
+                    # (r11 ADVICE: routing them through the numeric
+                    # reject made the windowed and bare paths
+                    # inconsistent)
                     vcol = _value_slot_runtime(df, vcol)
                 else:
                     # numeric window fns over string/bool series are a
@@ -2231,10 +2252,39 @@ def _run_pipeline(
             # all field expressions see the ORIGINAL record r (Flux
             # record-extension semantics), hence one withColumns call
             updates: dict[str, Column] = {}
+            retype_ftype = None
             for k, expr_src in _split_args(inner).items():
                 target = _colname(df, k)
-                updates[target if target in df.columns else k] = _parse_map_value(df, expr_src)
+                expr_col = _parse_map_value(df, expr_src)
+                if target == "f_float" and "ftype" in df.columns:
+                    # `_value` assignment on a slot-typed frame: land
+                    # in the LIVE slot — the r11 fix bound _value READS
+                    # only, so writes fell into the dead f_float slot
+                    # on string/bool series and serialized as a silent
+                    # no-op (r11 verdict #1). When the compiled
+                    # expression retypes the series (stock map may
+                    # rewrite #datatype: string→float, float→string,
+                    # ...), move the value to the matching slot and
+                    # sync the ftype discriminator the serializer
+                    # dispatches on. The schema probe is plan-time
+                    # analysis only — no Spark job.
+                    live = _value_slot_runtime(df, target)
+                    dtype = df.select(expr_col.alias("_t")).schema[0].dataType
+                    dest, ft = _slot_of_sparktype(dtype)
+                    updates[dest] = (expr_col.cast("double")
+                                     if dest == "f_float" else expr_col)
+                    if dest != live:
+                        if live in df.columns:
+                            updates.setdefault(
+                                live,
+                                F.lit(None).cast(dict(df.dtypes)[live]),
+                            )
+                        retype_ftype = ft
+                    continue
+                updates[target if target in df.columns else k] = expr_col
             out = df.withColumns(updates)
+            if retype_ftype is not None and "ftype" in out.columns:
+                out = out.withColumn("ftype", F.lit(retype_ftype))
             # a rewritten _time must carry its engine twin: stale
             # time_ns would silently window/sort on the OLD times (r8)
             if "time" in updates and "time_ns" in out.columns:

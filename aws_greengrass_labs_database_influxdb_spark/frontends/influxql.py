@@ -295,6 +295,44 @@ def _search_outside_quotes(pattern: str, text: str):
     return re.search(pattern, masked)
 
 
+#: a /regex/ literal where the grammar allows one — after =~ / !~,
+#: FROM, an opening paren (fn(/re/)), a comma, or SELECT. Anchoring on
+#: the preceding token keeps division expressions (`a / 2 ... b / 3`)
+#: from being mistaken for a regex span.
+_REGEX_LIT_SPAN_RX = re.compile(
+    r"(?:=~|!~|\bFROM\b|\(|,|\bSELECT\b)\s*/(?:\\.|[^/\\])+/",
+    re.I | re.S,
+)
+
+#: select-list marker for `*::tag` (replaced before the namespace
+#: strip so it survives parsing; expanded to all tag keys at execution)
+_STARTAG = "__startag__"
+
+
+def _mask_quotes_and_regex(text: str) -> str:
+    masked = _QUOTED_SPAN_RX.sub(lambda m: " " * len(m.group(0)), text)
+    return _REGEX_LIT_SPAN_RX.sub(lambda m: " " * len(m.group(0)), masked)
+
+
+def _sub_outside_quotes_and_regex(pattern: str, repl: str, text: str) -> str:
+    """``re.sub`` skipping quoted spans AND /regex/ literals — the
+    namespace strip was corrupting a regex field selection whose
+    pattern literally contains ``::field``/``::tag`` (r11 ADVICE).
+    ``repl`` must be a plain string (no group refs)."""
+    masked = _mask_quotes_and_regex(text)
+    out, last = [], 0
+    for m in re.finditer(pattern, masked):
+        out.append(text[last:m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _search_outside_quotes_and_regex(pattern: str, text: str):
+    return re.search(pattern, _mask_quotes_and_regex(text))
+
+
 def _parse_where(where: str, out: InfluxQLQuery, now_ns: int | None = None) -> None:
     """Parse a WHERE clause (time bounds, tag =/!=/=~/!~, field
     comparisons, parenthesized OR groups) into ``out`` — shared by
@@ -426,14 +464,20 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
     # pivots only fields; a bare `*::tag` select has no field to
     # return — stock rejects it ("statement must have at least one
     # field in select clause")
-    star_fields_only = bool(_search_outside_quotes(r"\*\s*::field\b", text))
-    star_tag = _search_outside_quotes(r"\*\s*::tag\b", text)
-    if star_tag and re.match(r"(?is)^\s*SELECT\s+\*\s*::tag\s+FROM\b", text):
-        raise InfluxQLError(
-            "statement must have at least one field in select clause"
-        )
-    text = _sub_outside_quotes(r"::(?:field|tag)\b", "", text)
-    bad_cast = _search_outside_quotes(r"::(\w+)", text)
+    star_fields_only = bool(
+        _search_outside_quotes_and_regex(r"\*\s*::field\b", text)
+    )
+    # `*::tag` expands to ALL tag keys as selected columns — replaced
+    # with a marker BEFORE the namespace strip (r11 ADVICE: the old
+    # whole-query strip silently turned `SELECT *::tag, v` into a raw
+    # `*`, fields AND tags; only the exact bare spelling was caught).
+    # A select of ONLY `*::tag` has no field — stock's typed error,
+    # checked after the select list is parsed. Both rewrites skip
+    # /regex/ literals so a pattern containing `::field`/`::tag`
+    # survives intact.
+    text = _sub_outside_quotes_and_regex(r"\*\s*::tag\b", _STARTAG, text)
+    text = _sub_outside_quotes_and_regex(r"::(?:field|tag)\b", "", text)
+    bad_cast = _search_outside_quotes_and_regex(r"::(\w+)", text)
     if bad_cast:
         raise InfluxQLError(
             f"type cast ::{bad_cast.group(1)} is not supported "
@@ -506,6 +550,11 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         if expr_src == "*":
             # raw star projection: all tags + the field value
             out.fields.append((None, "*", _uniq(expr_alias or "value")))
+            continue
+        if expr_src == _STARTAG:
+            # `*::tag`: all tag keys ride along as columns, expanded
+            # against the frame at execution
+            out.fields.append((None, _STARTAG, _uniq(expr_alias or "value")))
             continue
         rsel = re.match(r"^/(.+)/$", expr_src)
         if rsel:
@@ -584,6 +633,19 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
                 raise InfluxQLError(f"bad select expression {part!r}")
             out.fields.append((None, cm.group(1),
                                _uniq(cm.group(2) or cm.group(1))))
+
+    if any(f[1] == _STARTAG for f in out.fields):
+        # stock: a statement whose select list yields no field errors;
+        # tag-star mixed with aggregates is unsupported there too
+        if any(f[0] is not None for f in out.fields):
+            raise InfluxQLError(
+                "cannot mix *::tag with aggregate functions"
+            )
+        if not ([f for f in out.fields if f[1] != _STARTAG]
+                or out.arith or out.raw_arith or out.nested):
+            raise InfluxQLError(
+                "statement must have at least one field in select clause"
+            )
 
     _parse_where(m.group("where") or "", out, now_ns)
 
@@ -1088,6 +1150,15 @@ def _execute_multi_row(
     ungrouped)."""
     fn, fld, alias = sel
     by = list(ast.group_tags)
+    if fn in ("top", "bottom") and _null_dispatched(
+        fn, fld, df, ast.field_slots
+    ):
+        # stock TOP/BOTTOM support int64/float64 only: over a string
+        # or bool field the statement answers with NO series, never
+        # lexicographic rows (r11 verdict #2 — the MIN/MAX/PERCENTILE
+        # short-circuit never reached this branch). Covers the
+        # TOP(field, tag_key..., N) variant too.
+        df = df.limit(0)
     # TOP/BOTTOM/SAMPLE may carry companion FIELDS too (r10):
     # SELECT TOP(value, 3), status — same per-point stitch as the
     # selector-row path
@@ -1565,7 +1636,8 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         slot_fields: set = set()
         for fn, fld, alias in ast.fields:
-            if (fld != "*" and not fld.startswith(_RE_FLD)
+            if (fld != "*" and fld != _STARTAG
+                    and not fld.startswith(_RE_FLD)
                     and fld not in df.columns):
                 slot_fields.add(fld)
         for tree, _alias in ast.raw_arith:
@@ -1635,6 +1707,20 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
 
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
+            if fld == _STARTAG and fn is None:
+                # `*::tag`: every tag key as a column (promoted columns
+                # directly, tags-map keys materialized) — the TAG half
+                # of the `*` branch below, with no field pivot. Field
+                # columns the multi-field pivot promoted are NOT tags.
+                for t in df.columns:
+                    if (t not in _NON_TAG_COLS and not t.startswith("_")
+                            and t not in by and t not in slot_fields):
+                        sel.append(F.col(t))
+                if "tags" in df.columns:
+                    for t in _map_tag_keys(df):
+                        if t not in df.columns and t not in by:
+                            sel.append(F.col("tags")[t].alias(t))
+                continue
             if (fld == "*" or fld.startswith(_RE_FLD)) and fn is None:
                 # SELECT *: every tag rides along with the field value
                 # (InfluxDB 1.x star semantics) — promoted columns
@@ -2014,13 +2100,25 @@ def _star_field_map(df: DataFrame, ast, field_types) -> dict:
     if "field" not in df.columns:
         from pyspark.sql import types as _T
 
-        return {
-            f.name: "float" for f in df.schema.fields
-            if f.name not in ("time", "time_ns", "measurement", "tags",
-                              "ingest_seq")
-            and not f.name.startswith("_")
-            and isinstance(f.dataType, _T.NumericType)
-        }
+        # subquery pseudo-frame: promoted physical columns ARE the
+        # field set — including string/bool ones with their actual
+        # ftype (r11 ADVICE: count(*)/first(*)/last(*) over a subquery
+        # omitted promoted non-numeric columns; the _ANYTYPE_AGGS /
+        # numeric-only split downstream filters eligibility per fn)
+        out = {}
+        for f in df.schema.fields:
+            if (f.name in ("time", "time_ns", "measurement", "tags",
+                           "ingest_seq") or f.name.startswith("_")
+                    or f.name in ast.group_tags):
+                # a column the outer query groups by is a TAG here
+                continue
+            if isinstance(f.dataType, _T.NumericType):
+                out[f.name] = "float"
+            elif isinstance(f.dataType, _T.StringType):
+                out[f.name] = "string"
+            elif isinstance(f.dataType, _T.BooleanType):
+                out[f.name] = "bool"
+        return out
     if "ftype" in df.columns:
         rows = df.select("field", "ftype").distinct().collect()
     else:

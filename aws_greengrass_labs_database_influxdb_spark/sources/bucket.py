@@ -191,7 +191,24 @@ class BucketStore:
         persisted for the write's duration so the distinct job and the
         append both read the cache instead of re-executing the
         upstream pipeline (the r10 verdict's 2-3× write-cost finding).
+
+        ``known_types`` COMPLETENESS CONTRACT (r11 ADVICE): the caller
+        promises the set covers EVERY (measurement, field, ftype)
+        triple present in ``points`` — an uncovered triple lands
+        un-pinned and un-conflict-checked. Both producers satisfy it
+        by construction: HTTP writes pass the driver-parsed triples of
+        the exact lines written; INTO/CQ derive them from the result
+        schema that also generates the rows (sources/io.py keeps the
+        two in one helper). A schema-derived triple whose rows are all
+        null still pins — harmless, because INTO fields are always
+        float-typed so the pin is type-correct even when zero rows
+        land; checking non-nullness driver-side would cost the very
+        count job this path removes. Set
+        ``SPARK_GRAFT_VERIFY_KNOWN_TYPES=1`` to assert the contract
+        (debug runs only: it re-adds the distinct job).
         """
+        import os
+
         from pyspark import StorageLevel
 
         df = points
@@ -200,6 +217,17 @@ class BucketStore:
         if "ftype" in df.columns:
             if known_types is not None:
                 new = sorted(set(known_types))
+                if os.environ.get("SPARK_GRAFT_VERIFY_KNOWN_TYPES"):
+                    actual = {
+                        (r[0], r[1], r[2])
+                        for r in df.select("measurement", "field", "ftype")
+                        .distinct().collect()
+                    }
+                    missing = actual - set(new)
+                    if missing:
+                        raise AssertionError(
+                            f"known_types incomplete: {sorted(missing)}"
+                        )
             else:
                 cached = df.persist(StorageLevel.MEMORY_AND_DISK)
                 df = cached

@@ -2624,3 +2624,202 @@ def test_flux_map_reads_live_value_slot(mixed_pts):
         "|> map(fn: (r) => ({r with y: r._value * 2.0}))",
     ).orderBy("time_ns").collect()
     assert [r["y"] for r in out] == [3.0, 5.0, 7.0]
+
+
+def test_flux_map_writes_live_value_slot(mixed_pts):
+    """r11 verdict #1: map() assignment TO _value must land in the
+    frame's LIVE slot — previously the write target resolved to
+    f_float unconditionally, so rewriting a string/bool series was a
+    silent no-op (the new value sat in the dead float slot while the
+    serializer kept reading the untouched live slot)."""
+    # string series rewritten in place (same type)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with _value: r._value + "!"}))',
+    ).orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["ok!", "bad!", "ok!"]
+    assert all(r["ftype"] == "string" for r in out)
+
+    # float series keep the in-place float write (behavior unchanged)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> map(fn: (r) => ({r with _value: r._value * 2.0}))",
+    ).orderBy("time_ns").collect()
+    assert [r["f_float"] for r in out] == [3.0, 5.0, 7.0]
+    assert all(r["ftype"] == "float" for r in out)
+
+
+def test_flux_map_value_write_retypes_series(mixed_pts):
+    """Stock map() may RETYPE a series (#datatype changes): the value
+    must move to the matching slot, the old slot nulls out, and the
+    ftype discriminator (which the serializer dispatches on) follows."""
+    # string → float
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with _value: if r._value == "bad" '
+        "then 1.0 else 0.0}))",
+    ).orderBy("time_ns").collect()
+    assert [r["f_float"] for r in out] == [0.0, 1.0, 0.0]
+    assert all(r["f_str"] is None for r in out)
+    assert all(r["ftype"] == "float" for r in out)
+
+    # float → string (explicit conversion fn)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> map(fn: (r) => ({r with _value: string(v: r._value)}))",
+    ).orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["1.5", "2.5", "3.5"]
+    assert all(r["f_float"] is None for r in out)
+    assert all(r["ftype"] == "string" for r in out)
+
+    # bool → float
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> map(fn: (r) => ({r with _value: if r._value == true "
+        "then 1.0 else 0.0}))",
+    ).orderBy("time_ns").collect()
+    assert [r["f_float"] for r in out] == [1.0, 0.0, 1.0]
+    assert all(r["f_bool"] is None for r in out)
+    assert all(r["ftype"] == "float" for r in out)
+
+
+def test_flux_map_retype_composes_with_aggregate_window(mixed_pts):
+    """r11 verdict #7 probe: a map that retypes a string series to
+    float feeding aggregateWindow(mean) — the window fn re-resolves
+    the live slot, which must now be f_float with ftype synced."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+        '|> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with _value: if r._value == "bad" '
+        "then 1.0 else 0.0})) "
+        "|> aggregateWindow(every: 1h, fn: mean, createEmpty: false)",
+    ).orderBy("time_ns").collect()
+    assert len(out) == 1
+    assert out[0]["f_float"] == pytest.approx(1.0 / 3.0)
+
+    # the reverse: a numeric-only aggregate over a float→string retype
+    # must raise stock's typed error
+    with pytest.raises(FluxError, match="unsupported input type"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+            '|> filter(fn: (r) => r._field == "temp") '
+            "|> map(fn: (r) => ({r with _value: string(v: r._value)})) "
+            "|> mean()",
+        ).collect()
+
+
+def test_flux_aggregate_window_min_max_selects_any_orderable(mixed_pts):
+    """r11 ADVICE-medium: min/max are SELECTORS — stock Flux compares
+    any orderable type inside aggregateWindow exactly as bare
+    min()/max() do. Routing them through the numeric reject made the
+    windowed and bare paths inconsistent (aggregateWindow(fn: max)
+    over a string series raised; bare max() selected)."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+        '|> filter(fn: (r) => r._field == "status") '
+        "|> aggregateWindow(every: 1h, fn: max, createEmpty: false)",
+    ).collect()
+    assert len(out) == 1 and out[0]["f_float"] == "ok"  # max("ok","bad")
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+        '|> filter(fn: (r) => r._field == "ok") '
+        "|> aggregateWindow(every: 1h, fn: min, createEmpty: false)",
+    ).collect()
+    assert len(out) == 1 and out[0]["f_float"] is False  # false < true
+    # numeric window aggregates over string series still raise typed
+    with pytest.raises(FluxError, match="unsupported input type"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+            '|> filter(fn: (r) => r._field == "status") '
+            "|> aggregateWindow(every: 1h, fn: mean)",
+        ).collect()
+
+
+def test_influxql_star_tag_per_item_and_regex_cast_survival(spark):
+    """r11 ADVICE: `*::tag` was only rejected in the exact bare
+    spelling — anywhere else the whole-query namespace strip silently
+    turned it into a raw `*` (fields AND tags); and the strip could
+    corrupt a /regex/ selection whose pattern contains `::field`.
+    Now: `*::tag, field` expands to all tag keys + the field, bare
+    `*::tag` keeps stock's typed error, aggregate mixing is rejected,
+    and regex literals survive the strip untouched."""
+    import pyspark.sql.types as T
+
+    rows = []
+    for i in range(4):
+        ns = (1000 + i) * 1_000_000_000
+        rows.append(dict(
+            measurement="m", time_ns=ns,
+            tags={"host": f"h{i % 2}", "dc": "east"}, ingest_seq=i,
+            field="v", ftype="float", f_float=float(i),
+            f_str=None, f_bool=None))
+    schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("time_ns", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ingest_seq", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("ftype", T.StringType()),
+        T.StructField("f_float", T.DoubleType()),
+        T.StructField("f_str", T.StringType()),
+        T.StructField("f_bool", T.BooleanType()),
+    ])
+    pts = spark.createDataFrame(rows, schema).withColumn(
+        "time", F.timestamp_micros(F.expr("time_ns div 1000")))
+
+    out = execute_influxql(pts, "SELECT *::tag, v FROM m")
+    assert out.columns == ["time", "dc", "host", "v"]
+    r0 = out.orderBy("time").collect()[0]
+    assert (r0["dc"], r0["host"], r0["v"]) == ("east", "h0", 0.0)
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends.influxql import InfluxQLError
+    with pytest.raises(InfluxQLError, match="at least one field"):
+        execute_influxql(pts, "SELECT *::tag FROM m")
+    with pytest.raises(InfluxQLError, match="cannot mix"):
+        execute_influxql(pts, "SELECT mean(v), *::tag FROM m")
+
+    # a regex selection whose PATTERN contains ::field must not be
+    # corrupted by the namespace strip (matches nothing here — the
+    # field key is plain `v` — but parses and runs)
+    out = execute_influxql(pts, "SELECT /v::field/ FROM m")
+    assert out.count() == 0
+    # ordinary regex selection and ::field casts still work
+    assert execute_influxql(pts, "SELECT /^v$/ FROM m").count() == 4
+    assert execute_influxql(pts, 'SELECT "v"::field FROM m').count() == 4
+
+
+def test_star_aggs_over_subquery_include_promoted_string_bool(mixed_pts):
+    """r11 ADVICE: the subquery field map exposed only NUMERIC
+    physical columns, so count(*)/first(*)/last(*) over a subquery
+    omitted its promoted string/bool columns. Any-type aggregates now
+    cover them; numeric-only star expansion still restricts to
+    numeric columns."""
+    out = execute_influxql(
+        mixed_pts, "SELECT count(*) FROM (SELECT status, temp FROM m)"
+    )
+    assert sorted(out.columns) == ["count_status", "count_temp"]
+    row = out.collect()[0]
+    assert row["count_status"] == 3 and row["count_temp"] == 3
+
+    out = execute_influxql(
+        mixed_pts, "SELECT first(*) FROM (SELECT status, ok FROM m)"
+    )
+    row = out.collect()[0]
+    assert row["first_status"] == "ok" and row["first_ok"] is True
+
+    # numeric-only star still excludes the promoted string column
+    out = execute_influxql(
+        mixed_pts, "SELECT mean(*) FROM (SELECT status, temp FROM m)"
+    )
+    assert out.columns == ["mean_temp"]
+    assert out.collect()[0]["mean_temp"] == 2.5

@@ -1531,6 +1531,48 @@ def test_flux_string_bool_fields_reach_value(served):
     assert tids == {"0", "1", "2"}
 
 
+def test_flux_map_value_write_on_string_series_wire(served):
+    """r11 verdict #1, pinned at the wire: map() assigning TO _value on
+    a string series must rewrite the serialized values (previously a
+    silent no-op — the write landed in the dead f_float slot), and a
+    map that RETYPES the series must flip the #datatype annotation."""
+    base, _, tokens = served
+    t0 = T0 + 50_000_000_000_000
+    lines = "\n".join([
+        f'mapwr,host=h1 state="up" {t0}',
+        f'mapwr,host=h1 state="down" {t0 + 60_000_000_000}',
+    ])
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+    head = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-04T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "mapwr")'
+    )
+    # in-place string rewrite
+    flux = head + ' |> map(fn: (r) => ({r with _value: r._value + "!"}))'
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+    assert status == 200
+    assert ",up!," in body and ",down!," in body
+    assert ",up," not in body.replace(",up!,", "") \
+        and ",down," not in body.replace(",down!,", "")
+
+    # retype string → float: value moves slot, #datatype flips
+    flux = head + (' |> map(fn: (r) => ({r with _value: '
+                   'if r._value == "up" then 1.0 else 0.0}))')
+    status, body = _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+    assert status == 200
+    dtypes = [ln for ln in body.splitlines() if ln.startswith("#datatype")]
+    assert len(dtypes) == 1 and dtypes[0].split(",")[5] == "double"
+    vals = sorted(ln.split(",")[5] for ln in body.splitlines()
+                  if ln.startswith(",,"))
+    assert vals == ["0.0", "1.0"]
+
+
 def test_flux_drop_materialized_tag_merges_series(served):
     """r9 ADVICE-medium fix: when a tag was materialized as a real
     column by an earlier stage (sort on the tag), drop() must ALSO
@@ -2207,6 +2249,60 @@ def test_v1_numeric_agg_of_string_bool_field_is_empty_series(served):
     res = q("SELECT mean(phase) AS mp, mean(v) AS mv FROM nulldisp")
     row = dict(zip(res["series"][0]["columns"], res["series"][0]["values"][0]))
     assert row["mv"] == 2.5 and row["mp"] is None
+
+
+def test_v1_top_bottom_of_string_bool_field_is_empty_series(served):
+    """r11 verdict #2, pinned at the wire: stock TOP()/BOTTOM() support
+    int64/float64 fields only — over a string or bool field the
+    statement answers `{"statement_id": 0}` with NO series (never
+    lexicographic rows). Covers bare, GROUP BY tag, GROUP BY time, and
+    the TOP(field, tag_key, N) variant; numeric fields and the
+    any-type SAMPLE keep answering."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    lines = "\n".join(
+        f"tbmix,host=h{i % 2} v={i}.0,phase=\"p{i % 3}\","
+        f"ok={'true' if i % 2 == 0 else 'false'} {T0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    def q(stmt):
+        _, body = _req(
+            base,
+            f"/query?db=greengrass-telemetry&q={up.quote(stmt)}&epoch=ns",
+            token=tokens["RO"])
+        doc = json.loads(body)
+        assert "error" not in doc["results"][0], doc
+        return doc["results"][0]
+
+    empty_stmts = [
+        "SELECT top(phase, 2) FROM tbmix",
+        "SELECT bottom(ok, 2) FROM tbmix",
+        "SELECT top(phase, 2) FROM tbmix GROUP BY host",
+        "SELECT bottom(phase, 2) FROM tbmix WHERE time >= '2024-01-01' "
+        "AND time < '2024-01-01T01:00:00Z' GROUP BY time(10m)",
+        "SELECT top(phase, host, 2) FROM tbmix",
+        "SELECT top(ok, 3), v FROM tbmix",  # with companion field
+    ]
+    for stmt in empty_stmts:
+        res = q(stmt)
+        assert res == {"statement_id": 0}, (stmt, res)
+
+    # numeric TOP/BOTTOM and any-type SAMPLE keep answering
+    res = q("SELECT top(v, 2) FROM tbmix")
+    vals = sorted(r[1] for r in res["series"][0]["values"])
+    assert vals == [4.0, 5.0]
+    res = q("SELECT bottom(v, 2) FROM tbmix")
+    vals = sorted(r[1] for r in res["series"][0]["values"])
+    assert vals == [0.0, 1.0]
+    res = q("SELECT sample(phase, 3) FROM tbmix")
+    assert len(res["series"][0]["values"]) == 3
+    assert all(str(r[1]).startswith("p") for r in res["series"][0]["values"])
 
 
 def test_concurrent_conflicting_type_pins_one_winner(served):

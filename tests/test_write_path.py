@@ -149,3 +149,20 @@ def test_write_conflict_contract_survives_known_types(spark, tmp_path):
     assert store.field_types("org", "db") == {"m": {"v": "float"}}
     got = store.read_points("org", "db").filter("ftype = 'string'")
     assert got.count() == 0
+
+
+def test_known_types_completeness_contract_debug_assert(spark, tmp_path, monkeypatch):
+    """r11 ADVICE: known_types promises to cover every (measurement,
+    field, ftype) triple in the batch. The opt-in debug verifier
+    (SPARK_GRAFT_VERIFY_KNOWN_TYPES=1) catches an incomplete set; a
+    complete set passes."""
+    store = BucketStore(spark, str(tmp_path / "store"))
+    store.create_bucket("o", "b")
+    pts = _points_df(spark, n=4, measurement="kc")
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_KNOWN_TYPES", "1")
+    with pytest.raises(AssertionError, match="known_types incomplete"):
+        store.write_points("o", "b", pts,
+                           known_types={("kc", "other", "float")})
+    store.write_points("o", "b", pts,
+                       known_types={("kc", "v", "float")})
+    assert store.read_points("o", "b").count() == 4
