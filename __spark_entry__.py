@@ -116,7 +116,12 @@ CURATED_FIRST_50: list[str] = [
     # frontend — InfluxQL text + Flux text (13)
     "influxql_nested_grafana",
     "flux_join_ratio",
-    "influxql_tz",
+    # r12: surface the Flux map() _value write-back fix (r11 verdict
+    # #1 — assignment to _value on a string series was a silent
+    # no-op, now rewritten in the live slot with retype support).
+    # influxql_tz rotates out — timezone alignment stays windowed via
+    # ts_window_tz and under the full-suite gates.
+    "flux_map_value_rewrite",
     "flux_dashboard",
     "influxql_subquery",
     "influxql_count_fill0",

@@ -229,28 +229,47 @@ def _colname(df: DataFrame, name: str) -> str:
     return mapped
 
 
+#: resolved live slot per DataFrame OBJECT (r11 ADVICE: every probe —
+#: _reject_non_numeric_agg per numeric stage, each r._value token in a
+#: map(), reduce(), bare min/max — ran its own full-frame distinct at
+#: plan time; a multi-stage script over a mixed bucket paid repeated
+#: scans). Within one stage the frame object is stable, so N probes
+#: collapse to 1; stages that KNOW the outgoing slot (map retype)
+#: pre-seed the cache for their output frame. Weak keys: entries die
+#: with the frame, no lifetime management.
+import weakref
+
+_LIVE_SLOT_CACHE: "weakref.WeakKeyDictionary[DataFrame, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _value_slot_runtime(df: DataFrame, col: str) -> str:
     """Resolve which slot ``_value`` denotes for ops whose semantics
     need the ACTUAL values (distinct/unique/sort): when the frame
     carries string/bool slots and its ftype discriminator says exactly
     one non-float type is live, that slot is the value column. One
-    bounded distinct job (≤5 field types), only on frames that carry
-    the extra slots and only for these explicit user ops — float-only
-    frames return ``col`` untouched at plan time."""
+    bounded distinct job (≤5 field types) per frame — memoized in
+    ``_LIVE_SLOT_CACHE`` — only on frames that carry the extra slots
+    and only for these explicit user ops; float-only frames return
+    ``col`` untouched at plan time."""
     if col != "f_float" or "ftype" not in df.columns:
         return col
     extra = [s for s in ("f_str", "f_bool") if s in df.columns]
     if not extra:
         return col
+    hit = _LIVE_SLOT_CACHE.get(df)
+    if hit is not None:
+        return hit
     slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
                "string": "f_str", "bool": "f_bool"}
     live = sorted({
         slot_of.get(r[0], "f_float")
         for r in df.select("ftype").distinct().collect()
     })
-    if len(live) == 1 and live[0] in df.columns:
-        return live[0]
-    return col
+    out = live[0] if (len(live) == 1 and live[0] in df.columns) else col
+    _LIVE_SLOT_CACHE[df] = out
+    return out
 
 
 def _slot_of_sparktype(dtype) -> tuple[str, str]:
@@ -1980,7 +1999,11 @@ def _run_pipeline(
             pipe = pipe.first() if name == "first" else pipe.last()
         elif name in ("top", "bottom"):
             tcols = (_strlist(args["columns"]) if "columns" in args else ["_value"])
-            vcol = _colname(df, tcols[0])
+            # sort-based selectors compare any orderable type: resolve
+            # the LIVE slot (r12 probe — top/bottom over a string/bool
+            # series ranked the dead all-NULL f_float slot, returning
+            # arbitrary rows instead of the lexicographic extremes)
+            vcol = _value_slot_runtime(df, _colname(df, tcols[0]))
             if vcol not in df.columns:
                 raise FluxError(
                     f"{name}(columns:) references unknown column {vcol!r}"
@@ -2253,6 +2276,7 @@ def _run_pipeline(
             # record-extension semantics), hence one withColumns call
             updates: dict[str, Column] = {}
             retype_ftype = None
+            value_dest = None
             for k, expr_src in _split_args(inner).items():
                 target = _colname(df, k)
                 expr_col = _parse_map_value(df, expr_src)
@@ -2273,6 +2297,7 @@ def _run_pipeline(
                     dest, ft = _slot_of_sparktype(dtype)
                     updates[dest] = (expr_col.cast("double")
                                      if dest == "f_float" else expr_col)
+                    value_dest = dest
                     if dest != live:
                         if live in df.columns:
                             updates.setdefault(
@@ -2303,6 +2328,13 @@ def _run_pipeline(
                         keep_cols.append(c)
                         seen.add(c)
                 out = out.select(*keep_cols)
+            # seed the live-slot cache for the outgoing frame: map
+            # preserves the row set, so the slot is the write target
+            # (if _value was assigned) or the incoming frame's
+            # resolution — downstream stages skip their probe job
+            seed = value_dest or _LIVE_SLOT_CACHE.get(df)
+            if seed is not None and "ftype" in out.columns:
+                _LIVE_SLOT_CACHE[out] = seed
             pipe = pipe._with(out)
         elif name == "reduce":
             pipe = pipe._with(_reduce_stage(df, args, pipe))

@@ -721,6 +721,14 @@ def _execute_transform(df: DataFrame, ast: InfluxQLQuery, transforms, tag_col) -
         # that field's own rows (multi-field frames interleave — r6;
         # an unknown field then correctly yields no rows, like v1)
         src = fld if fld in df.columns else "f_float"
+        if src == "f_float" and _null_dispatched(fn, fld, df,
+                                                 ast.field_slots):
+            # numeric-only transform over a string/bool slot field:
+            # stock answers with no series (r12 matrix audit — the
+            # NULL float slot previously leaked null rows out of
+            # CUMULATIVE_SUM and fed the TA kernels garbage; ELAPSED
+            # is any-type and skips this via _ANYTYPE_AGGS)
+            df = df.limit(0)
         if src != "f_float":
             from pyspark.sql import types as _T
 
@@ -1705,6 +1713,27 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             return {"+": lc + rc, "-": lc - rc,
                     "*": lc * rc, "/": lc / rc}[op]
 
+        # r12 matrix audit: when EVERY selected item consumes a
+        # string/bool field numerically (math fns, raw arithmetic),
+        # stock answers with no series — previously null rows (and a
+        # raw ANSI cast crash for slot-typed fields, fixed in
+        # _numeric_value_col). A numeric or any-type sibling keeps the
+        # statement alive with the null column riding along.
+        nd_items = []
+        for fn, fld, _a in ast.fields:
+            nd_items.append(
+                fn in _MATH_FNS
+                and _null_dispatched(fn, fld, df, ast.field_slots)
+            )
+        for tree, _a in ast.raw_arith:
+            tfs = _tree_fields(tree, set())
+            nd_items.append(bool(tfs) and all(
+                _null_dispatched("mean", f, df, ast.field_slots)
+                for f in tfs
+            ))
+        if nd_items and all(nd_items):
+            df = df.limit(0)
+
         sel = [F.col("time"), *[tag_col(t).alias(t) for t in by]]
         for fn, fld, alias in ast.fields:
             if fld == _STARTAG and fn is None:
@@ -2040,6 +2069,13 @@ def _numeric_value_col(fld: str, df: DataFrame, slots: dict | None = None):
 
         if not isinstance(df.schema[fld].dataType, _T.NumericType):
             return F.lit(None).cast("double")
+    elif fld != "*" and (slots or {}).get(fld, "f_float") != "f_float":
+        # slot-typed string/bool field consumed numerically (abs(s),
+        # s * 2): the typed slot read crashed the ANSI cast at runtime
+        # (r12 matrix audit) — stock computes nothing; NULL here, and
+        # the raw-select path empties the statement when EVERY item is
+        # null-dispatched
+        return F.lit(None).cast("double")
     return _field_value_col(fld, df, slots)
 
 
@@ -2072,9 +2108,23 @@ def _field_value_sql(fld: str, df: DataFrame, slots: dict | None = None) -> str:
     return "f_float"
 
 
-# aggregates/selectors that accept ANY field type in stock v1 — the
-# rest are numeric-only and read the NULL dispatch on string/bool slots
-_ANYTYPE_AGGS = ("count", "count_distinct", "mode", "first", "last")
+# THE v1 FUNCTION TYPING TABLE (r12 one-sweep audit; stock 1.8 docs).
+# Functions that accept ANY field type (int64/float64/string/boolean):
+#   COUNT, COUNT(DISTINCT), DISTINCT, MODE, FIRST, LAST, SAMPLE,
+#   ELAPSED (time deltas — value type irrelevant).
+# Everything else the engine serves is NUMERIC-ONLY (int64/float64):
+#   aggregates  SUM MEAN MEDIAN STDDEV SPREAD INTEGRAL PERCENTILE
+#   selectors   MIN MAX TOP BOTTOM
+#   transforms  DERIVATIVE NON_NEGATIVE_DERIVATIVE DIFFERENCE
+#               NON_NEGATIVE_DIFFERENCE CUMULATIVE_SUM MOVING_AVERAGE
+#   TA family   EMA/DEMA/TEMA RSI CMO KAUFMANS_* HOLT_WINTERS
+#   math fns    ABS ACOS ... (all of _MATH_FNS)
+# Over a string/bool field a numeric-only function answers NO series
+# (never null rows, never an ANSI cast error); in a mixed select the
+# null-dispatched column rides along as null. _null_dispatched is the
+# single predicate every execution path consults.
+_ANYTYPE_AGGS = ("count", "count_distinct", "mode", "first", "last",
+                 "distinct", "sample", "elapsed")
 
 _NUMERIC_FTYPES = ("float", "int", "uint")
 

@@ -1593,6 +1593,35 @@ def influxql_empty_agg(spark, sf_dir):
     return out.select("event_type", "m_status", "s_flag")
 
 
+@q(
+    "flux_map_value_rewrite",
+    """
+    SELECT epoch_ms(ts) AS t_ms,
+           CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END || '!' AS sval
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def flux_map_value_rewrite(spark, sf_dir):
+    """Flux map() assignment TO ``_value`` on a STRING series (r11
+    verdict #1: the write target resolved to the dead f_float slot
+    unconditionally, so the rewrite was a silent no-op — the
+    serializer kept reading the untouched live slot). The rewritten
+    values must land in the live f_str slot and surface on the wire;
+    oracle recomputes status || '!' from the stored float."""
+    pts = _events_mixed_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") '
+        '|> filter(fn: (r) => r._measurement == "events" '
+        'and r._field == "status" and r.event_type == "click") '
+        '|> map(fn: (r) => ({r with _value: r._value + "!"}))',
+    )
+    return out.select(
+        F.unix_millis("time").alias("t_ms"), F.col("f_str").alias("sval")
+    )
+
+
 # Convex test quad for the polygon oracle — 3-decimal vertices so no
 # 2-decimal data point lies exactly on an edge; the ray-cast uses only
 # +-*/ and comparisons (no libm), so Spark and DuckDB agree bit-for-bit

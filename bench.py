@@ -126,10 +126,13 @@ def main() -> None:
     # maintenance writers are in, and the noise flag fires at >=1.5x
     # spread on ANY sentinel query (the r10 minhash 1.85x spread
     # passed a 2x threshold as "clean").
+    # r12 (VERDICT r11 #6): ts_agg_window_mean added — the widest
+    # read-query driver/local gap (1.80x at r11 with identical plans);
+    # carrying its spread makes any further drift attributable.
     sentinel = {}
     for name in ("ext_quality_logreg_train", "bench_skew_window",
                  "ext_dedup_minhash_lsh", "bench_cq_run",
-                 "bench_rollup_refresh"):
+                 "bench_rollup_refresh", "ts_agg_window_mean"):
         if name not in timings:
             continue
         t0 = time.time()

@@ -2578,12 +2578,20 @@ def test_numeric_ops_on_promoted_string_columns_never_crash(mixed_pts):
             mixed_pts, f"SELECT {fn} FROM (SELECT status FROM m)"
         )
         assert out.count() == 0, fn
-    # math fns / arithmetic read NULL, never crash
-    rows = execute_influxql(
+    # math fns / arithmetic over ONLY string columns: stock answers
+    # with no series (r12 matrix audit tightened this from null rows)
+    out = execute_influxql(
         mixed_pts, "SELECT abs(status) AS a, status + 1 AS b "
         "FROM (SELECT status FROM m)"
+    )
+    assert out.count() == 0
+    # a numeric sibling keeps the statement alive, string column null
+    rows = execute_influxql(
+        mixed_pts, "SELECT abs(status) AS a, temp AS t "
+        "FROM (SELECT status, temp FROM m)"
     ).collect()
-    assert all(r["a"] is None and r["b"] is None for r in rows)
+    assert len(rows) == 3
+    assert all(r["a"] is None and r["t"] is not None for r in rows)
     # numeric-only SELECTOR over the promoted column → empty
     out = execute_influxql(
         mixed_pts, "SELECT max(status), temp FROM (SELECT status, temp FROM m)"
@@ -2823,3 +2831,67 @@ def test_star_aggs_over_subquery_include_promoted_string_bool(mixed_pts):
     )
     assert out.columns == ["mean_temp"]
     assert out.collect()[0]["mean_temp"] == 2.5
+
+
+def test_live_slot_probe_cached_per_frame(mixed_pts, spark):
+    """r11 ADVICE (perf): every r._value token / numeric-stage check
+    used to run its own full-frame ftype distinct at plan time. The
+    per-frame memo collapses a 3-token map + _value write over a
+    string frame to AT MOST ONE probe job; the downstream stage that
+    receives the map's output inherits the seeded slot (zero extra
+    jobs)."""
+    sc = spark.sparkContext
+    group = "live-slot-probe-count"
+    # AQE materializes each shuffle stage as its own sub-job, which
+    # would count Spark internals instead of our probe actions
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, group)
+    try:
+        df = execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+            '|> map(fn: (r) => ({r with _value: r._value + "!", '
+            'a: r._value + "?", b: r._value})) '
+            "|> sort(columns: [\"_value\"])",
+        )
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 1, f"expected <=1 plan-time probe job, got {len(jobs)}"
+    out = df.orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["ok!", "bad!", "ok!"]
+    assert [r["a"] for r in out] == ["ok?", "bad?", "ok?"]
+
+
+def test_flux_top_bottom_sort_on_live_slot(mixed_pts):
+    """r12 probe: Flux top()/bottom() are sort-based selectors that
+    compare any orderable type — over a string/bool series they ranked
+    the dead all-NULL f_float slot, returning arbitrary rows. They
+    must rank the live slot (lexicographic; false < true)."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> top(n: 2)",
+    ).collect()
+    assert sorted(r["f_str"] for r in out) == ["ok", "ok"]  # top of ok/bad/ok
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> bottom(n: 1)",
+    ).collect()
+    assert [r["f_str"] for r in out] == ["bad"]
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> bottom(n: 1)",
+    ).collect()
+    assert [r["f_bool"] for r in out] == [False]
+    # float series keep the numeric ranking
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> top(n: 1)",
+    ).collect()
+    assert [r["f_float"] for r in out] == [3.5]

@@ -2305,6 +2305,69 @@ def test_v1_top_bottom_of_string_bool_field_is_empty_series(served):
     assert all(str(r[1]).startswith("p") for r in res["series"][0]["values"])
 
 
+def test_v1_function_typing_matrix(served):
+    """r11 verdict #3: one-sweep audit of v1 function typing vs
+    stock's type tables, driven as function × {float,int,string,bool}
+    at the wire. Any-type functions (COUNT/DISTINCT/MODE/FIRST/LAST/
+    SAMPLE/ELAPSED) answer on every type; numeric-only functions
+    (aggregates, MIN/MAX/TOP/BOTTOM/PERCENTILE, transforms, TA family,
+    math fns) answer on float/int and return `{"statement_id": 0}` on
+    string/bool."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    lines = "\n".join(
+        f"typmat,host=h{i % 2} f={i}.5,i={i}i,s=\"x{i % 2}\","
+        f"b={'true' if i % 2 == 0 else 'false'} {T0 + i * 60_000_000_000}"
+        for i in range(6)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    def q(stmt):
+        _, body = _req(
+            base,
+            f"/query?db=greengrass-telemetry&q={up.quote(stmt)}&epoch=ns",
+            token=tokens["RO"])
+        doc = json.loads(body)
+        assert "error" not in doc["results"][0], (stmt, doc)
+        return doc["results"][0]
+
+    anytype = [
+        "count({c})", "distinct({c})", "mode({c})", "first({c})",
+        "last({c})", "sample({c}, 2)", "elapsed({c})",
+    ]
+    numeric_only = [
+        "sum({c})", "mean({c})", "median({c})", "stddev({c})",
+        "spread({c})", "integral({c})", "percentile({c}, 90)",
+        "min({c})", "max({c})", "top({c}, 2)", "bottom({c}, 2)",
+        "derivative({c})", "non_negative_derivative({c})",
+        "difference({c})", "non_negative_difference({c})",
+        "cumulative_sum({c})", "moving_average({c}, 2)",
+        "exponential_moving_average({c}, 2)",
+        "double_exponential_moving_average({c}, 2)",
+        "triple_exponential_moving_average({c}, 2)",
+        "relative_strength_index({c}, 2)",
+        "chande_momentum_oscillator({c}, 2)",
+        "kaufmans_efficiency_ratio({c}, 2)",
+        "kaufmans_adaptive_moving_average({c}, 2)",
+        "abs({c})", "ceil({c})", "round({c})", "pow({c}, 2)",
+    ]
+    for tmpl in anytype:
+        for c in ("f", "i", "s", "b"):
+            res = q(f"SELECT {tmpl.format(c=c)} FROM typmat")
+            assert res.get("series"), (tmpl, c, res)
+    for tmpl in numeric_only:
+        for c in ("f", "i"):
+            res = q(f"SELECT {tmpl.format(c=c)} FROM typmat")
+            assert res.get("series"), (tmpl, c, res)
+        for c in ("s", "b"):
+            res = q(f"SELECT {tmpl.format(c=c)} FROM typmat")
+            assert res == {"statement_id": 0}, (tmpl, c, res)
+
+
 def test_concurrent_conflicting_type_pins_one_winner(served):
     """r10 verdict #6: the field-type catalog is read-modify-write
     under the store's mutation lock, but the HTTP facade serves

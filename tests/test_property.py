@@ -557,6 +557,14 @@ _FLUX_MID = st.sampled_from([
     '|> map(fn: (r) => ({r with hot: r._value > 100.0}))',
     '|> map(fn: (r) => ({r with tag2: r.event_type + "-x"}))',
     '|> map(fn: (r) => ({r with msg: "v=" + string(v: r._value)}))',
+    # r12 (VERDICT r11 #4): map ASSIGNMENT to _value — write-back to
+    # the live slot, including shapes that RETYPE the series (both
+    # r11 bugs sat outside the old template set, which never assigned
+    # _value nor drew v1 top/bottom)
+    '|> map(fn: (r) => ({r with _value: r._value + 1.0}))',
+    '|> map(fn: (r) => ({r with _value: string(v: r._value)}))',
+    '|> map(fn: (r) => ({r with _value: if r._value > 50.0 then 1.0 else 0.0}))',
+    '|> map(fn: (r) => ({_value: r._value, et: r.event_type}))',
     '|> keep(columns: ["_time", "_value", "event_type"])',
     '|> drop(columns: ["user_id"])',
     '|> duplicate(column: "_value", as: "v2")',
@@ -973,6 +981,14 @@ _MIX_SEL = st.sampled_from([
     # keys; tags-only / no-match regexes answer empty
     "/val/", "/val|stat/", "/event/", "/zzz/",
     "mean(/val/)", "count(/./)", "mean(/zzz/)", "first(/stat/)",
+    # r12 (VERDICT r11 #4): multi-row selectors + transforms + math
+    # fns over string/bool fields — the typing-matrix class
+    "top(status, 2)", "bottom(flag, 2)", "top(status, event_type, 2)",
+    "sample(status, 2)", "sample(flag, 3)", "percentile(flag, 50)",
+    "top(value, 2)", "bottom(value, 2)",
+    "cumulative_sum(status)", "derivative(flag)",
+    "moving_average(status, 2)", "exponential_moving_average(flag, 2)",
+    "abs(status)", "status * 2", "elapsed(status)", "elapsed(flag)",
 ])
 _MIX_WHERE = st.sampled_from([
     "", "WHERE time >= '2024-01-01' AND time < '2024-01-20'",
