@@ -2065,7 +2065,13 @@ def _run_pipeline(
                 pipe.exponential_moving_average(int(_lit(args["n"]))), "ema"
             )
         elif name == "fill":
-            col = _colname(df, _lit(args.get("column", '"_value"')))
+            # live-slot resolution (r12 probe): fill(value: "na") on a
+            # string series coalesced a string literal into the double
+            # f_float slot — an ANSI cast crash; stock fills the typed
+            # column
+            col = _value_slot_runtime(
+                df, _colname(df, _lit(args.get("column", '"_value"')))
+            )
             if col not in df.columns:
                 raise FluxError(f"fill(column:) references unknown column {col!r}")
             if _lit(args.get("usePrevious", "false")) is True:

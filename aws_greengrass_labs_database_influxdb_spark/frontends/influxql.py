@@ -1481,14 +1481,44 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
         df = _point_semi(df, acc) if any_field else df.filter(acc)
     for name, op, val in ast.field_filters:
         if name.startswith("__expr__"):
-            # arithmetic condition: swap each identifier for its
-            # physical column (unknown idents are field refs → f_float).
-            # Identifiers followed by '(' are function calls, not field
-            # refs — allow the InfluxQL math set, reject the rest (a
-            # blind swap would produce nonsense like f_float(f_float))
+            # arithmetic condition. Identifiers followed by '(' are
+            # function calls, not field refs — allow the InfluxQL math
+            # set, reject the rest (a blind swap would produce
+            # nonsense like f_float(f_float)).
+            #
+            # Field idents (r12): stock evaluates WHERE arithmetic per
+            # POINT — the old unconditional f_float swap read whatever
+            # field owned the row, so `WHERE v * 2 > 100` gated OTHER
+            # fields' rows on their own values, and a string/bool
+            # field crashed the ANSI cast. Fast path kept: when the
+            # condition references one float field and the selection
+            # reads only that field, the row-local filter is identical
+            # (the selection keeps only that field's rows) and stays
+            # scan-level. Otherwise attach the referenced fields'
+            # per-point values and evaluate on those.
             raw = name[len("__expr__"):]
+            idents = []
+            for mo in re.finditer(r"\b[A-Za-z_]\w*\b", raw):
+                if raw[mo.end():].lstrip().startswith("("):
+                    continue
+                if mo.group(0) not in df.columns and mo.group(0) not in idents:
+                    idents.append(mo.group(0))
+            sel_fields = {f for _fn, f, _a in ast.fields if f}
+            for _tr2, _ag2, _fld2, _a2 in ast.nested:
+                sel_fields.add(_fld2)
+            fast = (
+                len(idents) <= 1
+                and all(ast.field_slots.get(i, "f_float") == "f_float"
+                        for i in idents)
+                and sel_fields <= set(idents)
+            )
+            target, added = df, []
+            if idents and not fast and "field" in df.columns:
+                target = _attach_companion_fields(
+                    df, ast, [(None, i, i) for i in idents])
+                added = [c for c in target.columns if c not in df.columns]
 
-            def _swap(mo):
+            def _swap(mo, target=target):
                 ident = mo.group(0)
                 rest = raw[mo.end():]
                 if rest.lstrip().startswith("("):
@@ -1497,11 +1527,27 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
                     raise InfluxQLError(
                         f"unsupported function {ident}() in WHERE condition"
                     )
-                return ident if ident in df.columns else "f_float"
+                if ident in target.columns:
+                    from pyspark.sql import types as _T
+
+                    if not isinstance(target.schema[ident].dataType,
+                                      _T.NumericType):
+                        # numeric arithmetic over a string/bool field:
+                        # stock computes nothing (r12 matrix audit)
+                        return "CAST(NULL AS DOUBLE)"
+                    return f"`{ident}`"
+                return "f_float"
 
             sql = re.sub(r"\b[A-Za-z_]\w*\b", _swap, raw)
-            c = F.expr(sql)
-            df = df.filter(_cmp_cond(c, op, val))
+            cond = _cmp_cond(F.expr(sql), op, val)
+            if target is df:
+                df = df.filter(cond)
+            else:
+                # per-point semantics: keep every row of points whose
+                # attached field values satisfy the arithmetic, then
+                # drop the helper columns so selection/pivot machinery
+                # sees the untouched tall shape
+                df = _point_semi(target, cond).drop(*added)
             continue
         if name in df.columns:
             df = df.filter(_cmp_cond(F.col(name), op, val))
@@ -2560,6 +2606,12 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
         args = ast.fn_args.get(alias, [])
         if not args:
             raise InfluxQLError("HOLT_WINTERS needs (N[, seasonality])")
+        from pyspark.sql import types as _T
+
+        if not isinstance(aggd.schema["__n0"].dataType, _T.NumericType):
+            # HOLT_WINTERS(FIRST(s), ...): numeric-only — no series
+            aggd = aggd.limit(0).withColumn(
+                "__n0", F.lit(None).cast("double"))
         out = an_ops.holt_winters(
             aggd, n=int(args[0]),
             interval_seconds=ast.group_time_ns / 1e9,
@@ -2574,8 +2626,19 @@ def _execute_nested(df: DataFrame, ast: InfluxQLQuery, by: list, tag_col) -> Dat
         )
         return _finish(out, ast, by)
     aliases = []
+    from pyspark.sql import types as _T
+
     for i, (outer, _inner, _fld, alias) in enumerate(ast.nested):
         src, args = f"__n{i}", ast.fn_args.get(alias, [])
+        if (outer != "elapsed" and src in aggd.columns
+                and not isinstance(aggd.schema[src].dataType,
+                                   _T.NumericType)):
+            # numeric-only outer transform over an any-type inner's
+            # string/bool output — MOVING_AVERAGE(FIRST(s), 2) crashed
+            # the ANSI cast (r12 matrix audit); stock answers no
+            # series. NULL input: the rows drop via the row-align
+            # keep filter below. ELAPSED is any-type (time deltas).
+            aggd = aggd.withColumn(src, F.lit(None).cast("double"))
         if outer in ("derivative", "non_negative_derivative"):
             unit_s = _parse_duration(args[0]) / 1e9 if args else 1.0
             aggd = an_ops.derivative(

@@ -2895,3 +2895,71 @@ def test_flux_top_bottom_sort_on_live_slot(mixed_pts):
         "|> top(n: 1)",
     ).collect()
     assert [r["f_float"] for r in out] == [3.5]
+
+
+def test_flux_fill_value_on_string_series(mixed_pts):
+    """r12 probe: fill(value: "na") on a string series coalesced the
+    string literal into the double f_float slot — an ANSI cast crash.
+    fill resolves the live slot; a null created by a full-outer join
+    gap (or here, directly) fills with the typed value."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> fill(value: "na")',
+    ).orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["ok", "bad", "ok"]
+    # usePrevious on a string series plans and runs
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> fill(usePrevious: true)",
+    ).orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["ok", "bad", "ok"]
+
+
+def test_nested_transform_over_anytype_inner_typing(mixed_pts):
+    """r12 matrix audit, nested leg: a numeric-only OUTER transform
+    over an any-type INNER's string/bool output
+    (MOVING_AVERAGE(FIRST(s), 2), DERIVATIVE(LAST(s)),
+    HOLT_WINTERS(FIRST(s), ...)) crashed the ANSI cast — stock
+    answers no series. ELAPSED stays any-type; numeric inners
+    (COUNT of a string) keep answering."""
+    w = ("WHERE time >= '1970-01-01' AND time < '1970-01-02' "
+         "GROUP BY time(10m)")
+    for sel in ("moving_average(first(status), 2)",
+                "derivative(last(status), 10m)",
+                "cumulative_sum(mode(status))",
+                "holt_winters(first(status), 2, 0)"):
+        out = execute_influxql(mixed_pts, f"SELECT {sel} FROM m {w}")
+        assert out.count() == 0, sel
+    # any-type outer over string inner answers
+    out = execute_influxql(
+        mixed_pts, f"SELECT elapsed(first(status)) FROM m {w}")
+    assert out.count() > 0
+    # numeric-valued inner (count of a string field) keeps answering
+    out = execute_influxql(
+        mixed_pts, f"SELECT moving_average(count(status), 2) FROM m {w}")
+    assert out.count() > 0
+
+
+def test_arithmetic_where_per_point_and_typing(mixed_pts):
+    """r12: WHERE field arithmetic. (a) over a STRING field computes
+    nothing (was: the unconditional f_float swap read whatever field
+    owned the row); (b) cross-field conditions evaluate per POINT —
+    `SELECT value WHERE temp * 2 > 4` keeps the points whose temp
+    passes; (c) the self-referential single-field shape keeps its
+    row-local (scan-level) filter and its results."""
+    # string field arithmetic: no rows
+    out = execute_influxql(mixed_pts, "SELECT temp FROM m WHERE status + 1 > 0")
+    assert out.count() == 0
+    # self-referential fast path
+    out = execute_influxql(mixed_pts, "SELECT temp FROM m WHERE temp * 2 > 4")
+    assert sorted(r["temp"] for r in out.collect()) == [2.5, 3.5]
+    # cross-field per-point: points whose temp passes, value of ok
+    out = execute_influxql(mixed_pts, "SELECT ok FROM m WHERE temp * 2 > 4")
+    assert sorted(r["ok"] for r in out.collect()) == [False, True]
+    # aggregate over the gated points
+    row = execute_influxql(
+        mixed_pts, "SELECT count(status) AS n FROM m WHERE temp + 1 >= 3.5"
+    ).collect()[0]
+    assert row["n"] == 2
