@@ -2443,18 +2443,46 @@ def _run_pipeline(
             # (Flux toInt truncates toward zero, like Spark's cast;
             # toUInt = toInt here — no unsigned 64-bit column type;
             # toTime reads epoch-ns ints; toDuration keeps integer ns,
-            # the same documented divergence as duration())
+            # the same documented divergence as duration()).
+            # r12: live-slot + retype routing — the conversion-stage
+            # twin of the map() _value write fix. toString() on a
+            # float series previously stored strings in the double
+            # slot under a stale "float" ftype; toFloat() on a string
+            # series cast the dead NULL slot (a silent no-op).
             cur = _colname(df, "_value")
             if cur not in df.columns:
                 raise FluxError(f"{name}() has no _value column to convert")
+            src = _value_slot_runtime(df, cur)
             if name == "toTime":
-                conv = F.timestamp_micros(ns_to_us(F.col(cur)))
+                pipe = pipe._with(df.withColumn(
+                    src, F.timestamp_micros(ns_to_us(F.col(src)))))
             else:
                 spark_type = {"toInt": "long", "toFloat": "double",
                               "toString": "string", "toBool": "boolean",
                               "toUInt": "long", "toDuration": "long"}[name]
-                conv = F.col(cur).cast(spark_type)
-            pipe = pipe._with(df.withColumn(cur, conv))
+                conv = F.col(src).cast(spark_type)
+                # slot routing only on frames that CARRY the typed
+                # slots (bucket reads); float-only pipes keep the
+                # in-place retype (f_float becomes the cast type —
+                # the single-slot serializer path reads the Spark
+                # type directly)
+                if (cur == "f_float" and "ftype" in df.columns
+                        and any(s in df.columns
+                                for s in ("f_str", "f_bool"))):
+                    dest, ft = {"string": ("f_str", "string"),
+                                "boolean": ("f_bool", "bool")}.get(
+                        spark_type, ("f_float", "float"))
+                    out = df.withColumn(
+                        dest,
+                        conv.cast("double") if dest == "f_float" else conv)
+                    if dest != src and src in out.columns:
+                        out = out.withColumn(
+                            src, F.lit(None).cast(dict(df.dtypes)[src]))
+                    out = out.withColumn("ftype", F.lit(ft))
+                    _LIVE_SLOT_CACHE[out] = dest
+                    pipe = pipe._with(out)
+                else:
+                    pipe = pipe._with(df.withColumn(src, conv))
         elif name == "columns":
             # one row per Flux-visible column label
             rev = {real: flux for flux, real in COLMAP.items()}
@@ -2669,7 +2697,18 @@ def _run_pipeline(
                 "highestCurrent": _sel.highest_current, "lowestMin": _sel.lowest_min,
                 "lowestAverage": _sel.lowest_average, "lowestCurrent": _sel.lowest_current,
             }[name]
-            pipe = pipe._with(fn(df, int(_lit(args["n"])), series=pipe.group_key))
+            # live-slot ranking (r12): string/bool series rank by their
+            # actual values (max/current are sort-based selectors);
+            # the mean-based variants are numeric-only in stock
+            if name in ("highestAverage", "lowestAverage"):
+                _reject_non_numeric_agg(df, "f_float", name)
+                vcol = "f_float"
+            else:
+                vcol = _value_slot_runtime(df, "f_float")
+                if vcol not in df.columns:
+                    vcol = "f_float"
+            pipe = pipe._with(fn(df, int(_lit(args["n"])),
+                                 series=pipe.group_key, value=vcol))
         elif name == "to":
             # to(bucket: "x") — the task write stage. ``sink`` is the
             # store-backed callable a facade/task runner provides;

@@ -2963,3 +2963,92 @@ def test_arithmetic_where_per_point_and_typing(mixed_pts):
         mixed_pts, "SELECT count(status) AS n FROM m WHERE temp + 1 >= 3.5"
     ).collect()[0]
     assert row["n"] == 2
+
+
+def test_flux_conversion_stages_route_slots(mixed_pts):
+    """r12: toString()/toFloat()/toBool() are the conversion-stage
+    twins of the map() _value write fix — toString() on a float
+    series stored strings in the double slot under a stale "float"
+    ftype; toFloat() on a string series cast the dead NULL slot."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> toString()",
+    ).orderBy("time_ns").collect()
+    assert [r["f_str"] for r in out] == ["1.5", "2.5", "3.5"]
+    assert all(r["f_float"] is None and r["ftype"] == "string" for r in out)
+
+    # bool → float via toFloat (true→1.0)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> toFloat()",
+    ).orderBy("time_ns").collect()
+    assert [r["f_float"] for r in out] == [1.0, 0.0, 1.0]
+    assert all(r["f_bool"] is None and r["ftype"] == "float" for r in out)
+
+    # string → bool: stock parses "true"/"false"; other strings null
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> map(fn: (r) => ({r with _value: if r._value == "ok" '
+        'then "true" else "false"})) '
+        "|> toBool()",
+    ).orderBy("time_ns").collect()
+    assert [r["f_bool"] for r in out] == [True, False, True]
+    assert all(r["ftype"] == "bool" for r in out)
+
+    # conversion feeding a numeric aggregate composes
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+        "|> toFloat() |> sum()",
+    ).collect()
+    assert len(out) == 1 and out[0]["sum"] == 2.0
+
+
+def test_flux_highest_lowest_rank_live_slot(spark):
+    """r12: highestMax/lowestMin/…Current rank SERIES by value — over
+    string/bool series they ranked the dead all-NULL f_float slot
+    (arbitrary series selection). The mean-based variants stay
+    numeric-only (stock typed error)."""
+    import pyspark.sql.types as T
+
+    rows = []
+    for host, vals in (("a", ["x", "y"]), ("b", ["q", "r"])):
+        for i, v in enumerate(vals):
+            rows.append(dict(
+                measurement="m", time_ns=(1000 + i) * 1_000_000_000,
+                tags={"host": host}, ingest_seq=i, field="s",
+                ftype="string", f_float=None, f_str=v, f_bool=None))
+    schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("time_ns", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ingest_seq", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("ftype", T.StringType()),
+        T.StructField("f_float", T.DoubleType()),
+        T.StructField("f_str", T.StringType()),
+        T.StructField("f_bool", T.BooleanType()),
+    ])
+    pts = spark.createDataFrame(rows, schema).withColumn(
+        "time", F.timestamp_micros(F.expr("time_ns div 1000")))
+
+    # rank the two host series by max value: "y" > "r" → host=a wins
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["host"]) |> highestMax(n: 1)',
+    ).collect()
+    assert len(out) == 2 and all(r["f_str"] in ("x", "y") for r in out)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["host"]) |> lowestMin(n: 1)',
+    ).collect()
+    assert len(out) == 2 and all(r["f_str"] in ("q", "r") for r in out)
+    with pytest.raises(FluxError, match="unsupported input type"):
+        execute_flux(
+            pts,
+            'from(bucket:"b") |> group(columns: ["host"]) '
+            "|> highestAverage(n: 1)",
+        ).collect()
