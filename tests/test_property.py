@@ -1110,3 +1110,44 @@ def test_flux_pipeline_grammar_on_mixed_frame(spark, sf_dir):
         assert df.columns
 
     run()
+
+
+def test_mixed_type_fuzz_executes_not_just_compiles(spark, sf_dir):
+    """r12: both r11 wrong answers AND the typing-matrix crashes
+    (abs(s) ANSI cast, fill(value:"na"), MOVING_AVERAGE(FIRST(s)))
+    PLANNED fine and only failed at runtime — the compile-only
+    fuzzers could never catch them. This twin EXECUTES every draw
+    (bounded collect): any ANSI cast / codegen crash of a grammar
+    combination surfaces here."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import (
+        FluxError, InfluxQLError, execute_flux, execute_influxql)
+    from aws_greengrass_labs_database_influxdb_spark.suite.frontend import _events_mixed_points
+
+    pts = _events_mixed_points(spark, sf_dir).cache()
+    pts.count()
+    try:
+        @given(q=_iql_mixed_query())
+        @settings(max_examples=40, deadline=None, derandomize=True,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run_iql(q):
+            try:
+                execute_influxql(pts, q).limit(20).collect()
+            except InfluxQLError:
+                return
+
+        run_iql()
+
+        @given(q=_flux_script())
+        @settings(max_examples=30, deadline=None, derandomize=True,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run_flux(q):
+            try:
+                execute_flux(pts, q).limit(20).collect()
+            except FluxError:
+                return
+
+        run_flux()
+    finally:
+        pts.unpersist()
