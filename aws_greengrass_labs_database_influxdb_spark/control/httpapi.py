@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..frontends.annotated_csv import iter_annotated_csv
 from ..frontends.flux import execute_flux_multi
-from ..frontends.influxql import execute_influxql
+from ..frontends.influxql import execute_influxql, parse_influxql
 from ..sources.bucket import BucketMeta
 from ..sources.lineprotocol import parse_lines
 from ..sources.seq import next_seq_base
@@ -1312,23 +1312,33 @@ class HttpApi:
 
             self._authorize(handler, "write", org, db)
             points = self.engine.store.read_points(org, db)
+            inner_q = f"{im.group(1)} {im.group(3)}"
             result = execute_influxql(
-                points, f"{im.group(1)} {im.group(3)}",
+                points, inner_q,
                 field_types=self.engine.store.field_types(org, db),
             )
+            # INTO tag/field provenance (r12, stock semantics): the
+            # query's GROUP BY tags stay TAGS in the destination;
+            # every other result column becomes a FIELD of its own
+            # type (string fields stay string fields; ungrouped tags
+            # convert to fields). GROUP BY * keeps the legacy
+            # all-strings-are-tags downsample mapping.
+            gt = list(parse_influxql(inner_q).group_tags)
+            into_tags = None if "*" in gt else gt
             # single-execution write (r11): the written-row count rides
             # the write job as an observation; type pins come from the
             # result schema — one job, not three
             obs = Observation()
-            new_pts = result_to_points(result, im.group(2)).observe(
-                obs, F.count(F.lit(1)).alias("n")
-            )
+            new_pts = result_to_points(
+                result, im.group(2), tag_cols=into_tags
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
             from ..sources.bucket import FieldTypeConflict
 
             try:
                 self.engine.store.write_points(
                     org, db, new_pts,
-                    known_types=into_type_triples(result, im.group(2)),
+                    known_types=into_type_triples(result, im.group(2),
+                                                  tag_cols=into_tags),
                 )
             except FieldTypeConflict as e:
                 # v1 returns the conflict as a statement-level error
@@ -1373,11 +1383,7 @@ class HttpApi:
         gtags: list[str] = []
         is_agg = False
         try:
-            from ..frontends.influxql import (
-                _NON_TAG_COLS,
-                _map_tag_keys,
-                parse_influxql,
-            )
+            from ..frontends.influxql import _NON_TAG_COLS, _map_tag_keys
 
             _ast = parse_influxql(text)
             gt = _ast.group_tags

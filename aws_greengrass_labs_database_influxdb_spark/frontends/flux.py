@@ -2183,7 +2183,17 @@ def _run_pipeline(
                 pipe = pipe._with(df)
             pipe = pipe.rename(mapping)
         elif name == "set":
-            pipe = pipe._with(df.withColumn(_lit(args["key"]), F.lit(_lit(args["value"]))))
+            # resolve Flux names to engine columns (r12 probe:
+            # set(key: "_measurement", value: "dst") created a NEW
+            # `_measurement` column while the engine's `measurement`
+            # stayed put — a following to() wrote under the OLD
+            # measurement and tripped its type pins)
+            skey = _lit(args["key"])
+            real = _colname(df, skey)
+            pipe = pipe._with(df.withColumn(
+                real if real in df.columns else skey,
+                F.lit(_lit(args["value"])),
+            ))
         elif name == "duplicate":
             # _value on a string/bool-typed frame means that slot (r10)
             src = _value_slot_runtime(df, _colname(df, _lit(args["column"])))

@@ -83,75 +83,114 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _into_split_cols(result: DataFrame):
-    """INTO column mapping, schema-only: string columns → tags, numeric
-    columns → fields (shared by :func:`result_to_points` and
-    :func:`into_type_triples` so the write and its type pins agree)."""
+def _into_split_cols(result: DataFrame, tag_cols=None):
+    """INTO column mapping, schema-only (shared by
+    :func:`result_to_points` and :func:`into_type_triples` so the
+    write and its type pins agree).
+
+    Two modes, both stock (InfluxDB 1.x INTO semantics):
+
+    * ``tag_cols=None`` (GROUP BY * / callers without query
+      provenance): every string column is a TAG, numeric columns are
+      float fields — the CQ downsample shape.
+    * explicit ``tag_cols`` (r12, from the query's GROUP BY list):
+      exactly those columns are tags; EVERY other non-time column of a
+      writable type becomes a FIELD with its own type — stock keeps
+      selected string fields as string fields and converts ungrouped
+      tags to fields.
+    """
     from pyspark.sql import types as T
 
-    tag_cols = [
-        f.name for f in result.schema.fields
-        if isinstance(f.dataType, T.StringType) and f.name != "time"
-    ]
-    field_cols = [
-        f.name for f in result.schema.fields
-        if f.name not in ("time", *tag_cols)
-        and isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType,
-                                    T.IntegerType, T.DecimalType))
-    ]
-    return tag_cols, field_cols
+    if tag_cols is None:
+        tags = [
+            f.name for f in result.schema.fields
+            if isinstance(f.dataType, T.StringType) and f.name != "time"
+        ]
+    else:
+        tags = [c for c in tag_cols if c in result.columns]
+    field_cols = []
+    for f in result.schema.fields:
+        if f.name in ("time", *tags):
+            continue
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType,
+                                   T.IntegerType, T.DecimalType)):
+            field_cols.append((f.name, FT_FLOAT))
+        elif tag_cols is not None and isinstance(f.dataType, T.StringType):
+            field_cols.append((f.name, "string"))
+        elif tag_cols is not None and isinstance(f.dataType, T.BooleanType):
+            field_cols.append((f.name, "bool"))
+    return tags, field_cols
 
 
-def into_type_triples(result: DataFrame, measurement: str) -> list:
+def into_type_triples(result: DataFrame, measurement: str,
+                      tag_cols=None) -> list:
     """The (measurement, field, ftype) triples ``result_to_points``
-    will write — derived from the result SCHEMA alone (INTO fields are
-    the numeric columns, always written as floats), so write_points can
-    skip its type-pin distinct job entirely (r11 single-execution
+    will write — derived from the result SCHEMA alone, so write_points
+    can skip its type-pin distinct job entirely (r11 single-execution
     writes)."""
-    _tags, field_cols = _into_split_cols(result)
-    return [(measurement, c, FT_FLOAT) for c in field_cols]
+    _tags, field_cols = _into_split_cols(result, tag_cols)
+    return [(measurement, c, t) for c, t in field_cols]
 
 
-def result_to_points(result: DataFrame, measurement: str) -> DataFrame:
+def result_to_points(result: DataFrame, measurement: str,
+                     tag_cols=None) -> DataFrame:
     """Convert a query result back into canonical points — the write
     half of ``SELECT ... INTO <measurement>`` (the v1 continuous-query
     idiom: downsample a measurement into another one).
 
-    Column mapping (InfluxDB's own INTO convention): ``time`` is
-    required; string-typed columns become tags; numeric columns become
-    fields (one tall row per field). ``ingest_seq`` is left null — the
-    store's write path stamps its shared allocator, so LWW ordering is
+    Column mapping (InfluxDB 1.x INTO semantics): ``time`` is
+    required; tags are the query's GROUP BY tags when the caller
+    passes them (``tag_cols``, r12 — every other column becomes a
+    FIELD of its own type, so selected string fields stay string
+    fields and ungrouped tags convert to fields, like stock), else
+    every string column (the GROUP BY * downsample shape). One tall
+    row per (point, field). ``ingest_seq`` is left null — the store's
+    write path stamps its shared allocator, so LWW ordering is
     consistent with every other write.
     """
-    from pyspark.sql import types as T
-
     from ..schema import POINTS_SCHEMA
 
     if "time" not in result.columns:
         raise ValueError("INTO requires a time column in the result")
-    tag_cols, field_cols = _into_split_cols(result)
+    tags, field_cols = _into_split_cols(result, tag_cols)
     if not field_cols:
-        raise ValueError("INTO requires at least one numeric result column")
+        raise ValueError("INTO requires at least one field result column")
+    nd = F.lit(None).cast("double")
+    ns_ = F.lit(None).cast("string")
+    nb = F.lit(None).cast("boolean")
+    # an EMPTY tag list must still write a map<string,string> — a bare
+    # map_from_arrays(array(), array()) infers void element types and
+    # parquet then records boolean keys, breaking every later read of
+    # the measurement's directory (r12 probe)
+    tags_col = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in tags]),
+        F.array(*[F.col(t).cast("string") for t in tags]),
+    ).cast("map<string,string>") if tags else F.lit(None).cast(
+        "map<string,string>")
+    slot_of = {"string": "f_str", "bool": "f_bool"}
     parts = []
-    for c in field_cols:
+    for c, ft in field_cols:
+        slot = slot_of.get(ft, "f_float")
+        vals = {
+            "f_float": F.col(c).cast("double") if slot == "f_float" else nd,
+            "f_str": F.col(c).cast("string") if slot == "f_str" else ns_,
+            "f_bool": F.col(c).cast("boolean") if slot == "f_bool" else nb,
+        }
         parts.append(
             result.select(
                 F.lit(measurement).alias("measurement"),
                 F.col("time"),
                 F.expr("unix_micros(time) * 1000").alias("time_ns"),
-                F.map_from_arrays(
-                    F.array(*[F.lit(t) for t in tag_cols]),
-                    F.array(*[F.col(t).cast("string") for t in tag_cols]),
-                ).alias("tags"),
+                tags_col.alias("tags"),
                 F.lit(c).alias("field"),
-                F.col(c).cast("double").alias("f_float"),
+                vals["f_float"].alias("f_float"),
                 F.lit(None).cast("long").alias("f_int"),
                 F.lit(None).cast("decimal(20,0)").alias("f_uint"),
-                F.lit(None).cast("string").alias("f_str"),
-                F.lit(None).cast("boolean").alias("f_bool"),
-                F.lit(FT_FLOAT).alias("ftype"),
+                vals["f_str"].alias("f_str"),
+                vals["f_bool"].alias("f_bool"),
+                F.lit(ft).alias("ftype"),
                 F.lit(None).cast("long").alias("ingest_seq"),
-            ).filter(F.col("f_float").isNotNull())
+            ).filter(F.col(slot).isNotNull())
         )
     out = parts[0]
     for p in parts[1:]:

@@ -150,18 +150,26 @@ class CQRegistry:
                 windowed, sel,
                 field_types=self.store.field_types(self.org, db),
             )
+            # INTO tag provenance (r12): GROUP BY tags stay tags in
+            # the target; GROUP BY * keeps the all-strings-are-tags
+            # downsample mapping (see sources/io._into_split_cols)
+            from ..frontends.influxql import parse_influxql
+
+            gt = list(parse_influxql(sel).group_tags)
+            into_tags = None if "*" in gt else gt
             # single-execution write (r11, verdict #2): the row count
             # rides the WRITE job as an observation metric, and the
             # type pins come from the result schema — one Spark job per
             # CQ run instead of three (write + pin-distinct + count all
             # re-ran the unpersisted aggregate).
             obs = Observation()
-            pts = result_to_points(result, cq.target).observe(
-                obs, F.count(F.lit(1)).alias("n")
-            )
+            pts = result_to_points(
+                result, cq.target, tag_cols=into_tags
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
             self.store.write_points(
                 self.org, db, pts,
-                known_types=into_type_triples(result, cq.target),
+                known_types=into_type_triples(result, cq.target,
+                                              tag_cols=into_tags),
             )
             written[name] = obs.get["n"]
         return written

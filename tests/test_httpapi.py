@@ -1573,6 +1573,100 @@ def test_flux_map_value_write_on_string_series_wire(served):
     assert vals == ["0.0", "1.0"]
 
 
+def test_v1_into_tag_field_provenance(served):
+    """r12: stock INTO semantics — the query's GROUP BY tags stay TAGS
+    in the destination; every other result column becomes a FIELD of
+    its own type (selected string fields stay string fields; ungrouped
+    tags convert to fields). Previously every string column became a
+    tag, so `SELECT v, s INTO dst` silently demoted the string field.
+    Also pins the empty-tags map type (a raw INTO with no grouped tags
+    used to write void-typed map keys, corrupting the parquet
+    directory for every later read)."""
+    import urllib.parse as up
+
+    base, _, tokens = served
+    lines = "\n".join(
+        f'intosrc,host=h{i % 2} v={i}.0,s="lab{i % 2}" '
+        f"{T0 + i * 60_000_000_000}"
+        for i in range(4)
+    )
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+
+    def q(stmt):
+        _, body = _req(
+            base,
+            f"/query?db=greengrass-telemetry&q={up.quote(stmt)}&epoch=ns",
+            token=tokens["Admin"], method="POST")
+        doc = json.loads(body)
+        assert "error" not in doc["results"][0], (stmt, doc)
+        return doc["results"][0]
+
+    # raw copy: string field stays a FIELD; bucket stays readable
+    res = q("SELECT v, s INTO intoraw FROM intosrc")
+    assert res["series"][0]["values"][0][1] == 8  # 4 points x 2 fields
+    s0 = q("SELECT * FROM intoraw")["series"][0]
+    assert s0["columns"] == ["time", "s", "v"]
+    assert s0["values"][0][1] == "lab0" and s0["values"][0][2] == 0.0
+    res = q("SHOW TAG KEYS FROM intoraw")
+    assert "series" not in res or not res["series"][0].get("values")
+
+    # grouped downsample: the GROUP BY tag stays a TAG
+    q("SELECT mean(v) INTO intoagg FROM intosrc WHERE "
+      "time >= '2024-01-01' AND time < '2024-01-02' "
+      "GROUP BY time(1h), host")
+    res = q("SHOW TAG KEYS FROM intoagg")
+    assert res["series"][0]["values"] == [["host"]]
+    s1 = q("SELECT * FROM intoagg GROUP BY host")["series"][0]
+    assert s1["tags"] in ({"host": "h0"}, {"host": "h1"})
+
+
+def test_flux_set_measurement_routes_to_write(served):
+    """r12 probe: set(key: "_measurement", value: "dst") created a NEW
+    `_measurement` column while the engine's `measurement` column kept
+    the old name — a following to() wrote under the OLD measurement
+    and tripped its type pins (400 on a retyped series). The set key
+    resolves through the Flux→engine column map; composed here with a
+    map() retype, the task-rename idiom."""
+    base, _, tokens = served
+    t0 = T0 + 60_000_000_000_000
+    lines = "\n".join([
+        f'setsrc,host=h1 state="up" {t0}',
+        f'setsrc,host=h1 state="down" {t0 + 60_000_000_000}',
+    ])
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry",
+                     "POST", token=tokens["RW"], body=lines,
+                     ctype="text/plain")
+    assert status == 204
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-05T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "setsrc")'
+        ' |> map(fn: (r) => ({r with _value: if r._value == "up" '
+        "then 1.0 else 0.0}))"
+        ' |> set(key: "_measurement", value: "setdst")'
+        ' |> to(bucket: "greengrass-telemetry")'
+    )
+    status, _ = _req(base, "/api/v2/query", "POST", token=tokens["RW"],
+                     body={"query": flux, "type": "flux"})
+    assert status == 200
+    status, body = _req(
+        base, "/api/v2/query", "POST", token=tokens["RO"],
+        body={"query": (
+            'from(bucket: "greengrass-telemetry")'
+            " |> range(start: 2024-01-01T00:00:00Z,"
+            " stop: 2024-01-05T00:00:00Z)"
+            ' |> filter(fn: (r) => r._measurement == "setdst")'
+        ), "type": "flux"})
+    assert status == 200
+    vals = sorted(ln.split(",")[5] for ln in body.splitlines()
+                  if ln.startswith(",,"))
+    assert vals == ["0.0", "1.0"]
+    assert ",setdst," in body and ",setsrc," not in body
+
+
 def test_flux_drop_materialized_tag_merges_series(served):
     """r9 ADVICE-medium fix: when a tag was materialized as a real
     column by an earlier stage (sort on the tag), drop() must ALSO
