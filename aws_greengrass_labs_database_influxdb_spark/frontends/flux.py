@@ -244,20 +244,16 @@ _LIVE_SLOT_CACHE: "weakref.WeakKeyDictionary[DataFrame, str]" = (
 )
 
 
-def _value_slot_runtime(df: DataFrame, col: str) -> str:
-    """Resolve which slot ``_value`` denotes for ops whose semantics
-    need the ACTUAL values (distinct/unique/sort): when the frame
-    carries string/bool slots and its ftype discriminator says exactly
-    one non-float type is live, that slot is the value column. One
-    bounded distinct job (≤5 field types) per frame — memoized in
-    ``_LIVE_SLOT_CACHE`` — only on frames that carry the extra slots
-    and only for these explicit user ops; float-only frames return
-    ``col`` untouched at plan time."""
-    if col != "f_float" or "ftype" not in df.columns:
-        return col
+def _live_slots(df: DataFrame) -> list[str]:
+    """The value slots the frame's ftype discriminator says are live —
+    one bounded distinct job (≤5 field types) per frame, memoized in
+    ``_LIVE_SLOT_CACHE``. Frames without the discriminator or the
+    extra slots are float-only by construction."""
+    if "ftype" not in df.columns:
+        return ["f_float"]
     extra = [s for s in ("f_str", "f_bool") if s in df.columns]
     if not extra:
-        return col
+        return ["f_float"]
     hit = _LIVE_SLOT_CACHE.get(df)
     if hit is not None:
         return hit
@@ -266,10 +262,27 @@ def _value_slot_runtime(df: DataFrame, col: str) -> str:
     live = sorted({
         slot_of.get(r[0], "f_float")
         for r in df.select("ftype").distinct().collect()
-    })
-    out = live[0] if (len(live) == 1 and live[0] in df.columns) else col
-    _LIVE_SLOT_CACHE[df] = out
-    return out
+        if r[0] is not None
+    }) or ["f_float"]
+    live = [s for s in live if s in df.columns] or ["f_float"]
+    _LIVE_SLOT_CACHE[df] = live
+    return live
+
+
+def _value_slot_runtime(df: DataFrame, col: str) -> str:
+    """Resolve which slot ``_value`` denotes for ops whose semantics
+    need the ACTUAL values (distinct/unique/sort): when the frame
+    carries string/bool slots and its ftype discriminator says exactly
+    one non-float type is live, that slot is the value column.
+    Mixed frames (>1 live type) return ``col`` untouched — the ops
+    that can handle a mix per-group (count/distinct/unique) consult
+    :func:`_live_slots` directly."""
+    if col != "f_float" or "ftype" not in df.columns:
+        return col
+    if not any(s in df.columns for s in ("f_str", "f_bool")):
+        return col
+    live = _live_slots(df)
+    return live[0] if len(live) == 1 else col
 
 
 def _slot_of_sparktype(dtype) -> tuple[str, str]:
@@ -1975,6 +1988,20 @@ def _run_pipeline(
                 # count() of a string field counted f_float NULLs as 0
                 # (r10); numeric aggregates keep the float binding
                 col = _value_slot_runtime(df, col)
+                if (name == "count" and col == "f_float"
+                        and len(_live_slots(df)) > 1):
+                    # MIXED frame (e.g. union of a string and a float
+                    # stream): each row populates exactly one slot, so
+                    # count the coalesced presence — the frame-level
+                    # resolution would count only f_float (r12 probe:
+                    # the string group counted 0)
+                    df = df.withColumn("_vpresent", F.coalesce(*[
+                        F.col(s).cast("string")
+                        for s in ("f_float", "f_str", "f_bool")
+                        if s in df.columns
+                    ]))
+                    pipe = pipe._with(df)
+                    col = "_vpresent"
             else:
                 # numeric-only aggregate over a string/bool series is a
                 # TYPED error in stock Flux ("unsupported input type
@@ -2085,8 +2112,19 @@ def _run_pipeline(
             # the (single) result column (e.g. `mean`), not f_float;
             # _value_slot_runtime: on a string/bool-typed frame it means
             # that slot (r10)
-            cols = [_value_slot_runtime(df, _colname(df, c))
-                    for c in _strlist(args.get("columns", '["_time"]'))]
+            cols = []
+            for c in _strlist(args.get("columns", '["_time"]')):
+                real = _colname(df, c)
+                if real == "f_float" and len(_live_slots(df)) > 1:
+                    # MIXED frame: order by the slot TUPLE — inside a
+                    # group only one slot is non-null, so each group
+                    # sorts by its own typed values (the frame-level
+                    # resolution sorted string groups by the all-NULL
+                    # float slot, r12)
+                    cols.extend(s for s in ("f_float", "f_str", "f_bool")
+                                if s in df.columns)
+                else:
+                    cols.append(_value_slot_runtime(df, real))
             missing = [c for c in cols if c not in df.columns]
             if missing:
                 # map-resident tag keys: materialize before sorting
@@ -2348,8 +2386,8 @@ def _run_pipeline(
             # preserves the row set, so the slot is the write target
             # (if _value was assigned) or the incoming frame's
             # resolution — downstream stages skip their probe job
-            seed = value_dest or _LIVE_SLOT_CACHE.get(df)
-            if seed is not None and "ftype" in out.columns:
+            seed = [value_dest] if value_dest else _LIVE_SLOT_CACHE.get(df)
+            if seed and "ftype" in out.columns:
                 _LIVE_SLOT_CACHE[out] = seed
             pipe = pipe._with(out)
         elif name == "reduce":
@@ -2489,7 +2527,7 @@ def _run_pipeline(
                         out = out.withColumn(
                             src, F.lit(None).cast(dict(df.dtypes)[src]))
                     out = out.withColumn("ftype", F.lit(ft))
-                    _LIVE_SLOT_CACHE[out] = dest
+                    _LIVE_SLOT_CACHE[out] = [dest]
                     pipe = pipe._with(out)
                 else:
                     pipe = pipe._with(df.withColumn(src, conv))
@@ -2548,7 +2586,18 @@ def _run_pipeline(
             )
             if col not in df.columns:
                 raise FluxError(f"unique(column:) references unknown column {col!r}")
-            pipe = pipe._with(_unique(df, col, by=pipe.group_key))
+            if col == "f_float" and len(_live_slots(df)) > 1:
+                # MIXED frame: key on the coalesced value (each row
+                # populates exactly one slot; types are uniform inside
+                # a group, so string representations cannot collide)
+                key = F.coalesce(*[F.col(s).cast("string")
+                                   for s in ("f_float", "f_str", "f_bool")
+                                   if s in df.columns])
+                out = _unique(df.withColumn("_uval", key), "_uval",
+                              by=pipe.group_key).drop("_uval")
+                pipe = pipe._with(out)
+            else:
+                pipe = pipe._with(_unique(df, col, by=pipe.group_key))
         elif name == "distinct":
             from ..operators.selectors import distinct_rows
 
@@ -2568,6 +2617,18 @@ def _run_pipeline(
                     raise FluxError(
                         f"distinct(column:) references unknown column {col!r}"
                     )
+            if (not tag_distinct and col == "f_float"
+                    and len(_live_slots(df)) > 1):
+                # MIXED frame: distinct over the slot TUPLE (+ ftype
+                # for the serializer's dispatch) — each row populates
+                # exactly one slot, so the tuple distinct equals the
+                # per-type distinct stock computes per table
+                slots = [s for s in ("f_float", "f_str", "f_bool")
+                         if s in df.columns]
+                keep = list(dict.fromkeys(
+                    [*pipe.group_key, "ftype", *slots]))
+                pipe = pipe._with(df.select(*keep).distinct())
+                continue
             out = distinct_rows(df, col, by=pipe.group_key)
             if tag_distinct:
                 # stock distinct() rebinds the selected values to

@@ -3052,3 +3052,52 @@ def test_flux_highest_lowest_rank_live_slot(spark):
             'from(bucket:"b") |> group(columns: ["host"]) '
             "|> highestAverage(n: 1)",
         ).collect()
+
+
+def test_flux_mixed_union_count_distinct_unique(mixed_pts):
+    """r12 probe: after a union of a string stream and a float stream
+    the frame carries BOTH live types, so the frame-level slot
+    resolution is ambiguous — count() counted only f_float (the
+    string group answered 0), and distinct()/unique() dropped the
+    string group's values. Mixed frames now count coalesced presence
+    and distinct over the slot tuple; per-group semantics match the
+    uniform-frame behavior."""
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+    )
+    out = execute_flux(mixed_pts, pre + "union(tables: [a, b]) |> count()")
+    got = {r["field"]: r["count"] for r in out.collect()}
+    assert got == {"status": 3, "temp": 3}
+
+    out = execute_flux(mixed_pts, pre + "union(tables: [a, b]) |> distinct()")
+    rows = out.collect()
+    svals = sorted(r["f_str"] for r in rows if r["field"] == "status")
+    fvals = sorted(r["f_float"] for r in rows if r["field"] == "temp")
+    assert svals == ["bad", "ok"] and fvals == [1.5, 2.5, 3.5]
+
+    # unique keeps the engine's per-group semantics on the mix: same
+    # row count as running it per uniform stream
+    u_mixed = execute_flux(
+        mixed_pts, pre + "union(tables: [a, b]) |> unique()").count()
+    u_s = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> unique()").count()
+    u_t = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        "|> unique()").count()
+    assert u_mixed == u_s + u_t
+
+
+def test_flux_mixed_sort_orders_each_group_by_its_type(mixed_pts):
+    """r12: sort(columns: ["_value"]) on a MIXED frame ordered every
+    group by the all-NULL float slot. The slot-tuple ordering sorts
+    each group by its own typed values."""
+    out = execute_flux(
+        mixed_pts, 'from(bucket:"b") |> sort(columns: ["_value"])'
+    ).collect()
+    svals = [r["f_str"] for r in out if r["field"] == "status"]
+    fvals = [r["f_float"] for r in out if r["field"] == "temp"]
+    assert svals == sorted(svals) and fvals == sorted(fvals)
