@@ -302,12 +302,18 @@ def _slot_of_sparktype(dtype) -> tuple[str, str]:
 
 def _reject_non_numeric_agg(df: DataFrame, col: str, fn: str) -> None:
     """Stock Flux rejects numeric-only aggregates over string/bool
-    series with a typed runtime error. Resolves the live slot via the
+    series with a typed runtime error. Resolves the live slots via the
     same bounded probe as :func:`_value_slot_runtime` (no job on
-    float-only frames) and raises the stock-shaped message."""
-    live = _value_slot_runtime(df, col)
-    if live in ("f_str", "f_bool"):
-        t = "string" if live == "f_str" else "bool"
+    float-only frames) and raises the stock-shaped message. A MIXED
+    frame (union of a string and a float stream) raises too — stock
+    computes per table and the non-numeric table errors the query
+    (r12; previously the float rows silently averaged and the string
+    group emitted a null row)."""
+    if col != "f_float" or "ftype" not in df.columns:
+        return
+    bad = [s for s in _live_slots(df) if s in ("f_str", "f_bool")]
+    if bad:
+        t = "string" if bad[0] == "f_str" else "bool"
         raise FluxError(
             f"unsupported input type for {fn} aggregate: {t}"
         )

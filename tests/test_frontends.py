@@ -3101,3 +3101,24 @@ def test_flux_mixed_sort_orders_each_group_by_its_type(mixed_pts):
     svals = [r["f_str"] for r in out if r["field"] == "status"]
     fvals = [r["f_float"] for r in out if r["field"] == "temp"]
     assert svals == sorted(svals) and fvals == sorted(fvals)
+
+
+def test_flux_numeric_agg_over_mixed_union_raises(mixed_pts):
+    """r12: a numeric-only aggregate over a MIXED union raises the
+    typed error (stock computes per table — the string table errors
+    the query); previously the float rows silently averaged and the
+    string group emitted a null row."""
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+    )
+    with pytest.raises(FluxError, match="unsupported input type"):
+        execute_flux(mixed_pts, pre + "union(tables: [a, b]) |> mean()")
+    # float-only unions keep aggregating
+    pre2 = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+    )
+    out = execute_flux(
+        mixed_pts, pre2 + "union(tables: [a, b]) |> mean()").collect()
+    assert out and out[0]["mean"] == 2.5

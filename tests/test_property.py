@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from aws_greengrass_labs_database_influxdb_spark.sources.lineprotocol import (
@@ -1088,16 +1090,27 @@ def test_flux_pipeline_grammar_on_mixed_frame(spark, sf_dir):
 
     pts = _events_mixed_points(spark, sf_dir)
 
-    # the r11 repro, pinned deterministically
+    # the r11 repro, pinned deterministically. r12: the frame keeps
+    # ALL fields (string + bool + float live), so the numeric mean
+    # now raises stock's per-table typed error — the r11 crash class
+    # (tags MAP in the group key) stays covered by the float-only
+    # variant below, which must compile and plan.
+    with pytest.raises(FluxError, match="unsupported input type"):
+        execute_flux(
+            pts,
+            'from(bucket:"b") |> range(start: 0) '
+            '|> filter(fn: (r) => r._measurement == "events") '
+            '|> group(columns: ["event_type"], mode: "except") '
+            "|> mean() |> limit(n: 3)",
+        )
     out = execute_flux(
         pts,
         'from(bucket:"b") |> range(start: 0) '
-        '|> filter(fn: (r) => r._measurement == "events") '
+        '|> filter(fn: (r) => r._field == "value") '
         '|> group(columns: ["event_type"], mode: "except") '
         "|> mean() |> limit(n: 3)",
     )
-    assert "tags" not in out.columns or True  # compiles and plans
-    assert out.columns
+    assert out.columns  # compiles and plans
 
     @given(q=_flux_script())
     @settings(max_examples=80, deadline=None, derandomize=True,
