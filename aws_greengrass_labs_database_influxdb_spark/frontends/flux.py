@@ -1964,6 +1964,17 @@ def _run_pipeline(
                     # reject made the windowed and bare paths
                     # inconsistent)
                     vcol = _value_slot_runtime(df, vcol)
+                    if (fnarg == "count" and vcol == "f_float"
+                            and len(_live_slots(df)) > 1):
+                        # MIXED frame: count coalesced presence, the
+                        # windowed twin of the bare count() fix (r12)
+                        df = df.withColumn("_vpresent", F.coalesce(*[
+                            F.col(s).cast("string")
+                            for s in ("f_float", "f_str", "f_bool")
+                            if s in df.columns
+                        ]))
+                        pipe = pipe._with(df)
+                        vcol = "_vpresent"
                 else:
                     # numeric window fns over string/bool series are a
                     # typed error in stock Flux (r11)

@@ -3122,3 +3122,21 @@ def test_flux_numeric_agg_over_mixed_union_raises(mixed_pts):
     out = execute_flux(
         mixed_pts, pre2 + "union(tables: [a, b]) |> mean()").collect()
     assert out and out[0]["mean"] == 2.5
+
+
+def test_flux_mixed_union_aggregate_window_count(mixed_pts):
+    """r12: aggregateWindow(fn: count) over a mixed union counts each
+    group's coalesced presence — the windowed twin of the bare count()
+    fix (string windows previously counted 0 from the float slot)."""
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+    )
+    out = execute_flux(
+        mixed_pts,
+        pre + "union(tables: [a, b]) "
+        "|> range(start: 1970-01-01T00:00:00Z) "
+        "|> aggregateWindow(every: 1h, fn: count, createEmpty: false)",
+    ).collect()
+    got = {r["field"]: r["f_float"] for r in out}
+    assert got == {"status": 3, "temp": 3}
