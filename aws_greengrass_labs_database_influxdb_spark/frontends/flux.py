@@ -2363,18 +2363,24 @@ def _run_pipeline(
                     # sync the ftype discriminator the serializer
                     # dispatches on. The schema probe is plan-time
                     # analysis only — no Spark job.
-                    live = _value_slot_runtime(df, target)
+                    live = _live_slots(df)
                     dtype = df.select(expr_col.alias("_t")).schema[0].dataType
                     dest, ft = _slot_of_sparktype(dtype)
                     updates[dest] = (expr_col.cast("double")
                                      if dest == "f_float" else expr_col)
                     value_dest = dest
-                    if dest != live:
-                        if live in df.columns:
-                            updates.setdefault(
-                                live,
-                                F.lit(None).cast(dict(df.dtypes)[live]),
-                            )
+                    if live != [dest]:
+                        # retype: a single-type frame changing slot, or
+                        # a MIXED frame — stock map applies per table
+                        # and retypes EVERY table to the expression's
+                        # type (r12: the float-only write left string
+                        # rows' old values live). Null the other slots
+                        # and sync ftype.
+                        dtypes_m = dict(df.dtypes)
+                        for s in ("f_float", "f_str", "f_bool"):
+                            if s in df.columns and s != dest:
+                                updates.setdefault(
+                                    s, F.lit(None).cast(dtypes_m[s]))
                         retype_ftype = ft
                     continue
                 updates[target if target in df.columns else k] = expr_col

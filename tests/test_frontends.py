@@ -3140,3 +3140,19 @@ def test_flux_mixed_union_aggregate_window_count(mixed_pts):
     ).collect()
     got = {r["field"]: r["f_float"] for r in out}
     assert got == {"status": 3, "temp": 3}
+
+
+def test_flux_map_value_write_on_mixed_frame_retypes_all_tables(mixed_pts):
+    """r12: a map() _value assignment on a MIXED frame (no field
+    filter) must apply to EVERY group — stock map runs per table and
+    retypes each one to the expression's type. Previously only the
+    float rows updated; string/bool rows silently kept their old
+    values in their live slots."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> map(fn: (r) => ({r with _value: 9.0}))',
+    ).collect()
+    assert len(out) == 9  # all three fields' rows survive
+    assert all(r["f_float"] == 9.0 for r in out)
+    assert all(r["f_str"] is None and r["f_bool"] is None for r in out)
+    assert all(r["ftype"] == "float" for r in out)
