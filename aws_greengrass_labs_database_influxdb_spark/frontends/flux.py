@@ -226,6 +226,12 @@ def _colname(df: DataFrame, name: str) -> str:
         hits = [c for c in df.columns if c in _VALUE_RESULT_ALIASES]
         if len(hits) == 1:
             return hits[0]
+        # a type-preserving window/aggregate landed its result in a
+        # typed slot (r13: aggregateWindow no longer erases a string
+        # result into a column named f_float) — _value means that slot
+        slot_hits = [c for c in ("f_str", "f_bool") if c in df.columns]
+        if len(slot_hits) == 1:
+            return slot_hits[0]
     return mapped
 
 
@@ -239,16 +245,34 @@ def _colname(df: DataFrame, name: str) -> str:
 #: with the frame, no lifetime management.
 import weakref
 
-_LIVE_SLOT_CACHE: "weakref.WeakKeyDictionary[DataFrame, str]" = (
+_LIVE_SLOT_CACHE: "weakref.WeakKeyDictionary[DataFrame, list]" = (
     weakref.WeakKeyDictionary()
 )
+#: SUPERSET entries (r12 ADVICE #5, second half): stages that can only
+#: REMOVE rows (filter/range) propagate their input's live set here —
+#: a superset of the true live set. Ordering/presence consumers
+#: (sort, selectors, count, fill, conversions) are superset-safe:
+#: inside a group exactly one slot is non-null regardless, so a stale
+#: extra slot in the ordering tuple is a constant-NULL no-op. The
+#: typed-error check is NOT superset-safe (stock's filter drops empty
+#: tables, so a numeric aggregate after filtering a mix down to floats
+#: must NOT raise) — it reads the exact cache only.
+_LIVE_SLOT_SUPERSET: "weakref.WeakKeyDictionary[DataFrame, list]" = (
+    weakref.WeakKeyDictionary()
+)
+#: probe-job counter, read by the plan-time-cost test (tests assert a
+#: multi-stage mixed script runs ≤1 distinct probe)
+_PROBE_RUNS = 0
 
 
-def _live_slots(df: DataFrame) -> list[str]:
+def _live_slots(df: DataFrame, exact: bool = True) -> list[str]:
     """The value slots the frame's ftype discriminator says are live —
     one bounded distinct job (≤5 field types) per frame, memoized in
     ``_LIVE_SLOT_CACHE``. Frames without the discriminator or the
-    extra slots are float-only by construction."""
+    extra slots are float-only by construction. ``exact=False``
+    additionally accepts a propagated SUPERSET entry (see
+    ``_LIVE_SLOT_SUPERSET``) — callers whose semantics tolerate a
+    stale extra slot skip the probe job entirely."""
     if "ftype" not in df.columns:
         return ["f_float"]
     extra = [s for s in ("f_str", "f_bool") if s in df.columns]
@@ -257,6 +281,12 @@ def _live_slots(df: DataFrame) -> list[str]:
     hit = _LIVE_SLOT_CACHE.get(df)
     if hit is not None:
         return hit
+    if not exact:
+        sup = _LIVE_SLOT_SUPERSET.get(df)
+        if sup is not None:
+            return sup
+    global _PROBE_RUNS
+    _PROBE_RUNS += 1
     slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
                "string": "f_str", "bool": "f_bool"}
     live = sorted({
@@ -267,6 +297,11 @@ def _live_slots(df: DataFrame) -> list[str]:
     live = [s for s in live if s in df.columns] or ["f_float"]
     _LIVE_SLOT_CACHE[df] = live
     return live
+
+
+def _slot_cols(df: DataFrame) -> list[str]:
+    """The frame's physical value slots, canonical order."""
+    return [s for s in ("f_float", "f_str", "f_bool") if s in df.columns]
 
 
 def _value_slot_runtime(df: DataFrame, col: str) -> str:
@@ -281,7 +316,7 @@ def _value_slot_runtime(df: DataFrame, col: str) -> str:
         return col
     if not any(s in df.columns for s in ("f_str", "f_bool")):
         return col
-    live = _live_slots(df)
+    live = _live_slots(df, exact=False)
     return live[0] if len(live) == 1 else col
 
 
@@ -308,7 +343,24 @@ def _reject_non_numeric_agg(df: DataFrame, col: str, fn: str) -> None:
     frame (union of a string and a float stream) raises too — stock
     computes per table and the non-numeric table errors the query
     (r12; previously the float rows silently averaged and the string
-    group emitted a null row)."""
+    group emitted a null row).
+
+    r13: also consults the column's ACTUAL Spark type — a windowed
+    string result (now carried in ``f_str``, or any string/bool column
+    named directly, e.g. ``mean(column: "host")``) is the same typed
+    error in stock regardless of the ftype discriminator; previously a
+    type-erased frame leaked a raw NumberFormatException from the
+    executor cast instead."""
+    if col in df.columns:
+        dt = dict(df.dtypes).get(col)
+        if dt == "string":
+            raise FluxError(
+                f"unsupported input type for {fn} aggregate: string"
+            )
+        if dt == "boolean":
+            raise FluxError(
+                f"unsupported input type for {fn} aggregate: bool"
+            )
     if col != "f_float" or "ftype" not in df.columns:
         return
     bad = [s for s in _live_slots(df) if s in ("f_str", "f_bool")]
@@ -602,6 +654,27 @@ AGG_STAGES = {"count", "sum", "mean", "median", "mode", "stddev", "spread", "ske
 #: stages whose INPUT must be numeric in stock Flux — over a
 #: string/bool series they raise the typed "unsupported input type"
 #: error instead of computing NULLs from the float slot (r11)
+#: stages that cannot change any surviving row's ftype — their output
+#: inherits the input's resolved live-slot set (see the propagation
+#: block at the stage-loop tail). Deliberately absent: map /
+#: conversions / set (they retype and seed their own cache entry),
+#: aggregates & windows (new shape, handled at their branch), union /
+#: join / pivot (new frames).
+_FTYPE_KEEP_STAGES = {
+    "range", "filter", "hourSelection", "keep", "drop", "rename", "sort",
+    "limit", "tail", "group", "window", "timeShift",
+    "truncateTimeColumn", "first", "last", "min", "max", "top", "bottom",
+    "sample", "unique", "fill", "elapsed", "stateCount", "stateDuration",
+    "monitor.check", "monitor.stateChanges",
+}
+#: the subset of the above that can remove rows — and with them, whole
+#: typed tables — so their propagated live set is only a SUPERSET
+#: (selectors keep ≥1 row per non-empty group, so they stay exact)
+_ROW_REMOVING_STAGES = {
+    "range", "filter", "hourSelection", "unique", "sample", "limit",
+    "tail", "elapsed", "monitor.stateChanges",
+}
+
 _NUMERIC_INPUT_STAGES = {
     "quantile", "integral", "histogram", "histogramQuantile",
     "derivative", "difference", "increase", "cumulativeSum",
@@ -1826,6 +1899,7 @@ def _run_pipeline(
         # access a typed error without annotating each one (r6 fuzzer)
         args = _StageArgs(name, args)
         df = pipe.df
+        _df_in = df  # cache-propagation anchor (see loop tail)
         if name in _TIME_ORDERED or name in (
             "window", "aggregateWindow", "first", "last"
         ):
@@ -1842,13 +1916,15 @@ def _run_pipeline(
                 raise FluxError(f"{name}() requires a _time column")
         if name in _VALUE_STAGES and _colname(df, "_value") not in df.columns:
             raise FluxError(f"{name}() has no value column to transform")
-        if (name in _NUMERIC_INPUT_STAGES
-                and _colname(df, "_value") == "f_float"):
+        if name in _NUMERIC_INPUT_STAGES:
             # numeric-input stages over a string/bool series are typed
             # errors in stock Flux ("unsupported input type for
             # derivative: string") — previously they computed NULLs
-            # from the float slot (r11, same class as the mean() fix)
-            _reject_non_numeric_agg(df, "f_float", name)
+            # from the float slot (r11, same class as the mean() fix).
+            # The resolved column is passed so the Spark-dtype check
+            # also covers type-preserving window results carried in
+            # f_str/f_bool (r13)
+            _reject_non_numeric_agg(df, _colname(df, "_value"), name)
         if name == "range":
             # start: is required in Flux — a mis-spelled key must not
             # silently skip the time filter (r6 source-arg hardening)
@@ -1953,6 +2029,8 @@ def _run_pipeline(
                 )
             else:
                 vcol = _colname(df, _lit(args.get("column", '"_value"')))
+                slots = None
+                had_ftype = "ftype" in df.columns
                 if fnarg in ("first", "last", "count", "mode",
                              "min", "max"):
                     # type-generic window fns read the live slot (r10:
@@ -1963,23 +2041,33 @@ def _run_pipeline(
                     # (r11 ADVICE: routing them through the numeric
                     # reject made the windowed and bare paths
                     # inconsistent)
-                    vcol = _value_slot_runtime(df, vcol)
-                    if (fnarg == "count" and vcol == "f_float"
-                            and len(_live_slots(df)) > 1):
-                        # MIXED frame: count coalesced presence, the
-                        # windowed twin of the bare count() fix (r12)
-                        df = df.withColumn("_vpresent", F.coalesce(*[
-                            F.col(s).cast("string")
-                            for s in ("f_float", "f_str", "f_bool")
-                            if s in df.columns
-                        ]))
-                        pipe = pipe._with(df)
-                        vcol = "_vpresent"
+                    if (vcol == "f_float" and had_ftype
+                            and len(_slot_cols(df)) > 1):
+                        live = _live_slots(df)  # exact: shapes output
+                        if len(live) == 1:
+                            vcol = live[0]
+                        elif fnarg == "count":
+                            # MIXED frame: count coalesced presence,
+                            # the windowed twin of the bare count()
+                            # fix (r12)
+                            df = df.withColumn("_vpresent", F.coalesce(*[
+                                F.col(s).cast("string")
+                                for s in _slot_cols(df)
+                            ]))
+                            pipe = pipe._with(df)
+                            vcol = "_vpresent"
+                        else:
+                            # MIXED frame (r13): aggregate every slot —
+                            # each (series, window) group is single-
+                            # typed, so the slot shape preserves every
+                            # table's values; the single-column path
+                            # silently nulled non-float groups
+                            slots = _slot_cols(df)
                 else:
                     # numeric window fns over string/bool series are a
                     # typed error in stock Flux (r11)
                     _reject_non_numeric_agg(df, vcol, fnarg)
-                if vcol not in df.columns:
+                if slots is None and vcol not in df.columns:
                     raise FluxError(
                         f"aggregateWindow() has no value column {vcol!r} "
                         "to aggregate"
@@ -1996,8 +2084,28 @@ def _run_pipeline(
                     time_src=_aw_time_src(args),
                     tz=_location_value(args["location"])
                     if "location" in args else location,
+                    slots=slots,
                 )
-                pipe = pipe.rename({"_value_agg": "f_float"})
+                if slots is None:
+                    # land the result in its SOURCE slot and restamp
+                    # the discriminator (r13): the old unconditional
+                    # rename into f_float erased the type evidence — a
+                    # string window result then leaked a raw executor
+                    # cast error from a downstream mean() instead of
+                    # stock's typed error
+                    dest = (vcol if vcol in ("f_str", "f_bool")
+                            and fnarg != "count" else "f_float")
+                    pipe = pipe.rename({"_value_agg": dest})
+                    if had_ftype:
+                        ft = {"f_str": "string",
+                              "f_bool": "bool"}.get(dest, "float")
+                        pipe = pipe._with(
+                            pipe.df.withColumn("ftype", F.lit(ft)))
+                        _LIVE_SLOT_CACHE[pipe.df] = [dest]
+                else:
+                    # windowing preserves each group's type: the
+                    # output's live set is the input's (cached — free)
+                    _LIVE_SLOT_CACHE[pipe.df] = _live_slots(df)
         elif name in AGG_STAGES:
             col = _colname(df, _lit(args.get("column", '"_value"')))
             if name in ("count", "mode"):
@@ -2006,19 +2114,40 @@ def _run_pipeline(
                 # (r10); numeric aggregates keep the float binding
                 col = _value_slot_runtime(df, col)
                 if (name == "count" and col == "f_float"
-                        and len(_live_slots(df)) > 1):
+                        and len(_slot_cols(df)) > 1
+                        and len(_live_slots(df, exact=False)) > 1):
                     # MIXED frame (e.g. union of a string and a float
                     # stream): each row populates exactly one slot, so
                     # count the coalesced presence — the frame-level
                     # resolution would count only f_float (r12 probe:
                     # the string group counted 0)
                     df = df.withColumn("_vpresent", F.coalesce(*[
-                        F.col(s).cast("string")
-                        for s in ("f_float", "f_str", "f_bool")
-                        if s in df.columns
+                        F.col(s).cast("string") for s in _slot_cols(df)
                     ]))
                     pipe = pipe._with(df)
                     col = "_vpresent"
+                elif (name == "mode" and col == "f_float"
+                        and len(_slot_cols(df)) > 1
+                        and len(_live_slots(df, exact=False)) > 1):
+                    # MIXED frame (r13): mode per slot, slot-shaped
+                    # output — each group is single-typed, so its mode
+                    # lands in its own slot and the dead slots stay
+                    # NULL (the f_float binding answered null for
+                    # every non-float group); the wire facade splits
+                    # the result per ftype like any slot frame
+                    gk = [k for k in pipe.group_key if k in df.columns]
+                    out = df.groupBy(*gk).agg(
+                        *[F.mode(F.col(s)).alias(s)
+                          for s in _slot_cols(df)],
+                        F.first("ftype", ignorenulls=True).alias("ftype"),
+                    )
+                    # propagate at the input's confidence: a SUPERSET
+                    # entry (post-filter) must not masquerade as exact
+                    cache = (_LIVE_SLOT_CACHE if df in _LIVE_SLOT_CACHE
+                             else _LIVE_SLOT_SUPERSET)
+                    cache[out] = _live_slots(df, exact=False)
+                    pipe = pipe._with(out)
+                    continue
             else:
                 # numeric-only aggregate over a string/bool series is a
                 # TYPED error in stock Flux ("unsupported input type
@@ -2033,8 +2162,18 @@ def _run_pipeline(
             # selectors pick a ROW by value order — Flux compares any
             # sortable type, so string/bool series select by their live
             # slot (lexicographic / false<true), like sort() does (r11)
-            vcol = _value_slot_runtime(df, vcol)
-            if vcol not in df.columns:
+            resolved = _value_slot_runtime(df, vcol)
+            if (resolved == "f_float" and vcol == "f_float"
+                    and len(_slot_cols(df)) > 1
+                    and len(_live_slots(df, exact=False)) > 1):
+                # MIXED frame (r13): order by the slot TUPLE — inside a
+                # group exactly one slot is non-null, so each group
+                # selects by its own typed extremum (the single-column
+                # order voided string/bool groups into an all-NULL row)
+                vcol = _slot_cols(df)
+            else:
+                vcol = resolved
+            if isinstance(vcol, str) and vcol not in df.columns:
                 raise FluxError(f"{name}() has no value column to select on")
             pipe = pipe.min(vcol) if name == "min" else pipe.max(vcol)
         elif name in ("first", "last"):
@@ -2047,8 +2186,17 @@ def _run_pipeline(
             # the LIVE slot (r12 probe — top/bottom over a string/bool
             # series ranked the dead all-NULL f_float slot, returning
             # arbitrary rows instead of the lexicographic extremes)
-            vcol = _value_slot_runtime(df, _colname(df, tcols[0]))
-            if vcol not in df.columns:
+            real = _colname(df, tcols[0])
+            vcol = _value_slot_runtime(df, real)
+            if (vcol == "f_float" and real == "f_float"
+                    and len(_slot_cols(df)) > 1
+                    and len(_live_slots(df, exact=False)) > 1):
+                # MIXED frame (r13): rank by the slot tuple — each
+                # group ranks by its own live slot (bottom(n:1)
+                # previously returned the row the dead float slot
+                # happened to rank first)
+                vcol = _slot_cols(df)
+            if isinstance(vcol, str) and vcol not in df.columns:
                 raise FluxError(
                     f"{name}(columns:) references unknown column {vcol!r}"
                 )
@@ -2113,15 +2261,47 @@ def _run_pipeline(
             # string series coalesced a string literal into the double
             # f_float slot — an ANSI cast crash; stock fills the typed
             # column
-            col = _value_slot_runtime(
-                df, _colname(df, _lit(args.get("column", '"_value"')))
-            )
-            if col not in df.columns:
+            real = _colname(df, _lit(args.get("column", '"_value"')))
+            col = _value_slot_runtime(df, real)
+            mixed = (col == "f_float" and real == "f_float"
+                     and len(_slot_cols(df)) > 1
+                     and len(_live_slots(df, exact=False)) > 1)
+            if not mixed and col not in df.columns:
                 raise FluxError(f"fill(column:) references unknown column {col!r}")
             if _lit(args.get("usePrevious", "false")) is True:
                 if not pipe.order:
                     raise FluxError("fill(usePrevious:) needs an ordered frame")
-                pipe = pipe.fill(use_previous=True, column=col)
+                if mixed:
+                    # MIXED frame (r13): forward-fill every slot — the
+                    # dead slots of a group are all-NULL, so their
+                    # forward fill stays NULL (no cross-type bleed)
+                    for s in _slot_cols(df):
+                        pipe = pipe.fill(use_previous=True, column=s)
+                else:
+                    pipe = pipe.fill(use_previous=True, column=col)
+            elif mixed:
+                # MIXED frame (r13): the literal's type picks the slot,
+                # and only rows of the MATCHING group type fill — a
+                # float literal stamped into the dead f_float slot of
+                # a string row would surface as data to every
+                # slot-tuple consumer
+                v = _lit(args["value"])
+                if isinstance(v, bool):
+                    slot, types = "f_bool", ("bool",)
+                elif isinstance(v, str):
+                    slot, types = "f_str", ("string",)
+                else:
+                    slot, types = "f_float", ("float", "int", "uint")
+                if slot not in df.columns:
+                    raise FluxError(
+                        f"fill(value:) type has no matching value slot {slot!r}"
+                    )
+                pipe = pipe._with(df.withColumn(
+                    slot,
+                    F.when(F.col("ftype").isin(*types),
+                           F.coalesce(F.col(slot), F.lit(v)))
+                    .otherwise(F.col(slot)),
+                ))
             else:
                 pipe = pipe.fill(value=_lit(args["value"]), column=col)
         elif name == "sort":
@@ -2132,7 +2312,7 @@ def _run_pipeline(
             cols = []
             for c in _strlist(args.get("columns", '["_time"]')):
                 real = _colname(df, c)
-                if real == "f_float" and len(_live_slots(df)) > 1:
+                if real == "f_float" and len(_live_slots(df, exact=False)) > 1:
                     # MIXED frame: order by the slot TUPLE — inside a
                     # group only one slot is non-null, so each group
                     # sorts by its own typed values (the frame-level
@@ -2244,11 +2424,30 @@ def _run_pipeline(
             # stayed put — a following to() wrote under the OLD
             # measurement and tripped its type pins)
             skey = _lit(args["key"])
+            sval = _lit(args["value"])
             real = _colname(df, skey)
-            pipe = pipe._with(df.withColumn(
-                real if real in df.columns else skey,
-                F.lit(_lit(args["value"])),
-            ))
+            if (skey == "_value" and real == "f_float"
+                    and "ftype" in df.columns
+                    and any(s in df.columns for s in ("f_str", "f_bool"))):
+                # set() values are strings (Flux signature): a _value
+                # target on a slot-typed frame retypes the series to
+                # string through the same live-slot write-back map()
+                # uses (r12 ADVICE: the literal previously landed in
+                # the double f_float slot under a stale 'float' ftype)
+                dtypes_m = dict(df.dtypes)
+                out = df
+                for s in ("f_float", "f_bool"):
+                    if s in out.columns:
+                        out = out.withColumn(s, F.lit(None).cast(dtypes_m[s]))
+                out = out.withColumn("f_str", F.lit(sval)).withColumn(
+                    "ftype", F.lit("string"))
+                _LIVE_SLOT_CACHE[out] = ["f_str"]
+                pipe = pipe._with(out)
+            else:
+                pipe = pipe._with(df.withColumn(
+                    real if real in df.columns else skey,
+                    F.lit(sval),
+                ))
         elif name == "duplicate":
             # _value on a string/bool-typed frame means that slot (r10)
             src = _value_slot_runtime(df, _colname(df, _lit(args["column"])))
@@ -2363,7 +2562,7 @@ def _run_pipeline(
                     # sync the ftype discriminator the serializer
                     # dispatches on. The schema probe is plan-time
                     # analysis only — no Spark job.
-                    live = _live_slots(df)
+                    live = _live_slots(df, exact=False)
                     dtype = df.select(expr_col.alias("_t")).schema[0].dataType
                     dest, ft = _slot_of_sparktype(dtype)
                     updates[dest] = (expr_col.cast("double")
@@ -2531,7 +2730,6 @@ def _run_pipeline(
                 spark_type = {"toInt": "long", "toFloat": "double",
                               "toString": "string", "toBool": "boolean",
                               "toUInt": "long", "toDuration": "long"}[name]
-                conv = F.col(src).cast(spark_type)
                 # slot routing only on frames that CARRY the typed
                 # slots (bucket reads); float-only pipes keep the
                 # in-place retype (f_float becomes the cast type —
@@ -2540,19 +2738,34 @@ def _run_pipeline(
                 if (cur == "f_float" and "ftype" in df.columns
                         and any(s in df.columns
                                 for s in ("f_str", "f_bool"))):
+                    live = _live_slots(df, exact=False)
+                    if len(live) > 1:
+                        # MIXED frame (r13): convert each group's LIVE
+                        # value — exactly one slot is non-null per row,
+                        # so the coalesce of per-slot casts is the
+                        # row's own value converted (the single-slot
+                        # binding cast the dead f_float, destroying
+                        # every non-float row)
+                        conv = F.coalesce(
+                            *[F.col(s).cast(spark_type) for s in live])
+                    else:
+                        conv = F.col(live[0]).cast(spark_type)
                     dest, ft = {"string": ("f_str", "string"),
                                 "boolean": ("f_bool", "bool")}.get(
                         spark_type, ("f_float", "float"))
+                    dtypes_m = dict(df.dtypes)
                     out = df.withColumn(
                         dest,
                         conv.cast("double") if dest == "f_float" else conv)
-                    if dest != src and src in out.columns:
-                        out = out.withColumn(
-                            src, F.lit(None).cast(dict(df.dtypes)[src]))
+                    for s in ("f_float", "f_str", "f_bool"):
+                        if s != dest and s in out.columns:
+                            out = out.withColumn(
+                                s, F.lit(None).cast(dtypes_m[s]))
                     out = out.withColumn("ftype", F.lit(ft))
                     _LIVE_SLOT_CACHE[out] = [dest]
                     pipe = pipe._with(out)
                 else:
+                    conv = F.col(src).cast(spark_type)
                     pipe = pipe._with(df.withColumn(src, conv))
         elif name == "columns":
             # one row per Flux-visible column label
@@ -2609,7 +2822,7 @@ def _run_pipeline(
             )
             if col not in df.columns:
                 raise FluxError(f"unique(column:) references unknown column {col!r}")
-            if col == "f_float" and len(_live_slots(df)) > 1:
+            if col == "f_float" and len(_live_slots(df, exact=False)) > 1:
                 # MIXED frame: key on the coalesced value (each row
                 # populates exactly one slot; types are uniform inside
                 # a group, so string representations cannot collide)
@@ -2641,7 +2854,7 @@ def _run_pipeline(
                         f"distinct(column:) references unknown column {col!r}"
                     )
             if (not tag_distinct and col == "f_float"
-                    and len(_live_slots(df)) > 1):
+                    and len(_live_slots(df, exact=False)) > 1):
                 # MIXED frame: distinct over the slot TUPLE (+ ftype
                 # for the serializer's dispatch) — each row populates
                 # exactly one slot, so the tuple distinct equals the
@@ -2929,6 +3142,36 @@ def _run_pipeline(
             pipe = _geo_stage(pipe, name, args)
         else:
             raise FluxError(f"unsupported Flux function {name!r}")
+        # live-slot cache propagation (r12 ADVICE #5, second half):
+        # stages that cannot change a row's ftype hand their input's
+        # resolved live set to the output frame, so an N-stage mixed
+        # script probes AT MOST ONCE instead of once per slot-consuming
+        # stage. Row-REMOVING stages (filter/range/hourSelection) can
+        # only shrink the live set — their entry goes to the SUPERSET
+        # cache, which ordering/presence consumers accept but the
+        # typed-error check does not (stock's filter drops empty
+        # tables, so mean() after filtering a mix down to floats must
+        # not raise on the stale string type).
+        if name in _FTYPE_KEEP_STAGES and pipe.df is not _df_in:
+            out_df = pipe.df
+            if "ftype" in out_df.columns:
+                hit = _LIVE_SLOT_CACHE.get(_df_in)
+                sup = hit if hit is not None else _LIVE_SLOT_SUPERSET.get(_df_in)
+                if name in _ROW_REMOVING_STAGES:
+                    if sup is not None and out_df not in _LIVE_SLOT_SUPERSET \
+                            and out_df not in _LIVE_SLOT_CACHE:
+                        _LIVE_SLOT_SUPERSET[out_df] = [
+                            s for s in sup if s in out_df.columns
+                        ] or ["f_float"]
+                elif out_df not in _LIVE_SLOT_CACHE:
+                    if hit is not None:
+                        _LIVE_SLOT_CACHE[out_df] = [
+                            s for s in hit if s in out_df.columns
+                        ] or ["f_float"]
+                    elif sup is not None and out_df not in _LIVE_SLOT_SUPERSET:
+                        _LIVE_SLOT_SUPERSET[out_df] = [
+                            s for s in sup if s in out_df.columns
+                        ] or ["f_float"]
     return pipe
 
 

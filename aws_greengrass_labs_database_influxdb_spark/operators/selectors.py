@@ -54,30 +54,54 @@ def last(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFram
     return _keep_row(df, by, F.struct(-F.col(time_ns), *tb), "last")
 
 
+def _value_tuple(value) -> list[str]:
+    """Selector value spec: a single column, or — for MIXED frames
+    (r13) — the slot tuple (f_float, f_str, f_bool). Inside one group
+    exactly one slot is non-null (a series has a single type), so
+    ordering by the tuple orders each group by its own typed values;
+    the dead slots are constant NULL and never influence the order."""
+    return list(value) if isinstance(value, (list, tuple)) else [value]
+
+
+def _present(vals: Sequence[str]):
+    """Non-null guard over the value spec — rows with no value in ANY
+    slot never win the selection (the single-column guard previously
+    voided entire non-float groups into one all-NULL row, r12)."""
+    if len(vals) == 1:
+        return F.col(vals[0]).isNotNull()
+    return F.coalesce(*[F.col(v).cast("string") for v in vals]).isNotNull()
+
+
 def min_selector(
-    df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
+    df: DataFrame, by: Sequence[str], value="f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MIN: row with smallest value; ties → earliest time.
     Works on any orderable type (r11: strings compare lexicographic,
     bools false<true — Flux selector semantics); null-valued rows are
-    skipped via the null order guard."""
+    skipped via the null order guard. ``value`` may be a slot tuple
+    (mixed frames, r13 — see :func:`_value_tuple`)."""
+    vals = _value_tuple(value)
     order = F.when(
-        F.col(value).isNotNull(),
-        F.struct(F.col(value), *_opt_time(df, time_ns), *_tiebreak(df)),
+        _present(vals),
+        F.struct(*[F.col(v) for v in vals], *_opt_time(df, time_ns),
+                 *_tiebreak(df)),
     )
     return _keep_row(df, by, order, "min")
 
 
 def max_selector(
-    df: DataFrame, by: Sequence[str], value: str = "f_float", time_ns: str = "time_ns"
+    df: DataFrame, by: Sequence[str], value="f_float", time_ns: str = "time_ns"
 ) -> DataFrame:
     """InfluxQL MAX: row with largest value; ties → earliest time.
     max_by over (value, -time, -seq) instead of min_by over the negated
-    value (r11) so non-numeric orderable types select too."""
+    value (r11) so non-numeric orderable types select too. ``value``
+    may be a slot tuple (mixed frames, r13)."""
     tb = [-c for c in _tiebreak(df)]
+    vals = _value_tuple(value)
     order = F.when(
-        F.col(value).isNotNull(),
-        F.struct(F.col(value), *_opt_time(df, time_ns, negate=True), *tb),
+        _present(vals),
+        F.struct(*[F.col(v) for v in vals],
+                 *_opt_time(df, time_ns, negate=True), *tb),
     )
     return _keep_row(df, by, order, "max", pick=F.max_by)
 
@@ -86,15 +110,20 @@ def top(
     df: DataFrame,
     n: int,
     by: Sequence[str],
-    value: str = "f_float",
+    value="f_float",
     time_ns: str = "time_ns",
 ) -> DataFrame:
-    """Flux ``top(n:)``: n rows with largest value per series."""
+    """Flux ``top(n:)``: n rows with largest value per series.
+    ``value`` may be a slot tuple (mixed frames, r13): each group ranks
+    by its own live slot — the dead slots are constant NULL inside a
+    group, so they never reorder rows."""
     tns = [F.asc(time_ns)] if time_ns in df.columns else []
-    w = W.partitionBy(*by).orderBy(F.desc(value), *tns, *_tiebreak(df))
+    vals = _value_tuple(value)
+    w = W.partitionBy(*by).orderBy(
+        *[F.desc(v) for v in vals], *tns, *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
+        .filter((F.col("_rn") <= n) & _present(vals))
         .drop("_rn")
     )
 
@@ -103,15 +132,18 @@ def bottom(
     df: DataFrame,
     n: int,
     by: Sequence[str],
-    value: str = "f_float",
+    value="f_float",
     time_ns: str = "time_ns",
 ) -> DataFrame:
-    """Flux ``bottom(n:)``: n rows with smallest value per series."""
+    """Flux ``bottom(n:)``: n rows with smallest value per series.
+    ``value`` may be a slot tuple (mixed frames, r13) — see :func:`top`."""
     tns = [F.asc(time_ns)] if time_ns in df.columns else []
-    w = W.partitionBy(*by).orderBy(F.asc(value), *tns, *_tiebreak(df))
+    vals = _value_tuple(value)
+    w = W.partitionBy(*by).orderBy(
+        *[F.asc_nulls_last(v) for v in vals], *tns, *_tiebreak(df))
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
+        .filter((F.col("_rn") <= n) & _present(vals))
         .drop("_rn")
     )
 

@@ -459,6 +459,7 @@ def aggregate_window(
     alias: str | None = None,
     time_ns: str = "time_ns",
     tz: str = "UTC",
+    slots: Sequence[str] | None = None,
 ) -> DataFrame:
     """Flux ``aggregateWindow(every:, fn:, createEmpty:, timeSrc:)``.
 
@@ -466,14 +467,41 @@ def aggregate_window(
     rows (requires range_start/range_stop, epoch ns). The result's
     ``time``/``time_ns`` is the window ``_stop`` by default (Flux
     default ``timeSrc: "_stop"``). ``tz`` = Flux ``option location``.
+
+    ``slots`` (r13, MIXED frames): aggregate each typed value slot
+    independently and carry the ``ftype`` discriminator through — the
+    slot-shaped twin of the single-column path. A series has one type,
+    so inside each (series, window) group exactly one slot is non-null:
+    the type-generic fns (first/last/min/max/mode) read their group's
+    live slot and emit NULL for the dead ones, preserving every table's
+    values where the single-column path silently nulled non-float
+    groups. first/last become ``min_by``/``max_by`` on the time axis —
+    deterministic, unlike row-order ``F.first`` over a shuffle.
     """
     out_alias = alias or fn
     bucket_col, start_e, stop_e = _window_bucket(every, offset, time_ns, tz)
-    agg = AGG_FNS[fn](F.col(value)).alias(out_alias)
+    if slots:
+        slot_fns = {
+            "first": lambda c: F.min_by(c, F.when(c.isNotNull(),
+                                                  F.col(time_ns))),
+            "last": lambda c: F.max_by(c, F.when(c.isNotNull(),
+                                                 F.col(time_ns))),
+            "min": F.min,
+            "max": F.max,
+            "mode": lambda c: F.mode(c),
+        }
+        if fn not in slot_fns:
+            raise ValueError(
+                f"aggregate_window(slots=): {fn!r} is not type-generic"
+            )
+        aggs = [slot_fns[fn](F.col(s)).alias(s) for s in slots]
+        aggs.append(F.first("ftype", ignorenulls=True).alias("ftype"))
+    else:
+        aggs = [AGG_FNS[fn](F.col(value)).alias(out_alias)]
     grouped = (
         df.withColumn("_bucket", bucket_col)
         .groupBy(*by, "_bucket")
-        .agg(agg)
+        .agg(*aggs)
         .withColumn("_start_ns", start_e)
         .withColumn("_stop_ns", stop_e)
         .drop("_bucket")
@@ -484,6 +512,15 @@ def aggregate_window(
         )
         spine = window_spine(df, range_start, range_stop, every, by, offset, tz)
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+        if slots:
+            # empty windows join NULL ftype — backfill with the
+            # series' own type so the wire splitter keeps them in the
+            # right table (one window-max per series, no extra job)
+            grouped = grouped.withColumn(
+                "ftype",
+                F.coalesce(F.col("ftype"),
+                           F.max("ftype").over(W.partitionBy(*by))),
+            )
         if fn == "count":
             # Flux quirk, faithfully kept: count() of an empty table is
             # 0, so createEmpty windows report 0 for count while every

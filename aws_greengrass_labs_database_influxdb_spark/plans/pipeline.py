@@ -179,6 +179,7 @@ class Pipeline:
         self, every, fn: str, column: str = "f_float", create_empty: bool = False,
         range_start=None, range_stop=None, alias: str | None = None,
         offset: str | int = 0, time_src: str = "_stop", tz: str = "UTC",
+        slots: Sequence[str] | None = None,
     ) -> "Pipeline":
         # aggregateWindow re-windows: stale bounds from an earlier
         # window() leave the key (its own _start_ns/_stop_ns replace them)
@@ -187,7 +188,7 @@ class Pipeline:
             self.df_, every, fn, column, by=by,
             create_empty=create_empty, range_start=range_start, range_stop=range_stop,
             alias=alias, time_ns=self.time_ns_col, offset=offset,
-            time_src=time_src, tz=tz,
+            time_src=time_src, tz=tz, slots=slots,
         )
         return self._with(out, group_key=tuple(by))
 

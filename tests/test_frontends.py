@@ -2399,7 +2399,9 @@ def test_flux_string_value_filter_and_aggregates(mixed_pts):
     ).collect()
     assert [r["f_str"] for r in out] == ["bad"]
 
-    # aggregateWindow(fn: last) on a string field returns the strings
+    # aggregateWindow(fn: last) on a string field returns the strings —
+    # in the f_str slot with ftype evidence kept (r13: the result used
+    # to be renamed into a column called f_float, erasing its type)
     out = execute_flux(
         mixed_pts,
         'from(bucket:"b") '
@@ -2407,7 +2409,8 @@ def test_flux_string_value_filter_and_aggregates(mixed_pts):
         '|> filter(fn: (r) => r._field == "status") '
         "|> aggregateWindow(every: 30m, fn: last)",
     ).orderBy("time_ns").collect()
-    assert [r["f_float"] for r in out] == ["ok", "ok"]
+    assert [r["f_str"] for r in out] == ["ok", "ok"]
+    assert all(r["ftype"] == "string" for r in out)
 
 
 def test_flux_keep_duplicate_string_value(mixed_pts):
