@@ -304,6 +304,20 @@ def _slot_cols(df: DataFrame) -> list[str]:
     return [s for s in ("f_float", "f_str", "f_bool") if s in df.columns]
 
 
+def _checked_str_cast(c: Column, spark_type: str, flux_type: str) -> Column:
+    """Cast a STRING column with stock Flux's runtime-error contract:
+    an unparseable value fails the query with ``cannot convert string
+    "<v>" to <type>`` (stock: strconv parse error) instead of leaking
+    Spark's raw ANSI ``NumberFormatException``. try_cast probes
+    parseability; assert_true carries the stock-shaped message. NULLs
+    pass through (r13, found by the mixed-union executing fuzzer)."""
+    tc = c.try_cast(spark_type)
+    ok = c.isNull() | tc.isNotNull()
+    msg = F.concat(F.lit('cannot convert string "'), c,
+                   F.lit(f'" to {flux_type}'))
+    return F.when(F.assert_true(ok, msg).isNull(), tc)
+
+
 def _value_slot_runtime(df: DataFrame, col: str) -> str:
     """Resolve which slot ``_value`` denotes for ops whose semantics
     need the ACTUAL values (distinct/unique/sort): when the frame
@@ -2730,6 +2744,20 @@ def _run_pipeline(
                 spark_type = {"toInt": "long", "toFloat": "double",
                               "toString": "string", "toBool": "boolean",
                               "toUInt": "long", "toDuration": "long"}[name]
+                flux_t = {"toInt": "int", "toFloat": "float",
+                          "toString": "string", "toBool": "boolean",
+                          "toUInt": "uint", "toDuration": "duration"}[name]
+                dtypes_all = dict(df.dtypes)
+
+                def _cast_one(colname):
+                    # string → non-string: stock's runtime conversion
+                    # error, not a raw ANSI cast crash (r13 fuzzer)
+                    if (dtypes_all.get(colname) == "string"
+                            and spark_type != "string"):
+                        return _checked_str_cast(
+                            F.col(colname), spark_type, flux_t)
+                    return F.col(colname).cast(spark_type)
+
                 # slot routing only on frames that CARRY the typed
                 # slots (bucket reads); float-only pipes keep the
                 # in-place retype (f_float becomes the cast type —
@@ -2746,10 +2774,9 @@ def _run_pipeline(
                         # row's own value converted (the single-slot
                         # binding cast the dead f_float, destroying
                         # every non-float row)
-                        conv = F.coalesce(
-                            *[F.col(s).cast(spark_type) for s in live])
+                        conv = F.coalesce(*[_cast_one(s) for s in live])
                     else:
-                        conv = F.col(live[0]).cast(spark_type)
+                        conv = _cast_one(live[0])
                     dest, ft = {"string": ("f_str", "string"),
                                 "boolean": ("f_bool", "bool")}.get(
                         spark_type, ("f_float", "float"))
@@ -2765,8 +2792,7 @@ def _run_pipeline(
                     _LIVE_SLOT_CACHE[out] = [dest]
                     pipe = pipe._with(out)
                 else:
-                    conv = F.col(src).cast(spark_type)
-                    pipe = pipe._with(df.withColumn(src, conv))
+                    pipe = pipe._with(df.withColumn(src, _cast_one(src)))
         elif name == "columns":
             # one row per Flux-visible column label
             rev = {real: flux for flux, real in COLMAP.items()}

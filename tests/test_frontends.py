@@ -3159,3 +3159,185 @@ def test_flux_map_value_write_on_mixed_frame_retypes_all_tables(mixed_pts):
     assert all(r["f_float"] == 9.0 for r in out)
     assert all(r["f_str"] is None and r["f_bool"] is None for r in out)
     assert all(r["ftype"] == "float" for r in out)
+
+
+_MIXED_UNION_PRE = (
+    'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+    'b = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+)
+
+
+def test_flux_mixed_union_min_max_select_per_group(mixed_pts):
+    """r13 (r12 verdict #1): min()/max() on a MIXED union order by the
+    slot tuple — each group selects its own typed extremum. The
+    single-column order voided the string group into one all-NULL row
+    and lost its lexicographic extremum."""
+    out = execute_flux(
+        mixed_pts, _MIXED_UNION_PRE + "union(tables: [a, b]) |> min()"
+    ).collect()
+    assert {r["field"] for r in out} == {"status", "temp"}  # no None group
+    assert [r["f_str"] for r in out if r["field"] == "status"] == ["bad"]
+    assert [r["f_float"] for r in out if r["field"] == "temp"] == [1.5]
+
+    out = execute_flux(
+        mixed_pts, _MIXED_UNION_PRE + "union(tables: [a, b]) |> max()"
+    ).collect()
+    assert {r["field"] for r in out} == {"status", "temp"}
+    assert [r["f_str"] for r in out if r["field"] == "status"] == ["ok"]
+    assert [r["f_float"] for r in out if r["field"] == "temp"] == [3.5]
+
+
+def test_flux_mixed_union_top_bottom_rank_live_slot(mixed_pts):
+    """r13: top/bottom on a MIXED union rank each group by its own
+    live slot — bottom(n:1) previously returned whatever row the dead
+    all-NULL float slot ranked first ("ok"@t1 instead of "bad")."""
+    out = execute_flux(
+        mixed_pts, _MIXED_UNION_PRE + "union(tables: [a, b]) |> bottom(n: 1)"
+    ).collect()
+    assert [r["f_str"] for r in out if r["field"] == "status"] == ["bad"]
+    assert [r["f_float"] for r in out if r["field"] == "temp"] == [1.5]
+
+    out = execute_flux(
+        mixed_pts, _MIXED_UNION_PRE + "union(tables: [a, b]) |> top(n: 2)"
+    ).collect()
+    assert sorted(
+        r["f_str"] for r in out if r["field"] == "status") == ["ok", "ok"]
+    assert sorted(
+        r["f_float"] for r in out if r["field"] == "temp") == [2.5, 3.5]
+
+
+def test_flux_mixed_union_mode_per_slot(mixed_pts):
+    """r13: mode() on a MIXED union aggregates each slot and keeps the
+    slot shape + ftype — the string group previously answered null
+    from the dead float binding."""
+    out = execute_flux(
+        mixed_pts, _MIXED_UNION_PRE + "union(tables: [a, b]) |> mode()"
+    ).collect()
+    got = {r["field"]: (r["f_float"], r["f_str"], r["ftype"]) for r in out}
+    assert got["status"] == (None, "ok", "string")
+    assert got["temp"][1] is None and got["temp"][2] == "float"
+
+
+@pytest.mark.parametrize("fn,want_status", [
+    ("first", "ok"), ("last", "ok"), ("min", "bad"), ("max", "ok"),
+    ("mode", "ok"),
+])
+def test_flux_mixed_union_aggregate_window_type_generic(
+        mixed_pts, fn, want_status):
+    """r13: aggregateWindow(fn: first|last|min|max|mode) over a MIXED
+    union aggregates every slot per (series, window) and carries ftype
+    — previously only count had the mixed branch and every non-float
+    group silently nulled."""
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        "|> range(start: 1970-01-01T00:00:00Z) "
+        f"|> aggregateWindow(every: 2h, fn: {fn}, createEmpty: false)",
+    ).collect()
+    status = [r for r in out if r["field"] == "status"]
+    temp = [r for r in out if r["field"] == "temp"]
+    assert [r["f_str"] for r in status] == [want_status]
+    assert all(r["ftype"] == "string" for r in status)
+    assert all(r["f_float"] is not None and r["ftype"] == "float"
+               for r in temp)
+
+
+def test_flux_aggregate_window_keeps_type_evidence_for_typed_errors(
+        mixed_pts):
+    """r13 (r12 verdict #2): a string series' aggregateWindow result
+    lands in f_str with ftype restamped, so a downstream numeric
+    aggregate raises stock's typed error instead of leaking a raw
+    executor NumberFormatException from a cast of 'ok' to DOUBLE."""
+    with pytest.raises(FluxError,
+                       match="unsupported input type for mean aggregate"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+            "|> range(start: 1970-01-01T00:00:00Z) "
+            "|> aggregateWindow(every: 2h, fn: last) |> mean()",
+        ).collect()
+    # the windowed string value itself is intact, typed, and sortable
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> range(start: 1970-01-01T00:00:00Z) "
+        "|> aggregateWindow(every: 30m, fn: last) "
+        '|> sort(columns: ["_value"])',
+    ).collect()
+    vals = [r["f_str"] for r in out]
+    assert vals == sorted(vals) and set(vals) <= {"ok", "bad"}
+
+
+def test_flux_mixed_fill_leaves_dead_slots_null(mixed_pts):
+    """r13 (r12 verdict #5): fill(value: 0.0) on a MIXED frame stamps
+    the literal only into rows whose group type matches the literal's
+    type — the dead f_float slot of string/bool rows stays NULL (a
+    stamped literal there would read as data to slot-tuple consumers)."""
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) |> fill(value: 0.0)",
+    ).collect()
+    assert all(r["f_float"] is None for r in out if r["field"] == "status")
+    assert all(r["f_float"] is not None for r in out if r["field"] == "temp")
+
+
+def test_flux_set_value_retypes_slot_frame(mixed_pts):
+    """r13 (r12 ADVICE): set(key: "_value", value: "x") on a slot-typed
+    frame routes through the live-slot write-back — string lands in
+    f_str, other slots null, ftype synced (previously a string literal
+    landed in the double f_float column under a stale 'float' ftype)."""
+    out = execute_flux(
+        mixed_pts, 'from(bucket:"b") |> set(key: "_value", value: "X")'
+    ).collect()
+    assert all(r["f_str"] == "X" and r["ftype"] == "string" for r in out)
+    assert all(r["f_float"] is None and r["f_bool"] is None for r in out)
+
+
+def test_flux_mixed_conversion_reads_live_slot_per_row(mixed_pts):
+    """r13 (r12 ADVICE): toString() on a MIXED frame converts each
+    row's LIVE value (coalesce of per-slot casts) — previously it cast
+    the unresolved f_float slot, nulling every non-float row."""
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) |> toString()",
+    ).collect()
+    assert all(r["ftype"] == "string" for r in out)
+    got = sorted(r["f_str"] for r in out)
+    assert got == ["1.5", "2.5", "3.5", "bad", "ok", "ok"]
+
+
+def test_flux_mixed_live_slot_probe_runs_at_most_once(mixed_pts):
+    """r13 (r12 verdict #4): an N-stage script over a mixed frame pays
+    AT MOST one plan-time ftype probe — ftype-preserving stages hand
+    the resolved live set to their output (filter/range propagate a
+    superset; the rest propagate exactly)."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import flux as _fx
+
+    before = _fx._PROBE_RUNS
+    execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z) "
+        '|> filter(fn: (r) => r._measurement == "m") '
+        '|> sort(columns: ["_value"]) '
+        "|> limit(n: 100) "
+        '|> sort(columns: ["_value"], desc: true) '
+        "|> top(n: 2) "
+        "|> bottom(n: 1) "
+        "|> min()",
+    ).collect()
+    assert _fx._PROBE_RUNS - before <= 1
+
+
+def test_flux_mixed_union_superset_after_filter_keeps_numeric_aggs(
+        mixed_pts):
+    """The superset cache must NOT drive the typed-error check: after
+    filtering a MIXED union down to the float stream, mean() computes
+    (stock's filter drops the now-empty string tables) even though the
+    propagated superset still lists the string slot."""
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        '|> filter(fn: (r) => r._field == "temp") |> mean()',
+    ).collect()
+    assert out and out[0]["mean"] == 2.5

@@ -2629,3 +2629,60 @@ def test_v1_regex_field_selection(served):
     assert v1("SELECT /host/ FROM rgx") == {"statement_id": 0}
     # regex matching nothing → no series
     assert v1("SELECT mean(/nope/) FROM rgx") == {"statement_id": 0}
+
+
+def test_flux_mixed_measurement_selectors_on_wire(served):
+    """r13 wire pin (r12 verdict #1): a measurement mixing a string
+    and a float field is ONE mixed frame after from|>range; min()/
+    mode()/bottom() must answer BOTH tables' typed values on the wire
+    (previously the string table either vanished into an all-NULL row,
+    answered null, or ranked by the dead float slot)."""
+    base, _, tokens = served
+    t0 = T0 + 10_800_000_000_000  # own hour
+    lines = []
+    for i, (sv, fv) in enumerate([("ok", 5.0), ("bad", 1.0), ("ok", 9.0)]):
+        ts = t0 + i * 60_000_000_000
+        lines.append(f'mixwire,host=h1 st="{sv}",val={fv} {ts}')
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body="\n".join(lines),
+                     ctype="text/plain")
+    assert status == 204
+
+    import csv as _csv
+    import io as _io
+
+    def run(stage):
+        flux = (
+            'from(bucket: "greengrass-telemetry")'
+            " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+            ' |> filter(fn: (r) => r._measurement == "mixwire")'
+            f" |> {stage}"
+        )
+        status, body = _req(
+            base, "/api/v2/query", "POST",
+            token=tokens["RO"], body={"query": flux, "type": "flux"},
+        )
+        assert status == 200
+        vals = {}
+        header = None
+        for row in _csv.reader(_io.StringIO(body)):
+            if not row or row[0].startswith("#"):
+                header = None if not row else header
+                continue
+            if header is None or "_value" not in header:
+                if "_value" in row:
+                    header = row
+                continue
+            fi, vi = header.index("_field"), header.index("_value")
+            if len(row) > max(fi, vi) and row[fi]:
+                vals.setdefault(row[fi], []).append(row[vi])
+        return vals
+
+    got = run("min()")
+    assert got.get("st") == ["bad"] and got.get("val") == ["1.0"], got
+    got = run("mode()")
+    assert got.get("st") == ["ok"], got
+    got = run("bottom(n: 1)")
+    assert got.get("st") == ["bad"] and got.get("val") == ["1.0"], got
+    got = run("aggregateWindow(every: 1h, fn: last, createEmpty: false)")
+    assert got.get("st") == ["ok"] and got.get("val") == ["9.0"], got

@@ -1164,3 +1164,90 @@ def test_mixed_type_fuzz_executes_not_just_compiles(spark, sf_dir):
         run_flux()
     finally:
         pts.unpersist()
+
+
+# ---------------------------------------- mixed-UNION slot-consumer fuzz
+
+#: the full slot-consumer pool over a mixed union (r12 verdict #3: the
+#: r12 templates stopped at count/distinct/unique/sort/mean — the five
+#: escapes that round were exactly the fns missing from the pool)
+_MIX_UNION_CONSUMER = st.sampled_from([
+    "|> min()", "|> max()", "|> top(n: 2)", "|> bottom(n: 1)",
+    "|> mode()", "|> count()", "|> distinct()", "|> unique()",
+    '|> sort(columns: ["_value"])', '|> sort(columns: ["_value"], desc: true)',
+    "|> fill(value: 0.0)", '|> fill(value: "na")', "|> fill(usePrevious: true)",
+    "|> first()", "|> last()", "|> mean()", "|> sum()", "|> spread()",
+    "|> toString()", "|> toFloat()", "|> toBool()",
+    '|> set(key: "_value", value: "zz")',
+    "|> aggregateWindow(every: 6h, fn: first, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: last, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: min, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: max, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: mode, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: count, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: mean, createEmpty: false)",
+])
+
+_MIX_UNION_BRANCH = st.sampled_from([
+    '|> filter(fn: (r) => r._field == "status")',
+    '|> filter(fn: (r) => r._field == "value")',
+    '|> filter(fn: (r) => r._field == "flag")',
+    '|> filter(fn: (r) => r._field == "status" or r._field == "value")',
+    "|> limit(n: 500)",
+])
+
+
+@st.composite
+def _flux_mixed_union_script(draw):
+    a = draw(_MIX_UNION_BRANCH)
+    b = draw(_MIX_UNION_BRANCH)
+    stages = [draw(_MIX_UNION_CONSUMER)]
+    if draw(st.booleans()):
+        stages.append(draw(_MIX_UNION_CONSUMER))
+    return (
+        f'a = from(bucket:"b") |> range(start: 0) {a}\n'
+        f'b = from(bucket:"b") |> range(start: 0) {b}\n'
+        "union(tables: [a, b]) " + " ".join(stages)
+    )
+
+
+def test_mixed_union_slot_consumer_fuzz_executes(spark, sf_dir):
+    """r13 (r12 verdict #3): EXECUTING fuzz of every slot consumer
+    over mixed unions — min/max/top/bottom/mode/fill/aggregateWindow
+    (type-generic) composed two deep over string∪float∪bool branch
+    draws. Every draw either collects or raises FluxError; no ANSI
+    cast crashes, no codegen errors, no all-NULL invented groups."""
+    from hypothesis import HealthCheck
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends import FluxError, execute_flux
+    from aws_greengrass_labs_database_influxdb_spark.suite.frontend import _events_mixed_points
+
+    pts = _events_mixed_points(spark, sf_dir).cache()
+    pts.count()
+    try:
+        @given(q=_flux_mixed_union_script())
+        @settings(max_examples=60, deadline=None, derandomize=True,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run(q):
+            try:
+                rows = execute_flux(pts, q).limit(50).collect()
+            except FluxError:
+                return
+            except Exception as e:
+                # stock-shaped RUNTIME conversion error (toFloat of a
+                # non-numeric string fails the query in stock too —
+                # data-dependent, not plannable); anything else is a
+                # real crash
+                assert "cannot convert string" in str(e), (q, e)
+                return
+            # selectors must never invent an all-NULL group row
+            for r in rows:
+                d = r.asDict()
+                if "field" in d and d["field"] is None:
+                    slots = [d.get(s) for s in ("f_float", "f_str", "f_bool")
+                             if s in d]
+                    assert any(v is not None for v in slots), (q, d)
+
+        run()
+    finally:
+        pts.unpersist()
