@@ -1506,6 +1506,25 @@ def execute_influxql(points: DataFrame, query: str, tag_cols: tuple[str, ...] = 
             sel_fields = {f for _fn, f, _a in ast.fields if f}
             for _tr2, _ag2, _fld2, _a2 in ast.nested:
                 sel_fields.add(_fld2)
+
+            # arithmetic selections reference fields too (r12 ADVICE:
+            # `SELECT v1 + v2 ... WHERE v1 * 2 > 100` built an EMPTY
+            # sel_fields, took the fast path, and the scan-level
+            # filter gated v2's rows on their own values — exactly the
+            # per-point bug the fast path is an optimization of)
+            def _sel_tree_fields(tree):
+                if tree[0] == "field":
+                    sel_fields.add(tree[1])
+                elif tree[0] == "agg":
+                    sel_fields.add(tree[2])
+                elif tree[0] == "bin":
+                    _sel_tree_fields(tree[2])
+                    _sel_tree_fields(tree[3])
+
+            for _tr3, _a3 in ast.arith:
+                _sel_tree_fields(_tr3)
+            for _tr3, _a3 in ast.raw_arith:
+                _sel_tree_fields(_tr3)
             fast = (
                 len(idents) <= 1
                 and all(ast.field_slots.get(i, "f_float") == "f_float"

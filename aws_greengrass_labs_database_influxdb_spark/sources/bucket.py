@@ -200,10 +200,14 @@ class BucketStore:
         the exact lines written; INTO/CQ derive them from the result
         schema that also generates the rows (sources/io.py keeps the
         two in one helper). A schema-derived triple whose rows are all
-        null still pins — harmless, because INTO fields are always
-        float-typed so the pin is type-correct even when zero rows
-        land; checking non-nullness driver-side would cost the very
-        count job this path removes. Set
+        null still pins — harmless, because the triple's ftype comes
+        from the SAME result schema that typed the rows (since r12,
+        INTO provenance can emit string/bool triples too — the pin is
+        whatever type the column would have carried had rows landed,
+        so a later write of that field at that type is accepted and a
+        conflicting type is correctly rejected, exactly as if one row
+        had landed); checking non-nullness driver-side would cost the
+        very count job this path removes. Set
         ``SPARK_GRAFT_VERIFY_KNOWN_TYPES=1`` to assert the contract
         (debug runs only: it re-adds the distinct job).
         """

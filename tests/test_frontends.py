@@ -3341,3 +3341,44 @@ def test_flux_mixed_union_superset_after_filter_keeps_numeric_aggs(
         '|> filter(fn: (r) => r._field == "temp") |> mean()',
     ).collect()
     assert out and out[0]["mean"] == 2.5
+
+
+def test_arithmetic_where_with_arithmetic_selection_is_per_point(spark):
+    """r13 (r12 ADVICE #1): `SELECT v1 + v2 ... WHERE v1 * 2 > 100`
+    built sel_fields only from plain/nested selections — the
+    arithmetic selection's fields were missed, so the fast (scan-
+    level) path fired and gated v2's rows on THEIR own values. The
+    fast-path precondition now walks arith/raw_arith trees too."""
+    import pyspark.sql.types as T
+
+    rows = []
+    for i, (v1, v2) in enumerate([(60.0, 1.0), (10.0, 2.0)]):
+        ns = (1000 + i) * 1_000_000_000
+        for fname, val in (("v1", v1), ("v2", v2)):
+            rows.append(dict(
+                measurement="m2", time_ns=ns, tags={}, ingest_seq=i,
+                field=fname, ftype="float", f_float=val, f_str=None,
+                f_bool=None))
+    schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("time_ns", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ingest_seq", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("ftype", T.StringType()),
+        T.StructField("f_float", T.DoubleType()),
+        T.StructField("f_str", T.StringType()),
+        T.StructField("f_bool", T.BooleanType())])
+    pts2 = spark.createDataFrame(rows, schema).withColumn(
+        "time", F.timestamp_micros(F.expr("time_ns div 1000")))
+
+    out = execute_influxql(
+        pts2, "SELECT v1 + v2 AS s FROM m2 WHERE v1 * 2 > 100"
+    ).collect()
+    assert [r["s"] for r in out] == [61.0], out
+
+    # the self-referential single-field shape keeps the fast path
+    out = execute_influxql(
+        pts2, "SELECT v1 + 1 AS s FROM m2 WHERE v1 * 2 > 100"
+    ).collect()
+    assert [r["s"] for r in out] == [61.0], out
