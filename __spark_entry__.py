@@ -116,12 +116,14 @@ CURATED_FIRST_50: list[str] = [
     # frontend — InfluxQL text + Flux text (13)
     "influxql_nested_grafana",
     "flux_join_ratio",
-    # r12: surface the Flux map() _value write-back fix (r11 verdict
-    # #1 — assignment to _value on a string series was a silent
-    # no-op, now rewritten in the live slot with retype support).
-    # influxql_tz rotates out — timezone alignment stays windowed via
-    # ts_window_tz and under the full-suite gates.
-    "flux_map_value_rewrite",
+    # r13: surface the mixed-union selector fix (r12 verdict #1 — the
+    # round's only wrong-answer family: min()/max() over a
+    # string∪float union ordered by the dead float slot, voiding the
+    # string group and losing its extremum). flux_map_value_rewrite
+    # (r12's showcase, same mixed-type family) rotates out — the map
+    # write-back stays pinned by tests/test_frontends.py and the
+    # full-suite gates, exactly like influxql_tz before it.
+    "flux_mixed_union_selectors",
     "flux_dashboard",
     "influxql_subquery",
     "influxql_count_fill0",

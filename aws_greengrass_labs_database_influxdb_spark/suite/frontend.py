@@ -1594,6 +1594,47 @@ def influxql_empty_agg(spark, sf_dir):
 
 
 @q(
+    "flux_mixed_union_selectors",
+    """
+    SELECT 'min' AS op, 'status' AS field,
+           MIN(CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END) AS sval,
+           CAST(NULL AS DOUBLE) AS fval
+    FROM events
+    UNION ALL
+    SELECT 'min', 'value', CAST(NULL AS VARCHAR), MIN(value) FROM events
+    UNION ALL
+    SELECT 'max', 'status',
+           MAX(CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END),
+           CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'max', 'value', CAST(NULL AS VARCHAR), MAX(value) FROM events
+    """,
+)
+def flux_mixed_union_selectors(spark, sf_dir):
+    """min()/max() over a MIXED union (string stream ∪ float stream) —
+    the r12 verdict's wrong-answer family: selectors ordered by the
+    dead all-NULL f_float slot, so the string group collapsed into a
+    garbage all-NULL row and its lexicographic extremum was lost. The
+    slot-tuple ordering selects each group's own typed extremum
+    (frontends/flux.py min/max + operators/selectors.py r13). Oracle:
+    per-type MIN/MAX recomputed from the stored float — each group's
+    extremum lands in its OWN typed column, the other stays NULL."""
+    pts = _events_mixed_points(spark, sf_dir)
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "value")\n'
+    )
+    sel = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), F.col("field"),
+        F.col("f_str").alias("sval"), F.col("f_float").alias("fval"),
+    )
+    mn = execute_flux(pts, pre + "union(tables: [a, b]) |> min()")
+    mx = execute_flux(pts, pre + "union(tables: [a, b]) |> max()")
+    return sel(mn, "min").unionByName(sel(mx, "max"))
+
+
+@q(
     "flux_map_value_rewrite",
     """
     SELECT epoch_ms(ts) AS t_ms,
