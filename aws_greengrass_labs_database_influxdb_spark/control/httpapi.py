@@ -934,6 +934,18 @@ class HttpApi:
         bucket = m.group(1)
         self._authorize(handler, "read", org, bucket)
         points = self.engine.store.read_points(org, bucket)
+        # catalog-seeded live slots (r13): the bucket's field-type pins
+        # bound which value slots can be live, so ordering/presence
+        # consumers (sort, selectors, count, conversions, map) skip
+        # their plan-time ftype probe entirely; only the typed-error
+        # check still probes (a pin can outlive its rows, and stock
+        # errors on live tables, not catalog entries)
+        from ..frontends.flux import seed_live_slots
+
+        cat = self.engine.store.field_types(org, bucket)
+        seed_live_slots(
+            points, {t for fields in cat.values() for t in fields.values()}
+        )
         # Flux from() tables are keyed by measurement + TAG SET + field
         # (stock InfluxDB: each series is its own table). The stored
         # bucket schema carries the serialized tag set as series_key —

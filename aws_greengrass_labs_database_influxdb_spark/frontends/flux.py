@@ -304,6 +304,40 @@ def _slot_cols(df: DataFrame) -> list[str]:
     return [s for s in ("f_float", "f_str", "f_bool") if s in df.columns]
 
 
+def _carry_slot_cache(src: DataFrame, dst: DataFrame,
+                      demote: bool = False) -> None:
+    """Copy src's live-slot cache entry onto dst (a frame derived by a
+    stage that cannot ADD live types). ``demote=True`` (row-removing
+    stages) lands the entry in the superset cache regardless of the
+    source's confidence; otherwise the entry keeps its confidence."""
+    if dst is src or "ftype" not in dst.columns:
+        return
+    hit = _LIVE_SLOT_CACHE.get(src)
+    sup = hit if hit is not None else _LIVE_SLOT_SUPERSET.get(src)
+    if sup is None:
+        return
+    pruned = [s for s in sup if s in dst.columns] or ["f_float"]
+    if demote or hit is None:
+        if dst not in _LIVE_SLOT_CACHE and dst not in _LIVE_SLOT_SUPERSET:
+            _LIVE_SLOT_SUPERSET[dst] = pruned
+    elif dst not in _LIVE_SLOT_CACHE:
+        _LIVE_SLOT_CACHE[dst] = pruned
+
+
+def seed_live_slots(df: DataFrame, ftypes, exact: bool = False) -> None:
+    """Pre-seed the live-slot cache from CATALOG knowledge (r13): a
+    store-backed session knows the bucket's field-type pins, so the
+    from() frame never needs a runtime ftype probe. Catalog pins are a
+    SUPERSET of the live data (a pin can outlive its rows — zero-row
+    INTO pins, deletes), so callers seed the superset cache unless
+    they can vouch the types have live rows."""
+    slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
+               "string": "f_str", "bool": "f_bool"}
+    live = sorted({slot_of[t] for t in ftypes if t in slot_of})
+    live = [s for s in live if s in df.columns] or ["f_float"]
+    (_LIVE_SLOT_CACHE if exact else _LIVE_SLOT_SUPERSET)[df] = live
+
+
 def _checked_str_cast(c: Column, spark_type: str, flux_type: str) -> Column:
     """Cast a STRING column with stock Flux's runtime-error contract:
     an unparseable value fails the query with ``cannot convert string
@@ -1664,7 +1698,14 @@ def _source_stage(
     name, argstr = _parse_stage(stage)
     args = _StageArgs(name, _split_args(argstr) if argstr else {})
     if name == "from":
-        return from_points(points, group_key=group_key)
+        p = from_points(points, group_key=group_key)
+        # carry a catalog seed (control/httpapi.py seed_live_slots)
+        # across from_points' unify projection — the session's
+        # catalog-known type set rides the whole pipe via the
+        # stage-loop propagation, so catalog-known buckets never pay
+        # a plan-time ftype probe on the hot consumers (r13)
+        _carry_slot_cache(points, p.df)
+        return p
     if name == "sql.from":
         # stdlib sql.from from SCRIPT TEXT: driverName "derby" maps to
         # the embedded driver Spark ships; any other value is passed
@@ -3178,26 +3219,9 @@ def _run_pipeline(
         # typed-error check does not (stock's filter drops empty
         # tables, so mean() after filtering a mix down to floats must
         # not raise on the stale string type).
-        if name in _FTYPE_KEEP_STAGES and pipe.df is not _df_in:
-            out_df = pipe.df
-            if "ftype" in out_df.columns:
-                hit = _LIVE_SLOT_CACHE.get(_df_in)
-                sup = hit if hit is not None else _LIVE_SLOT_SUPERSET.get(_df_in)
-                if name in _ROW_REMOVING_STAGES:
-                    if sup is not None and out_df not in _LIVE_SLOT_SUPERSET \
-                            and out_df not in _LIVE_SLOT_CACHE:
-                        _LIVE_SLOT_SUPERSET[out_df] = [
-                            s for s in sup if s in out_df.columns
-                        ] or ["f_float"]
-                elif out_df not in _LIVE_SLOT_CACHE:
-                    if hit is not None:
-                        _LIVE_SLOT_CACHE[out_df] = [
-                            s for s in hit if s in out_df.columns
-                        ] or ["f_float"]
-                    elif sup is not None and out_df not in _LIVE_SLOT_SUPERSET:
-                        _LIVE_SLOT_SUPERSET[out_df] = [
-                            s for s in sup if s in out_df.columns
-                        ] or ["f_float"]
+        if name in _FTYPE_KEEP_STAGES:
+            _carry_slot_cache(_df_in, pipe.df,
+                              demote=name in _ROW_REMOVING_STAGES)
     return pipe
 
 

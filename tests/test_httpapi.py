@@ -2686,3 +2686,31 @@ def test_flux_mixed_measurement_selectors_on_wire(served):
     assert got.get("st") == ["bad"] and got.get("val") == ["1.0"], got
     got = run("aggregateWindow(every: 1h, fn: last, createEmpty: false)")
     assert got.get("st") == ["ok"] and got.get("val") == ["9.0"], got
+
+
+def test_catalog_seeded_live_slots_skip_probe(served):
+    """r13: a store-backed Flux query seeds the live-slot cache from
+    the bucket's field-type catalog, so ordering/presence consumers
+    (sort/selectors/count) pay ZERO plan-time ftype probe jobs — at
+    100 TB the probe was a full column scan per consumer stage."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import flux as _fx
+
+    base, _, tokens = served
+    flux = (
+        'from(bucket: "greengrass-telemetry")'
+        " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+        ' |> filter(fn: (r) => r._measurement == "mixwire")'
+        ' |> sort(columns: ["_value"])'
+        " |> top(n: 2)"
+        " |> min()"
+    )
+    before = _fx._PROBE_RUNS
+    status, _body = _req(
+        base, "/api/v2/query", "POST",
+        token=tokens["RO"], body={"query": flux, "type": "flux"},
+    )
+    assert status == 200
+    assert _fx._PROBE_RUNS == before, (
+        "catalog-seeded session must not run plan-time ftype probes "
+        "for ordering consumers"
+    )
