@@ -1759,6 +1759,25 @@ def _source_stage(
         acc = pipes[0]
         for p in pipes[1:]:
             acc = acc.union(p)
+        # live-slot seeding (r13): union is THE mixed-frame producer —
+        # when every branch carries a cache entry (catalog seed +
+        # stage propagation), the merged set seeds the output so the
+        # first slot consumer after union() skips its probe. Exact
+        # only if every branch is exact; any superset branch demotes.
+        sets, exact = [], True
+        for p in pipes:
+            e = _LIVE_SLOT_CACHE.get(p.df)
+            if e is None:
+                e = _LIVE_SLOT_SUPERSET.get(p.df)
+                exact = False
+            if e is None:
+                sets = None
+                break
+            sets.append(e)
+        if sets is not None and "ftype" in acc.df.columns:
+            merged = sorted({s for e in sets for s in e
+                             if s in acc.df.columns}) or ["f_float"]
+            (_LIVE_SLOT_CACHE if exact else _LIVE_SLOT_SUPERSET)[acc.df] = merged
         return acc
     if name in ("join", "experimental.join"):
         refs = _record_refs(args["tables"])
@@ -2520,6 +2539,26 @@ def _run_pipeline(
                         "time", F.timestamp_micros(F.expr(f"{src} div 1000"))
                     )
                 )
+            elif (dst == "_value" and "ftype" in df.columns
+                    and any(s in df.columns for s in ("f_str", "f_bool"))):
+                # duplicate INTO _value retypes the series to the
+                # source column's type — route through the live-slot
+                # write-back like map()/set() (r13: the bare COLMAP
+                # write put e.g. a tag string into the double f_float
+                # column under a stale ftype)
+                dest, ft = _slot_of_sparktype(df.schema[src].dataType)
+                dtypes_m = dict(df.dtypes)
+                out = df
+                for s in ("f_float", "f_str", "f_bool"):
+                    if s in out.columns and s != dest:
+                        out = out.withColumn(s, F.lit(None).cast(dtypes_m[s]))
+                out = out.withColumn(
+                    dest,
+                    F.col(src).cast("double") if dest == "f_float"
+                    else F.col(src),
+                ).withColumn("ftype", F.lit(ft))
+                _LIVE_SLOT_CACHE[out] = [dest]
+                pipe = pipe._with(out)
             else:
                 pipe = pipe._with(
                     df.withColumn(COLMAP.get(dst, dst), F.col(src))

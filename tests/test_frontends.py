@@ -3382,3 +3382,16 @@ def test_arithmetic_where_with_arithmetic_selection_is_per_point(spark):
         pts2, "SELECT v1 + 1 AS s FROM m2 WHERE v1 * 2 > 100"
     ).collect()
     assert [r["s"] for r in out] == [61.0], out
+
+
+def test_flux_duplicate_into_value_retypes(mixed_pts):
+    """r13: duplicate(column: <tag/string col>, as: "_value") retypes
+    the series through the live-slot write-back — previously the
+    string landed in the double f_float column under a stale ftype."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+        '|> duplicate(column: "_field", as: "_value")',
+    ).collect()
+    assert all(r["f_str"] == "temp" and r["ftype"] == "string" for r in out)
+    assert all(r["f_float"] is None for r in out)
