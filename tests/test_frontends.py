@@ -3395,3 +3395,34 @@ def test_flux_duplicate_into_value_retypes(mixed_pts):
     ).collect()
     assert all(r["f_str"] == "temp" and r["ftype"] == "string" for r in out)
     assert all(r["f_float"] is None for r in out)
+
+
+def test_flux_mixed_union_create_empty_spine_keeps_types(mixed_pts):
+    """r13: aggregateWindow(createEmpty: true) over a MIXED union
+    backfills each series' empty windows with ITS OWN ftype (the
+    spine join produces NULL ftype rows, which would otherwise fall
+    out of both wire splits), and a following fill(value: "na") fills
+    ONLY the string groups' empty windows."""
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        "|> aggregateWindow(every: 30m, fn: last, createEmpty: true)",
+    ).collect()
+    st = [r for r in out if r["field"] == "status"]
+    tm = [r for r in out if r["field"] == "temp"]
+    assert len(st) == 4 and len(tm) == 4  # 2h / 30m spine
+    assert all(r["ftype"] == "string" for r in st)
+    assert all(r["ftype"] == "float" for r in tm)
+
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        "|> aggregateWindow(every: 30m, fn: last, createEmpty: true) "
+        '|> fill(value: "na")',
+    ).collect()
+    st = [r for r in out if r["field"] == "status"]
+    tm = [r for r in out if r["field"] == "temp"]
+    assert all(r["f_str"] is not None for r in st)  # empties filled
+    assert all(r["f_str"] is None for r in tm)      # floats untouched
