@@ -1023,7 +1023,26 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
                     # slot (r11: strings.toUpper(v: r._value) read
                     # f_float and returned NULL; same r10 class as
                     # the comparison binding)
-                    name = _value_slot_runtime(df, name)
+                    resolved = _value_slot_runtime(df, name)
+                    if (resolved == "f_float"
+                            and any(s in dtypes for s in ("f_str", "f_bool"))
+                            and len(_live_slots(df)) > 1):
+                        # MIXED frame (r13 probe): an arithmetic read
+                        # of _value cannot bind one slot — stock map
+                        # evaluates per table and the op type-errors
+                        # the mismatched table, failing the query
+                        # ("unsupported binary expression float +
+                        # string"); the dead-slot binding silently
+                        # nulled every non-float row instead
+                        live_t = {"f_float": "float", "f_str": "string",
+                                  "f_bool": "bool"}
+                        types = " and ".join(live_t[s]
+                                             for s in _live_slots(df))
+                        raise FluxError(
+                            "type conflict in map(): _value is "
+                            f"{types} across input tables"
+                        )
+                    name = resolved
                 return F.col(name), dtypes[name] == "string"
             # tags-map fallback: tag values are strings by model
             return _col(df, raw), True

@@ -3426,3 +3426,32 @@ def test_flux_mixed_union_create_empty_spine_keeps_types(mixed_pts):
     tm = [r for r in out if r["field"] == "temp"]
     assert all(r["f_str"] is not None for r in st)  # empties filled
     assert all(r["f_str"] is None for r in tm)      # floats untouched
+
+
+def test_flux_mixed_union_map_value_read_is_type_conflict(mixed_pts):
+    """r13 probe: an arithmetic READ of r._value over a MIXED union
+    cannot bind one slot — stock map evaluates per table and the
+    mismatched table type-errors the query; the dead-slot binding
+    silently nulled every non-float row (and computed "1.5!" where
+    stock errors)."""
+    for expr in ('r._value + "!"', "r._value * 2.0"):
+        with pytest.raises(FluxError, match="type conflict in map"):
+            execute_flux(
+                mixed_pts,
+                _MIXED_UNION_PRE + "union(tables: [a, b]) "
+                f"|> map(fn: (r) => ({{r with _value: {expr}}}))",
+            )
+    # literal writes (no read) keep the r12 retype-all-tables path
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        '|> map(fn: (r) => ({r with _value: 7.0}))',
+    ).collect()
+    assert all(r["f_float"] == 7.0 and r["ftype"] == "float" for r in out)
+    # predicate reads keep their literal-typed binding on the mix
+    out = execute_flux(
+        mixed_pts,
+        _MIXED_UNION_PRE + "union(tables: [a, b]) "
+        '|> filter(fn: (r) => r._value == "ok")',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["ok", "ok"]

@@ -1179,6 +1179,9 @@ _MIX_UNION_CONSUMER = st.sampled_from([
     "|> first()", "|> last()", "|> mean()", "|> sum()", "|> spread()",
     "|> toString()", "|> toFloat()", "|> toBool()",
     '|> set(key: "_value", value: "zz")',
+    '|> map(fn: (r) => ({r with _value: r._value * 2.0}))',
+    '|> map(fn: (r) => ({r with _value: 1.0}))',
+    '|> reduce(fn: (r, accumulator) => ({sum: r._value + accumulator.sum}), identity: {sum: 0.0})',
     "|> aggregateWindow(every: 6h, fn: first, createEmpty: false)",
     "|> aggregateWindow(every: 6h, fn: last, createEmpty: false)",
     "|> aggregateWindow(every: 6h, fn: min, createEmpty: false)",
