@@ -365,6 +365,13 @@ def _value_slot_runtime(df: DataFrame, col: str) -> str:
     if not any(s in df.columns for s in ("f_str", "f_bool")):
         return col
     live = _live_slots(df, exact=False)
+    if len(live) == 1:
+        return live[0]
+    # a SUPERSET entry saying "mixed" may be stale (a filter narrowed
+    # the mix to one type) — resolve EXACTLY before declaring the
+    # binding ambiguous, so single-slot callers (duplicate, map reads)
+    # never bind the dead float slot of a truly-uniform frame (r13)
+    live = _live_slots(df)
     return live[0] if len(live) == 1 else col
 
 
@@ -2136,7 +2143,11 @@ def _run_pipeline(
                     # inconsistent)
                     if (vcol == "f_float" and had_ftype
                             and len(_slot_cols(df)) > 1):
-                        live = _live_slots(df)  # exact: shapes output
+                        # superset-tolerant: both mixed paths below
+                        # are correct when a stale superset overstates
+                        # the mix (dead slots aggregate to NULL), so
+                        # no exact probe is forced here (r13)
+                        live = _live_slots(df, exact=False)
                         if len(live) == 1:
                             vcol = live[0]
                         elif fnarg == "count":
@@ -2197,18 +2208,26 @@ def _run_pipeline(
                         _LIVE_SLOT_CACHE[pipe.df] = [dest]
                 else:
                     # windowing preserves each group's type: the
-                    # output's live set is the input's (cached — free)
-                    _LIVE_SLOT_CACHE[pipe.df] = _live_slots(df)
+                    # output's live set is the input's, at the
+                    # input's confidence (cached — free)
+                    cache = (_LIVE_SLOT_CACHE if df in _LIVE_SLOT_CACHE
+                             else _LIVE_SLOT_SUPERSET)
+                    cache[pipe.df] = _live_slots(df, exact=False)
         elif name in AGG_STAGES:
             col = _colname(df, _lit(args.get("column", '"_value"')))
             if name in ("count", "mode"):
                 # type-generic aggregates read the frame's live slot —
                 # count() of a string field counted f_float NULLs as 0
-                # (r10); numeric aggregates keep the float binding
-                col = _value_slot_runtime(df, col)
-                if (name == "count" and col == "f_float"
-                        and len(_slot_cols(df)) > 1
-                        and len(_live_slots(df, exact=False)) > 1):
+                # (r10); numeric aggregates keep the float binding.
+                # The mixed check runs BEFORE single-slot resolution so
+                # a stale superset never forces an exact probe here —
+                # both mixed paths are superset-safe (r13)
+                mixed_agg = (col == "f_float"
+                             and len(_slot_cols(df)) > 1
+                             and len(_live_slots(df, exact=False)) > 1)
+                if not mixed_agg:
+                    col = _value_slot_runtime(df, col)
+                if name == "count" and mixed_agg:
                     # MIXED frame (e.g. union of a string and a float
                     # stream): each row populates exactly one slot, so
                     # count the coalesced presence — the frame-level
@@ -2219,9 +2238,7 @@ def _run_pipeline(
                     ]))
                     pipe = pipe._with(df)
                     col = "_vpresent"
-                elif (name == "mode" and col == "f_float"
-                        and len(_slot_cols(df)) > 1
-                        and len(_live_slots(df, exact=False)) > 1):
+                elif name == "mode" and mixed_agg:
                     # MIXED frame (r13): mode per slot, slot-shaped
                     # output — each group is single-typed, so its mode
                     # lands in its own slot and the dead slots stay
@@ -2255,17 +2272,18 @@ def _run_pipeline(
             # selectors pick a ROW by value order — Flux compares any
             # sortable type, so string/bool series select by their live
             # slot (lexicographic / false<true), like sort() does (r11)
-            resolved = _value_slot_runtime(df, vcol)
-            if (resolved == "f_float" and vcol == "f_float"
-                    and len(_slot_cols(df)) > 1
+            if (vcol == "f_float" and len(_slot_cols(df)) > 1
                     and len(_live_slots(df, exact=False)) > 1):
                 # MIXED frame (r13): order by the slot TUPLE — inside a
                 # group exactly one slot is non-null, so each group
                 # selects by its own typed extremum (the single-column
-                # order voided string/bool groups into an all-NULL row)
+                # order voided string/bool groups into an all-NULL
+                # row). Tuple order is also correct when a stale
+                # SUPERSET overstates the mix — dead slots are
+                # constant NULL, so no probe needed either way.
                 vcol = _slot_cols(df)
             else:
-                vcol = resolved
+                vcol = _value_slot_runtime(df, vcol)
             if isinstance(vcol, str) and vcol not in df.columns:
                 raise FluxError(f"{name}() has no value column to select on")
             pipe = pipe.min(vcol) if name == "min" else pipe.max(vcol)
@@ -2280,15 +2298,15 @@ def _run_pipeline(
             # series ranked the dead all-NULL f_float slot, returning
             # arbitrary rows instead of the lexicographic extremes)
             real = _colname(df, tcols[0])
-            vcol = _value_slot_runtime(df, real)
-            if (vcol == "f_float" and real == "f_float"
-                    and len(_slot_cols(df)) > 1
+            if (real == "f_float" and len(_slot_cols(df)) > 1
                     and len(_live_slots(df, exact=False)) > 1):
                 # MIXED frame (r13): rank by the slot tuple — each
                 # group ranks by its own live slot (bottom(n:1)
                 # previously returned the row the dead float slot
                 # happened to rank first)
                 vcol = _slot_cols(df)
+            else:
+                vcol = _value_slot_runtime(df, real)
             if isinstance(vcol, str) and vcol not in df.columns:
                 raise FluxError(
                     f"{name}(columns:) references unknown column {vcol!r}"
@@ -2355,10 +2373,9 @@ def _run_pipeline(
             # f_float slot — an ANSI cast crash; stock fills the typed
             # column
             real = _colname(df, _lit(args.get("column", '"_value"')))
-            col = _value_slot_runtime(df, real)
-            mixed = (col == "f_float" and real == "f_float"
-                     and len(_slot_cols(df)) > 1
+            mixed = (real == "f_float" and len(_slot_cols(df)) > 1
                      and len(_live_slots(df, exact=False)) > 1)
+            col = real if mixed else _value_slot_runtime(df, real)
             if not mixed and col not in df.columns:
                 raise FluxError(f"fill(column:) references unknown column {col!r}")
             if _lit(args.get("usePrevious", "false")) is True:
