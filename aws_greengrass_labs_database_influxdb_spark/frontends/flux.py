@@ -2413,7 +2413,24 @@ def _run_pipeline(
                     .otherwise(F.col(slot)),
                 ))
             else:
-                pipe = pipe.fill(value=_lit(args["value"]), column=col)
+                v = _lit(args["value"])
+                # stock fill type-checks the literal against the
+                # column (r13 fuzzer: fill(value: 0.0) on a bool
+                # series crashed with a raw Spark coalesce type
+                # mismatch; stock raises the typed fill error).
+                # Engine divergence kept: int literals fill float
+                # columns (the float slot IS the int storage).
+                dt = dict(df.dtypes).get(col)
+                vt = ("bool" if isinstance(v, bool)
+                      else "string" if isinstance(v, str)
+                      else "float")
+                ct = {"string": "string", "boolean": "bool"}.get(dt, "float")
+                if dt is not None and vt != ct:
+                    raise FluxError(
+                        f"fill: value type {vt} does not match column "
+                        f"type {ct}"
+                    )
+                pipe = pipe.fill(value=v, column=col)
         elif name == "sort":
             # _colname, not raw COLMAP: after an aggregate, _value means
             # the (single) result column (e.g. `mean`), not f_float;

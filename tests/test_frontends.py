@@ -2738,14 +2738,17 @@ def test_flux_aggregate_window_min_max_selects_any_orderable(mixed_pts):
         '|> filter(fn: (r) => r._field == "status") '
         "|> aggregateWindow(every: 1h, fn: max, createEmpty: false)",
     ).collect()
-    assert len(out) == 1 and out[0]["f_float"] == "ok"  # max("ok","bad")
+    # r13: the window result lands in its SOURCE slot with ftype kept
+    assert len(out) == 1 and out[0]["f_str"] == "ok"  # max("ok","bad")
+    assert out[0]["ftype"] == "string"
     out = execute_flux(
         mixed_pts,
         'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
         '|> filter(fn: (r) => r._field == "ok") '
         "|> aggregateWindow(every: 1h, fn: min, createEmpty: false)",
     ).collect()
-    assert len(out) == 1 and out[0]["f_float"] is False  # false < true
+    assert len(out) == 1 and out[0]["f_bool"] is False  # false < true
+    assert out[0]["ftype"] == "bool"
     # numeric window aggregates over string series still raise typed
     with pytest.raises(FluxError, match="unsupported input type"):
         execute_flux(
@@ -3455,3 +3458,29 @@ def test_flux_mixed_union_map_value_read_is_type_conflict(mixed_pts):
         '|> filter(fn: (r) => r._value == "ok")',
     ).collect()
     assert [r["f_str"] for r in out] == ["ok", "ok"]
+
+
+def test_flux_fill_type_mismatch_is_typed_error(mixed_pts):
+    """r13 deep fuzz: fill(value: 0.0) on a bool/string series crashed
+    with a raw Spark coalesce type mismatch; stock raises the typed
+    fill error. Int-into-float stays allowed (engine divergence: the
+    float slot is the int storage)."""
+    with pytest.raises(FluxError, match="fill: value type float does "
+                                        "not match column type bool"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+            "|> fill(value: 0.0)",
+        )
+    with pytest.raises(FluxError, match="fill: value type string"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+            '|> fill(value: "na")',
+        )
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> fill(value: "na")',
+    ).collect()
+    assert len(out) == 3  # matching type fills fine
