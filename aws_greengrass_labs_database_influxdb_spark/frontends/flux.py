@@ -304,6 +304,59 @@ def _slot_cols(df: DataFrame) -> list[str]:
     return [s for s in ("f_float", "f_str", "f_bool") if s in df.columns]
 
 
+#: group-key tuples proven type-uniform per frame (memo for
+#: _reject_group_schema_collision's bounded probe)
+_GROUP_UNIFORM_CACHE: "weakref.WeakKeyDictionary[DataFrame, set]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _reject_group_schema_collision(df: DataFrame, group_key, stage: str) -> None:
+    """Stock Flux cannot materialize a table whose ``_value`` column
+    mixes datatypes: a regroup that merges a string series and a float
+    series into ONE table (``group(columns: ["host"])`` over a mixed
+    measurement) fails with ``schema collision detected``. The engine's
+    per-group typed machinery is only correct when each group is
+    single-typed, so the consumers that would otherwise silently
+    compute on a franken-table raise the stock error instead (r13
+    probe: ``group(host) |> mode()`` emitted a row with BOTH slots
+    populated).
+
+    Cost: plan-time ZERO when the group key carries the type
+    discriminators (measurement+field — the overwhelmingly common
+    shape) or the frame is single-typed; otherwise one bounded
+    distinct job ((groups × ≤5 ftypes) rows), memoized per frame+key.
+    Int/uint fold into the float class per the engine's documented
+    numeric unification, so only float/string/bool collide."""
+    if "ftype" not in df.columns:
+        return
+    gk = tuple(k for k in group_key if k in df.columns)
+    if {"measurement", "field"} <= set(gk) or {"series_key", "field"} <= set(gk):
+        return
+    if len(_live_slots(df, exact=False)) == 1:
+        return
+    checked = _GROUP_UNIFORM_CACHE.get(df)
+    if checked is not None and gk in checked:
+        return
+    cls = F.when(F.col("ftype").isin("float", "int", "uint"), "float") \
+        .otherwise(F.col("ftype"))
+    base = df.select(*gk, cls.alias("_tcls")).distinct()
+    if gk:
+        offender = (base.groupBy(*gk)
+                    .agg(F.collect_set("_tcls").alias("_ts"))
+                    .filter(F.size("_ts") > 1).limit(1).collect())
+    else:
+        row = base.agg(F.collect_set("_tcls").alias("_ts")).collect()[0]
+        offender = [row] if len(row["_ts"]) > 1 else []
+    if offender:
+        ts = sorted(offender[0]["_ts"])
+        raise FluxError(
+            'schema collision detected: column "_value" is both of '
+            f"type {ts[0]} and type {ts[1]}"
+        )
+    _GROUP_UNIFORM_CACHE.setdefault(df, set()).add(gk)
+
+
 def _carry_slot_cache(src: DataFrame, dst: DataFrame,
                       demote: bool = False) -> None:
     """Copy src's live-slot cache entry onto dst (a frame derived by a
@@ -2148,6 +2201,9 @@ def _run_pipeline(
                         # the mix (dead slots aggregate to NULL), so
                         # no exact probe is forced here (r13)
                         live = _live_slots(df, exact=False)
+                        if len(live) > 1:
+                            _reject_group_schema_collision(
+                                df, pipe.group_key, name)
                         if len(live) == 1:
                             vcol = live[0]
                         elif fnarg == "count":
@@ -2225,6 +2281,8 @@ def _run_pipeline(
                 mixed_agg = (col == "f_float"
                              and len(_slot_cols(df)) > 1
                              and len(_live_slots(df, exact=False)) > 1)
+                if mixed_agg:
+                    _reject_group_schema_collision(df, pipe.group_key, name)
                 if not mixed_agg:
                     col = _value_slot_runtime(df, col)
                 if name == "count" and mixed_agg:
@@ -2281,6 +2339,7 @@ def _run_pipeline(
                 # row). Tuple order is also correct when a stale
                 # SUPERSET overstates the mix — dead slots are
                 # constant NULL, so no probe needed either way.
+                _reject_group_schema_collision(df, pipe.group_key, name)
                 vcol = _slot_cols(df)
             else:
                 vcol = _value_slot_runtime(df, vcol)
@@ -2290,6 +2349,10 @@ def _run_pipeline(
         elif name in ("first", "last"):
             if "time_ns" not in df.columns:
                 raise FluxError(f"{name}() requires a _time column")
+            # time-based selectors don't read the value slots, but a
+            # regrouped MIXED table can't materialize in stock either
+            # (the helper is plan-time free on discriminating keys)
+            _reject_group_schema_collision(df, pipe.group_key, name)
             pipe = pipe.first() if name == "first" else pipe.last()
         elif name in ("top", "bottom"):
             tcols = (_strlist(args["columns"]) if "columns" in args else ["_value"])
@@ -2304,6 +2367,7 @@ def _run_pipeline(
                 # group ranks by its own live slot (bottom(n:1)
                 # previously returned the row the dead float slot
                 # happened to rank first)
+                _reject_group_schema_collision(df, pipe.group_key, name)
                 vcol = _slot_cols(df)
             else:
                 vcol = _value_slot_runtime(df, real)
@@ -2375,6 +2439,8 @@ def _run_pipeline(
             real = _colname(df, _lit(args.get("column", '"_value"')))
             mixed = (real == "f_float" and len(_slot_cols(df)) > 1
                      and len(_live_slots(df, exact=False)) > 1)
+            if mixed:
+                _reject_group_schema_collision(df, pipe.group_key, name)
             col = real if mixed else _value_slot_runtime(df, real)
             if not mixed and col not in df.columns:
                 raise FluxError(f"fill(column:) references unknown column {col!r}")
@@ -2440,6 +2506,7 @@ def _run_pipeline(
             for c in _strlist(args.get("columns", '["_time"]')):
                 real = _colname(df, c)
                 if real == "f_float" and len(_live_slots(df, exact=False)) > 1:
+                    _reject_group_schema_collision(df, pipe.group_key, name)
                     # MIXED frame: order by the slot TUPLE — inside a
                     # group only one slot is non-null, so each group
                     # sorts by its own typed values (the frame-level
@@ -2982,6 +3049,7 @@ def _run_pipeline(
             if col not in df.columns:
                 raise FluxError(f"unique(column:) references unknown column {col!r}")
             if col == "f_float" and len(_live_slots(df, exact=False)) > 1:
+                _reject_group_schema_collision(df, pipe.group_key, name)
                 # MIXED frame: key on the coalesced value (each row
                 # populates exactly one slot; types are uniform inside
                 # a group, so string representations cannot collide)
@@ -3014,6 +3082,7 @@ def _run_pipeline(
                     )
             if (not tag_distinct and col == "f_float"
                     and len(_live_slots(df, exact=False)) > 1):
+                _reject_group_schema_collision(df, pipe.group_key, name)
                 # MIXED frame: distinct over the slot TUPLE (+ ftype
                 # for the serializer's dispatch) — each row populates
                 # exactly one slot, so the tuple distinct equals the

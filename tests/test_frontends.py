@@ -3484,3 +3484,28 @@ def test_flux_fill_type_mismatch_is_typed_error(mixed_pts):
         '|> fill(value: "na")',
     ).collect()
     assert len(out) == 3  # matching type fills fine
+
+
+def test_flux_regroup_mixed_types_schema_collision(mixed_pts):
+    """r13 probe: group(columns: ["host"]) over a mixed measurement
+    merges a string series and a float series into ONE table — stock
+    cannot materialize it and raises schema collision; the engine's
+    per-group typed machinery previously computed on the franken-table
+    (mode() even emitted a row with BOTH slots populated)."""
+    for stage in ("count()", "min()", 'sort(columns: ["_value"])',
+                  "mode()", "last()", "bottom(n: 1)",
+                  "fill(value: 0.0)", "distinct()"):
+        with pytest.raises(FluxError, match="schema collision"):
+            execute_flux(
+                mixed_pts,
+                f'from(bucket:"b") |> group(columns: ["host"]) |> {stage}',
+            ).collect()
+    # a regroup that KEEPS the discriminators stays plan-time free and
+    # computes (each group single-typed)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        '|> group(columns: ["measurement", "field", "host"]) |> count()',
+    ).collect()
+    assert {r["field"]: r["count"] for r in out} == {
+        "temp": 3, "status": 3, "ok": 3}
