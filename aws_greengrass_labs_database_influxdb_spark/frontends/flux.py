@@ -2997,6 +2997,18 @@ def _run_pipeline(
             # one row per Flux-visible column label
             rev = {real: flux for flux, real in COLMAP.items()}
             internal = {"time_ns", "ingest_seq", "_ts_raw", "ftype", "props", "tags"}
+            if "f_float" in df.columns:
+                # the extra typed slots ARE _value (already labeled via
+                # f_float) — r13: they leaked as literal f_str/f_bool
+                # labels on slot frames
+                internal |= {"f_str", "f_bool"}
+            else:
+                # a typed window/aggregate result carried in its source
+                # slot: that slot is the _value label
+                slot_hits = [c for c in ("f_str", "f_bool")
+                             if c in df.columns]
+                if len(slot_hits) == 1:
+                    rev = {**rev, slot_hits[0]: "_value"}
             labels = [rev.get(c, c) for c in df.columns if c not in internal]
             out_col = _lit(args.get("column", '"_value"'))
             pipe = pipe._with(

@@ -3509,3 +3509,20 @@ def test_flux_regroup_mixed_types_schema_collision(mixed_pts):
     ).collect()
     assert {r["field"]: r["count"] for r in out} == {
         "temp": 3, "status": 3, "ok": 3}
+
+
+def test_flux_columns_hides_slot_internals(mixed_pts):
+    """r13: columns() on a slot-typed frame labels _value ONCE — the
+    extra typed slots previously leaked as literal f_str/f_bool
+    labels; a window result carried in f_str labels as _value too."""
+    labels = [r[0] for r in execute_flux(
+        mixed_pts, 'from(bucket:"b") |> columns()').collect()]
+    assert "f_str" not in labels and "f_bool" not in labels
+    assert labels.count("_value") == 1
+    labels = [r[0] for r in execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> range(start: 1970-01-01T00:00:00Z) "
+        "|> aggregateWindow(every: 2h, fn: last) |> columns()",
+    ).collect()]
+    assert "_value" in labels and "f_str" not in labels
