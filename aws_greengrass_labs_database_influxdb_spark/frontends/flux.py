@@ -2468,9 +2468,19 @@ def _run_pipeline(
                     slot, types = "f_str", ("string",)
                 else:
                     slot, types = "f_float", ("float", "int", "uint")
-                if slot not in df.columns:
+                # the literal's type must be live SOMEWHERE (exact —
+                # a stale superset "mixed" on a truly-uniform frame
+                # must raise the stock type error, not silently no-op;
+                # caught by an order-dependent full-suite run, r13)
+                live_exact = _live_slots(df)
+                if slot not in df.columns or slot not in live_exact:
+                    vt = ("bool" if isinstance(v, bool)
+                          else "string" if isinstance(v, str) else "float")
+                    have = {"f_float": "float", "f_str": "string",
+                            "f_bool": "bool"}
                     raise FluxError(
-                        f"fill(value:) type has no matching value slot {slot!r}"
+                        f"fill: value type {vt} does not match column "
+                        f"type {have.get(live_exact[0], 'float')}"
                     )
                 pipe = pipe._with(df.withColumn(
                     slot,
