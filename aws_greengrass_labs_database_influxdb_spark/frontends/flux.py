@@ -357,6 +357,46 @@ def _reject_group_schema_collision(df: DataFrame, group_key, stage: str) -> None
     _GROUP_UNIFORM_CACHE.setdefault(df, set()).add(gk)
 
 
+#: per-side live-slot memo for join-suffixed frames: df -> {sfx: slot}
+_SUFFIX_SLOT_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _suffixed_live_slot(df: DataFrame, name: str) -> str:
+    """Resolve a join-suffixed float binding (``f_float_b``) to its
+    side's live slot via that side's own discriminator (``ftype_b`` —
+    join outputs carry every per-side column). r13 probe: a map() read
+    of ``r._value_b`` where side b is a string stream bound the dead
+    ``f_float_b`` and nulled every row. Single-typed sides resolve
+    (one bounded distinct, memoized per frame+side); mixed sides keep
+    the float binding."""
+    m = re.match(r"^f_float(_\w+)$", name)
+    if not m:
+        return name
+    sfx = m.group(1)
+    if f"ftype{sfx}" not in df.columns:
+        return name
+    extra = [s for s in (f"f_str{sfx}", f"f_bool{sfx}") if s in df.columns]
+    if not extra:
+        return name
+    memo = _SUFFIX_SLOT_CACHE.setdefault(df, {})
+    if sfx not in memo:
+        global _PROBE_RUNS
+        _PROBE_RUNS += 1
+        slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
+                   "string": "f_str", "bool": "f_bool"}
+        live = sorted({
+            slot_of.get(r[0], "f_float")
+            for r in df.select(f"ftype{sfx}").distinct().collect()
+            if r[0] is not None
+        }) or ["f_float"]
+        memo[sfx] = live
+    live = memo[sfx]
+    cand = f"{live[0]}{sfx}"
+    return cand if len(live) == 1 and cand in df.columns else name
+
+
 def _carry_slot_cache(src: DataFrame, dst: DataFrame,
                       demote: bool = False) -> None:
     """Copy src's live-slot cache entry onto dst (a frame derived by a
@@ -577,23 +617,36 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
                     )
         elif lit.startswith('"'):
             val = lit[1:-1]
-            if _colname(df, name) == "f_float" and "f_str" in df.columns:
+            real = _colname(df, name)
+            if real == "f_float" and "f_str" in df.columns:
                 # _value compared to a STRING literal: bind the string
                 # slot (r10 — the f_float binding cast "ok" to double
                 # under ANSI and crashed; stock Flux's _value is typed
                 # per table and a string table compares strings)
                 c = F.col("f_str")
+            elif (real.startswith("f_float_")
+                    and "f_str" + real[7:] in df.columns):
+                # join-suffixed _value_<side> vs string literal (r13)
+                c = F.col("f_str" + real[7:])
         elif lit in ("true", "false"):
             val = lit == "true"
-            if _colname(df, name) == "f_float" and "f_bool" in df.columns:
+            real = _colname(df, name)
+            if real == "f_float" and "f_bool" in df.columns:
                 # _value compared to a BOOL literal → the bool slot
                 c = F.col("f_bool")
+            elif (real.startswith("f_float_")
+                    and "f_bool" + real[7:] in df.columns):
+                c = F.col("f_bool" + real[7:])
         elif lit.startswith("/"):
             val = lit[1:-1]
-            if (op in ("=~", "!~") and _colname(df, name) == "f_float"
+            real = _colname(df, name)
+            if (op in ("=~", "!~") and real == "f_float"
                     and "f_str" in df.columns):
                 # regex on _value: only the string slot can match
                 c = F.col("f_str")
+            elif (op in ("=~", "!~") and real.startswith("f_float_")
+                    and "f_str" + real[7:] in df.columns):
+                c = F.col("f_str" + real[7:])
         else:
             val = (
                 float(lit) if ("." in lit or "e" in lit or "E" in lit)
@@ -1103,6 +1156,10 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
                             f"{types} across input tables"
                         )
                     name = resolved
+                elif name.startswith("f_float_"):
+                    # join-suffixed _value_<side>: bind the side's own
+                    # live slot (r13 probe — string sides read NULLs)
+                    name = _suffixed_live_slot(df, name)
                 return F.col(name), dtypes[name] == "string"
             # tags-map fallback: tag values are strings by model
             return _col(df, raw), True

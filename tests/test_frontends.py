@@ -3526,3 +3526,31 @@ def test_flux_columns_hides_slot_internals(mixed_pts):
         "|> aggregateWindow(every: 2h, fn: last) |> columns()",
     ).collect()]
     assert "_value" in labels and "f_str" not in labels
+
+
+def test_flux_join_suffixed_value_binds_per_side_slot(mixed_pts):
+    """r13 probe: after join(tables: {a, b}) the per-side value
+    bindings (r._value_a / r._value_b) must resolve each SIDE's live
+    slot — a string side previously bound the dead f_float_b in map()
+    (every row nulled) and in comparisons (ANSI crash / no match)."""
+    script = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'join(tables: {a: a, b: b}, on: ["_time"])'
+    )
+    out = execute_flux(
+        mixed_pts,
+        script + ' |> map(fn: (r) => ({r with res: r._value_b + "!"}))',
+    ).orderBy("time_ns_a").collect()
+    assert [r["res"] for r in out] == ["ok!", "bad!", "ok!"]
+
+    out = execute_flux(
+        mixed_pts, script + ' |> filter(fn: (r) => r._value_b == "ok")'
+    ).collect()
+    assert sorted(r["f_float_a"] for r in out) == [1.5, 3.5]
+
+    out = execute_flux(
+        mixed_pts,
+        script + " |> map(fn: (r) => ({r with res: r._value_a * 2.0}))",
+    ).orderBy("time_ns_a").collect()
+    assert [r["res"] for r in out] == [3.0, 5.0, 7.0]
