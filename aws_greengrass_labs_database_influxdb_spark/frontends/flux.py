@@ -2663,6 +2663,28 @@ def _run_pipeline(
                 if ":" in part:
                     k, _, v = part.partition(":")
                     mapping[COLMAP.get(k.strip(), k.strip())] = v.strip().strip('"')
+            if ("f_float" in mapping and "ftype" in df.columns
+                    and any(s in df.columns for s in ("f_str", "f_bool"))):
+                # renaming _value on a slot-typed frame moves the LIVE
+                # slot (r13 probe: the string frame's rename moved the
+                # dead f_float, leaving an all-NULL column under the
+                # new name while the values stayed in f_str). Stock's
+                # rename removes _value from the table, so the other
+                # slots + discriminator drop too. Mixed frames carry
+                # per-table types one physical column can't hold —
+                # documented engine limit, typed error.
+                live = _value_slot_runtime(df, "f_float")
+                if live == "f_float" and len(_live_slots(df)) > 1:
+                    raise FluxError(
+                        "rename: cannot rename _value on a mixed-type "
+                        "frame (tables carry different value types)"
+                    )
+                mapping[live] = mapping.pop("f_float")
+                drop_slots = [s for s in (*_slot_cols(df), "ftype")
+                              if s != live and s in df.columns]
+                if drop_slots:
+                    pipe = pipe._with(df.drop(*drop_slots))
+                    df = pipe.df
             # map-resident tag keys rename inside the tags map /
             # series_key (not a real-column rename)
             tag_renames = {

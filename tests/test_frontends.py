@@ -3554,3 +3554,24 @@ def test_flux_join_suffixed_value_binds_per_side_slot(mixed_pts):
         script + " |> map(fn: (r) => ({r with res: r._value_a * 2.0}))",
     ).orderBy("time_ns_a").collect()
     assert [r["res"] for r in out] == [3.0, 5.0, 7.0]
+
+
+def test_flux_rename_value_moves_live_slot(mixed_pts):
+    """r13 probe: rename(columns: {_value: "foo"}) on a string frame
+    renamed the dead f_float (all-NULL foo) while the values stayed in
+    f_str; now the LIVE slot moves and the other slots + discriminator
+    drop (stock: the table simply loses _value). Mixed frames raise a
+    typed error (one physical column can't carry per-table types)."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> rename(columns: {_value: "foo"}) '
+        '|> map(fn: (r) => ({r with res: r.foo + "!"}))',
+    ).orderBy("time_ns").collect()
+    assert [r["res"] for r in out] == ["ok!", "bad!", "ok!"]
+    with pytest.raises(FluxError, match="mixed-type frame"):
+        execute_flux(
+            mixed_pts,
+            _MIXED_UNION_PRE + "union(tables: [a, b]) "
+            '|> rename(columns: {_value: "foo"})',
+        )
