@@ -2029,7 +2029,10 @@ def _join_package(kind: str, args: dict, env: dict) -> Pipeline:
             side = mo.group(1)
             nm = mo.group(2) or mo.group(3)
             frame = left.df if side == "l" else right.df
-            return f'r["{side}_{_colname(frame, nm)}"]'
+            # l._value on a string/bool side binds ITS live slot (r13,
+            # the join-pkg twin of the suffixed-binding fix)
+            real = _value_slot_runtime(frame, _colname(frame, nm))
+            return f'r["{side}_{real}"]'
 
         return re.sub(r'\b([lr])(?:\.(\w+)|\["([^"]+)"\])', _sub, side_expr)
 

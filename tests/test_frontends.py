@@ -3575,3 +3575,19 @@ def test_flux_rename_value_moves_live_slot(mixed_pts):
             _MIXED_UNION_PRE + "union(tables: [a, b]) "
             '|> rename(columns: {_value: "foo"})',
         )
+
+
+def test_flux_join_pkg_value_binds_per_side_slot(mixed_pts):
+    """r13: the modern join package's as: record — l._value / r._value
+    refs bind the OWNING side's live slot (a string right side
+    previously compiled to the dead r_f_float and returned NULLs)."""
+    out = execute_flux(
+        mixed_pts,
+        'import "join"\n'
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        "join.inner(left: a, right: b, on: (l, r) => l._time == r._time, "
+        "as: (l, r) => ({t: l._time, v: l._value, s: r._value}))",
+    ).orderBy("t").collect()
+    assert [(r["v"], r["s"]) for r in out] == [
+        (1.5, "ok"), (2.5, "bad"), (3.5, "ok")]
