@@ -3293,6 +3293,10 @@ def _run_pipeline(
             cols = [_colname(df, c) for c in _strlist(args.get("columns", '["_value"]'))]
             if len(cols) != 2:
                 raise FluxError(f"{name} needs columns: [x, y]")
+            for c in cols:
+                # numeric-only statistics: a string/bool input is a
+                # typed error in stock, not a NULL from the dead slot
+                _reject_non_numeric_agg(df, c, name)
             use_pearson = name == "pearsonr" or _lit(args.get("pearsonr", "false")) is True
             fn = _an.pearsonr if use_pearson else _an.covariance
             _dst_name = _lit(args.get("valueDst", '"_value"'))
