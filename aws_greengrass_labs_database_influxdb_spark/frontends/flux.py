@@ -3126,7 +3126,8 @@ def _run_pipeline(
             req = _strlist(args["keyColumns"])
             parts = []
             for kname in req:
-                real = _colname(df, kname)
+                # _value requests read the live slot (r13)
+                real = _value_slot_runtime(df, _colname(df, kname))
                 src = (
                     F.col(real) if real in df.columns
                     else F.col("tags")[kname] if "tags" in df.columns
@@ -3459,7 +3460,10 @@ def _run_pipeline(
                     )
                     df = df.filter(pred)
             if name in ("getColumn", "findColumn"):
-                col = _colname(df, _lit(args.get("column", '"_value"')))
+                # _value extraction reads the live slot (r13 — a
+                # string table's getColumn returned the dead floats)
+                col = _value_slot_runtime(
+                    df, _colname(df, _lit(args.get("column", '"_value"'))))
                 if col not in df.columns:
                     raise FluxError(
                         f"{name}(column:) references unknown column {col!r}"

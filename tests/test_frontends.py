@@ -3591,3 +3591,20 @@ def test_flux_join_pkg_value_binds_per_side_slot(mixed_pts):
     ).orderBy("t").collect()
     assert [(r["v"], r["s"]) for r in out] == [
         (1.5, "ok"), (2.5, "bad"), (3.5, "ok")]
+
+
+def test_flux_get_column_and_keyvalues_read_live_slot(mixed_pts):
+    """r13 sweep: getColumn()/keyValues() on a string frame read the
+    live slot — previously both bound the dead f_float."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> getColumn()",
+    ).collect()
+    assert sorted(r[0] for r in out) == ["bad", "ok", "ok"]
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> keyValues(keyColumns: ["_value"])',
+    ).collect()
+    assert sorted(r["_value"] for r in out) == ["bad", "ok"]
