@@ -2193,6 +2193,19 @@ def _run_pipeline(
                 raise FluxError("aggregateWindow() requires a _time column")
             from ..operators.aggregates import AGG_FNS
 
+            # createEmpty spines need bounds: stock's range() defaults
+            # its stop to now(), so an open-ended range(start:) spines
+            # to the query's now (r13 fuzzer — the raw AssertionError
+            # leaked); no range at all is the typed error
+            aw_bounds = list(range_bounds)
+            if _lit(args.get("createEmpty", "false")) is True:
+                if aw_bounds[0] is None:
+                    raise FluxError(
+                        "aggregateWindow(createEmpty: true) requires a "
+                        "bounded range()"
+                    )
+                if aw_bounds[1] is None:
+                    aw_bounds[1] = now_ns
             fnarg = args.get("fn", "mean").strip()
             # table-function form: fn: (tables=<-) => tables |> <stage>(...)
             lm = re.match(
@@ -2230,8 +2243,8 @@ def _run_pipeline(
                     ),
                     by=by,
                     create_empty=_lit(args.get("createEmpty", "false")) is True,
-                    range_start=range_bounds[0],
-                    range_stop=range_bounds[1],
+                    range_start=aw_bounds[0],
+                    range_stop=aw_bounds[1],
                     offset=args.get("offset", "0"),
                     time_src=_aw_time_src(args),
                     tz=_location_value(args["location"])
@@ -2297,8 +2310,8 @@ def _run_pipeline(
                     fnarg,
                     column=vcol,
                     create_empty=_lit(args.get("createEmpty", "false")) is True,
-                    range_start=range_bounds[0],
-                    range_stop=range_bounds[1],
+                    range_start=aw_bounds[0],
+                    range_stop=aw_bounds[1],
                     alias="_value_agg",
                     offset=args.get("offset", "0"),
                     time_src=_aw_time_src(args),

@@ -3608,3 +3608,26 @@ def test_flux_get_column_and_keyvalues_read_live_slot(mixed_pts):
         '|> keyValues(keyColumns: ["_value"])',
     ).collect()
     assert sorted(r["_value"] for r in out) == ["bad", "ok"]
+
+
+def test_flux_create_empty_open_range_spines_to_now(mixed_pts):
+    """r13 fuzzer: aggregateWindow(createEmpty: true) after an
+    open-ended range(start:) leaked a raw AssertionError — stock's
+    range() defaults its stop to now(), so the spine extends to the
+    query's now; no range at all stays the typed error."""
+    now = 4 * 3600 * 1_000_000_000  # epoch+4h: small, deterministic spine
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> range(start: 1970-01-01T00:00:00Z) '
+        '|> filter(fn: (r) => r._field == "temp") '
+        "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)",
+        now_ns=now,
+    ).collect()
+    assert len(out) == 4  # 4 hourly windows to "now"
+    assert sum(r["f_float"] is None for r in out) == 3
+    with pytest.raises(FluxError, match="bounded range"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") '
+            "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)",
+        )

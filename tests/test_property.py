@@ -1189,6 +1189,11 @@ _MIX_UNION_CONSUMER = st.sampled_from([
     "|> aggregateWindow(every: 6h, fn: mode, createEmpty: false)",
     "|> aggregateWindow(every: 6h, fn: count, createEmpty: false)",
     "|> aggregateWindow(every: 6h, fn: mean, createEmpty: false)",
+    "|> aggregateWindow(every: 6h, fn: last, createEmpty: true) |> last()",
+    "|> aggregateWindow(every: 6h, fn: min, createEmpty: false) "
+    '|> sort(columns: ["_value"])',
+    "|> aggregateWindow(every: 6h, fn: mode, createEmpty: false) "
+    "|> distinct()",
 ])
 
 _MIX_UNION_BRANCH = st.sampled_from([
