@@ -183,7 +183,7 @@ def tz_offset_ns(tz: str, ns: int) -> int:
 
 def month_window_bounds(
     time_ns: Column, every_months: int, offset_months: int = 0,
-    tz: str = "UTC",
+    tz: str = "UTC", offset_fixed_ns: int = 0,
 ) -> tuple[Column, Column]:
     """``(start_ns, stop_ns)`` of the calendar-month window holding each
     row — Flux ``window(every: 1mo/3mo/1y)``.
@@ -195,14 +195,16 @@ def month_window_bounds(
     non-UTC ``tz`` the month index is read off the LOCAL calendar and
     the bounds are local-midnight instants.
     """
-    ts = F.timestamp_micros(ns_to_us(time_ns))
+    ts = F.timestamp_micros(ns_to_us(time_ns - F.lit(offset_fixed_ns)))
     if tz != "UTC":
         ts = F.from_utc_timestamp(ts, tz)
     mi = _month_index(ts) - F.lit(offset_months)
     wm = (F.floor(mi / F.lit(every_months)) * F.lit(every_months)).cast(
         "int"
     ) + F.lit(offset_months)
-    return _month_start_ns(wm, tz), _month_start_ns(wm + F.lit(every_months), tz)
+    return (_month_start_ns(wm, tz) + F.lit(offset_fixed_ns),
+            _month_start_ns(wm + F.lit(every_months), tz)
+            + F.lit(offset_fixed_ns))
 
 
 def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
@@ -214,12 +216,13 @@ def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
         raise ValueError("calendar windows support period == every only")
 
 
-def _calendar_offset_months(offset) -> int:
-    """Window offset for a calendar window — whole months only."""
-    om, ons = duration_parts(offset) if offset else (0, 0)
-    if ons:
-        raise ValueError("calendar window offset: must be whole months")
-    return om
+def _calendar_offset_parts(offset) -> tuple[int, int]:
+    """Calendar-window offset split into (months, fixed_ns). Stock
+    accepts mixed offsets (``every: 1mo, offset: -4d``): the month
+    part shifts the month lattice, the fixed part shifts every window
+    boundary by that many ns — windows run e.g. from the 2nd 00:00 of
+    each month (r13; previously any fixed remainder raised)."""
+    return duration_parts(offset) if offset else (0, 0)
 
 
 def _window_bucket(
@@ -249,8 +252,11 @@ def _window_bucket(
     months, fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, fixed, None, every)
-        om = _calendar_offset_months(offset)
-        ts = F.timestamp_micros(ns_to_us(F.col(time_ns)))
+        om, ons = _calendar_offset_parts(offset)
+        # fixed offset remainder: shift rows onto the unshifted month
+        # lattice, shift the emitted bounds back (t ∈ [ms+ons, next+ons)
+        # ⟺ t-ons ∈ [ms, next))
+        ts = F.timestamp_micros(ns_to_us(F.col(time_ns) - F.lit(ons)))
         if tz != "UTC":
             ts = F.from_utc_timestamp(ts, tz)
         mi = _month_index(ts) - F.lit(om)
@@ -259,8 +265,8 @@ def _window_bucket(
         ) + F.lit(om)
         return (
             bucket,
-            _month_start_ns(b, tz),
-            _month_start_ns(b + F.lit(months), tz),
+            _month_start_ns(b, tz) + F.lit(ons),
+            _month_start_ns(b + F.lit(months), tz) + F.lit(ons),
         )
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
@@ -296,8 +302,9 @@ def window(
     months, _fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, _fixed, period, every)
-        om = _calendar_offset_months(offset)
-        start_c, stop_c = month_window_bounds(F.col(time_ns), months, om, tz)
+        om, ons = _calendar_offset_parts(offset)
+        start_c, stop_c = month_window_bounds(
+            F.col(time_ns), months, om, tz, offset_fixed_ns=ons)
         out = df.withColumn("_start_ns", start_c).withColumn("_stop_ns", stop_c)
         return (
             out.withColumn(
@@ -393,7 +400,7 @@ def window_spine(
     months, fixed = duration_parts(every)
     if months:
         _check_calendar_every(months, fixed, None, every)
-        om = _calendar_offset_months(offset)
+        om, ons = _calendar_offset_parts(offset)
         import datetime as _dt
 
         def _mi(ns: int) -> int:
@@ -402,16 +409,19 @@ def window_spine(
             d = _dt.datetime.fromtimestamp(ns // 10**9, _dt.timezone.utc)
             return (d.year - 1970) * 12 + d.month - 1
 
-        first_mi = (_mi(start) - om) // months * months + om
-        last_mi = (_mi(stop - 1) - om) // months * months + om
+        first_mi = (_mi(start - ons) - om) // months * months + om
+        last_mi = (_mi(stop - 1 - ons) - om) // months * months + om
         seq = F.sequence(F.lit(first_mi), F.lit(last_mi), F.lit(months))
         if by:
             spine = df.select(*by).distinct().withColumn("_mi", F.explode(seq))
         else:
             spine = df.sparkSession.range(1).select(F.explode(seq).alias("_mi"))
         return (
-            spine.withColumn("_start_ns", _month_start_ns(F.col("_mi"), tz))
-            .withColumn("_stop_ns", _month_start_ns(F.col("_mi") + F.lit(months), tz))
+            spine.withColumn(
+                "_start_ns", _month_start_ns(F.col("_mi"), tz) + F.lit(ons))
+            .withColumn(
+                "_stop_ns",
+                _month_start_ns(F.col("_mi") + F.lit(months), tz) + F.lit(ons))
             .drop("_mi")
         )
     every_n = duration_ns(every)

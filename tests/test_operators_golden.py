@@ -465,3 +465,46 @@ def test_time_shift_calendar_month_clamps_day(spark):
     ).select(F.lit("2024-01-31 12:00:00").cast("timestamp").alias("time"))
     r = time_shift(df, "1mo").collect()[0]
     assert str(r.time) == "2024-02-29 12:00:00"  # leap-year clamp
+
+
+def test_calendar_window_mixed_offset_shifts_lattice(spark):
+    """r13 fuzzer: a fixed-duration offset on a calendar window raised
+    a raw ValueError; stock accepts mixed offsets — the month part
+    shifts the month lattice, the fixed part shifts every boundary, so
+    `every: 1mo, offset: 1d` windows run from the 2nd 00:00 of each
+    month. Spine (createEmpty), window() bounds, and the aggregate
+    bucket all share the shifted lattice."""
+    import datetime as dt
+
+    from aws_greengrass_labs_database_influxdb_spark.operators.windows import aggregate_window
+
+    def ns(y, m, d, h=0):
+        return int(dt.datetime(
+            y, m, d, h, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    rows = [("s", ns(2024, 1, 1, 12), 1.0),  # -> [Dec 2, Jan 2)
+            ("s", ns(2024, 1, 5), 2.0),      # -> [Jan 2, Feb 2)
+            ("s", ns(2024, 2, 10), 4.0)]     # -> [Feb 2, Mar 2)
+    df = spark.createDataFrame(
+        rows, "series string, time_ns long, f_float double")
+    out = aggregate_window(
+        df, "1mo", "sum", by=("series",), offset=86400 * 10**9,
+    ).orderBy("_start_ns").collect()
+    got = [
+        (dt.datetime.fromtimestamp(
+            r["_start_ns"] / 1e9, dt.timezone.utc).strftime("%Y-%m-%d"),
+         r["sum"])
+        for r in out
+    ]
+    assert got == [("2023-12-02", 1.0), ("2024-01-02", 2.0),
+                   ("2024-02-02", 4.0)]
+
+    # createEmpty spine shares the shifted lattice (no dropped rows,
+    # empty windows emitted between the occupied ones)
+    out = aggregate_window(
+        df, "1mo", "sum", by=("series",), offset="1d",
+        create_empty=True, range_start=ns(2023, 12, 15),
+        range_stop=ns(2024, 3, 1),
+    ).orderBy("_start_ns").collect()
+    assert [r["sum"] for r in out] == [1.0, 2.0, 4.0]
+    assert len(out) == 3
