@@ -195,16 +195,20 @@ def month_window_bounds(
     non-UTC ``tz`` the month index is read off the LOCAL calendar and
     the bounds are local-midnight instants.
     """
-    ts = F.timestamp_micros(ns_to_us(time_ns - F.lit(offset_fixed_ns)))
+    src = (time_ns - F.lit(offset_fixed_ns)) if offset_fixed_ns else time_ns
+    ts = F.timestamp_micros(ns_to_us(src))
     if tz != "UTC":
         ts = F.from_utc_timestamp(ts, tz)
     mi = _month_index(ts) - F.lit(offset_months)
     wm = (F.floor(mi / F.lit(every_months)) * F.lit(every_months)).cast(
         "int"
     ) + F.lit(offset_months)
-    return (_month_start_ns(wm, tz) + F.lit(offset_fixed_ns),
-            _month_start_ns(wm + F.lit(every_months), tz)
-            + F.lit(offset_fixed_ns))
+    start_b = _month_start_ns(wm, tz)
+    stop_b = _month_start_ns(wm + F.lit(every_months), tz)
+    if offset_fixed_ns:
+        start_b = start_b + F.lit(offset_fixed_ns)
+        stop_b = stop_b + F.lit(offset_fixed_ns)
+    return start_b, stop_b
 
 
 def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
@@ -256,18 +260,19 @@ def _window_bucket(
         # fixed offset remainder: shift rows onto the unshifted month
         # lattice, shift the emitted bounds back (t ∈ [ms+ons, next+ons)
         # ⟺ t-ons ∈ [ms, next))
-        ts = F.timestamp_micros(ns_to_us(F.col(time_ns) - F.lit(ons)))
+        src = F.col(time_ns) - F.lit(ons) if ons else F.col(time_ns)
+        ts = F.timestamp_micros(ns_to_us(src))
         if tz != "UTC":
             ts = F.from_utc_timestamp(ts, tz)
         mi = _month_index(ts) - F.lit(om)
         bucket = (F.floor(mi / F.lit(months)) * F.lit(months)).cast(
             "int"
         ) + F.lit(om)
-        return (
-            bucket,
-            _month_start_ns(b, tz) + F.lit(ons),
-            _month_start_ns(b + F.lit(months), tz) + F.lit(ons),
-        )
+        start_b = _month_start_ns(b, tz)
+        stop_b = _month_start_ns(b + F.lit(months), tz)
+        if ons:
+            start_b, stop_b = start_b + F.lit(ons), stop_b + F.lit(ons)
+        return bucket, start_b, stop_b
     every_n = duration_ns(every)
     offset_n = duration_ns(offset) if offset else 0
     if tz != "UTC":
@@ -416,12 +421,13 @@ def window_spine(
             spine = df.select(*by).distinct().withColumn("_mi", F.explode(seq))
         else:
             spine = df.sparkSession.range(1).select(F.explode(seq).alias("_mi"))
+        sp_start = _month_start_ns(F.col("_mi"), tz)
+        sp_stop = _month_start_ns(F.col("_mi") + F.lit(months), tz)
+        if ons:
+            sp_start, sp_stop = sp_start + F.lit(ons), sp_stop + F.lit(ons)
         return (
-            spine.withColumn(
-                "_start_ns", _month_start_ns(F.col("_mi"), tz) + F.lit(ons))
-            .withColumn(
-                "_stop_ns",
-                _month_start_ns(F.col("_mi") + F.lit(months), tz) + F.lit(ons))
+            spine.withColumn("_start_ns", sp_start)
+            .withColumn("_stop_ns", sp_stop)
             .drop("_mi")
         )
     every_n = duration_ns(every)
