@@ -1799,8 +1799,17 @@ def _execute_flux_script(
                         [(status,)], "status: long"),
                     (), order=())
             continue
-        pipe = _run_pipeline(points, body, now_ns, group_key, env, sink=sink,
-                             yields=yields, location=location)
+        try:
+            pipe = _run_pipeline(points, body, now_ns, group_key, env,
+                                 sink=sink, yields=yields, location=location)
+        except ValueError as e:
+            # plan-time argument validation deep in the operator layer
+            # (duration units, calendar window constraints, ...) is
+            # USER-INPUT rejection — surface it as the typed error
+            # every frontend consumer handles (r13 fuzzer: raw
+            # ValueErrors leaked for `every: 1mo10d` and period/every
+            # calendar mismatches)
+            raise FluxError(str(e)) from None
         if name:
             env[name] = pipe
         else:

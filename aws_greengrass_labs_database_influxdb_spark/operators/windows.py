@@ -106,6 +106,10 @@ def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Colum
     Integer arithmetic only: ``floor(x/const)`` in doubles is lossy at
     epoch-ns magnitude (~2^60; double ulp there is 256 ns).
     """
+    if every_ns <= 0:
+        # plan-time rejection: a zero/negative width reaches the
+        # modulo and crashes executors with REMAINDER_BY_ZERO (r13)
+        raise ValueError(f"window every: must be positive, got {every_ns}ns")
     shifted = time_ns - F.lit(offset_ns)
     return (shifted - shifted % F.lit(every_ns) + F.lit(offset_ns)).cast("long")
 
@@ -216,6 +220,8 @@ def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
         raise ValueError(
             f"calendar window every: {every!r} cannot mix fixed units"
         )
+    if months <= 0:
+        raise ValueError(f"window every: must be positive, got {every!r}")
     if period is not None and period != every:
         raise ValueError("calendar windows support period == every only")
 

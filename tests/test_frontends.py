@@ -3631,3 +3631,23 @@ def test_flux_create_empty_open_range_spines_to_now(mixed_pts):
             'from(bucket:"b") '
             "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)",
         )
+
+
+def test_flux_window_arg_validation_is_typed(mixed_pts):
+    """r13 fuzzer/probe: plan-time argument rejection from the window
+    machinery (bad duration units, calendar constraints, zero width)
+    surfaces as FluxError — raw ValueErrors and an executor-side
+    REMAINDER_BY_ZERO previously leaked."""
+    pre = ('from(bucket:"b") |> filter(fn: (r) => r._field == "temp") ')
+    for script, msg in [
+        (pre + "|> aggregateWindow(every: 1q, fn: mean)",
+         "bad duration unit"),
+        (pre + "|> aggregateWindow(every: 1mo10d, fn: mean)",
+         "cannot mix fixed units"),
+        (pre + "|> window(every: 1mo, period: 2mo)",
+         "period == every"),
+        (pre + "|> aggregateWindow(every: 0s, fn: mean)",
+         "must be positive"),
+    ]:
+        with pytest.raises(FluxError, match=msg):
+            execute_flux(mixed_pts, script).collect()
