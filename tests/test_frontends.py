@@ -3651,3 +3651,11 @@ def test_flux_window_arg_validation_is_typed(mixed_pts):
     ]:
         with pytest.raises(FluxError, match=msg):
             execute_flux(mixed_pts, script).collect()
+
+
+def test_influxql_group_by_time_zero_is_typed_error(mixed_pts):
+    """r13: GROUP BY time(0s) silently computed a global aggregate;
+    stock rejects non-positive time dimensions at parse."""
+    with pytest.raises(InfluxQLError, match="must be positive"):
+        execute_influxql(
+            mixed_pts, "SELECT mean(temp) FROM m GROUP BY time(0s)")
