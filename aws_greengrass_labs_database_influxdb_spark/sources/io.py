@@ -214,8 +214,8 @@ def canonicalize_result(df: DataFrame) -> DataFrame:
         raise ValueError(
             'write-back needs a measurement column (use set(key: "_measurement"))'
         )
-    if "f_float" not in cols:
-        raise ValueError("write-back needs a _value (f_float) column")
+    if not any(s in cols for s in ("f_float", "f_str", "f_bool")):
+        raise ValueError("write-back needs a _value column")
     if "time_ns" not in cols and "time" not in cols:
         raise ValueError("write-back needs a time column")
     out = df
@@ -225,14 +225,22 @@ def canonicalize_result(df: DataFrame) -> DataFrame:
         out = out.withColumn(
             "time", F.timestamp_micros(F.expr("time_ns div 1000"))
         )
+    # a typed window result arrives slot-shaped (f_str/f_bool + ftype,
+    # no f_float — r13): missing slots fill with NULLs and a present
+    # ftype discriminator is preserved; the FT_FLOAT default only
+    # applies to the float-only task shape
+    ft_default = FT_FLOAT
+    if "f_float" not in cols:
+        ft_default = "string" if "f_str" in cols else "bool"
     defaults = {
         "tags": F.lit(None).cast(T.MapType(T.StringType(), T.StringType())),
         "field": F.lit("value"),
+        "f_float": F.lit(None).cast("double"),
         "f_int": F.lit(None).cast("long"),
         "f_uint": F.lit(None).cast("decimal(20,0)"),
         "f_str": F.lit(None).cast("string"),
         "f_bool": F.lit(None).cast("boolean"),
-        "ftype": F.lit(FT_FLOAT),
+        "ftype": F.lit(ft_default),
         "ingest_seq": F.lit(None).cast("long"),
     }
     for name, default in defaults.items():

@@ -3659,3 +3659,35 @@ def test_influxql_group_by_time_zero_is_typed_error(mixed_pts):
     with pytest.raises(InfluxQLError, match="must be positive"):
         execute_influxql(
             mixed_pts, "SELECT mean(temp) FROM m GROUP BY time(0s)")
+
+
+def test_flux_to_writes_typed_window_result(mixed_pts, tmp_path):
+    """r13: aggregateWindow over a string series |> to(bucket:) — the
+    slot-shaped window result (f_str + ftype, no f_float) previously
+    failed canonicalize_result's f_float requirement; the write now
+    lands typed and reads back as a string field."""
+    from aws_greengrass_labs_database_influxdb_spark.sources.bucket import BucketStore
+    from aws_greengrass_labs_database_influxdb_spark.sources.io import canonicalize_result
+
+    spark = mixed_pts.sparkSession
+    store = BucketStore(spark, str(tmp_path / "b"))
+    store.create_bucket("o", "dst")
+
+    def sink(df, bucket):
+        store.write_points("o", bucket, canonicalize_result(df))
+
+    execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "status") '
+        "|> aggregateWindow(every: 30m, fn: last) "
+        '|> to(bucket: "dst")',
+        sink=sink,
+    )
+    back = store.read_points("o", "dst").collect()
+    assert back and all(
+        r["ftype"] == "string" and r["f_str"] in ("ok", "bad")
+        and r["f_float"] is None
+        for r in back
+    )
