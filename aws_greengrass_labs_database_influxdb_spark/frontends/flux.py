@@ -397,6 +397,35 @@ def _suffixed_live_slot(df: DataFrame, name: str) -> str:
     return cand if len(live) == 1 and cand in df.columns else name
 
 
+def _typed_field_pivot(df: DataFrame, grouping, val: str):
+    """Per-type field pivot (r10), shared by the ``pivot`` stage and
+    ``schema.fieldsAsCols`` (r13 — fieldsAsCols bypassed it, so string/
+    bool fields pivoted from the dead float slot into all-NULL columns
+    typed DOUBLE, and a comparison against them ANSI-crashed): on a
+    mixed measurement each output column reads its ftype's slot. The
+    (field, ftype) distinct is bounded by field-key cardinality.
+    Returns None when the frame is float-only (plain pivot applies)."""
+    if not (val == "f_float" and "ftype" in df.columns
+            and any(s in df.columns for s in ("f_str", "f_bool"))):
+        return None
+    slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
+               "string": "f_str", "bool": "f_bool"}
+    fmap: dict = {}
+    for r in df.select("field", "ftype").distinct().collect():
+        s = slot_of.get(r[1], "f_float")
+        if s not in df.columns:
+            s = "f_float"
+        if r[0] not in fmap or s == "f_float":
+            fmap[r[0]] = s
+    if not any(s != "f_float" for s in fmap.values()):
+        return None
+    return df.groupBy(*grouping).agg(*[
+        F.first(F.when(F.col("field") == f, F.col(s)),
+                ignorenulls=True).alias(f)
+        for f, s in sorted(fmap.items())
+    ])
+
+
 def _carry_slot_cache(src: DataFrame, dst: DataFrame,
                       demote: bool = False) -> None:
     """Copy src's live-slot cache entry onto dst (a frame derived by a
@@ -2823,33 +2852,8 @@ def _run_pipeline(
                 df = df.withColumn("_pivot_key", joined)
                 pipe = pipe._with(df).pivot(grouping, "_pivot_key", val)
             else:
-                typed = None
-                if (val == "f_float" and col_keys[0] == "field"
-                        and "ftype" in df.columns
-                        and any(s in df.columns for s in ("f_str", "f_bool"))):
-                    # per-type pivot (r10): on a mixed measurement the
-                    # f_float-only pivot returned NULL for string/bool
-                    # fields — each output column reads its ftype slot
-                    # (conditional-first aggregation; the (field,ftype)
-                    # distinct is bounded by field-key cardinality)
-                    slot_of = {"float": "f_float", "int": "f_float",
-                               "uint": "f_float", "string": "f_str",
-                               "bool": "f_bool"}
-                    fmap: dict = {}
-                    for r in df.select("field", "ftype").distinct().collect():
-                        s = slot_of.get(r[1], "f_float")
-                        if s not in df.columns:
-                            s = "f_float"
-                        if r[0] not in fmap or s == "f_float":
-                            fmap[r[0]] = s
-                    if any(s != "f_float" for s in fmap.values()):
-                        typed = df.groupBy(*grouping).agg(*[
-                            F.first(
-                                F.when(F.col("field") == f, F.col(s)),
-                                ignorenulls=True,
-                            ).alias(f)
-                            for f, s in sorted(fmap.items())
-                        ])
+                typed = (_typed_field_pivot(df, grouping, val)
+                         if col_keys[0] == "field" else None)
                 if typed is not None:
                     pipe = pipe._with(
                         typed,
@@ -3465,9 +3469,23 @@ def _run_pipeline(
             ]
             if "field" not in df.columns:
                 raise FluxError(f"{name}() requires a _field column")
-            pipe = pipe._with(_series_key_sans_field(df)).pivot(
-                row_key, "field", val
-            )
+            sans = _series_key_sans_field(df)
+            typed = _typed_field_pivot(
+                sans, [c for c in row_key if c in sans.columns], val)
+            if typed is not None:
+                # mixed measurement: per-type pivot (r13 — this path
+                # bypassed the r10 fix and pivoted string/bool fields
+                # from the dead float slot)
+                pipe = pipe._with(
+                    typed,
+                    group_key=tuple(c for c in pipe.group_key
+                                    if c in typed.columns),
+                    order=tuple(c for c in pipe.order
+                                if c in typed.columns)
+                    or (("time",) if "time" in typed.columns else ()),
+                )
+            else:
+                pipe = pipe._with(sans).pivot(row_key, "field", val)
         elif name in ("getColumn", "findColumn", "getRecord", "findRecord",
                       "tableFind"):
             # stream-termination extractors. Flux returns an array /

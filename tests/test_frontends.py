@@ -3691,3 +3691,20 @@ def test_flux_to_writes_typed_window_result(mixed_pts, tmp_path):
         and r["f_float"] is None
         for r in back
     )
+
+
+def test_flux_fields_as_cols_mixed_types_per_type(mixed_pts):
+    """r13 fuzzer: schema.fieldsAsCols() bypassed the r10 per-type
+    pivot, so on a mixed measurement string/bool fields pivoted from
+    the dead float slot into all-NULL DOUBLE columns — comparing one
+    against a string literal ANSI-crashed. The shared per-type pivot
+    emits each field with its OWN type."""
+    out = execute_flux(
+        mixed_pts,
+        'import "influxdata/influxdb/schema"\n'
+        'from(bucket:"b") |> schema.fieldsAsCols() '
+        '|> filter(fn: (r) => r.status == "ok")',
+    ).orderBy("time_ns").collect()
+    assert [r["status"] for r in out] == ["ok", "ok"]
+    assert [r["temp"] for r in out] == [1.5, 3.5]
+    assert [r["ok"] for r in out] == [True, True]
