@@ -8,5 +8,5 @@ query strings and produce the same DataFrame plans.
 """
 
 from .influxql import InfluxQLError, execute_influxql, execute_show, parse_influxql  # noqa: F401
-from .flux import FluxError, execute_flux, execute_flux_multi  # noqa: F401
+from .flux import FluxError, execute_flux, execute_flux_multi, flux_runtime_errors  # noqa: F401
 from .annotated_csv import from_annotated_csv, iter_annotated_csv, to_annotated_csv  # noqa: F401

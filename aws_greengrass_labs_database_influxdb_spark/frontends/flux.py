@@ -39,6 +39,7 @@ columns or ``tags['k']``).
 from __future__ import annotations
 
 import calendar
+import contextlib
 import datetime as dt
 import re
 
@@ -46,11 +47,53 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..operators.core import ns_to_us
 from ..operators.windows import duration_ns, duration_parts
-from ..plans.pipeline import Pipeline, from_points
+from ..plans.pipeline import Pipeline, from_points, merge_range_bounds
 
 
 class FluxError(ValueError):
     pass
+
+
+@contextlib.contextmanager
+def flux_runtime_errors():
+    """Uniform Python-API error contract for action time (r14,
+    r13 verdict #4).
+
+    ``execute_flux`` returns a lazy DataFrame, so DATA-DEPENDENT
+    rejections — stock's typed conversion failure (``toFloat()`` of a
+    non-numeric string: ``cannot convert string "ok" to float``,
+    shaped via try_cast + assert_true in :func:`_checked_str_cast`) —
+    surface at ``collect()`` as a raw ``SparkRuntimeException
+    [USER_RAISED_EXCEPTION]``, not a :class:`FluxError`. The HTTP
+    facade already re-shapes them on the wire (400 / mid-stream
+    annotated error table — that boundary is unchanged); driver-side
+    callers wrap the ACTION in this context manager to get the same
+    typed error::
+
+        with flux_runtime_errors():
+            rows = execute_flux(pts, script).collect()
+
+    Only the engine-authored assert_true shape is converted; any other
+    runtime exception (a genuine engine bug, an executor OOM) passes
+    through untouched.
+    """
+    try:
+        yield
+    except Exception as e:  # noqa: BLE001 — filtered below, re-raised
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:  # pragma: no cover - defensive
+                    cond = None
+                if cond:
+                    break
+        m = re.search(r'cannot convert string "[^"]*" to \w+', str(e))
+        if cond == "USER_RAISED_EXCEPTION" and m:
+            raise FluxError(m.group(0)) from None
+        raise
 
 
 COLMAP = {
@@ -208,6 +251,32 @@ def _time_to_ns(tok: str, now_ns: int) -> int:
         except ValueError:
             continue
     raise FluxError(f"bad time literal {tok!r}")
+
+
+def _shift_bound_ns(bound: int | None, duration: str) -> int | None:
+    """Shift one epoch-ns range bound by a Flux duration (timeShift).
+
+    Mirrors ``operators.core.time_shift``'s per-row semantics on the
+    carried bounds: fixed units are an integer add; calendar months
+    use Go ``time.AddDate`` day clamping (same as ``_time_to_ns``'s
+    relative-month path). A non-Flux duration (SQL interval text) is
+    accepted by time_shift but not parseable here — keep the bound
+    unshifted, which is the pre-r14 behavior for every duration.
+    """
+    if bound is None:
+        return None
+    try:
+        months, ns = duration_parts(duration.strip())
+    except (ValueError, KeyError, AttributeError):
+        return bound
+    if months:
+        d = dt.datetime.fromtimestamp(bound // 10**9, dt.timezone.utc)
+        mi = d.year * 12 + (d.month - 1) + months
+        y, m = divmod(mi, 12)
+        last = calendar.monthrange(y, m + 1)[1]
+        shifted = d.replace(year=y, month=m + 1, day=min(d.day, last))
+        return int(shifted.timestamp()) * 10**9 + bound % 10**9 + ns
+    return bound + ns
 
 
 def _colname(df: DataFrame, name: str) -> str:
@@ -1102,6 +1171,12 @@ _MAP_FN_STR = {
 }
 
 
+#: operand kind → the Flux type name used in stock's binary-expression
+#: type errors (the engine's arithmetic runs in doubles, so "num" reads
+#: as float)
+_FLUX_KIND = {"num": "float", "str": "string", "bool": "bool"}
+
+
 def _parse_arith(df: DataFrame, s: str) -> Column:
     """Arithmetic over row fields for ``map()``: ``r.col``/``r["col"]``,
     numeric/string literals, ``+ - * / %`` and parens — compiled to a
@@ -1135,7 +1210,12 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
             return e
         if t == "-":
             eat()
-            return -factor()[0], False
+            e, kind = factor()
+            if kind != "num":
+                raise FluxError(
+                    f"unsupported unary expression -{_FLUX_KIND[kind]}"
+                )
+            return -e, "num"
         if t in _MAP_FUNCS:
             eat()
             labels, builder = _MAP_FUNCS[t]
@@ -1152,7 +1232,8 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
                     eat()
             eat()  # ")"
             try:
-                return builder(*[got[l] for l in labels]), t in _MAP_FN_STR
+                return (builder(*[got[l] for l in labels]),
+                        "str" if t in _MAP_FN_STR else "num")
             except KeyError as missing:
                 raise FluxError(f"{t} missing argument {missing} in {s!r}")
         eat()
@@ -1189,44 +1270,62 @@ def _parse_arith(df: DataFrame, s: str) -> Column:
                     # join-suffixed _value_<side>: bind the side's own
                     # live slot (r13 probe — string sides read NULLs)
                     name = _suffixed_live_slot(df, name)
-                return F.col(name), dtypes[name] == "string"
+                kind = ("str" if dtypes[name] == "string"
+                        else "bool" if dtypes[name] == "boolean" else "num")
+                return F.col(name), kind
             # tags-map fallback: tag values are strings by model
-            return _col(df, raw), True
+            return _col(df, raw), "str"
         if t.startswith('"'):
-            return F.lit(t[1:-1]), True
+            return F.lit(t[1:-1]), "str"
         if re.fullmatch(r"\d+(?:ns|us|ms|mo|[smhdwy])", t):
-            return F.lit(duration_ns(t)), False
+            return F.lit(duration_ns(t)), "num"
         if t in ("true", "false"):
-            return F.lit(t == "true"), False
+            return F.lit(t == "true"), "bool"
         if re.match(r"^[A-Za-z_]", t):
             raise FluxError(
                 f"unsupported function or identifier {t!r} in map expression {s!r}"
             )
         return (
             F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t)),
-            False,
+            "num",
         )
 
-    def term() -> tuple[Column, bool]:
-        e, is_str = factor()
+    def _reject_nonnum(op: str, lk: str, rk: str) -> None:
+        # stock map() type-errors arithmetic over string/bool operands
+        # ("unsupported binary expression string * float"); the slot
+        # binding previously compiled it and crashed with an ANSI cast
+        # at collect time (r14 fuzzer — homogeneous string frame)
+        if lk != "num" or rk != "num":
+            raise FluxError(
+                "unsupported binary expression "
+                f"{_FLUX_KIND[lk]} {op} {_FLUX_KIND[rk]}"
+            )
+
+    def term() -> tuple[Column, str]:
+        e, kind = factor()
         while peek() in ("*", "/", "%"):
             op = eat()
-            r, _ = factor()
+            r, r_kind = factor()
+            _reject_nonnum(op, kind, r_kind)
             e = e * r if op == "*" else (e / r if op == "/" else e % r)
-            is_str = False
-        return e, is_str
+            kind = "num"
+        return e, kind
 
-    def expr() -> tuple[Column, bool]:
-        e, is_str = term()
+    def expr() -> tuple[Column, str]:
+        e, kind = term()
         while peek() in ("+", "-"):
             op = eat()
-            r, r_str = term()
-            if op == "+" and (is_str or r_str):
-                e, is_str = F.concat(e.cast("string"), r.cast("string")), True
+            r, r_kind = term()
+            if op == "+" and "str" in (kind, r_kind):
+                # Flux string concatenation (r6). Lenient divergence:
+                # stock only concats string + string; number operands
+                # are stringified here rather than rejected
+                e, kind = F.concat(e.cast("string"), r.cast("string")), "str"
             else:
+                _reject_nonnum(op, kind, r_kind)
                 e = e + r if op == "+" else e - r
-                is_str = False
-        return e, is_str
+                kind = "num"
+        return e, kind
 
     out, _ = expr()
     if pos[0] != len(tokens):
@@ -1993,7 +2092,9 @@ def _source_stage(
         order = tuple(
             c for c in ("time_ns", "time") if c in joined.columns
         ) or tuple(on)
-        return Pipeline(joined, gk, order=order)
+        return Pipeline(joined, gk, order=order,
+                        range_bounds=merge_range_bounds(left.range_bounds,
+                                                        right.range_bounds))
     jm = re.match(r"^join\.(inner|left|right|full|time)$", name)
     if jm:
         return _join_package(jm.group(1), args, env)
@@ -2103,7 +2204,9 @@ def _join_package(kind: str, args: dict, env: dict) -> Pipeline:
         lc for lc, _ in pairs if lc in out.columns
     )
     order = tuple(c for c in ("time_ns", "time") if c in out.columns)
-    return Pipeline(out, gk, order=order)
+    return Pipeline(out, gk, order=order,
+                    range_bounds=merge_range_bounds(left.range_bounds,
+                                                    right.range_bounds))
 
 
 def _run_pipeline(
@@ -2120,7 +2223,6 @@ def _run_pipeline(
     if not stages:
         raise FluxError("empty pipeline")
     pipe = _source_stage(points, stages[0], group_key, env)
-    range_bounds: list = [None, None]
 
     #: stages whose semantics order on _time — a typed error when the
     #: frame lost its time axis (e.g. after a bare aggregate), instead
@@ -2152,7 +2254,7 @@ def _run_pipeline(
         df = pipe.df
         _df_in = df  # cache-propagation anchor (see loop tail)
         if name in _TIME_ORDERED or name in (
-            "window", "aggregateWindow", "first", "last"
+            "window", "aggregateWindow", "first", "last", "events.duration"
         ):
             if "time_ns" not in df.columns and "time" in df.columns:
                 # a projection kept only the visible _time column —
@@ -2183,10 +2285,16 @@ def _run_pipeline(
                 args["start"]  # raises the typed missing-argument error
             start = _time_to_ns(args["start"], now_ns) if "start" in args else None
             stop = _time_to_ns(args["stop"], now_ns) if "stop" in args else None
-            range_bounds = [start, stop]
             from ..operators.core import push_time_filter
 
-            pipe = pipe._with(push_time_filter(df, start, stop))
+            # bounds ride the Pipeline (not a _run_pipeline local) so
+            # they survive variable bindings and union()/join() — r14,
+            # the r13 verdict's lead divergence: `base = from |>
+            # range(...)` … `base |> aggregateWindow(createEmpty:
+            # true)` raised "requires a bounded range()" where stock
+            # spines from the stream's _start/_stop
+            pipe = pipe._with(push_time_filter(df, start, stop),
+                              range_bounds=(start, stop))
         elif name == "filter":
             # args["fn"] (not raw argstr) so sibling args like
             # onEmpty: don't leak into the predicate text
@@ -2235,7 +2343,7 @@ def _run_pipeline(
             # its stop to now(), so an open-ended range(start:) spines
             # to the query's now (r13 fuzzer — the raw AssertionError
             # leaked); no range at all is the typed error
-            aw_bounds = list(range_bounds)
+            aw_bounds = list(pipe.range_bounds)
             if _lit(args.get("createEmpty", "false")) is True:
                 if aw_bounds[0] is None:
                     raise FluxError(
@@ -3034,7 +3142,16 @@ def _run_pipeline(
         elif name == "timeShift":
             from ..operators.core import time_shift
 
-            pipe = pipe._with(time_shift(df, _lit(args["duration"])))
+            # stock shifts _start/_stop along with _time — bounds
+            # consumers downstream (createEmpty spine) see the shifted
+            # interval (r14, part of the Pipeline-carried bounds audit)
+            pipe = pipe._with(
+                time_shift(df, _lit(args["duration"])),
+                range_bounds=tuple(
+                    _shift_bound_ns(b, _lit(args["duration"]))
+                    for b in pipe.range_bounds
+                ),
+            )
         elif name == "truncateTimeColumn":
             from ..operators.core import truncate_time
 
@@ -3299,7 +3416,8 @@ def _run_pipeline(
 
             pipe = pipe._with(_interp(
                 df, args["every"], by=pipe.group_key,
-                range_start=range_bounds[0], range_stop=range_bounds[1],
+                range_start=pipe.range_bounds[0],
+                range_stop=pipe.range_bounds[1],
             ))
         elif name in ("doubleEMA", "tripleEMA", "kaufmansER", "kaufmansAMA",
                       "chandeMomentumOscillator", "relativeStrengthIndex",
@@ -3445,8 +3563,8 @@ def _run_pipeline(
                     f"events.duration() stopColumn {stop_name!r} is not a "
                     "column of the input"
                 )
-            elif range_bounds[1] is not None:
-                tail_stop = F.lit(range_bounds[1])
+            elif pipe.range_bounds[1] is not None:
+                tail_stop = F.lit(pipe.range_bounds[1])
             else:
                 raise FluxError(
                     "events.duration() needs stop:, a stop column, or a "

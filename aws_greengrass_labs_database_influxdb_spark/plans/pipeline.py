@@ -33,6 +33,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .. import operators as ops
 
 
+def merge_range_bounds(
+    a: tuple[int | None, int | None], b: tuple[int | None, int | None],
+) -> tuple[int | None, int | None]:
+    """Combine two streams' ``range()`` bounds (union/join paths).
+
+    Stock Flux carries ``_start``/``_stop`` per table; one physical
+    frame gets the covering interval: min start, max stop. ``None``
+    start means *unbounded* (no ``range()`` ran — downstream
+    ``createEmpty`` must stay the typed error), so it poisons the
+    merge. ``None`` stop means *defaults to query now()*, which
+    dominates any explicit past stop, so it wins the max.
+    """
+    start = None if a[0] is None or b[0] is None else min(a[0], b[0])
+    stop = None if a[1] is None or b[1] is None else max(a[1], b[1])
+    return (start, stop)
+
+
 @dataclass(frozen=True)
 class Pipeline:
     df_: DataFrame
@@ -43,6 +60,14 @@ class Pipeline:
     # whether `order` is descending — set by sort(desc:), consumed by
     # the order-sensitive presentation stages (limit/tail)
     order_desc: bool = False
+    # the epoch-ns (start, stop) of the last range() stage — set by
+    # range(), preserved by every stage (replace()), min/max-merged by
+    # union()/join(), read back from env bindings by the bounds
+    # consumers (aggregateWindow createEmpty spine, interpolate.linear,
+    # events.duration tail close). None start = no range() ran; None
+    # stop = range defaulted its stop to the query's now() (r14 — the
+    # _run_pipeline-local list lost bounds through variable bindings).
+    range_bounds: tuple = (None, None)
 
     # ------------------------------------------------------------- plumbing
 
@@ -71,12 +96,13 @@ class Pipeline:
         if isinstance(start, int) or isinstance(stop, int):
             # epoch-ns bounds: use the sargable path (adds a raw-column
             # superset predicate so parquet row-group pruning applies)
-            return self._with(ops.push_time_filter(
-                self.df_,
-                start if isinstance(start, int) else None,
-                stop if isinstance(stop, int) else None,
-                time_ns_col=self.time_ns_col,
-            ))
+            s = start if isinstance(start, int) else None
+            e = stop if isinstance(stop, int) else None
+            return self._with(
+                ops.push_time_filter(self.df_, s, e,
+                                     time_ns_col=self.time_ns_col),
+                range_bounds=(s, e),
+            )
         return self._with(ops.range_time(self.df_, start, stop, self.time_col))
 
     def filter(self, predicate: Column | str) -> "Pipeline":
@@ -292,10 +318,18 @@ class Pipeline:
     # -------------------------------------------------------------- combine
 
     def union(self, other: "Pipeline") -> "Pipeline":
-        return self._with(self.df_.unionByName(other.df_, allowMissingColumns=True))
+        return self._with(
+            self.df_.unionByName(other.df_, allowMissingColumns=True),
+            range_bounds=merge_range_bounds(self.range_bounds,
+                                            other.range_bounds),
+        )
 
     def join(self, other: "Pipeline", on: Sequence[str], how: str = "inner") -> "Pipeline":
-        return self._with(self.df_.join(other.df_, list(on), how))
+        return self._with(
+            self.df_.join(other.df_, list(on), how),
+            range_bounds=merge_range_bounds(self.range_bounds,
+                                            other.range_bounds),
+        )
 
     def pivot(self, row_key: Sequence[str], column_key: str, value_column: str,
               values: Sequence[str] | None = None) -> "Pipeline":

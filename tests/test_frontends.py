@@ -3653,6 +3653,236 @@ def test_flux_window_arg_validation_is_typed(mixed_pts):
             execute_flux(mixed_pts, script).collect()
 
 
+def test_flux_range_bounds_survive_variable_binding(mixed_pts):
+    """r14 (r13 verdict #1, shape a): range() bounds ride the Pipeline
+    object, so the standard multi-yield dashboard idiom — a bounded
+    base bound to a variable, consumed by later statements — reaches
+    aggregateWindow(createEmpty: true) with its bounds intact. The
+    bounds previously lived in a _run_pipeline local, so this shape
+    raised "requires a bounded range()" where stock InfluxDB 2.0.9
+    emits the empty-window spine from the stream's _start/_stop."""
+    out = execute_flux(
+        mixed_pts,
+        'base = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp")\n'
+        "base |> aggregateWindow(every: 30m, fn: mean, createEmpty: true)",
+    ).collect()
+    got = sorted((str(r["time"]), r["f_float"]) for r in out)
+    assert got == [
+        ("1970-01-01 00:30:00", 1.5),   # (0,30m] — temp@00:16:40
+        ("1970-01-01 01:00:00", 3.0),   # (30m,1h] — mean(2.5, 3.5)
+        ("1970-01-01 01:30:00", None),  # spine
+        ("1970-01-01 02:00:00", None),  # spine
+    ]
+    # a base with NO range anywhere stays the typed error
+    with pytest.raises(FluxError, match="bounded range"):
+        execute_flux(
+            mixed_pts,
+            'base = from(bucket:"b") |> filter(fn: (r) => r._field == "temp")\n'
+            "base |> aggregateWindow(every: 30m, fn: mean, createEmpty: true)",
+        )
+
+
+def test_flux_range_bounds_survive_union(mixed_pts):
+    """r14 (r13 verdict #1, shape b): union(tables:) of two bounded
+    branches min-start/max-stop-merges the branches' range bounds onto
+    the merged Pipeline — aggregateWindow(createEmpty: true) spines
+    instead of raising. One physical frame carries one covering
+    interval, so both series spine to the later stop (documented
+    approximation; stock spines each table to its own _stop)."""
+    out = execute_flux(
+        mixed_pts,
+        'a = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T01:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp")\n'
+        'b = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "status")\n'
+        "union(tables: [a, b]) "
+        "|> aggregateWindow(every: 30m, fn: last, createEmpty: true)",
+    ).collect()
+    st = [r for r in out if r["field"] == "status"]
+    tm = [r for r in out if r["field"] == "temp"]
+    assert len(st) == 4 and len(tm) == 4  # merged (0, 2h] / 30m spine
+    assert all(r["ftype"] == "string" for r in st)
+    assert all(r["ftype"] == "float" for r in tm)
+    # a branch with no range poisons the merge → typed error, not a
+    # silent spine over half-bounded data
+    with pytest.raises(FluxError, match="bounded range"):
+        execute_flux(
+            mixed_pts,
+            'a = from(bucket:"b") '
+            "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T01:00:00Z) "
+            '|> filter(fn: (r) => r._field == "temp")\n'
+            'b = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+            "union(tables: [a, b]) "
+            "|> aggregateWindow(every: 30m, fn: last, createEmpty: true)",
+        )
+
+
+def test_flux_range_bounds_survive_join_and_events_duration(mixed_pts):
+    """r14 (r13 verdict #2): the other bounds consumers read the
+    Pipeline-carried bounds through bindings too — events.duration()
+    closes its last event against the variable-bound range stop, and
+    join() merges both sides' bounds."""
+    out = execute_flux(
+        mixed_pts,
+        'base = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp")\n'
+        "base |> events.duration(unit: 1s)",
+    ).collect()
+    durs = [r["duration"] for r in sorted(out, key=lambda r: r["time_ns"])]
+    assert durs == [1000, 1000, 7200 - 3000]  # last closes at 02:00
+    # join of two bounded branches: merged stop closes the tail
+    out = execute_flux(
+        mixed_pts,
+        'a = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T01:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp")\n'
+        'b = from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "status")\n'
+        'join(tables: {a: a, b: b}, on: ["_time"]) '
+        "|> events.duration(unit: 1s)",
+    ).collect()
+    # the join regroups on the join key, so every row is its series'
+    # last — each closes against the MERGED max stop (02:00), proving
+    # b's bound survived the join (a's alone would close at 01:00)
+    assert sorted(r["duration"] for r in out) == [4200, 5200, 6200]
+
+
+def test_flux_range_bounds_interpolate_through_binding(mixed_pts):
+    """r14: interpolate.linear reads the variable-bound range the same
+    as the inline spelling (bounds consumer audit)."""
+    pre = (
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp") '
+    )
+    inline = execute_flux(
+        mixed_pts,
+        'import "interpolate"\n' + pre + "|> interpolate.linear(every: 10m)",
+    ).collect()
+    bound = execute_flux(
+        mixed_pts,
+        'import "interpolate"\nbase = ' + pre + "\n"
+        "base |> interpolate.linear(every: 10m)",
+    ).collect()
+    key = lambda r: (r["time_ns"], r["f_float"])  # noqa: E731
+    assert sorted(map(key, bound)) == sorted(map(key, inline))
+
+
+def test_flux_time_shift_moves_range_bounds(mixed_pts):
+    """r14: timeShift shifts the carried bounds with the data (stock
+    shifts _start/_stop), so a downstream createEmpty spine covers the
+    shifted interval instead of spining windows the data left."""
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp") '
+        "|> timeShift(duration: 1h) "
+        "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)",
+    ).collect()
+    got = sorted((str(r["time"]), r["f_float"]) for r in out)
+    assert got == [
+        ("1970-01-01 02:00:00", 2.5),   # (1h,2h] — all three shifted points
+        ("1970-01-01 03:00:00", None),  # spine to the shifted stop
+    ]
+
+
+def test_shift_bound_ns_units():
+    """_shift_bound_ns: fixed units are an integer add; calendar months
+    clamp the day (Go time.AddDate); SQL interval text (accepted by
+    time_shift but not Flux-parseable) leaves the bound unchanged."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import _shift_bound_ns
+
+    assert _shift_bound_ns(None, "1h") is None
+    assert _shift_bound_ns(10**9, "-5m") == 10**9 - 300 * 10**9
+    jan31 = 30 * 86400 * 10**9   # 1970-01-31T00:00:00Z
+    feb28 = 58 * 86400 * 10**9   # 1970-02-28T00:00:00Z (clamped)
+    assert _shift_bound_ns(jan31, "1mo") == feb28
+    assert _shift_bound_ns(jan31, "1 hour") == jan31  # SQL interval
+
+
+def test_flux_map_arith_on_string_bool_frame_is_typed_error(mixed_pts):
+    """r14 fuzzer (widened pool): arithmetic over a HOMOGENEOUS
+    string/bool frame — e.g. union of two string branches |> min() |>
+    map(r._value * 2.0) — compiled the live f_str slot into the
+    multiply and crashed with an ANSI CAST_INVALID_INPUT at collect;
+    stock type-errors the map ("unsupported binary expression
+    string * float"). The r13 guard only covered MIXED frames."""
+    for expr, msg in [
+        ("r._value * 2.0", "string [*] float"),
+        ("r._value - 1.0", "string - float"),
+        ("2.0 % r._value", "float % string"),
+        ("-r._value", "-string"),
+    ]:
+        with pytest.raises(FluxError, match=msg):
+            execute_flux(
+                mixed_pts,
+                'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+                "|> min() "
+                f"|> map(fn: (r) => ({{r with _value: {expr}}}))",
+            ).collect()
+    # bool operands are not Addable/Multipliable in stock either
+    with pytest.raises(FluxError, match="bool [+] float"):
+        execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+            "|> map(fn: (r) => ({r with _value: r._value + 1.0}))",
+        ).collect()
+    # string + stays concatenation (r6 lenient divergence)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        '|> min() |> map(fn: (r) => ({r with _value: r._value + "!"}))',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["bad!"]
+
+
+def test_flux_runtime_errors_context_manager(mixed_pts):
+    """r14 (r13 verdict #4): the Python API's action-time contract —
+    the data-dependent conversion rejection (assert_true shape,
+    USER_RAISED_EXCEPTION at collect) re-raises as FluxError inside
+    flux_runtime_errors(); unrelated exceptions pass through."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import flux_runtime_errors
+
+    df = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+        "|> toFloat()",
+    )
+    with pytest.raises(FluxError, match='cannot convert string "(ok|bad)" to float'):
+        with flux_runtime_errors():
+            df.collect()
+    # non-engine exceptions are not swallowed or re-shaped
+    with pytest.raises(ZeroDivisionError):
+        with flux_runtime_errors():
+            1 / 0
+    # a clean action passes results through untouched
+    with flux_runtime_errors():
+        n = execute_flux(
+            mixed_pts,
+            'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+            "|> toFloat()",
+        ).count()
+    assert n == 3
+
+
+def test_merge_range_bounds():
+    """union/join bounds merge: min start, max stop; None start
+    (unbounded) poisons; None stop (defaults to now) wins the max."""
+    from aws_greengrass_labs_database_influxdb_spark.plans.pipeline import merge_range_bounds
+
+    assert merge_range_bounds((1, 10), (2, 20)) == (1, 20)
+    assert merge_range_bounds((None, 10), (2, 20)) == (None, 20)
+    assert merge_range_bounds((1, None), (2, 20)) == (1, None)
+    assert merge_range_bounds((None, None), (None, None)) == (None, None)
+
+
 def test_influxql_group_by_time_zero_is_typed_error(mixed_pts):
     """r13: GROUP BY time(0s) silently computed a global aggregate;
     stock rejects non-positive time dimensions at parse."""

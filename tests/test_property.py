@@ -1201,8 +1201,24 @@ _MIX_UNION_BRANCH = st.sampled_from([
     '|> filter(fn: (r) => r._field == "value")',
     '|> filter(fn: (r) => r._field == "flag")',
     '|> filter(fn: (r) => r._field == "status" or r._field == "value")',
+    # bool-heavy and 3-type draws (r14, r13 verdict #6: the pool
+    # stopped at 2-type unions; flag-heavy pairs and the full
+    # string∪bool∪float triple exercise the slot-tuple orderings on
+    # every live combination)
+    '|> filter(fn: (r) => r._field == "flag" or r._field == "value")',
+    '|> filter(fn: (r) => r._field == "flag" or r._field == "status")',
+    '|> filter(fn: (r) => r._field == "status" or r._field == "value" '
+    'or r._field == "flag")',
     "|> limit(n: 500)",
 ])
+
+#: bounded-range pipeline shapes (r14, r13 verdict #1/#6): bounds must
+#: reach the consumers through a variable binding and through union()
+#: of bounded branches, not just the inline range() spelling
+_MIX_UNION_SHAPE = st.sampled_from(["inline", "binding", "binding_ce"])
+
+_MIX_RANGE = ("|> range(start: 2024-01-01T00:00:00Z, "
+              "stop: 2024-02-01T00:00:00Z)")
 
 
 @st.composite
@@ -1212,10 +1228,26 @@ def _flux_mixed_union_script(draw):
     stages = [draw(_MIX_UNION_CONSUMER)]
     if draw(st.booleans()):
         stages.append(draw(_MIX_UNION_CONSUMER))
+    shape = draw(_MIX_UNION_SHAPE)
+    if shape == "inline":
+        return (
+            f'a = from(bucket:"b") |> range(start: 0) {a}\n'
+            f'b = from(bucket:"b") |> range(start: 0) {b}\n'
+            "union(tables: [a, b]) " + " ".join(stages)
+        )
+    # bounded branches; the union result flows through a VARIABLE
+    # binding before the consumers (the multi-yield dashboard idiom)
+    tail = " ".join(stages)
+    if shape == "binding_ce":
+        # force an empty-window spine through the bound union — the
+        # r13 divergence raised "requires a bounded range()" here
+        tail = ("|> aggregateWindow(every: 6h, fn: last, "
+                f"createEmpty: true) {tail}")
     return (
-        f'a = from(bucket:"b") |> range(start: 0) {a}\n'
-        f'b = from(bucket:"b") |> range(start: 0) {b}\n'
-        "union(tables: [a, b]) " + " ".join(stages)
+        f'a = from(bucket:"b") {_MIX_RANGE} {a}\n'
+        f'b = from(bucket:"b") {_MIX_RANGE} {b}\n'
+        "base = union(tables: [a, b])\n"
+        f"base {tail}"
     )
 
 
