@@ -136,7 +136,13 @@ CURATED_FIRST_50: list[str] = [
     # influxql_multi_transform rotates out (the transform family
     # stays windowed via ts_ema/ts_interpolate_linear); both remain
     # under the full-suite gates.
-    "flux_text_bitwise",
+    # r14: surface the calendar-window lattice (r13's mixed-duration
+    # offset work — `every: 1mo` buckets with day-clamped offsets
+    # under a DuckDB date_trunc oracle); flux_text_bitwise rotates
+    # out — the scalar-package family stays windowed via
+    # flux_text_geo / flux_text_reduce, and bitwise remains under the
+    # full-suite gates
+    "flux_text_calendar_window",
     "flux_text_geo",
     # r10: surface the v1 string/bool field-value fix — the r9
     # verdict's only wrong-answer component. influxql_string_fields

@@ -943,8 +943,13 @@ class HttpApi:
         from ..frontends.flux import seed_live_slots
 
         cat = self.engine.store.field_types(org, bucket)
+        # the full catalog also rides along so group(columns:)
+        # collision checks resolve from the type pins with zero probe
+        # jobs on store-backed frames (r14)
         seed_live_slots(
-            points, {t for fields in cat.values() for t in fields.values()}
+            points,
+            {t for fields in cat.values() for t in fields.values()},
+            catalog=cat,
         )
         # Flux from() tables are keyed by measurement + TAG SET + field
         # (stock InfluxDB: each series is its own table). The stored

@@ -46,6 +46,7 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..operators.core import ns_to_us
+from ..operators.errors import OperatorValidationError
 from ..operators.windows import duration_ns, duration_parts
 from ..plans.pipeline import Pipeline, from_points, merge_range_bounds
 
@@ -333,6 +334,22 @@ _LIVE_SLOT_SUPERSET: "weakref.WeakKeyDictionary[DataFrame, list]" = (
 #: multi-stage mixed script runs ≤1 distinct probe)
 _PROBE_RUNS = 0
 
+#: catalog class map per frame: {(measurement, field): type-class} —
+#: seeded from the bucket's _field_types.json by seed_live_slots and
+#: propagated alongside the live-slot caches; lets the group-collision
+#: check prove NON-collision from catalog pins with zero jobs (r14,
+#: r13 verdict #5). Sound because pins are a SUPERSET of live rows:
+#: single-class pins at the group granularity → no collision in any
+#: subset. Never used to prove a collision (a pin can outlive its
+#: rows; stock errors on live tables only).
+_CATALOG_CLASS_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+#: collision-probe job counter (the group-regroup distinct scan),
+#: read by the plan-time-cost tests
+_COLLISION_PROBE_RUNS = 0
+
 
 def _live_slots(df: DataFrame, exact: bool = True) -> list[str]:
     """The value slots the frame's ftype discriminator says are live —
@@ -407,6 +424,24 @@ def _reject_group_schema_collision(df: DataFrame, group_key, stage: str) -> None
     checked = _GROUP_UNIFORM_CACHE.get(df)
     if checked is not None and gk in checked:
         return
+    cat = _CATALOG_CLASS_CACHE.get(df)
+    if cat:
+        # catalog proof of NON-collision (r14): if every group at the
+        # key's granularity is single-class per the bucket's type pins,
+        # no subset of rows can collide — zero jobs. Field-level keys
+        # check per field name, measurement-level per measurement,
+        # anything else (tag-only keys like ["host"]) needs the whole
+        # bucket single-class; otherwise the bounded probe below runs
+        # (tag→type co-location is data, not catalog).
+        by: dict = {}
+        for (m, f), classes in cat.items():
+            key = f if "field" in gk else m if "measurement" in gk else None
+            by.setdefault(key, set()).update(classes)
+        if all(len(v) == 1 for v in by.values()):
+            _GROUP_UNIFORM_CACHE.setdefault(df, set()).add(gk)
+            return
+    global _COLLISION_PROBE_RUNS
+    _COLLISION_PROBE_RUNS += 1
     cls = F.when(F.col("ftype").isin("float", "int", "uint"), "float") \
         .otherwise(F.col("ftype"))
     base = df.select(*gk, cls.alias("_tcls")).distinct()
@@ -503,6 +538,12 @@ def _carry_slot_cache(src: DataFrame, dst: DataFrame,
     source's confidence; otherwise the entry keeps its confidence."""
     if dst is src or "ftype" not in dst.columns:
         return
+    # the catalog class map stays valid through every ftype-keeping
+    # stage (they preserve measurement/field/ftype triples; row
+    # removal only shrinks the superset the pins already cover) — r14
+    cat = _CATALOG_CLASS_CACHE.get(src)
+    if cat is not None and dst not in _CATALOG_CLASS_CACHE:
+        _CATALOG_CLASS_CACHE[dst] = cat
     hit = _LIVE_SLOT_CACHE.get(src)
     sup = hit if hit is not None else _LIVE_SLOT_SUPERSET.get(src)
     if sup is None:
@@ -515,18 +556,138 @@ def _carry_slot_cache(src: DataFrame, dst: DataFrame,
         _LIVE_SLOT_CACHE[dst] = pruned
 
 
-def seed_live_slots(df: DataFrame, ftypes, exact: bool = False) -> None:
+def _pred_eq_literals(pred_src: str, flux_col: str) -> set | None:
+    """The set of values a filter predicate provably constrains
+    ``flux_col`` to, or None when unconstrained.
+
+    Conservative textual analysis of the Flux predicate source: split
+    into top-level ``and``-conjuncts (parens/strings respected); a
+    conjunct constrains the column iff it is a chain of ``or``-ed
+    exact equalities on that column alone (``r._field == "a" or
+    r._field == "b"``; a single equality is the 1-chain). Multiple
+    constraining conjuncts intersect. Anything else — inequalities,
+    regex matches, mixed-column ors — contributes nothing, which is
+    always sound (the filter only removes MORE rows)."""
+    def _split(src: str, sep: str) -> list[str]:
+        parts, buf, depth, instr = [], [], 0, False
+        toks = re.split(rf"(\s{sep}\s)", src)
+        for t in toks:
+            if depth == 0 and not instr and re.fullmatch(rf"\s{sep}\s", t):
+                parts.append("".join(buf))
+                buf = []
+                continue
+            buf.append(t)
+            for ch in t:
+                if instr:
+                    instr = ch != '"'
+                elif ch == '"':
+                    instr = True
+                elif ch in "([{":
+                    depth += 1
+                elif ch in ")]}":
+                    depth -= 1
+        parts.append("".join(buf))
+        return parts
+
+    eq_rx = re.compile(
+        rf'^\s*(?:r\.{flux_col}|r\["{flux_col}"\])\s*==\s*"((?:[^"\\]|\\.)*)"\s*$'
+    )
+    allowed: set | None = None
+    for conj in _split(pred_src, "and"):
+        conj = conj.strip()
+        while conj.startswith("(") and conj.endswith(")"):
+            inner = conj[1:-1].strip()
+            # only peel when the parens wrap the WHOLE conjunct
+            depth = 0
+            ok = True
+            for i, ch in enumerate(inner):
+                if ch in "([{":
+                    depth += 1
+                elif ch in ")]}":
+                    depth -= 1
+                    if depth < 0:
+                        ok = False
+                        break
+            if not ok or depth != 0:
+                break
+            conj = inner
+        vals = set()
+        for alt in _split(conj, "or"):
+            m = eq_rx.match(alt.strip())
+            if not m:
+                vals = None
+                break
+            vals.add(_unescape_flux_str(m.group(1)))
+        if vals is not None:
+            allowed = vals if allowed is None else allowed & vals
+    return allowed
+
+
+def _narrow_catalog_on_filter(src: DataFrame, dst: DataFrame,
+                              pred_src: str) -> None:
+    """Narrow the catalog class map and live-slot superset through a
+    measurement/field equality filter (r14): ``filter(fn: (r) =>
+    r._measurement == "m")`` is THE standard Flux idiom, and after it
+    the surviving rows can only carry m's pinned classes — so a
+    single-class measurement inside a multi-class bucket keeps
+    zero-probe plans for every downstream consumer, including
+    group(columns:) collision checks. Sound because narrowing only
+    SHRINKS the superset the pins already cover."""
+    cat = _CATALOG_CLASS_CACHE.get(src)
+    if cat is None or dst is src:
+        return
+    meas = _pred_eq_literals(pred_src, "_measurement")
+    fld = _pred_eq_literals(pred_src, "_field")
+    if meas is None and fld is None:
+        return
+    narrowed = {
+        (m, f): c for (m, f), c in cat.items()
+        if (meas is None or m in meas) and (fld is None or f in fld)
+    }
+    _CATALOG_CLASS_CACHE[dst] = narrowed
+    slot_of = {"float": "f_float", "string": "f_str", "bool": "f_bool"}
+    live = sorted({slot_of[c] for cls in narrowed.values() for c in cls
+                   if c in slot_of})
+    live = [s for s in live if s in dst.columns] or ["f_float"]
+    if dst not in _LIVE_SLOT_CACHE and dst not in _LIVE_SLOT_SUPERSET:
+        _LIVE_SLOT_SUPERSET[dst] = live
+
+
+def seed_live_slots(df: DataFrame, ftypes, exact: bool = False,
+                    catalog: dict | None = None) -> None:
     """Pre-seed the live-slot cache from CATALOG knowledge (r13): a
     store-backed session knows the bucket's field-type pins, so the
     from() frame never needs a runtime ftype probe. Catalog pins are a
     SUPERSET of the live data (a pin can outlive its rows — zero-row
     INTO pins, deletes), so callers seed the superset cache unless
-    they can vouch the types have live rows."""
+    they can vouch the types have live rows.
+
+    ``catalog`` — the bucket's full ``{measurement: {field: ftype}}``
+    map (``BucketStore.field_types``) — additionally seeds the
+    class-map cache so ``group(columns:)`` collision checks on
+    store-backed frames resolve from the pins with zero probe jobs
+    (r14, r13 verdict #5)."""
     slot_of = {"float": "f_float", "int": "f_float", "uint": "f_float",
                "string": "f_str", "bool": "f_bool"}
     live = sorted({slot_of[t] for t in ftypes if t in slot_of})
-    live = [s for s in live if s in df.columns] or ["f_float"]
+    live = [s for s in live if s in df.columns]
+    if not live:
+        # NO recognized catalog types (deleted types file, incomplete
+        # known_types caller): seed NOTHING so the runtime probe runs
+        # and self-heals — defaulting to f_float here understated the
+        # superset while string/bool rows existed, and superset
+        # consumers silently bound the dead float slot (r14 ADVICE #2)
+        return
     (_LIVE_SLOT_CACHE if exact else _LIVE_SLOT_SUPERSET)[df] = live
+    if catalog:
+        fold = {"float": "float", "int": "float", "uint": "float"}
+        # values are SETS of classes so union() can merge two buckets'
+        # maps soundly (a (m, f) pinned float in one bucket and string
+        # in another merges to both classes, never a false "safe")
+        _CATALOG_CLASS_CACHE[df] = {
+            (m, f): {fold.get(t, t)}
+            for m, fields in catalog.items() for f, t in fields.items()
+        }
 
 
 def _checked_str_cast(c: Column, spark_type: str, flux_type: str) -> Column:
@@ -746,10 +907,15 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
                     and "f_str" + real[7:] in df.columns):
                 c = F.col("f_str" + real[7:])
         else:
-            val = (
-                float(lit) if ("." in lit or "e" in lit or "E" in lit)
-                else int(lit)
-            )
+            try:
+                val = (
+                    float(lit) if ("." in lit or "e" in lit or "E" in lit)
+                    else int(lit)
+                )
+            except ValueError:
+                raise FluxError(
+                    f"cannot parse comparison literal {lit!r}"
+                ) from None
             if name == "_value" or COLMAP.get(name) == "f_float":
                 val = float(val)
         expr = {
@@ -860,6 +1026,29 @@ def _lit(v: str):
     if re.match(r"^-?\d+$", v):
         return int(v)
     return v
+
+
+def _int_lit(v: str) -> int:
+    """A stage argument that must be a Flux int literal — typed
+    rejection instead of a raw ValueError leak (r14: the blanket
+    ValueError→FluxError conversion is gone, so every user-input
+    parse must raise the typed error itself)."""
+    try:
+        return int(_lit(v))
+    except (TypeError, ValueError):
+        raise FluxError(
+            f"invalid argument: expected an integer, got {v.strip()!r}"
+        ) from None
+
+
+def _float_lit(v: str) -> float:
+    """A stage argument that must be a Flux float literal."""
+    try:
+        return float(_lit(v))
+    except (TypeError, ValueError):
+        raise FluxError(
+            f"invalid argument: expected a number, got {v.strip()!r}"
+        ) from None
 
 
 def _strlist(v: str) -> list[str]:
@@ -1104,7 +1293,7 @@ def _geo_st_fn(df: DataFrame, fn: str, argstr: str) -> Column:
     if fn == "ST_Contains":
         try:
             return geo_ops.region_strict_predicate(region, g["lat"], g["lon"])
-        except ValueError as e:
+        except OperatorValidationError as e:
             raise FluxError(str(e)) from None
     if not ({"lat", "lon"} <= region.keys() and "radius" not in region):
         raise FluxError(
@@ -1119,7 +1308,7 @@ def _geo_st_fn(df: DataFrame, fn: str, argstr: str) -> Column:
     if "distance" not in args:
         raise FluxError("geo.ST_DWithin requires distance:")
     try:
-        radius_km = float(_lit(args["distance"]))
+        radius_km = _float_lit(args["distance"])
     except (TypeError, ValueError):
         # a column reference or non-numeric literal (r10 ADVICE: the
         # bare float() raised an untyped ValueError for direct callers)
@@ -1930,13 +2119,15 @@ def _execute_flux_script(
         try:
             pipe = _run_pipeline(points, body, now_ns, group_key, env,
                                  sink=sink, yields=yields, location=location)
-        except ValueError as e:
+        except OperatorValidationError as e:
             # plan-time argument validation deep in the operator layer
             # (duration units, calendar window constraints, ...) is
             # USER-INPUT rejection — surface it as the typed error
             # every frontend consumer handles (r13 fuzzer: raw
             # ValueErrors leaked for `every: 1mo10d` and period/every
-            # calendar mismatches)
+            # calendar mismatches). ONLY the dedicated validation type
+            # converts (r14 ADVICE #1): a plain ValueError escaping
+            # here is an engine bug and surfaces as one.
             raise FluxError(str(e)) from None
         if name:
             env[name] = pipe
@@ -2051,6 +2242,17 @@ def _source_stage(
             merged = sorted({s for e in sets for s in e
                              if s in acc.df.columns}) or ["f_float"]
             (_LIVE_SLOT_CACHE if exact else _LIVE_SLOT_SUPERSET)[acc.df] = merged
+        # catalog class maps merge per (measurement, field) — set-union
+        # of classes, so conflicting pins across buckets keep BOTH
+        # classes and can never prove a false "no collision" (r14);
+        # any branch without a map leaves the union unseeded
+        cats = [_CATALOG_CLASS_CACHE.get(p.df) for p in pipes]
+        if all(c is not None for c in cats):
+            merged_cat: dict = {}
+            for c in cats:
+                for k, classes in c.items():
+                    merged_cat.setdefault(k, set()).update(classes)
+            _CATALOG_CLASS_CACHE[acc.df] = merged_cat
         return acc
     if name in ("join", "experimental.join"):
         refs = _record_refs(args["tables"])
@@ -2308,6 +2510,11 @@ def _run_pipeline(
                 pipe = pipe.filter(_geo_st_fn(df, gm.group(1), gm.group(2)))
             else:
                 pipe = pipe.filter(_parse_predicate(df, pred_src))
+                # measurement/field equality filters narrow the
+                # catalog pins and the live-slot superset (r14) —
+                # a single-class measurement in a multi-class bucket
+                # keeps zero-probe plans downstream
+                _narrow_catalog_on_filter(df, pipe.df, pred_src)
         elif name == "group":
             cols = [COLMAP.get(c, c) for c in _strlist(args.get("columns", "[]"))]
             mode = _lit(args.get("mode", '"by"'))
@@ -2372,7 +2579,7 @@ def _run_pipeline(
                 from ..operators.aggregates import quantile as _qtl
                 from ..operators.windows import aggregate_window_custom
 
-                qv = float(_lit(iargs["q"]))
+                qv = _float_lit(iargs["q"])
                 meth = _lit(iargs.get("method", '"estimate_tdigest"'))
                 vcol = _colname(df, "_value")
                 # aggregateWindow re-windows: drop stale bounds from an
@@ -2594,7 +2801,7 @@ def _run_pipeline(
                 raise FluxError(
                     f"{name}(columns:) references unknown column {vcol!r}"
                 )
-            n = int(_lit(args["n"]))
+            n = _int_lit(args["n"])
             pipe = pipe.top(n, vcol) if name == "top" else pipe.bottom(n, vcol)
         elif name == "derivative":
             unit_s = duration_ns(args.get("unit", "1s")) / 1e9
@@ -2636,7 +2843,7 @@ def _run_pipeline(
             pipe = pipe._with(out.filter(F.col("elapsed").isNotNull()))
         elif name == "movingAverage":
             pipe = _promote_value(
-                pipe.moving_average(int(_lit(args["n"]))), "moving_average"
+                pipe.moving_average(_int_lit(args["n"])), "moving_average"
             )
         elif name == "timedMovingAverage":
             from ..operators import timed_moving_average
@@ -2648,7 +2855,7 @@ def _run_pipeline(
             )
         elif name == "exponentialMovingAverage":
             pipe = _promote_value(
-                pipe.exponential_moving_average(int(_lit(args["n"]))), "ema"
+                pipe.exponential_moving_average(_int_lit(args["n"])), "ema"
             )
         elif name == "fill":
             # live-slot resolution (r12 probe): fill(value: "na") on a
@@ -2759,9 +2966,9 @@ def _run_pipeline(
                 raise FluxError(f"sort(columns:) references unknown columns {missing}")
             pipe = pipe.sort(cols, desc=_lit(args.get("desc", "false")) is True)
         elif name == "limit":
-            pipe = pipe.limit(int(_lit(args["n"])), int(_lit(args.get("offset", "0"))))
+            pipe = pipe.limit(_int_lit(args["n"]), _int_lit(args.get("offset", "0")))
         elif name == "tail":
-            pipe = pipe.tail(int(_lit(args["n"])))
+            pipe = pipe.tail(_int_lit(args["n"]))
         elif name in ("keep", "drop"):
             if "fn" in args:
                 # predicate form: keep/drop(fn: (column) => column <op> lit)
@@ -3354,8 +3561,8 @@ def _run_pipeline(
             from ..operators.selectors import sample as _sample
 
             pipe = pipe._with(_sample(
-                df, int(_lit(args["n"])), by=pipe.group_key,
-                pos=int(_lit(args.get("pos", "-1"))),
+                df, _int_lit(args["n"]), by=pipe.group_key,
+                pos=_int_lit(args.get("pos", "-1")),
             ))
         elif name == "quantile":
             from ..operators.aggregates import quantile as _quantile
@@ -3364,7 +3571,7 @@ def _run_pipeline(
             if vcol not in df.columns:
                 raise FluxError("quantile() has no value column to aggregate")
             pipe = pipe._with(_quantile(
-                df, float(_lit(args["q"])),
+                df, _float_lit(args["q"]),
                 method=_lit(args.get("method", '"estimate_tdigest"')),
                 by=pipe.group_key, alias="quantile", column=vcol,
             ))
@@ -3396,7 +3603,12 @@ def _run_pipeline(
         elif name == "histogram":
             from ..operators.analytics import histogram as _hist
 
-            bins = [float(b) for b in _strlist(args["bins"])]
+            try:
+                bins = [float(b) for b in _strlist(args["bins"])]
+            except ValueError:
+                raise FluxError(
+                    f"histogram bins: must be numbers, got {args['bins']!r}"
+                ) from None
             vcol = _colname(df, _lit(args.get("column", '"_value"')))
             if vcol not in df.columns:
                 raise FluxError("histogram() has no value column to bin")
@@ -3409,7 +3621,7 @@ def _run_pipeline(
             from ..operators.analytics import histogram_quantile as _hq
 
             pipe = pipe._with(
-                _hq(df, float(_lit(args["quantile"])), by=pipe.group_key)
+                _hq(df, _float_lit(args["quantile"]), by=pipe.group_key)
             )
         elif name == "interpolate.linear":
             from ..operators.windows import interpolate_linear as _interp
@@ -3431,7 +3643,7 @@ def _run_pipeline(
                 "relativeStrengthIndex": _an.relative_strength_index,
                 "tripleExponentialDerivative": _an.triple_exponential_derivative,
             }[name]
-            pipe = pipe._with(fn(df, int(_lit(args["n"])), by=pipe.group_key))
+            pipe = pipe._with(fn(df, _int_lit(args["n"]), by=pipe.group_key))
         elif name in ("covariance", "pearsonr"):
             from ..operators import analytics as _an
 
@@ -3454,7 +3666,7 @@ def _run_pipeline(
             from ..operators.core import hour_selection
 
             pipe = pipe._with(hour_selection(
-                df, int(_lit(args["start"])), int(_lit(args["stop"])),
+                df, _int_lit(args["start"]), _int_lit(args["stop"]),
                 tz=_location_value(args["location"])
                 if "location" in args else location,
             ))
@@ -3467,9 +3679,9 @@ def _run_pipeline(
 
             with_fit = _lit(args.get("withFit", "false")) is True
             pipe = pipe._with(_hw(
-                df, int(_lit(args["n"])),
+                df, _int_lit(args["n"]),
                 duration_ns(args["interval"]) / 1e9,
-                seasonality=int(_lit(args.get("seasonality", "0"))),
+                seasonality=_int_lit(args.get("seasonality", "0")),
                 by=pipe.group_key,
                 # withFit (public Flux arg): emit in-sample one-step
                 # predictions too; coefficients Nelder-Mead-fitted like
@@ -3495,7 +3707,7 @@ def _run_pipeline(
                 vcol = _value_slot_runtime(df, "f_float")
                 if vcol not in df.columns:
                     vcol = "f_float"
-            pipe = pipe._with(fn(df, int(_lit(args["n"])),
+            pipe = pipe._with(fn(df, _int_lit(args["n"]),
                                  series=pipe.group_key, value=vcol))
         elif name == "to":
             # to(bucket: "x") — the task write stage. ``sink`` is the
@@ -3628,7 +3840,7 @@ def _run_pipeline(
                     )
                 pipe = pipe._with(df.select(col), group_key=())
             elif name in ("getRecord", "findRecord"):
-                idx = int(_lit(args.get("idx", "0")))
+                idx = _int_lit(args.get("idx", "0"))
                 order_cols = [c for c in pipe.order if c in df.columns]
                 if order_cols:
                     df = df.orderBy(*order_cols)
@@ -3650,7 +3862,18 @@ def _run_pipeline(
         # typed-error check does not (stock's filter drops empty
         # tables, so mean() after filtering a mix down to floats must
         # not raise on the stale string type).
-        if name in _FTYPE_KEEP_STAGES:
+        if name in _FTYPE_KEEP_STAGES or (
+            name == "aggregateWindow"
+            and args.get("fn", "mean").strip() in (
+                "first", "last", "min", "max", "mode")
+        ):
+            # aggregateWindow with a type-PRESERVING selector fn keeps
+            # each window's result in its source slot with ftype
+            # restamped (r13), so the live set and catalog pins stay
+            # valid — carrying them keeps e.g. `aggregateWindow(fn:
+            # last) |> min()` zero-probe on catalog-backed frames
+            # (r14; conversion fns like mean retype to float and fall
+            # through to the probe as before)
             _carry_slot_cache(_df_in, pipe.df,
                               demote=name in _ROW_REMOVING_STAGES)
     return pipe
@@ -3721,7 +3944,7 @@ def _geo_stage(pipe: Pipeline, name: str, args) -> Pipeline:
             if req not in args:
                 raise FluxError(f"geo.shapeData requires {req}:")
         return _shaped(
-            level=int(_lit(args.get("level", "10"))),
+            level=_int_lit(args.get("level", "10")),
             lat_f=_lit(args["latField"]),
             lon_f=_lit(args["lonField"]),
         )
@@ -3740,6 +3963,6 @@ def _geo_stage(pipe: Pipeline, name: str, args) -> Pipeline:
             strict = _lit(args.get("strict", "true"))
             if strict in (True, "true"):
                 pred = pred & geo_ops.region_strict_predicate(region, lat, lon)
-    except ValueError as e:
+    except OperatorValidationError as e:
         raise FluxError(str(e)) from None
     return shaped.filter(pred)

@@ -667,11 +667,9 @@ def parse_influxql(q: str, now_ns: int | None = None) -> InfluxQLQuery:
         if tg:
             out.group_time_ns = _parse_duration(tg.group(1))
             if out.group_time_ns <= 0:
-                # stock: "time dimension must have positive width"
-                raise InfluxQLError(
-                    "GROUP BY time() interval must be positive, "
-                    f"got {tg.group(1)!r}"
-                )
+                # stock's exact wording (r14 ADVICE #4: clients match
+                # error text)
+                raise InfluxQLError("time dimension must have positive width")
             if tg.group(2):
                 off = tg.group(2)
                 sign = -1 if off.startswith("-") else 1

@@ -10,6 +10,7 @@ Flux "group key" (per-series) semantics: every per-series operator takes
 its logic within that key, matching Flux's stream-of-tables model.
 """
 
+from .errors import OperatorValidationError  # noqa: F401
 from .core import (  # noqa: F401
     drop,
     duplicate,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from .errors import OperatorValidationError
 
 
 def _spread(c: Column) -> Column:
@@ -69,7 +70,7 @@ def quantile(
             ranked.filter(F.col("_rk") == target)
             .select(*by, c.alias(alias))
         )
-    raise ValueError(f"unknown quantile method {method!r}")
+    raise OperatorValidationError(f"unknown quantile method {method!r}")
 
 
 def aggregate(

@@ -30,6 +30,7 @@ import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from .errors import OperatorValidationError
 
 
 def linear_fold(
@@ -57,7 +58,7 @@ def linear_fold(
         elif op == "min":
             aggs.append(F.least(F.lit(identity), F.min(inc)).alias(name))
         else:  # pragma: no cover
-            raise ValueError(f"unknown fold op {op!r}")
+            raise OperatorValidationError(f"unknown fold op {op!r}")
     if by:
         return df.groupBy(*by).agg(*aggs)
     return df.agg(*aggs)
@@ -140,7 +141,7 @@ def compile_scalar(src: str, colname: Callable[[str], str]):
 
     tokens = _SCALAR_TOKEN_RX.findall(src)
     if not tokens:
-        raise ValueError(f"cannot parse reduce expression {src!r}")
+        raise OperatorValidationError(f"cannot parse reduce expression {src!r}")
     pos = [0]
 
     def peek():
@@ -154,12 +155,12 @@ def compile_scalar(src: str, colname: Callable[[str], str]):
     def factor():
         t = peek()
         if t is None:
-            raise ValueError(f"truncated reduce expression {src!r}")
+            raise OperatorValidationError(f"truncated reduce expression {src!r}")
         if t == "(":
             eat()
             e = disj()
             if peek() != ")":
-                raise ValueError(f"unbalanced parens in {src!r}")
+                raise OperatorValidationError(f"unbalanced parens in {src!r}")
             eat()
             return e
         if t == "-":
@@ -241,5 +242,5 @@ def compile_scalar(src: str, colname: Callable[[str], str]):
 
     out = disj()
     if pos[0] != len(tokens):
-        raise ValueError(f"trailing tokens in reduce expression {src!r}")
+        raise OperatorValidationError(f"trailing tokens in reduce expression {src!r}")
     return out

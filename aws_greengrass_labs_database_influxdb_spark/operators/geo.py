@@ -34,6 +34,7 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from .errors import OperatorValidationError
 
 EARTH_RADIUS_KM = 6371.0088
 
@@ -117,7 +118,7 @@ def s2_cell_ids(lat_deg: np.ndarray, lon_deg: np.ndarray, level: int) -> np.ndar
     values in an int64 array — ids stay below 2^63 for faces 0-3 and
     use the sign bit for faces 4-5, same layout as the C++ library)."""
     if not 0 <= level <= _MAX_LEVEL:
-        raise ValueError(f"s2 level must be 0..30, got {level}")
+        raise OperatorValidationError(f"s2 level must be 0..30, got {level}")
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     cos_lat = np.cos(lat)
@@ -208,7 +209,7 @@ def _poly_contains(lat: Column, lon: Column, pts: Sequence[tuple[float, float]])
     semantics for the non-pole, non-antimeridian polygons dashboards
     draw; each edge contributes one codegen'd term."""
     if len(pts) < 3:
-        raise ValueError("polygon region needs >= 3 points")
+        raise OperatorValidationError("polygon region needs >= 3 points")
     inside = F.lit(False)
     n = len(pts)
     for k in range(n):
@@ -242,7 +243,7 @@ def region_strict_predicate(region: dict, lat: Column, lon: Column) -> Column:
     if "points" in region:
         pts = [(float(p["lat"]), float(p["lon"])) for p in region["points"]]
         return _poly_contains(lat, lon, pts)
-    raise ValueError(f"unrecognized geo region record: {sorted(region)}")
+    raise OperatorValidationError(f"unrecognized geo region record: {sorted(region)}")
 
 
 def region_bbox(region: dict) -> tuple[float, float, float, float]:
@@ -270,7 +271,7 @@ def region_bbox(region: dict) -> tuple[float, float, float, float]:
         las = [float(p["lat"]) for p in region["points"]]
         los = [float(p["lon"]) for p in region["points"]]
         return (min(las), max(las), min(los), max(los))
-    raise ValueError(f"unrecognized geo region record: {sorted(region)}")
+    raise OperatorValidationError(f"unrecognized geo region record: {sorted(region)}")
 
 
 def region_grid_predicate(region: dict, lat: Column, lon: Column) -> Column:
@@ -320,7 +321,7 @@ def shape_data(
     group on maps; the tags map rides along as ``first()``). The token
     UDF runs on the pivoted (halved) frame."""
     if field_col not in df.columns or value_col not in df.columns:
-        raise ValueError("shape_data needs field/value columns (points frame)")
+        raise OperatorValidationError("shape_data needs field/value columns (points frame)")
     # Grouping key per SERIES (sans field): the tags map can't be a
     # grouping key (Spark restriction) and first()-ing it across
     # DIFFERENT series would merge them — serialize sorted k=v pairs

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .aggregates import AGG_FNS
 from .core import ns_to_us
+from .errors import OperatorValidationError
 
 NS = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9,
       "h": 3600 * 10**9, "d": 86400 * 10**9, "w": 7 * 86400 * 10**9}
@@ -72,7 +73,7 @@ def duration_parts(d: int | str) -> tuple[int, int]:
             ns += int(num) * NS[c]
             num, i = "", i + 1
         else:
-            raise ValueError(f"bad duration unit at {s[i:]!r} in {d!r}")
+            raise OperatorValidationError(f"bad duration unit at {s[i:]!r} in {d!r}")
     return sign * months, sign * ns
 
 
@@ -108,8 +109,12 @@ def window_start_ns(time_ns: Column, every_ns: int, offset_ns: int = 0) -> Colum
     """
     if every_ns <= 0:
         # plan-time rejection: a zero/negative width reaches the
-        # modulo and crashes executors with REMAINDER_BY_ZERO (r13)
-        raise ValueError(f"window every: must be positive, got {every_ns}ns")
+        # modulo and crashes executors with REMAINDER_BY_ZERO (r13).
+        # Wording matches stock Flux's interval errors (r14 ADVICE #4)
+        raise OperatorValidationError(
+            "duration used as an interval cannot be zero" if every_ns == 0
+            else "duration used as an interval cannot be negative"
+        )
     shifted = time_ns - F.lit(offset_ns)
     return (shifted - shifted % F.lit(every_ns) + F.lit(offset_ns)).cast("long")
 
@@ -217,13 +222,18 @@ def month_window_bounds(
 
 def _check_calendar_every(months: int, fixed_ns: int, period, every) -> None:
     if fixed_ns:
-        raise ValueError(
-            f"calendar window every: {every!r} cannot mix fixed units"
+        # stock Flux interval-package wording (r14 ADVICE #4)
+        raise OperatorValidationError(
+            "duration used as an interval cannot mix month and "
+            "nanosecond units"
         )
     if months <= 0:
-        raise ValueError(f"window every: must be positive, got {every!r}")
+        raise OperatorValidationError(
+            "duration used as an interval cannot be zero" if months == 0
+            else "duration used as an interval cannot be negative"
+        )
     if period is not None and period != every:
-        raise ValueError("calendar windows support period == every only")
+        raise OperatorValidationError("calendar windows support period == every only")
 
 
 def _calendar_offset_parts(offset) -> tuple[int, int]:
@@ -513,7 +523,7 @@ def aggregate_window(
             "mode": lambda c: F.mode(c),
         }
         if fn not in slot_fns:
-            raise ValueError(
+            raise OperatorValidationError(
                 f"aggregate_window(slots=): {fn!r} is not type-generic"
             )
         aggs = [slot_fns[fn](F.col(s)).alias(s) for s in slots]
@@ -717,7 +727,7 @@ def session_window(
     """
     gap_ns = duration_ns(gap)
     if gap_ns <= 0:
-        raise ValueError("session gap must be positive")
+        raise OperatorValidationError("session gap must be positive")
     sw = F.session_window(F.col(time_col), f"{gap_ns // 10**9} seconds")
     out = df.groupBy(*[F.col(c) for c in by], sw.alias("_session")).agg(
         F.count(F.lit(1)).alias("n_events"),

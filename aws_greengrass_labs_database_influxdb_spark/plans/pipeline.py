@@ -31,6 +31,7 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import operators as ops
+from ..operators.errors import OperatorValidationError
 
 
 def merge_range_bounds(
@@ -166,7 +167,7 @@ class Pipeline:
                 if c not in columns and c not in never
             )
         else:
-            raise ValueError("mode must be 'by' or 'except'")
+            raise OperatorValidationError("mode must be 'by' or 'except'")
         return replace(self, group_key=key)
 
     def window(self, every, period=None, offset=0, tz: str = "UTC") -> "Pipeline":
@@ -270,7 +271,7 @@ class Pipeline:
 
     def fill(self, value=None, use_previous: bool = False, column: str = "f_float") -> "Pipeline":
         if use_previous and not self.order:
-            raise ValueError("fill(usePrevious:) needs an ordered frame")
+            raise OperatorValidationError("fill(usePrevious:) needs an ordered frame")
         # fill(value:) is a pure coalesce — no ordering involved; the
         # order column only drives the usePrevious forward-fill window
         order = self.order[0] if self.order else "__unused"
@@ -361,5 +362,24 @@ def from_points(
 
 def from_bucket(store, org: str, bucket: str,
                 group_key: Sequence[str] = ("measurement", "series_key", "field")) -> Pipeline:
-    """Flux ``from(bucket:)`` — scan a bucket (LWW-resolved)."""
-    return from_points(store.read_points(org, bucket), group_key)
+    """Flux ``from(bucket:)`` — scan a bucket (LWW-resolved).
+
+    Seeds the live-slot and catalog class caches from the bucket's
+    field-type pins (r14: DSL callers get the same zero-probe plans
+    the HTTP facade does)."""
+    points = store.read_points(org, bucket)
+    cat = store.field_types(org, bucket)
+    if cat:
+        from ..frontends.flux import seed_live_slots
+
+        seed_live_slots(
+            points,
+            {t for fields in cat.values() for t in fields.values()},
+            catalog=cat,
+        )
+    pipe = from_points(points, group_key)
+    if cat:
+        from ..frontends.flux import _carry_slot_cache
+
+        _carry_slot_cache(points, pipe.df)
+    return pipe

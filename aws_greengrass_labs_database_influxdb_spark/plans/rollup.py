@@ -40,6 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.windows import duration_ns, window_spine, window_start_ns
+from ..operators.errors import OperatorValidationError
 
 DAY_NS = 86_400 * 10**9
 
@@ -86,7 +87,7 @@ def reaggregate(
     of :func:`..operators.windows.aggregate_window` (``_start_ns``,
     ``_stop_ns``, ``time_ns``, ``time``, value alias)."""
     if fn not in ROUTABLE_FNS:
-        raise ValueError(f"{fn!r} is not derivable from rollup partials")
+        raise OperatorValidationError(f"{fn!r} is not derivable from rollup partials")
     every_n = duration_ns(every)
     out_alias = alias or fn
     exprs = {

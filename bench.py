@@ -63,6 +63,11 @@ HEADLINE = [
     "influxql_count_fill0",
     "influxql_nested_grafana",
     "influxql_show_meta",
+    # r14 (VERDICT r13 #3): the first MIXED-type headline row — the
+    # r13 slot-tuple machinery (union, variable-bound range, catalog-
+    # proved regroup, slot-carrying aggregateWindow, typed min/max)
+    # finally has sf0.1 timing coverage
+    "bench_mixed_union_selectors",
 ]
 
 
@@ -108,9 +113,12 @@ def main() -> None:
         # plan shape, recorded OUTSIDE the timed body (planning only —
         # lets any cross-round timing delta be adjudicated as
         # plan-change vs environment by fingerprint equality). The
-        # side-effecting bench_* maintenance pipelines are excluded:
-        # re-constructing them replays their write phase.
-        if not name.startswith("bench_"):
+        # side-effecting maintenance pipelines are excluded:
+        # re-constructing them replays their write phase. (r14: the
+        # exclusion is the explicit trio, not the bench_ prefix — the
+        # read-only bench_mixed_union_selectors gets a fingerprint.)
+        if name not in ("bench_rollup_refresh", "bench_cq_run",
+                        "bench_skew_window"):
             fp = plan_fingerprint(qs[name](spark, SF_DIR))
             plans[name] = {"fp": fp["fp"], "sh": fp["shuffles"],
                            "cg": fp["codegen"], "py": fp["py_eval"]}
@@ -130,9 +138,13 @@ def main() -> None:
     # read-query driver/local gap (1.80x at r11 with identical plans);
     # carrying its spread makes any further drift attributable.
     sentinel = {}
+    # r14 (VERDICT r13 #3): bench_mixed_union_selectors added — the
+    # first mixed-type row in the headline set; carrying its spread
+    # from round one makes any future drift attributable.
     for name in ("ext_quality_logreg_train", "bench_skew_window",
                  "ext_dedup_minhash_lsh", "bench_cq_run",
-                 "bench_rollup_refresh", "ts_agg_window_mean"):
+                 "bench_rollup_refresh", "ts_agg_window_mean",
+                 "bench_mixed_union_selectors"):
         if name not in timings:
             continue
         t0 = time.time()

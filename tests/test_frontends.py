@@ -3643,11 +3643,13 @@ def test_flux_window_arg_validation_is_typed(mixed_pts):
         (pre + "|> aggregateWindow(every: 1q, fn: mean)",
          "bad duration unit"),
         (pre + "|> aggregateWindow(every: 1mo10d, fn: mean)",
-         "cannot mix fixed units"),
+         "cannot mix month and nanosecond units"),  # stock interval text
         (pre + "|> window(every: 1mo, period: 2mo)",
          "period == every"),
         (pre + "|> aggregateWindow(every: 0s, fn: mean)",
-         "must be positive"),
+         "cannot be zero"),  # stock interval text (r14 ADVICE #4)
+        (pre + "|> aggregateWindow(every: -1h, fn: mean)",
+         "cannot be negative"),
     ]:
         with pytest.raises(FluxError, match=msg):
             execute_flux(mixed_pts, script).collect()
@@ -3872,6 +3874,78 @@ def test_flux_runtime_errors_context_manager(mixed_pts):
     assert n == 3
 
 
+def test_pred_eq_literals_analysis():
+    """r14: the conservative filter-predicate analysis behind catalog
+    narrowing — constrains only on provable top-level equality
+    conjuncts; anything ambiguous contributes nothing (None)."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import _pred_eq_literals as eq
+
+    assert eq('r._measurement == "m"', "_measurement") == {"m"}
+    assert eq('r["_measurement"] == "m"', "_measurement") == {"m"}
+    assert eq('r._measurement == "m" and r._value > 3', "_measurement") == {"m"}
+    assert eq('r._measurement == "m" and r._field == "f"', "_field") == {"f"}
+    assert eq('(r._field == "a" or r._field == "b") and r._value > 1',
+              "_field") == {"a", "b"}
+    # top-level OR with a non-equality alternative: unconstrained
+    assert eq('r._field == "a" or r._value > 3', "_field") is None
+    # inequality / regex / negation: unconstrained
+    assert eq('r._measurement != "m"', "_measurement") is None
+    assert eq('r._measurement =~ /m.*/', "_measurement") is None
+    # separator text inside a string literal must not split
+    assert eq('r._value == "x and y"', "_measurement") is None
+    # two constraining conjuncts intersect
+    assert eq('r._field == "a" and (r._field == "a" or r._field == "b")',
+              "_field") == {"a"}
+
+
+def test_operator_validation_error_boundary(mixed_pts, monkeypatch):
+    """r14 (ADVICE #1): only OperatorValidationError — the operator
+    layer's typed user-input rejection — converts to FluxError; a
+    plain ValueError escaping an operator is an engine bug and
+    surfaces as one instead of masquerading as a query error."""
+    pre = 'from(bucket:"b") |> filter(fn: (r) => r._field == "temp") '
+    # user-input rejections still convert
+    with pytest.raises(FluxError, match="cannot be zero"):
+        execute_flux(mixed_pts, pre + "|> aggregateWindow(every: 0s, fn: mean)")
+    with pytest.raises(FluxError, match="expected an integer"):
+        execute_flux(mixed_pts, pre + '|> limit(n: "x")')
+    # an internal bug does NOT convert
+    from aws_greengrass_labs_database_influxdb_spark import operators as ops
+
+    def boom(*a, **k):
+        raise ValueError("internal bug: not user input")
+
+    monkeypatch.setattr(ops, "tail", boom)
+    with pytest.raises(ValueError, match="internal bug") as ei:
+        execute_flux(mixed_pts, pre + "|> tail(n: 2)")
+    assert not isinstance(ei.value, FluxError)
+
+
+def test_seed_live_slots_empty_catalog_leaves_cache_empty(mixed_pts):
+    """r14 (ADVICE #2): an empty/unrecognized catalog must not seed a
+    default f_float entry — the superset would understate the mix and
+    slot consumers would silently bind the dead float slot. No seed →
+    the runtime probe self-heals."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import (
+        _LIVE_SLOT_CACHE, _LIVE_SLOT_SUPERSET, seed_live_slots,
+    )
+
+    # fresh frame OBJECT: the module-scoped fixture frame accumulates
+    # cache entries from earlier tests (caches key on object identity)
+    pts = mixed_pts.where(F.lit(True))
+    seed_live_slots(pts, set())
+    assert pts not in _LIVE_SLOT_CACHE
+    assert pts not in _LIVE_SLOT_SUPERSET
+    seed_live_slots(pts, {"unknowntype"})
+    assert pts not in _LIVE_SLOT_SUPERSET
+    # with no (mis)seed, a slot consumer probes and answers correctly
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status") |> min()',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["bad"]
+
+
 def test_merge_range_bounds():
     """union/join bounds merge: min start, max stop; None start
     (unbounded) poisons; None stop (defaults to now) wins the max."""
@@ -3886,7 +3960,8 @@ def test_merge_range_bounds():
 def test_influxql_group_by_time_zero_is_typed_error(mixed_pts):
     """r13: GROUP BY time(0s) silently computed a global aggregate;
     stock rejects non-positive time dimensions at parse."""
-    with pytest.raises(InfluxQLError, match="must be positive"):
+    with pytest.raises(InfluxQLError,
+                       match="time dimension must have positive width"):
         execute_influxql(
             mixed_pts, "SELECT mean(temp) FROM m GROUP BY time(0s)")
 

@@ -2688,6 +2688,70 @@ def test_flux_mixed_measurement_selectors_on_wire(served):
     assert got.get("st") == ["ok"] and got.get("val") == ["9.0"], got
 
 
+def test_catalog_resolves_group_collision_check_zero_jobs(served):
+    """r14 (r13 verdict #5): group(columns:) collision checks on
+    store-backed frames resolve from the bucket's field-type pins —
+    zero probe jobs when the new key keeps field granularity or the
+    bucket is single-class; the bounded scan remains only for tag-only
+    keys over genuinely multi-class buckets (tag→type co-location is
+    data, not catalog), where it still detects the stock error."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends import flux as _fx
+
+    base, _, tokens = served
+    t0 = T0 + 14_400_000_000_000  # own hour
+    lines = []
+    for i, (sv, fv) in enumerate([("ok", 5.0), ("bad", 1.0)]):
+        ts = t0 + i * 60_000_000_000
+        lines.append(f'mixcat,host=h1 st="{sv}",val={fv} {ts}')
+        lines.append(f"floatcat,host=h1 a={fv},b={fv + 1.0} {ts}")
+    status, _ = _req(base, "/api/v2/write?bucket=greengrass-telemetry", "POST",
+                     token=tokens["RW"], body="\n".join(lines),
+                     ctype="text/plain")
+    assert status == 204
+
+    def run(measurement, stages):
+        flux = (
+            'from(bucket: "greengrass-telemetry")'
+            " |> range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)"
+            f' |> filter(fn: (r) => r._measurement == "{measurement}")'
+            f" |> {stages}"
+        )
+        try:
+            return _req(base, "/api/v2/query", "POST", token=tokens["RO"],
+                        body={"query": flux, "type": "flux"})
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    # field-granular regroup over a MIXED measurement: catalog pins
+    # prove each field single-class — no collision scan, no ftype probe
+    before_c, before_p = _fx._COLLISION_PROBE_RUNS, _fx._PROBE_RUNS
+    status, _body = run("mixcat", 'group(columns: ["_field"]) |> mode()')
+    assert status == 200
+    assert _fx._COLLISION_PROBE_RUNS == before_c, (
+        "catalog pins must resolve field-granular collision checks"
+    )
+    assert _fx._PROBE_RUNS == before_p
+
+    # tag-only regroup over a SINGLE-CLASS measurement in the
+    # multi-class bucket: the measurement-equality filter narrows the
+    # catalog pins, so count() and even typed consumers plan with zero
+    # jobs of either kind (the verdict's Done criterion)
+    for stage in ('group(columns: ["host"]) |> count()',
+                  'group(columns: ["host"]) |> mode()'):
+        before_c, before_p = _fx._COLLISION_PROBE_RUNS, _fx._PROBE_RUNS
+        status, _body = run("floatcat", stage)
+        assert status == 200, _body
+        assert _fx._COLLISION_PROBE_RUNS == before_c, stage
+        assert _fx._PROBE_RUNS == before_p, stage
+
+    # tag-only regroup feeding a typed consumer over a genuinely
+    # multi-class measurement: the bounded scan still runs and still
+    # raises stock's schema collision (the catalog cannot prove
+    # tag→type co-location)
+    status, body = run("mixcat", 'group(columns: ["host"]) |> mode()')
+    assert status == 400 and "schema collision" in body
+
+
 def test_catalog_seeded_live_slots_skip_probe(served):
     """r13: a store-backed Flux query seeds the live-slot cache from
     the bucket's field-type catalog, so ordering/presence consumers

@@ -1265,8 +1265,12 @@ def test_mixed_union_slot_consumer_fuzz_executes(spark, sf_dir):
     pts = _events_mixed_points(spark, sf_dir).cache()
     pts.count()
     try:
+        # r14: 100 examples — the pool grew 3-type/bool-heavy branches
+        # and the binding/createEmpty shapes (r13 verdict #6); the
+        # first widened run caught the homogeneous-string arithmetic
+        # escape (see test_flux_map_arith_on_string_bool_frame_...)
         @given(q=_flux_mixed_union_script())
-        @settings(max_examples=60, deadline=None, derandomize=True,
+        @settings(max_examples=100, deadline=None, derandomize=True,
                   suppress_health_check=[HealthCheck.function_scoped_fixture])
         def run(q):
             try:
