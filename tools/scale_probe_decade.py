@@ -27,7 +27,74 @@ SF1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
 SF3 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf3"
 
 OPS = ["ext_ccnet_buckets", "ext_quality_logreg_train",
-       "ext_dedup_ngram_jaccard"]
+       "ext_dedup_ngram_jaccard", "bench_mixed_union_selectors"]
+
+
+def _events_max_ns_any(path: str) -> int:
+    """Max event ts (epoch ns) from parquet FOOTER stats — handles
+    both a single file (testdata) and a Spark-written directory (the
+    generated probe corpora). Zero Spark jobs."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    files = ([path] if _os.path.isfile(path)
+             else sorted(_glob.glob(f"{path}/*.parquet")))
+    mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).path for i in range(md.num_columns)]
+        ti = names.index("ts")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ti).statistics
+            if st is not None and st.max is not None:
+                v = st.max if isinstance(st.max, int) else pd.Timestamp(st.max).value
+                mx = v if mx is None or v > mx else mx
+    return mx
+
+
+def _mixed_probe(spark, sf_dir):
+    """Probe variant of bench_mixed_union_selectors (r14, VERDICT r13
+    #7): the suite row pins its range to Jan 2024 for the oracle, but
+    the probe corpus grows by TIME-SHIFTED copies — so the probe
+    ranges to each dataset's max event time (parquet footer stats,
+    zero pre-scan jobs). Windows then scale linearly with the
+    retention span: the honest scale shape for a dashboard over a
+    growing window, exercising union + variable-bound range + catalog
+    regroup + slot-carrying aggregateWindow + typed min/max."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import execute_flux, seed_live_slots
+    from aws_greengrass_labs_database_influxdb_spark.suite.frontend import _events_mixed_points
+
+    stop_ns = _events_max_ns_any(f"{sf_dir}/events.parquet") + 3600 * 10**9
+    stop = dt.datetime.fromtimestamp(
+        stop_ns // 10**9, dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    pts = _events_mixed_points(spark, sf_dir)
+    seed_live_slots(pts, {"float", "string", "bool"}, exact=True,
+                    catalog={"events": {"value": "float",
+                                        "status": "string",
+                                        "flag": "bool"}})
+    pre = (
+        'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
+        'b = from(bucket:"b") |> filter(fn: (r) => r._field == "value")\n'
+        "base = union(tables: [a, b]) "
+        f"|> range(start: 2024-01-01T00:00:00Z, stop: {stop}) "
+        '|> group(columns: ["event_type", "_field"]) '
+        "|> aggregateWindow(every: 1h, fn: last, createEmpty: true)\n"
+    )
+    sel = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), F.col("event_type"), F.col("field"),
+        F.col("f_str").alias("sval"), F.col("f_float").alias("fval"),
+    )
+    mn = execute_flux(pts, pre + "base |> min()")
+    mx = execute_flux(pts, pre + "base |> max()")
+    return sel(mn, "min").unionByName(sel(mx, "max"))
 
 
 def main() -> None:
@@ -44,6 +111,8 @@ def main() -> None:
     spark.range(32).withColumn("g", F.expr("id % 4")).groupBy("g").applyInPandas(
         lambda p: p, schema="id long, g long"
     ).count()
+
+    qs["bench_mixed_union_selectors"] = _mixed_probe  # probe variant
 
     out = {}
     for name in OPS:
