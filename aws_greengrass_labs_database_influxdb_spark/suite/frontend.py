@@ -1457,7 +1457,12 @@ def _events_mixed_points(spark, sf_dir):
     derived fields are deterministic functions of stored columns so
     DuckDB can recompute them."""
     base = events_points(spark, sf_dir).select(
-        "time", "time_ns", "event_type", "user_id", "f_float", "ingest_seq"
+        "time", "time_ns", "event_type", "user_id", "f_float", "ingest_seq",
+        # raw storage time: keeps range() sargable (push_time_filter's
+        # superset twin reaches the parquet row-group stats — without
+        # it the bench_mixed_union_selectors scan read the whole time
+        # dimension; r14)
+        "_ts_raw",
     )
     tags = F.create_map(
         F.lit("event_type"), F.col("event_type"),
@@ -1474,7 +1479,7 @@ def _events_mixed_points(spark, sf_dir):
             F.col("time"), F.col("time_ns"), tags.alias("tags"),
             F.lit(fname).alias("field"), F.lit(ftype).alias("ftype"),
             ff.alias("f_float"), fs.alias("f_str"), fb.alias("f_bool"),
-            F.col("ingest_seq"),
+            F.col("ingest_seq"), F.col("_ts_raw"),
         )
 
     status = F.when(F.col("f_float") >= 100, F.lit("ok")).otherwise("bad")
