@@ -531,19 +531,23 @@ def _typed_field_pivot(df: DataFrame, grouping, val: str):
 
 
 def _carry_slot_cache(src: DataFrame, dst: DataFrame,
-                      demote: bool = False) -> None:
+                      demote: bool = False,
+                      carry_catalog: bool = True) -> None:
     """Copy src's live-slot cache entry onto dst (a frame derived by a
     stage that cannot ADD live types). ``demote=True`` (row-removing
     stages) lands the entry in the superset cache regardless of the
-    source's confidence; otherwise the entry keeps its confidence."""
+    source's confidence; otherwise the entry keeps its confidence.
+    ``carry_catalog=False`` (rename touching measurement/field): the
+    (m, f)-keyed class map no longer describes the frame's rows."""
     if dst is src or "ftype" not in dst.columns:
         return
     # the catalog class map stays valid through every ftype-keeping
     # stage (they preserve measurement/field/ftype triples; row
     # removal only shrinks the superset the pins already cover) — r14
-    cat = _CATALOG_CLASS_CACHE.get(src)
-    if cat is not None and dst not in _CATALOG_CLASS_CACHE:
-        _CATALOG_CLASS_CACHE[dst] = cat
+    if carry_catalog:
+        cat = _CATALOG_CLASS_CACHE.get(src)
+        if cat is not None and dst not in _CATALOG_CLASS_CACHE:
+            _CATALOG_CLASS_CACHE[dst] = cat
     hit = _LIVE_SLOT_CACHE.get(src)
     sup = hit if hit is not None else _LIVE_SLOT_SUPERSET.get(src)
     if sup is None:
@@ -3873,9 +3877,25 @@ def _run_pipeline(
             # valid — carrying them keeps e.g. `aggregateWindow(fn:
             # last) |> min()` zero-probe on catalog-backed frames
             # (r14; conversion fns like mean retype to float and fall
-            # through to the probe as before)
+            # through to the probe as before). A rename that touches
+            # the measurement/field COLUMNS (either direction — e.g.
+            # a tag renamed INTO "_field") invalidates the (m, f)-
+            # keyed catalog map for the output frame (r14 soundness:
+            # the by-field "no collision" proof would read stale
+            # names); the live-slot entry is name-independent and
+            # still carries.
+            keeps_mf_names = True
+            if name == "rename":
+                ren = _split_args(args.get("columns", "{}").strip("{}") or "")
+                touched = set(ren) | {v.strip().strip('"')
+                                      for v in ren.values()}
+                keeps_mf_names = not (
+                    touched & {"_measurement", "_field",
+                               "measurement", "field"}
+                )
             _carry_slot_cache(_df_in, pipe.df,
-                              demote=name in _ROW_REMOVING_STAGES)
+                              demote=name in _ROW_REMOVING_STAGES,
+                              carry_catalog=keeps_mf_names)
     return pipe
 
 

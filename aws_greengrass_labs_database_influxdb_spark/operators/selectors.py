@@ -21,11 +21,15 @@ def _keep_row(df: DataFrame, by: Sequence[str], order, alias: str,
               pick=F.min_by) -> DataFrame:
     """Return one original row per group: min_by/max_by over the given
     order struct (rows whose order expression is NULL are skipped by
-    the aggregate's null-ordering semantics)."""
+    the aggregate's null-ordering semantics). A group with NO eligible
+    row (every order expr NULL — e.g. an all-spine createEmpty group)
+    is DROPPED, matching stock: selectors ignore null values and an
+    empty selection yields an empty table, never an invented all-NULL
+    row (r14 fuzz)."""
     others = [c for c in df.columns]
     row = F.struct(*[F.col(c) for c in others])
     agg = pick(row, order).alias("_row")
-    out = df.groupBy(*by).agg(agg)
+    out = df.groupBy(*by).agg(agg).filter(F.col("_row").isNotNull())
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in others])
 
 
@@ -43,15 +47,42 @@ def _opt_time(df: DataFrame, time_ns: str, negate: bool = False) -> list:
     return []
 
 
+def _value_presence(df: DataFrame):
+    """Row-has-a-value predicate for first/last (stock: "the first/
+    last NON-NULL record") — slot frames check every slot; plain
+    frames check f_float; frames with no value column (post-pivot)
+    have no null-skip rule to apply."""
+    if "ftype" in df.columns:
+        vals = [s for s in ("f_float", "f_str", "f_bool")
+                if s in df.columns]
+        if vals:
+            return _present(vals)
+    if "f_float" in df.columns:
+        return F.col("f_float").isNotNull()
+    return None
+
+
 def first(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
-    """Flux ``first()``: the row with minimum time per series."""
-    return _keep_row(df, by, F.struct(F.col(time_ns), *_tiebreak(df)), "first")
+    """Flux ``first()``: the first NON-NULL-valued row per series
+    (null-valued rows — createEmpty spines, fill-less windows — are
+    skipped, stock semantics; r14 fuzz: last() over a spined window
+    returned the empty tail row)."""
+    order = F.struct(F.col(time_ns), *_tiebreak(df))
+    guard = _value_presence(df)
+    if guard is not None:
+        order = F.when(guard, order)
+    return _keep_row(df, by, order, "first")
 
 
 def last(df: DataFrame, by: Sequence[str], time_ns: str = "time_ns") -> DataFrame:
-    """Flux ``last()``: the row with maximum time per series."""
+    """Flux ``last()``: the last NON-NULL-valued row per series (see
+    :func:`first`)."""
     tb = [-c for c in _tiebreak(df)]
-    return _keep_row(df, by, F.struct(-F.col(time_ns), *tb), "last")
+    order = F.struct(-F.col(time_ns), *tb)
+    guard = _value_presence(df)
+    if guard is not None:
+        order = F.when(guard, order)
+    return _keep_row(df, by, order, "last")
 
 
 def _value_tuple(value) -> list[str]:

@@ -3946,6 +3946,73 @@ def test_seed_live_slots_empty_catalog_leaves_cache_empty(mixed_pts):
     assert [r["f_str"] for r in out] == ["bad"]
 
 
+def test_selectors_skip_null_spine_rows(mixed_pts):
+    """r14 exploratory fuzz: stock first()/last() return the first/
+    last NON-NULL record, and a selector over a group with no non-null
+    values yields an empty table. The engine's last() picked the
+    createEmpty spine's empty tail window (all-NULL values at the max
+    time), and min()/max() over an all-null group emitted an invented
+    all-NULL row (group key included)."""
+    pre = (
+        'from(bucket:"b") '
+        "|> range(start: 1970-01-01T00:00:00Z, stop: 1970-01-01T02:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp") '
+        "|> aggregateWindow(every: 30m, fn: last, createEmpty: true) "
+    )
+    # last(): the last DATA window (01:00, value 3.5), not the empty
+    # 01:30/02:00 spine tails
+    out = execute_flux(mixed_pts, pre + "|> last()").collect()
+    assert len(out) == 1 and out[0]["f_float"] == 3.5
+    assert str(out[0]["time"]) == "1970-01-01 01:00:00"
+    # first() with a leading empty window (range starts before data):
+    # skips to the first data window
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") '
+        "|> range(start: 1969-12-31T23:00:00Z, stop: 1970-01-01T01:00:00Z) "
+        '|> filter(fn: (r) => r._field == "temp") '
+        "|> aggregateWindow(every: 30m, fn: last, createEmpty: true) "
+        "|> first()",
+    ).collect()
+    assert len(out) == 1 and out[0]["f_float"] == 1.5
+    # a group that is ENTIRELY null after a null-keeping transform:
+    # selectors drop it instead of inventing an all-NULL row
+    out = execute_flux(
+        mixed_pts, pre + '|> filter(fn: (r) => r._time > 1970-01-01T01:00:00Z) '
+        "|> max()",
+    ).collect()
+    assert out == []
+    out = execute_flux(
+        mixed_pts, pre + '|> filter(fn: (r) => r._time > 1970-01-01T01:00:00Z) '
+        "|> last()",
+    ).collect()
+    assert out == []
+
+
+def test_rename_into_field_invalidates_catalog_pins(mixed_pts):
+    """r14 soundness: a rename that re-keys the _field column (the
+    `rename(columns: {_field: "orig", host: "_field"})` idiom) makes
+    the catalog's (measurement, field) class map stale — the carry
+    must drop it so the collision check PROBES instead of reading a
+    stale "each field is single-class" proof and silently computing a
+    franken-group."""
+    from aws_greengrass_labs_database_influxdb_spark.frontends.flux import seed_live_slots
+
+    pts = mixed_pts.where(F.lit(True))  # fresh frame object
+    seed_live_slots(pts, {"float", "string", "bool"}, exact=True,
+                    catalog={"m": {"temp": "float", "status": "string",
+                                   "ok": "bool"}})
+    # all rows share host=a, so after re-keying _field every table
+    # merges into ONE group mixing float/string/bool → stock errors
+    with pytest.raises(FluxError, match="schema collision"):
+        execute_flux(
+            pts,
+            'from(bucket:"b") '
+            '|> rename(columns: {_field: "orig", host: "_field"}) '
+            '|> group(columns: ["_field"]) |> mode()',
+        ).collect()
+
+
 def test_merge_range_bounds():
     """union/join bounds merge: min start, max stop; None start
     (unbounded) poisons; None stop (defaults to now) wins the max."""
