@@ -861,6 +861,34 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
         name = m.group(1) or m.group(2)
         op, lit = m.group(3), m.group(4)
         c = _col(df, name)
+        # kind bookkeeping for the cross-type comparison rules (r14
+        # fuzz: `r._value == "ok"` on a bool series ANSI-crashed; a
+        # numeric ordering on a string series silently compared the
+        # dead float slot). Stock Flux: EQUALITY across types is legal
+        # and false; ORDERING comparisons type-conflict; regex matches
+        # strings only. `bound` is the physical column the comparison
+        # reads (None = derived/unknown → rules don't apply).
+        _KINDS = {"boolean": "bool", "string": "string", "double": "float",
+                  "float": "float", "bigint": "int", "int": "int",
+                  "smallint": "int", "tinyint": "int"}
+        real0 = _colname(df, name)
+        if real0 in df.columns:
+            if real0 == "f_float":
+                # the live slot, not the physical default — a string
+                # series' _value IS its f_str, so the comparison reads
+                # it (mixed frames resolve to f_float and keep the
+                # documented lenient per-literal slot binding below)
+                resolved = _value_slot_runtime(df, real0)
+                if resolved != real0:
+                    real0 = resolved
+                    c = F.col(real0)
+            bound = real0
+            bound_kind = _KINDS.get(dict(df.dtypes).get(real0))
+        elif "tags" in df.columns:
+            bound, bound_kind = None, "string"  # tags-map access
+        else:
+            bound, bound_kind = None, None
+        lit_kind = None
         if _ISO_LIT_RX.match(lit):
             # RFC3339 time literal: compare on the exact-ns column
             # (canonical frames always carry time_ns; the µs timestamp
@@ -880,36 +908,39 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
                     )
         elif lit.startswith('"'):
             val = lit[1:-1]
-            real = _colname(df, name)
+            lit_kind = "string"
+            real = real0
             if real == "f_float" and "f_str" in df.columns:
                 # _value compared to a STRING literal: bind the string
                 # slot (r10 — the f_float binding cast "ok" to double
                 # under ANSI and crashed; stock Flux's _value is typed
                 # per table and a string table compares strings)
-                c = F.col("f_str")
+                c, bound_kind = F.col("f_str"), "string"
             elif (real.startswith("f_float_")
                     and "f_str" + real[7:] in df.columns):
                 # join-suffixed _value_<side> vs string literal (r13)
-                c = F.col("f_str" + real[7:])
+                c, bound_kind = F.col("f_str" + real[7:]), "string"
         elif lit in ("true", "false"):
             val = lit == "true"
-            real = _colname(df, name)
+            lit_kind = "bool"
+            real = real0
             if real == "f_float" and "f_bool" in df.columns:
                 # _value compared to a BOOL literal → the bool slot
-                c = F.col("f_bool")
+                c, bound_kind = F.col("f_bool"), "bool"
             elif (real.startswith("f_float_")
                     and "f_bool" + real[7:] in df.columns):
-                c = F.col("f_bool" + real[7:])
+                c, bound_kind = F.col("f_bool" + real[7:]), "bool"
         elif lit.startswith("/"):
             val = lit[1:-1]
-            real = _colname(df, name)
+            lit_kind = "regex"
+            real = real0
             if (op in ("=~", "!~") and real == "f_float"
                     and "f_str" in df.columns):
                 # regex on _value: only the string slot can match
-                c = F.col("f_str")
+                c, bound_kind = F.col("f_str"), "string"
             elif (op in ("=~", "!~") and real.startswith("f_float_")
                     and "f_str" + real[7:] in df.columns):
-                c = F.col("f_str" + real[7:])
+                c, bound_kind = F.col("f_str" + real[7:]), "string"
         else:
             try:
                 val = (
@@ -922,6 +953,31 @@ def _parse_predicate(df: DataFrame, body: str) -> Column:
                 ) from None
             if name == "_value" or COLMAP.get(name) == "f_float":
                 val = float(val)
+            lit_kind = "int" if isinstance(val, int) else "float"
+        # cross-type comparison rules (stock Flux, r14 fuzz): a
+        # comparison whose operand types conflict is a runtime "type
+        # conflict" error when evaluated (`r._value == "ok"` on a bool
+        # series ANSI-crashed instead; numeric orderings on string
+        # series silently compared the dead float slot). Applied only
+        # when the bound column's kind is KNOWABLE: single-typed
+        # frames (live-slot resolution above) and tag accesses. Mixed
+        # frames keep the documented lenient slot binding — stock
+        # accepts the common `r._field == "x" and r._value == <lit>`
+        # idiom through and-short-circuiting, which the slot binding
+        # reproduces without per-row type dispatch.
+        _NUMK = {"int", "float"}
+        if bound_kind and lit_kind:
+            same = (bound_kind == lit_kind
+                    or (bound_kind in _NUMK and lit_kind in _NUMK))
+            if lit_kind == "regex":
+                if op in ("=~", "!~") and bound_kind != "string":
+                    raise FluxError(
+                        f"type conflict: {bound_kind} {op} regexp"
+                    )
+            elif not same:
+                raise FluxError(
+                    f"type conflict: {bound_kind} {op} {lit_kind}"
+                )
         expr = {
             "==": lambda: c == val,
             "!=": lambda: c != val,

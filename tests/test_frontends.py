@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -3987,6 +3989,54 @@ def test_selectors_skip_null_spine_rows(mixed_pts):
         "|> last()",
     ).collect()
     assert out == []
+
+
+def test_cross_type_comparisons_follow_stock_rules(mixed_pts):
+    """r14 fuzz: a comparison whose operand types conflict is stock's
+    runtime "type conflict" error when the binding is knowable
+    (single-typed series). The engine ANSI-crashed on `r._value ==
+    "ok"` over a bool series (cast 'ok' to BOOLEAN) and silently
+    compared the dead float slot for numeric orderings on string
+    series. Mixed frames keep the lenient slot binding (stock accepts
+    the `r._field == "x" and r._value == <lit>` idiom through
+    and-short-circuiting)."""
+    bool_pre = 'from(bucket:"b") |> filter(fn: (r) => r._field == "ok") '
+    str_pre = 'from(bucket:"b") |> filter(fn: (r) => r._field == "status") '
+    for pre, pred, msg in [
+        (bool_pre, 'r._value == "ok"', "type conflict: bool == string"),
+        (str_pre, "r._value == 5", "type conflict: string == float"),
+        (bool_pre, 'r._value != "ok"', "type conflict: bool != string"),
+        (str_pre, "r._value > 5", "type conflict: string > float"),
+        (bool_pre, 'r._value <= "x"', "type conflict: bool <= string"),
+        (bool_pre, "r._value =~ /ok/", "type conflict: bool =~ regexp"),
+    ]:
+        with pytest.raises(FluxError, match=re.escape(msg)):
+            execute_flux(
+                mixed_pts, pre + f"|> filter(fn: (r) => {pred})"
+            ).collect()
+    # the mixed-frame idiom still filters (slot binding + short-circuit
+    # equivalence, the r10 behavior)
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "status" '
+        'and r._value == "ok")',
+    ).collect()
+    assert [r["f_str"] for r in out] == ["ok", "ok"]
+    # matching kinds still work: string ==, numeric ordering, regex
+    out = execute_flux(
+        mixed_pts, str_pre + '|> filter(fn: (r) => r._value == "ok")'
+    ).collect()
+    assert [r["f_str"] for r in out] == ["ok", "ok"]
+    out = execute_flux(
+        mixed_pts,
+        'from(bucket:"b") |> filter(fn: (r) => r._field == "temp" '
+        "and r._value > 2.0)",
+    ).collect()
+    assert sorted(r["f_float"] for r in out) == [2.5, 3.5]
+    out = execute_flux(
+        mixed_pts, str_pre + "|> filter(fn: (r) => r._value =~ /^o/)"
+    ).collect()
+    assert [r["f_str"] for r in out] == ["ok", "ok"]
 
 
 def test_rename_into_field_invalidates_catalog_pins(mixed_pts):
