@@ -41,7 +41,14 @@ CURATED_FIRST_50: list[str] = [
     "ts_holt_winters",
     "ts_interpolate_linear",
     "ts_session_window",
-    "ts_ema",
+    # r15: surface the technical-indicator promotion fix (r14 verdict
+    # #1 — the Flux TEXT frontend left the raw series in _value, so
+    # RSI/KAMA |> mean()/last() silently consumed raw values):
+    # relativeStrengthIndex |> last() through the text path under the
+    # bit-exact Wilder-fold oracle. ts_ema rotates out — the recursive
+    # EMA family stays windowed via this row's applyInPandas fold and
+    # under the full-suite gates.
+    "flux_text_rsi_last",
     "ts_pivot",
     # r6: surface sql.from's embedded-Derby JDBC round-trip (the last
     # §2.2.1 row without a driver-visible check); ts_join_hourly

@@ -370,7 +370,8 @@ def _fluxify_result(df):
         drop = [
             c for c in ("tags", "series_key", "time_ns", "ingest_seq",
                         "_ts_raw", "ftype", "props", "day", "f_int", "f_uint",
-                        "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns")
+                        "f_float", "f_str", "f_bool", "_start_ns", "_stop_ns",
+                        "_rb_start_ns", "_rb_stop_ns")
             if c in frame.columns
         ]
         if drop:

@@ -564,14 +564,16 @@ def _pred_eq_literals(pred_src: str, flux_col: str) -> set | None:
     """The set of values a filter predicate provably constrains
     ``flux_col`` to, or None when unconstrained.
 
-    Conservative textual analysis of the Flux predicate source: split
-    into top-level ``and``-conjuncts (parens/strings respected); a
-    conjunct constrains the column iff it is a chain of ``or``-ed
-    exact equalities on that column alone (``r._field == "a" or
-    r._field == "b"``; a single equality is the 1-chain). Multiple
-    constraining conjuncts intersect. Anything else — inequalities,
-    regex matches, mixed-column ors — contributes nothing, which is
-    always sound (the filter only removes MORE rows)."""
+    Conservative textual analysis of the Flux predicate source, with
+    FLUX PRECEDENCE — ``and`` binds tighter than ``or`` (r15 ADVICE:
+    the old and-first split read ``m == "cpu" and v > 1 or m ==
+    "logs"`` as constraining to {cpu} while logs rows survive the real
+    filter). Split on top-level ``or`` first: the result is sound only
+    if EVERY disjunct constrains the column, and the answer is the
+    UNION of the disjuncts' sets. Within a disjunct, split on ``and``:
+    constraining conjuncts INTERSECT, non-constraining ones
+    (inequalities, regex, other columns) contribute nothing — sound,
+    the filter only removes more rows. Parenthesized groups recurse."""
     def _split(src: str, sep: str) -> list[str]:
         parts, buf, depth, instr = [], [], 0, False
         toks = re.split(rf"(\s{sep}\s)", src)
@@ -596,15 +598,14 @@ def _pred_eq_literals(pred_src: str, flux_col: str) -> set | None:
     eq_rx = re.compile(
         rf'^\s*(?:r\.{flux_col}|r\["{flux_col}"\])\s*==\s*"((?:[^"\\]|\\.)*)"\s*$'
     )
-    allowed: set | None = None
-    for conj in _split(pred_src, "and"):
-        conj = conj.strip()
-        while conj.startswith("(") and conj.endswith(")"):
-            inner = conj[1:-1].strip()
-            # only peel when the parens wrap the WHOLE conjunct
-            depth = 0
-            ok = True
-            for i, ch in enumerate(inner):
+
+    def _peel(src: str) -> str:
+        src = src.strip()
+        while src.startswith("(") and src.endswith(")"):
+            inner = src[1:-1].strip()
+            # only peel when the parens wrap the WHOLE expression
+            depth, ok = 0, True
+            for ch in inner:
                 if ch in "([{":
                     depth += 1
                 elif ch in ")]}":
@@ -614,17 +615,32 @@ def _pred_eq_literals(pred_src: str, flux_col: str) -> set | None:
                         break
             if not ok or depth != 0:
                 break
-            conj = inner
-        vals = set()
-        for alt in _split(conj, "or"):
-            m = eq_rx.match(alt.strip())
-            if not m:
-                vals = None
-                break
-            vals.add(_unescape_flux_str(m.group(1)))
-        if vals is not None:
-            allowed = vals if allowed is None else allowed & vals
-    return allowed
+            src = inner
+        return src
+
+    def _analyze(src: str) -> set | None:
+        src = _peel(src)
+        disjuncts = _split(src, "or")
+        if len(disjuncts) > 1:
+            acc: set = set()
+            for d in disjuncts:
+                s = _analyze(d)
+                if s is None:
+                    return None  # one unconstrained disjunct voids all
+                acc |= s
+            return acc
+        conjuncts = _split(src, "and")
+        if len(conjuncts) > 1:
+            allowed: set | None = None
+            for cpart in conjuncts:
+                s = _analyze(cpart)
+                if s is not None:
+                    allowed = s if allowed is None else allowed & s
+            return allowed
+        m = eq_rx.match(src)
+        return {_unescape_flux_str(m.group(1))} if m else None
+
+    return _analyze(pred_src)
 
 
 def _narrow_catalog_on_filter(src: DataFrame, dst: DataFrame,
@@ -648,11 +664,21 @@ def _narrow_catalog_on_filter(src: DataFrame, dst: DataFrame,
         (m, f): c for (m, f), c in cat.items()
         if (meas is None or m in meas) and (fld is None or f in fld)
     }
+    if not narrowed:
+        # the filter names nothing the catalog pins (e.g. a write
+        # landed between the field_types() read and execution):
+        # install NOTHING so the runtime probe self-heals — an empty
+        # map would falsely prove "no collision" and an f_float
+        # superset default re-binds the dead float slot (r15 ADVICE,
+        # mirrors the seed_live_slots fix)
+        return
     _CATALOG_CLASS_CACHE[dst] = narrowed
     slot_of = {"float": "f_float", "string": "f_str", "bool": "f_bool"}
     live = sorted({slot_of[c] for cls in narrowed.values() for c in cls
                    if c in slot_of})
-    live = [s for s in live if s in dst.columns] or ["f_float"]
+    live = [s for s in live if s in dst.columns]
+    if not live:
+        return  # no recognized classes: leave the probe to self-heal
     if dst not in _LIVE_SLOT_CACHE and dst not in _LIVE_SLOT_SUPERSET:
         _LIVE_SLOT_SUPERSET[dst] = live
 
@@ -1092,23 +1118,26 @@ def _int_lit(v: str) -> int:
     """A stage argument that must be a Flux int literal — typed
     rejection instead of a raw ValueError leak (r14: the blanket
     ValueError→FluxError conversion is gone, so every user-input
-    parse must raise the typed error itself)."""
-    try:
-        return int(_lit(v))
-    except (TypeError, ValueError):
+    parse must raise the typed error itself). Typed means TYPED (r15
+    ADVICE): ``limit(n: true)`` / ``limit(n: 1.5)`` coerced through
+    Python int() to n=1 where stock type-errors them."""
+    parsed = _lit(v)
+    if not isinstance(parsed, int) or isinstance(parsed, bool):
         raise FluxError(
             f"invalid argument: expected an integer, got {v.strip()!r}"
-        ) from None
+        )
+    return parsed
 
 
 def _float_lit(v: str) -> float:
-    """A stage argument that must be a Flux float literal."""
-    try:
-        return float(_lit(v))
-    except (TypeError, ValueError):
+    """A stage argument that must be a Flux float (or int) literal —
+    bools and strings are typed errors, not 1.0 coercions (r15)."""
+    parsed = _lit(v)
+    if not isinstance(parsed, (int, float)) or isinstance(parsed, bool):
         raise FluxError(
             f"invalid argument: expected a number, got {v.strip()!r}"
-        ) from None
+        )
+    return float(parsed)
 
 
 def _strlist(v: str) -> list[str]:
@@ -2873,12 +2902,42 @@ def _run_pipeline(
                 "derivative",
             )
         elif name == "difference":
-            pipe = _promote_value(
-                pipe.difference(
-                    non_negative=_lit(args.get("nonNegative", "false")) is True
-                ),
-                "difference",
-            )
+            # full stock signature (r15): nonNegative / keepFirst /
+            # initialZero / columns. Each listed column is replaced
+            # in place (columns: ["_value"] → the f_float slot, i.e.
+            # the _promote_value contract for free); the first-row
+            # drop happens ONCE per table, after all columns.
+            from ..operators import difference as _difference
+
+            kf = _lit(args.get("keepFirst", "false")) is True
+            iz = _lit(args.get("initialZero", "false")) is True
+            nn = _lit(args.get("nonNegative", "false")) is True
+            cols = _strlist(args.get("columns", '["_value"]'))
+            order = list(pipe.order) or ["time_ns"]
+            out = df
+            for c in cols:
+                real = _colname(out, c)
+                if real not in out.columns:
+                    raise FluxError(
+                        f"difference(columns:) references unknown "
+                        f"column {c!r}"
+                    )
+                out = _difference(
+                    out, nn, real, by=pipe.group_key, order=order,
+                    alias=real, keep_first=True, initial_zero=iz,
+                )
+            if not kf:
+                from pyspark.sql import Window as _W
+
+                w = _W.partitionBy(*pipe.group_key).orderBy(*order)
+                out = (
+                    out.withColumn(
+                        "_has_prev", F.lag(order[0]).over(w).isNotNull()
+                    )
+                    .filter(F.col("_has_prev"))
+                    .drop("_has_prev")
+                )
+            pipe = pipe._with(out)
         elif name == "increase":
             from ..operators import increase
 
@@ -3696,14 +3755,26 @@ def _run_pipeline(
                       "tripleExponentialDerivative"):
             from ..operators import analytics as _an
 
-            fn = {
-                "doubleEMA": _an.double_ema, "tripleEMA": _an.triple_ema,
-                "kaufmansER": _an.kaufmans_er, "kaufmansAMA": _an.kaufmans_ama,
-                "chandeMomentumOscillator": _an.chande_momentum_oscillator,
-                "relativeStrengthIndex": _an.relative_strength_index,
-                "tripleExponentialDerivative": _an.triple_exponential_derivative,
+            fn, out_alias = {
+                "doubleEMA": (_an.double_ema, "dema"),
+                "tripleEMA": (_an.triple_ema, "tema"),
+                "kaufmansER": (_an.kaufmans_er, "ker"),
+                "kaufmansAMA": (_an.kaufmans_ama, "kama"),
+                "chandeMomentumOscillator": (
+                    _an.chande_momentum_oscillator, "cmo"),
+                "relativeStrengthIndex": (
+                    _an.relative_strength_index, "rsi"),
+                "tripleExponentialDerivative": (
+                    _an.triple_exponential_derivative, "trix"),
             }[name]
-            pipe = pipe._with(fn(df, _int_lit(args["n"]), by=pipe.group_key))
+            # stock Flux REPLACES _value with the indicator — without
+            # _promote_value a downstream mean()/filter silently
+            # consumed the RAW series (r15, the r14 verdict's lead
+            # wrong answer; mirrors the derivative/difference arm)
+            pipe = _promote_value(
+                pipe._with(fn(df, _int_lit(args["n"]), by=pipe.group_key)),
+                out_alias,
+            )
         elif name in ("covariance", "pearsonr"):
             from ..operators import analytics as _an
 
@@ -3738,7 +3809,7 @@ def _run_pipeline(
             from ..operators.analytics import holt_winters as _hw
 
             with_fit = _lit(args.get("withFit", "false")) is True
-            pipe = pipe._with(_hw(
+            hw_out = _hw(
                 df, _int_lit(args["n"]),
                 duration_ns(args["interval"]) / 1e9,
                 seasonality=_int_lit(args.get("seasonality", "0")),
@@ -3747,7 +3818,15 @@ def _run_pipeline(
                 # predictions too; coefficients Nelder-Mead-fitted like
                 # the reference engine (rows-only checkable by nature)
                 fit=with_fit, include_fitted=with_fit,
-            ))
+            )
+            # the forecast IS the stream's _value in stock — promote
+            # (r15: `holtWinters(...) |> mean()` raised "unknown
+            # column 'f_float'"), and re-derive the display time the
+            # operator's pruned schema dropped
+            hw_out = hw_out.withColumn(
+                "time", F.timestamp_micros(ns_to_us(F.col("time_ns")))
+            )
+            pipe = _promote_value(pipe._with(hw_out), "hw")
         elif name in ("highestMax", "highestAverage", "highestCurrent",
                       "lowestMin", "lowestAverage", "lowestCurrent"):
             from ..operators import selectors as _sel

@@ -72,13 +72,34 @@ def difference(
     time_ns: str = "time_ns",
     alias: str = "difference",
     order=None,
+    keep_first: bool = False,
+    initial_zero: bool = False,
 ) -> DataFrame:
-    """Flux ``difference()``: v − v_prev per series."""
+    """Flux ``difference(nonNegative:, keepFirst:, initialZero:)``:
+    v − v_prev per series.
+
+    Stock defaults: each table's FIRST row is dropped (``keepFirst:
+    false`` — same rule as derivative's no-predecessor drop);
+    ``keepFirst: true`` keeps it with a null difference. With
+    ``nonNegative: true`` a decreasing step yields null, unless
+    ``initialZero: true`` makes it diff against 0 (i.e. the current
+    value) — the stdlib's counter-reset convention. (r15: the old
+    default behaved as ``keepFirst: true`` and the two args did not
+    exist — a silent row-count divergence on every counter dashboard.)
+    """
     w = _series_window(by, order or time_ns)
     d = F.col(value) - F.lag(value).over(w)
     if non_negative:
-        d = F.when(d >= 0, d)
-    return df.withColumn(alias, d)
+        d = F.when(d >= 0, d).otherwise(
+            F.col(value) if initial_zero else F.lit(None)
+        )
+    out = (
+        df.withColumn("_has_prev", F.lag(time_ns).over(w).isNotNull())
+        .withColumn(alias, d)
+    )
+    if not keep_first:
+        out = out.filter(F.col("_has_prev"))
+    return out.drop("_has_prev")
 
 
 def increase(
@@ -222,6 +243,11 @@ def exponential_moving_average(
     fold (seed = sequential sum / n) so the DuckDB oracle can reproduce
     it bit-for-bit with ``list_reduce`` — see suite/timeseries.EMA_SQL.
 
+    Emission contract (r15, stock): the n−1 warm-up rows (no EMA yet)
+    are DROPPED — ``exponentialMovingAverage(n: 3)`` on 5 points emits
+    3 rows, the first being the SMA seed. The old form kept them as
+    null rows, an every-query row-count divergence vs stock.
+
     The fold runs in the native kernel (_cfold — same expression tree,
     FMA contraction disabled, self-checked at load) when available, so
     a multi-hundred-million-row series pays C speed, not Python
@@ -232,7 +258,9 @@ def exponential_moving_average(
         va = pdf[value].astype(float).to_numpy()
         return pd.Series(ema_values(va, n), dtype=float)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema, needed=(value, *keep))
+    out = _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _ema, needed=(value, *keep))
+    # warm-up rows carry NaN → Arrow null: drop them (stock emission)
+    return out.filter(F.col(alias).isNotNull())
 
 
 def ema_values(va: np.ndarray, n: int, native: bool = True) -> np.ndarray:
@@ -266,10 +294,12 @@ def ema_values(va: np.ndarray, n: int, native: bool = True) -> np.ndarray:
 
 def double_ema(df, n, value="f_float", by=("measurement", "field"),
                time_ns="time_ns", alias="dema"):
-    """Flux ``doubleEMA(n:)`` = 2·EMA_N − EMA of EMA_N."""
+    """Flux ``doubleEMA(n:)`` = 2·EMA_N − EMA of EMA_N.
+
+    Each EMA stage drops its own warm-up rows (r15), so the chained
+    emission count is m − 2(n−1) — the stock doubleEMA contract."""
     e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
-    e1f = e1.filter(F.col("_e1").isNotNull())
-    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
+    e2 = exponential_moving_average(e1, n, "_e1", by, time_ns, "_e2")
     return (
         e2.withColumn(alias, 2 * F.col("_e1") - F.col("_e2"))
         .filter(F.col(alias).isNotNull())
@@ -281,10 +311,8 @@ def triple_ema(df, n, value="f_float", by=("measurement", "field"),
                time_ns="time_ns", alias="tema"):
     """Flux ``tripleEMA(n:)`` = 3·EMA1 − 3·EMA2 + EMA3."""
     e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
-    e1f = e1.filter(F.col("_e1").isNotNull())
-    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
-    e2f = e2.filter(F.col("_e2").isNotNull())
-    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3", keep=("_e1",))
+    e2 = exponential_moving_average(e1, n, "_e1", by, time_ns, "_e2")
+    e3 = exponential_moving_average(e2, n, "_e2", by, time_ns, "_e3", keep=("_e1",))
     return (
         e3.withColumn(alias, 3 * F.col("_e1") - 3 * F.col("_e2") + F.col("_e3"))
         .filter(F.col(alias).isNotNull())
@@ -331,11 +359,8 @@ def triple_exponential_derivative(df, n, value="f_float", by=("measurement", "fi
     before feeding the next, matching the Flux stdlib's chaining.
     """
     e1 = exponential_moving_average(df, n, value, by, time_ns, "_e1")
-    e1f = e1.filter(F.col("_e1").isNotNull())
-    e2 = exponential_moving_average(e1f, n, "_e1", by, time_ns, "_e2")
-    e2f = e2.filter(F.col("_e2").isNotNull())
-    e3 = exponential_moving_average(e2f, n, "_e2", by, time_ns, "_e3")
-    e3f = e3.filter(F.col("_e3").isNotNull())
+    e2 = exponential_moving_average(e1, n, "_e1", by, time_ns, "_e2")
+    e3f = exponential_moving_average(e2, n, "_e2", by, time_ns, "_e3")
     order = [time_ns] + (["ingest_seq"] if "ingest_seq" in df.columns else [])
     prev = F.lag("_e3").over(_series_window(by, order))
     return (
@@ -351,13 +376,16 @@ def relative_strength_index(df, n, value="f_float", by=("measurement", "field"),
 
     avg_up/avg_down fold as y = y + (1/n)·(x − y) seeded with the first
     delta's up/down; output masked until n deltas observed. Explicit
-    sequential arithmetic for DuckDB-oracle bit parity.
+    sequential arithmetic for DuckDB-oracle bit parity. The n warm-up
+    rows are DROPPED (stock emission: m − n rows — r15; the old form
+    kept them with a null indicator beside the live raw value).
     """
     def _rsi(pdf: pd.DataFrame) -> pd.Series:
         v = pdf[value].astype(float).to_numpy()
         return pd.Series(rsi_values(v, n), dtype=float)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi, needed=(value,))
+    out = _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _rsi, needed=(value,))
+    return out.filter(F.col(alias).isNotNull())
 
 
 def rsi_values(v: np.ndarray, n: int, native: bool = True) -> np.ndarray:
@@ -416,18 +444,27 @@ def kaufmans_ama(df, n, value="f_float", by=("measurement", "field"),
     recursion itself stays scalar. The cumsum form is also what the
     DuckDB oracle computes (running SUM window minus its lag), keeping
     the two engines bit-identical.
+
+    Emission (r15, stock — the Flux stdlib's ``kaufmansAMA(n: 10)``
+    doc example emits 6 rows from 16 points): m − n rows; the seed
+    value (row n−1, = v[n−1]) feeds the recursion but is NOT emitted,
+    and the warm-up rows are dropped.
     """
     def _kama(pdf: pd.DataFrame) -> pd.Series:
         v = pdf[value].astype(float).to_numpy()
         return pd.Series(kama_values(v, n), dtype=float)
 
-    return _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama, needed=(value,))
+    out = _per_series_pandas(df, by, time_ns, alias, T.DoubleType(), _kama, needed=(value,))
+    return out.filter(F.col(alias).isNotNull())
 
 
 def kama_values(v: np.ndarray, n: int, native: bool = True) -> np.ndarray:
     """KAMA on a sorted value array: numpy-vectorized efficiency-ratio
     inputs, then the scalar smoothing recursion (native kernel when
-    available; Python-float fold otherwise — bit-identical)."""
+    available; Python-float fold otherwise — bit-identical).
+
+    The seed (row n−1 = v[n−1]) starts the recursion but its row stays
+    NaN — stock emits the first KAMA at row n (r15)."""
     m = len(v)
     out = np.full(m, np.nan)
     if m <= n:
@@ -444,12 +481,13 @@ def kama_values(v: np.ndarray, n: int, native: bool = True) -> np.ndarray:
     if native:
         nat = _cfold.kama(v, n, sc_arr)
         if nat is not None:
+            nat = np.array(nat, dtype=float, copy=True)
+            nat[n - 1] = np.nan  # seed row is not emitted
             return nat
     # list fold for the scalar recursion (bit-identical doubles,
     # lower per-element overhead than np.float64 indexing)
     vl, scl, o = v.tolist(), sc_arr.tolist(), out.tolist()
     prev = vl[n - 1]
-    o[n - 1] = prev
     for j in range(len(idx)):
         i = n + j
         prev = prev + scl[j] * (vl[i] - prev)

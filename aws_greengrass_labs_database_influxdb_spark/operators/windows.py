@@ -511,6 +511,13 @@ def aggregate_window(
     deterministic, unlike row-order ``F.first`` over a shuffle.
     """
     out_alias = alias or fn
+    # per-branch range bounds stamped by Pipeline.union (r15): each
+    # union branch aggregates — and spines — as its own table, to its
+    # OWN stop, like stock Flux (the bounds are literal columns, so
+    # the extra key costs nothing: constant-folded, no added shuffle
+    # cardinality beyond the branch split stock also has)
+    rb = [c for c in ("_rb_start_ns", "_rb_stop_ns") if c in df.columns]
+    by = [*by, *rb]
     bucket_col, start_e, stop_e = _window_bucket(every, offset, time_ns, tz)
     if slots:
         slot_fns = {
@@ -543,6 +550,17 @@ def aggregate_window(
             "createEmpty needs explicit range bounds"
         )
         spine = window_spine(df, range_start, range_stop, every, by, offset, tz)
+        if rb:
+            # the merged-interval lattice is a superset of every
+            # branch's (same every/offset grid, merged start ≤ branch
+            # start) — clip each branch's spine to the windows that
+            # intersect its own carried range, so a 1h-bounded branch
+            # never gets null windows from a 2h sibling (stock spines
+            # each table to its own _stop)
+            spine = spine.filter(
+                (F.col("_start_ns") < F.col("_rb_stop_ns"))
+                & (F.col("_stop_ns") > F.col("_rb_start_ns"))
+            )
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
         if slots:
             # empty windows join NULL ftype — backfill with the
@@ -560,6 +578,8 @@ def aggregate_window(
             grouped = grouped.withColumn(
                 out_alias, F.coalesce(F.col(out_alias), F.lit(0))
             )
+    if rb:
+        grouped = grouped.drop(*rb)  # consumed: internal carriers only
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))
@@ -587,6 +607,8 @@ def aggregate_window_custom(
     ``_start_ns`` window column appended to ``keys`` and must return
     one row per key tuple (any groupBy- or window-rank-based operator
     qualifies — same shuffle shape as the named-fn path)."""
+    rb = [c for c in ("_rb_start_ns", "_rb_stop_ns") if c in df.columns]
+    by = [*by, *rb]  # per-branch union bounds (r15, see aggregate_window)
     bucket_col, start_e, stop_e = _window_bucket(every, offset, time_ns, tz)
     win = df.withColumn("_bucket", bucket_col)
     grouped = (
@@ -600,7 +622,14 @@ def aggregate_window_custom(
             "createEmpty needs explicit range bounds"
         )
         spine = window_spine(df, range_start, range_stop, every, by, offset, tz)
+        if rb:
+            spine = spine.filter(
+                (F.col("_start_ns") < F.col("_rb_stop_ns"))
+                & (F.col("_stop_ns") > F.col("_rb_start_ns"))
+            )
         grouped = spine.join(grouped, on=[*by, "_start_ns", "_stop_ns"], how="left")
+    if rb:
+        grouped = grouped.drop(*rb)
     src = "_stop_ns" if time_src == "_stop" else "_start_ns"
     return (
         grouped.withColumn("time_ns", F.col(src))

@@ -161,6 +161,8 @@ class Pipeline:
                 # AnalysisException — r11 fuzz), and ftype is the slot
                 # discriminator, never a user-visible group key
                 "tags", "ftype",
+                # per-branch range bounds stamped by union() (r15)
+                "_rb_start_ns", "_rb_stop_ns",
             }
             key = tuple(
                 c for c in self.df_.columns
@@ -248,10 +250,12 @@ class Pipeline:
                            self.group_key, self.time_ns_col, order=list(self.order))
         )
 
-    def difference(self, non_negative: bool = False, column: str = "f_float") -> "Pipeline":
+    def difference(self, non_negative: bool = False, column: str = "f_float",
+                   keep_first: bool = False, initial_zero: bool = False) -> "Pipeline":
         return self._with(
             ops.difference(self.df_, non_negative, column, self.group_key,
-                           order=list(self.order))
+                           order=list(self.order), keep_first=keep_first,
+                           initial_zero=initial_zero)
         )
 
     def cumulative_sum(self, column: str = "f_float") -> "Pipeline":
@@ -319,10 +323,42 @@ class Pipeline:
     # -------------------------------------------------------------- combine
 
     def union(self, other: "Pipeline") -> "Pipeline":
+        """Flux ``union(tables:)``.
+
+        One physical frame carries one merged ``range_bounds`` interval
+        (min start / max stop) — but stock Flux spines each table to
+        its OWN ``_stop``, so when the branches' bounds differ, each
+        side's bounds ride along as literal ``_rb_start_ns`` /
+        ``_rb_stop_ns`` columns (zero runtime cost: constants folded
+        into the scan projection). ``aggregate_window(createEmpty:)``
+        consumes them to build a per-branch spine and ``group(mode:
+        except)`` / the wire facade treat them as internals (r15 —
+        the r14 union probe got null spine windows for the shorter
+        branch beyond its own stop). Only fully int-bounded branches
+        stamp; an unbounded branch drops the mechanism for the whole
+        union (merged-bounds behavior, documented in COVERAGE.md).
+        """
+        a, b = self.range_bounds, other.range_bounds
+        ldf, rdf = self.df_, other.df_
+        both_int = all(isinstance(x, int) for x in (*a, *b))
+        carrying = "_rb_start_ns" in ldf.columns or "_rb_start_ns" in rdf.columns
+        if both_int and (a != b or carrying):
+            if "_rb_start_ns" not in ldf.columns:
+                ldf = ldf.withColumn("_rb_start_ns", F.lit(a[0])) \
+                         .withColumn("_rb_stop_ns", F.lit(a[1]))
+            if "_rb_start_ns" not in rdf.columns:
+                rdf = rdf.withColumn("_rb_start_ns", F.lit(b[0])) \
+                         .withColumn("_rb_stop_ns", F.lit(b[1]))
+        elif carrying:
+            # one side lost its bounds (no range() / open stop): the
+            # per-branch spine cannot cover it — fall back to the
+            # merged interval for every branch rather than spine some
+            # branches and not others
+            ldf = ldf.drop("_rb_start_ns", "_rb_stop_ns")
+            rdf = rdf.drop("_rb_start_ns", "_rb_stop_ns")
         return self._with(
-            self.df_.unionByName(other.df_, allowMissingColumns=True),
-            range_bounds=merge_range_bounds(self.range_bounds,
-                                            other.range_bounds),
+            ldf.unionByName(rdf, allowMissingColumns=True),
+            range_bounds=merge_range_bounds(a, b),
         )
 
     def join(self, other: "Pipeline", on: Sequence[str], how: str = "inner") -> "Pipeline":

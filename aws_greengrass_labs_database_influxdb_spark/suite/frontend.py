@@ -719,6 +719,93 @@ def flux_text_statecount(spark, sf_dir):
 
 
 @q(
+    "flux_text_rsi_last",
+    """
+    WITH d AS (
+      SELECT event_id, event_type, ts,
+             value - lag(value) OVER w AS dl,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    u AS (
+      SELECT event_id, event_type, ts, rn,
+             array_agg(CASE WHEN dl > 0.0 THEN dl ELSE 0.0 END) OVER w2 AS ups,
+             array_agg(CASE WHEN dl < 0.0 THEN -dl ELSE 0.0 END) OVER w2 AS dns
+      FROM d WHERE dl IS NOT NULL
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    r AS (
+      SELECT event_id, event_type, ts,
+        CASE WHEN list_reduce(dns, (acc, x) -> acc + (1.0/14.0) * (x - acc)) = 0.0
+             THEN 100.0
+             ELSE 100.0 - 100.0 / (1.0 +
+                    list_reduce(ups, (acc, x) -> acc + (1.0/14.0) * (x - acc))
+                  / list_reduce(dns, (acc, x) -> acc + (1.0/14.0) * (x - acc)))
+        END AS rsi,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts DESC, event_id DESC) AS rl
+      FROM u WHERE rn >= 15
+    )
+    SELECT event_type, epoch_ms(ts) AS t_ms, round(rsi, 6) AS rsi
+    FROM r WHERE rl = 1
+    """,
+)
+def flux_text_rsi_last(spark, sf_dir):
+    """relativeStrengthIndex(n:14) |> last() THROUGH THE FLUX TEXT
+    FRONTEND (r15 — the r14 verdict's lead wrong answer: the dispatch
+    arm never promoted the indicator to ``_value``, so any downstream
+    consumer silently read the RAW series). ``last()`` reads the
+    promoted ``_value``; the oracle recomputes the Wilder fold
+    (bit-exact sequential list_reduce, same as ts_rsi) and picks each
+    series' last emitted row — also pinning the r15 emission contract
+    (n warm-up rows dropped; a keep-warm-up engine would select a
+    different last row only if the tail were null, but its t_ms join
+    key pins the row identity regardless)."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> relativeStrengthIndex(n: 14) |> last()",
+    )
+    return out.select(
+        "event_type",
+        F.expr("time_ns div 1000000").alias("t_ms"),
+        F.round("f_float", 6).alias("rsi"),
+    )
+
+
+@q(
+    "flux_text_difference",
+    """
+    SELECT event_id, event_type, diff FROM (
+      SELECT event_id, event_type,
+             value - lag(value) OVER w AS diff,
+             lag(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def flux_text_difference(spark, sf_dir):
+    """difference() through the Flux text frontend — stock emission
+    (r15): ``keepFirst: false`` default drops each table's first row,
+    and the result REPLACES ``_value``. The row count (m − 1 per
+    series) is the contract the old null-first-row shape diverged
+    from on every counter dashboard."""
+    pts = events_points(spark, sf_dir)
+    out = execute_flux(
+        pts,
+        'from(bucket:"b") |> group(columns: ["event_type"])'
+        " |> difference()",
+    )
+    return out.select(
+        F.col("ingest_seq").alias("event_id"), "event_type",
+        F.col("f_float").alias("diff"),
+    )
+
+
+@q(
     "flux_join_ratio",
     """
     WITH c AS (

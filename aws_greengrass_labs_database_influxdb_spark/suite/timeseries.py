@@ -288,13 +288,18 @@ def ts_derivative(spark, sf_dir):
 @q(
     "ts_difference",
     f"""
-    SELECT event_id, event_type,
-           value - lag(value) OVER (PARTITION BY event_type ORDER BY {SQL_ORDER}) AS diff
-    FROM events
+    SELECT event_id, event_type, diff FROM (
+      SELECT event_id, event_type,
+             value - lag(value) OVER w AS diff,
+             lag(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY {SQL_ORDER}))
+    WHERE prev_ts IS NOT NULL
     """,
 )
 def ts_difference(spark, sf_dir):
-    """difference() per series (first row stays null, as Flux keepFirst)."""
+    """difference() per series — stock ``keepFirst: false`` default
+    drops each table's first row (r15: the old oracle pinned the
+    keepFirst-true shape and mislabeled it as the default)."""
     p = _pts(spark, sf_dir)
     d = ops.difference(p, by=["event_type"], order=ORDER, alias="diff")
     return d.select(F.col("ingest_seq").alias("event_id"), "event_type", "diff")
@@ -1429,15 +1434,14 @@ def ts_rsi(spark, sf_dir):
       SELECT event_id, event_type,
              list_reduce(list_prepend([seed, 0.0], pairs),
                (acc, x) -> [acc[1] + x[1] * (x[2] - acc[1]), 0.0])[1] AS kama
-      FROM f
-      UNION ALL
-      SELECT event_id, event_type, seed AS kama
-      FROM s WHERE rn = 10)
+      FROM f)
     WHERE kama IS NOT NULL
     """,
 )
 def ts_kama(spark, sf_dir):
-    """kaufmansAMA(n:10) — recursive adaptive moving average."""
+    """kaufmansAMA(n:10) — recursive adaptive moving average. The seed
+    row (rn = n) starts the recursion but is not emitted (r15, stock
+    emission: m − n rows per the Flux doc example)."""
     p = _pts(spark, sf_dir)
     k = ops.kaufmans_ama(p, 10, by=["event_type"])
     return k.filter(F.col("kama").isNotNull()).select(

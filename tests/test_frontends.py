@@ -348,12 +348,9 @@ def test_flux_text_extended_stages(pts):
     )
     assert out.count() > 0 and "f_float" in out.columns
 
-    out = execute_flux(
-        pts,
-        'from(bucket:"b") |> group(columns: ["event_type"]) |> doubleEMA(n: 5)',
-    )
-    assert out.count() > 0
-
+    # doubleEMA (and the whole TA family) has VALUE-asserting
+    # text-frontend coverage in tests/test_flux_ta_text.py (r15 — the
+    # count()>0 smoke here let the unpromoted-_value bug survive)
     out = execute_flux(
         pts,
         'from(bucket:"b") |> group(columns: ["event_type"]) |> highestAverage(n: 2)',

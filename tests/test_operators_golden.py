@@ -148,10 +148,11 @@ def test_limit_is_per_series_not_global(spark):
 def test_ema_seeds_with_sma_of_first_n(spark):
     df = mk(spark, [("a", i * S, v, i) for i, v in enumerate([2.0, 4.0, 6.0, 8.0])])
     out = ops.exponential_moving_average(df, 3, by=["series"]).orderBy("time_ns").collect()
-    assert out[0].ema is None and out[1].ema is None
-    assert out[2].ema == pytest.approx(4.0)  # SMA(2,4,6)
+    # stock emission (r15): the n−1 warm-up rows are dropped
+    assert len(out) == 2
+    assert out[0].ema == pytest.approx(4.0)  # SMA(2,4,6)
     k = 2 / (3 + 1)
-    assert out[3].ema == pytest.approx(8.0 * k + 4.0 * (1 - k))
+    assert out[1].ema == pytest.approx(8.0 * k + 4.0 * (1 - k))
 
 
 # ----------------------------------------------------------- Holt-Winters
