@@ -3687,11 +3687,13 @@ def test_flux_range_bounds_survive_variable_binding(mixed_pts):
 
 def test_flux_range_bounds_survive_union(mixed_pts):
     """r14 (r13 verdict #1, shape b): union(tables:) of two bounded
-    branches min-start/max-stop-merges the branches' range bounds onto
-    the merged Pipeline — aggregateWindow(createEmpty: true) spines
-    instead of raising. One physical frame carries one covering
-    interval, so both series spine to the later stop (documented
-    approximation; stock spines each table to its own _stop)."""
+    branches merges the branches' range bounds onto the Pipeline —
+    aggregateWindow(createEmpty: true) spines instead of raising.
+    r15 (r14 verdict #3): each branch spines to its OWN stop (stock) —
+    the per-branch bounds ride literal columns through the union, so
+    the 1h-bounded temp series gets a 2-window spine while the
+    2h-bounded status series gets 4. Deeper shapes are pinned in
+    tests/test_union_branch_spine.py."""
     out = execute_flux(
         mixed_pts,
         'a = from(bucket:"b") '
@@ -3705,7 +3707,7 @@ def test_flux_range_bounds_survive_union(mixed_pts):
     ).collect()
     st = [r for r in out if r["field"] == "status"]
     tm = [r for r in out if r["field"] == "temp"]
-    assert len(st) == 4 and len(tm) == 4  # merged (0, 2h] / 30m spine
+    assert len(st) == 4 and len(tm) == 2  # per-branch stops: 2h vs 1h
     assert all(r["ftype"] == "string" for r in st)
     assert all(r["ftype"] == "float" for r in tm)
     # a branch with no range poisons the merge → typed error, not a
