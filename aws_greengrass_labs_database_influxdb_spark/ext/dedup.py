@@ -47,21 +47,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct (id, word-n-gram shingle) rows, all JVM-side.
 
-    Two-level dedup, deliberately: ``array_distinct`` IN-ROW first
-    (one document's shingles live in one array — deduping there is
-    free map-side work and shrinks the shuffle), and the post-explode
-    ``.distinct()`` kept NOT for correctness (ids are unique per row)
-    but as a materialization point: jaccard/contamination consume this
-    frame on 2-3 plan branches, and the distinct's exchange is reused
-    across them (Spark ReusedExchange) instead of re-tokenizing the
-    corpus per branch — measured 20% faster than dropping it.
+    ``array_distinct`` IN-ROW makes the exploded rows unique already
+    (one document's shingles live in one array; ids are unique per
+    row), so the frame is map-only — no shuffle. r15: the old
+    post-explode ``.distinct()`` (a full corpus exchange keyed by
+    (id, shingle)) is gone. It existed as a cross-branch
+    materialization point for ReusedExchange, but the r14 plans show
+    the reuse never survived AQE re-planning — jaccard recomputed the
+    explode per branch anyway (3 scans in the executed plan).
+    Multi-branch consumers now materialize explicitly
+    (``ngram_jaccard_pairs``'s localCheckpoint); single-branch
+    consumers (minhash, contamination) save the exchange outright.
     """
     base = df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
     ngrams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(_toks), {n}) - {n} + 1), "
         f"i -> concat_ws(' ', slice(_toks, i, {n}))))"
     )
-    return base.select("_id", F.explode(ngrams).alias("shingle")).distinct()
+    return base.select("_id", F.explode(ngrams).alias("shingle"))
 
 
 # block size for the two-level pair explode below: per-row pair arrays
@@ -92,7 +95,20 @@ def ngram_jaccard_pairs(
     memory is O(block²), not O(freq²)); the cap remains the *CPU/pair-
     count* bound (a freq-f shingle still emits C(f,2) pairs).
     """
-    sh = _shingled(df, text_col, id_col, n)
+    # Materialize the shingle frame ONCE (r15): it feeds THREE plan
+    # branches (the frequency cap, the pair lists, the per-doc sizes),
+    # and the r14 executed plan recomputed the scan+tokenize+explode
+    # for every branch — 3 corpus passes plus 3 builds of the freq
+    # subquery (ReusedExchange never fired across the AQE-replanned
+    # subtrees). One eager localCheckpoint pins the exploded rows in
+    # executor storage (memory-and-disk, spills gracefully); every
+    # branch reads the materialized blocks. Measured 1.6× end-to-end
+    # at sf0.1 (5.4 s → 3.3 s, identical pairs). At corpus scale the
+    # checkpoint trades one distributed write of the shingle stream
+    # (~n× the text bytes, executor-local) against two extra full
+    # tokenize+explode passes — the same intermediate-materialization
+    # call as guide-style "write once, read thrice".
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")

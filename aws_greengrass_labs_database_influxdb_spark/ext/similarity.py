@@ -961,6 +961,16 @@ def random_projection(
     (``dims``×``k`` doubles — kilobytes); projection is ``k`` in-row
     ``aggregate`` folds over the vector; no shuffle, no UDF, no
     driver state — fuses into the scan at any corpus size.
+
+    r15: the ``k`` folds are generated by ONE ``transform`` lambda over
+    the output dimensions instead of ``k`` separate Column expressions.
+    With per-dimension expressions, project-collapse inlined the
+    ``dims``×``k`` matrix literal into every fold — 16 copies of a
+    1024-element nested array in the plan (104 KB formatted; measured
+    ~1 s of analysis/codegen per bench construction, 3× the query's
+    execution time). One lambda = one literal copy (12 KB plan); the
+    per-element IEEE operation sequence is unchanged, so results stay
+    bit-identical to the oracle (verified cell-exact at sf0.1).
     """
     import hashlib
     import math
@@ -978,16 +988,16 @@ def random_projection(
     )
     vec = F.col(vec_col)
 
-    def _rp(j: int) -> Column:
-        return F.aggregate(
+    rps = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.aggregate(
             F.sequence(F.lit(0), F.lit(dims - 1)),
             F.lit(0.0),
             lambda acc, i: acc
             + F.element_at(vec, i + 1).cast("double")
             * F.element_at(F.element_at(F.col("_rpm"), i + 1), j + 1),
-        )
-
-    rps = F.array(*[_rp(j) for j in range(k)])
+        ),
+    )
     return (
         df.withColumn("_rpm", mat)
         .select(id_col, F.posexplode(rps).alias("dim", "rp"))

@@ -196,14 +196,29 @@ def timed_moving_average(
 # ---------------------------------------------------------------- recursive
 
 def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
-    """Shared applyInPandas scaffold for recursive per-series transforms.
+    """Shared pandas scaffold for recursive per-series transforms.
 
     The frame is pruned to the columns the recursion actually touches
     (group key, time order, tie-break, display time, ``needed`` value
     columns) BEFORE the Arrow exchange — Catalyst cannot prune through
-    an applyInPandas whose declared schema carries every input column,
-    and shipping wide pass-through columns (e.g. a props payload)
-    through Arrow both ways dominated the runtime of the EMA family.
+    an opaque pandas stage whose declared schema carries every input
+    column, and shipping wide pass-through columns (e.g. a props
+    payload) through Arrow both ways dominated the runtime of the EMA
+    family.
+
+    r15: ``mapInPandas`` over a series-hash repartition instead of
+    ``groupBy().applyInPandas``. applyInPandas ships ONE Arrow batch
+    and one Python call PER GROUP — measured ~6 ms of per-group
+    overhead at 751 series (the skew bench: 5.8 s, of which the actual
+    fold is microseconds). One task now receives a whole partition
+    (many series), sorts it once by (series, time, tie-break), finds
+    group boundaries with one factorize pass, and runs the native fold
+    per slice — 4× end-to-end on the skew bench, bit-identical output
+    (same sort order, same per-series fold, same NaN→null warm-ups).
+    The repartition keys on the ``by`` columns with the session's
+    shuffle-partition setting (scale-adaptive, AQE-coalescible) — the
+    same hash shuffle applyInPandas performed. A single hot series
+    still lands in one task, exactly as before.
     """
     keep, seen = [], set()
     for c in [*by, time_ns, "ingest_seq", "time", *needed]:
@@ -214,16 +229,37 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_field, out_type, True)]
     )
+    by = list(by)
 
-    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _apply(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
         # total order: ingest_seq tie-break keeps recursions stable when
         # two points share a timestamp (same rule as the window family)
         keys = [time_ns] + (["ingest_seq"] if "ingest_seq" in pdf.columns else [])
-        pdf = pdf.sort_values(keys).reset_index(drop=True)
-        pdf[out_field] = fn(pdf)
-        return pdf
+        pdf = pdf.sort_values(by + keys, kind="mergesort").reset_index(drop=True)
+        vals = np.full(len(pdf), np.nan)
+        if not by:  # ungrouped: one global series (old groupBy() shape)
+            codes = np.zeros(len(pdf), dtype=np.int64)
+        elif len(by) == 1:
+            codes, _ = pd.factorize(pdf[by[0]], use_na_sentinel=False)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(pdf[by]), use_na_sentinel=False
+            )
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = pdf.iloc[s:e].reset_index(drop=True)
+            vals[s:e] = np.asarray(fn(g), dtype=float)
+        pdf[out_field] = vals
+        yield pdf
 
-    return df.groupBy(*by).applyInPandas(_apply, schema=schema)
+    parts = [F.col(c) for c in by] or [F.lit(1)]
+    return df.repartition(*parts).mapInPandas(_apply, schema=schema)
 
 
 def exponential_moving_average(

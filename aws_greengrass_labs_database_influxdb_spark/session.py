@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(8 * int(cpus) if str(cpus).isdigit() else 256))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # r15: let the advisory size actually govern coalescing. With
+        # the default parallelismFirst=true, AQE only shrinks to
+        # defaultParallelism and ignores the advisory target — small
+        # shuffles ran all 8×CPUs initial partitions (observed: 256
+        # near-empty tasks per stage at bench scale; ~6% of the bench
+        # was task-launch overhead). false is the setting the Spark
+        # tuning docs themselves recommend; at corpus scale the 8 MiB
+        # advisory yields far more partitions than cores, so cluster
+        # parallelism is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
