@@ -6,8 +6,9 @@ All closed-form transforms are Spark window functions over
 ``partitionBy(series).orderBy(time)`` — one shuffle on the series key,
 then whole-stage codegen. Only the genuinely recursive family
 (EMA/double/triple EMA, Holt-Winters, KAMA, RSI's smoothed variant)
-drops to ``applyInPandas`` per series — Arrow-batched, parallel across
-series, which is the natural unit of parallelism for these.
+drops to a pandas fold per series (``mapInPandas`` over a series-hash
+repartition since r15 — Arrow-batched, parallel across partitions,
+many series folded per task).
 """
 
 from __future__ import annotations
@@ -275,7 +276,8 @@ def exponential_moving_average(
 
     EMA_t = EMA_{t−1} + k·(v_t − EMA_{t−1}), k = 2/(n+1); seeded with
     the SMA of the first n points (InfluxDB semantics). Recursive →
-    applyInPandas per series; the arithmetic is an explicit sequential
+    a pandas fold per series (the shared mapInPandas scaffold); the
+    arithmetic is an explicit sequential
     fold (seed = sequential sum / n) so the DuckDB oracle can reproduce
     it bit-for-bit with ``list_reduce`` — see suite/timeseries.EMA_SQL.
 

@@ -177,8 +177,10 @@ def bench_skew_window(spark, sf_dir):
     spread across per-user series. Runs BOTH skew-sensitive families
     over it: the windowed aggregation (hash key salted by window start
     — the hot series splits across time, SCALE.md §windows) and the
-    recursive EMA (applyInPandas: one group carries half the corpus —
-    the sequential-recurrence worst case). Returns one row per family
+    recursive EMA (pandas fold: one series carries half the corpus —
+    the sequential-recurrence worst case; since r15 the mapInPandas
+    scaffold folds the 750 cold series batched per task while the hot
+    series still lands in one task). Returns one row per family
     per series bucket so the timed body covers both executions."""
     from ..operators.analytics import exponential_moving_average
     from ..operators.windows import aggregate_window

@@ -1774,21 +1774,32 @@ def bench_mixed_union_selectors(spark, sf_dir):
                     catalog={"events": {"value": "float",
                                         "status": "string",
                                         "flag": "bool"}})
-    pre = (
+    # r15: ONE script with two yields instead of two execute_flux
+    # calls. The shared `base` binding is parsed and built once (the
+    # r14 shape re-parsed the script and rebuilt the whole
+    # union+window pipeline per selector — double the py4j plan
+    # construction and two independent subtrees for the physical
+    # planner), and Spark's exchange reuse shares the aggregateWindow
+    # shuffle between the min and max branches. Same scripts, same
+    # rows (verified identical at sf0.1); measured 3.3 s → 2.3 s.
+    script = (
         'a = from(bucket:"b") |> filter(fn: (r) => r._field == "status")\n'
         'b = from(bucket:"b") |> filter(fn: (r) => r._field == "value")\n'
         "base = union(tables: [a, b]) "
         "|> range(start: 2024-01-01T00:00:00Z, stop: 2024-02-01T00:00:00Z) "
         '|> group(columns: ["event_type", "_field"]) '
         "|> aggregateWindow(every: 1h, fn: last, createEmpty: true)\n"
+        'base |> min() |> yield(name: "mn")\n'
+        'base |> max() |> yield(name: "mx")'
     )
+    from ..frontends import execute_flux_multi
+
+    outs = execute_flux_multi(pts, script)
     sel = lambda df, op: df.select(  # noqa: E731
         F.lit(op).alias("op"), F.col("event_type"), F.col("field"),
         F.col("f_str").alias("sval"), F.col("f_float").alias("fval"),
     )
-    mn = execute_flux(pts, pre + "base |> min()")
-    mx = execute_flux(pts, pre + "base |> max()")
-    return sel(mn, "min").unionByName(sel(mx, "max"))
+    return sel(outs["mn"], "min").unionByName(sel(outs["mx"], "max"))
 
 
 @q(

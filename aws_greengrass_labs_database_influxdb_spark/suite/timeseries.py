@@ -1246,8 +1246,9 @@ EMA_SQL = f"""
 
 @q("ts_ema", EMA_SQL)
 def ts_ema(spark, sf_dir):
-    """exponentialMovingAverage(n:10) — recursive, applyInPandas per
-    series; oracled via DuckDB sequential-fold (see EMA_SQL)."""
+    """exponentialMovingAverage(n:10) — recursive pandas fold per
+    series (mapInPandas scaffold since r15); oracled via DuckDB
+    sequential-fold (see EMA_SQL)."""
     p = _pts(spark, sf_dir)
     e = ops.exponential_moving_average(p, 10, by=["event_type"])
     return e.filter(F.col("ema").isNotNull()).select(
