@@ -94,6 +94,39 @@ def test_ngram_uncapped_all_docs_shingle_is_memory_safe(spark):
     assert capped == {(1000, 1001)}
 
 
+def test_ngram_cap_antijoin_paths(spark, monkeypatch):
+    """r15: the freq cap executes as an anti-join against the HOT
+    (freq > cap) shingle set. Pin the branch structure directly:
+    (a) empty hot set → the join is SKIPPED and the capped output is
+    identical to the uncapped one (anti-join against ∅ is the
+    identity); (b) forcing the shuffled fallback (hot set "too big to
+    broadcast") must produce the same pairs as the broadcast path."""
+    import aws_greengrass_labs_database_influxdb_spark.ext.dedup as dd
+
+    rows = [(100, "lorem ipsum shared tail of nearly identical text"),
+            (101, "lorem ipsum shared tail of nearly identical text"),
+            (102, "completely different content about columnar engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # (a) no shingle is in >10 docs here → hot set empty → identity
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_freq=10)
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_freq=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+    assert "LeftAnti" not in capped._jdf.queryExecution().executedPlan().toString()
+
+    # (b) hot set non-empty: broadcast vs forced-shuffled fallback agree
+    hot = "lorem ipsum dolor"
+    rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}") for i in range(40)]
+    rows += [(100, f"{hot} shared tail of nearly identical text"),
+             (101, f"{hot} shared tail of nearly identical text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bcast = {(r.a, r.b) for r in ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
+    monkeypatch.setattr(dd, "_HOT_BROADCAST_MAX", 0)
+    shuffled = {(r.a, r.b) for r in ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
+    assert bcast == shuffled == {(100, 101)}
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """A-B and B-C pairs must land A, B, C in ONE cluster labeled by
     the min id — multi-hop propagation, not just direct pairs."""
