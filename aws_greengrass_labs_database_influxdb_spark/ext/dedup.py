@@ -100,54 +100,57 @@ def ngram_jaccard_pairs(
     memory-safe at any skew since the r6 block pair explode (per-row
     memory is O(block²), not O(freq²)); the cap remains the *CPU/pair-
     count* bound (a freq-f shingle still emits C(f,2) pairs).
+
+    Input contract: ``id_col`` must be unique per input row — shingle
+    frequencies and per-doc sizes count (id, shingle) pairs directly
+    (duplicate ids would double-count; dedupe upstream).
+
+    Eagerness (r16): with ``max_shingle_freq`` set, constructing the
+    DataFrame runs ONE bounded Spark job (the hot-set count that picks
+    the cap-join strategy at plan time); the shingle frame itself is a
+    lineage-preserving ``persist(MEMORY_AND_DISK)`` — an executor loss
+    recomputes the lost blocks instead of failing the query (the r15
+    ``localCheckpoint`` pinned lineage-free blocks: cheaper locally,
+    fatal mid-query at cluster scale).
     """
-    # Materialize the shingle frame ONCE (r15): it feeds THREE plan
-    # branches (the frequency cap, the pair lists, the per-doc sizes),
-    # and the r14 executed plan recomputed the scan+tokenize+explode
-    # for every branch — 3 corpus passes plus 3 builds of the freq
-    # subquery (ReusedExchange never fired across the AQE-replanned
-    # subtrees). One eager localCheckpoint pins the exploded rows in
-    # executor storage (memory-and-disk, spills gracefully); every
-    # branch reads the materialized blocks. Measured 1.6× end-to-end
-    # at sf0.1 (5.4 s → 3.3 s, identical pairs). At corpus scale the
-    # checkpoint trades one distributed write of the shingle stream
-    # (~n× the text bytes, executor-local) against two extra full
-    # tokenize+explode passes — the same intermediate-materialization
-    # call as guide-style "write once, read thrice".
-    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=True)
+    # Cache the shingle frame ONCE: it feeds THREE plan branches (the
+    # frequency cap, the pair lists, the per-doc sizes), and the r14
+    # executed plan recomputed the scan+tokenize+explode for every
+    # branch — 3 corpus passes plus 3 builds of the freq subquery
+    # (ReusedExchange never fired across the AQE-replanned subtrees).
+    # r16: persist(MEMORY_AND_DISK) + ONE count replaces r15's two
+    # eager localCheckpoints + count — same single-materialization
+    # plan shape, minus one full pass over the pinned blocks, minus
+    # two job launches, and the cached blocks keep their lineage.
+    sh = _shingled(df, text_col, id_col, n).persist()
     if max_shingle_freq is not None:
-        # r15: the cap is an ANTI-join against the HOT set
-        # ({shingle: freq > cap}) instead of a semi-join against the
-        # <=cap set. Row-for-row equivalent: every shingle of ``sh``
+        # The cap is an ANTI-join against the HOT set ({shingle:
+        # freq > cap}) instead of a semi-join against the <=cap set
+        # (r15). Row-for-row equivalent: every shingle of ``sh``
         # appears in the frequency table derived from ``sh`` itself,
         # and shingles are never null (concat_ws output), so
         # "not in the >cap set" == "in the <=cap set". What flips is
         # the join's SMALL side: the <=cap set is nearly the whole
         # shingle dictionary (grows with corpus vocabulary —
-        # unbroadcastable at scale), and the executed r15 plan rebuilt
-        # its aggregation once per consumer branch (3 full passes over
-        # the pinned shingle blocks + 3 dictionary broadcasts). The
-        # hot set is structurally bounded at rows/cap keys, computed
-        # ONCE into its own eager checkpoint; each branch's anti-join
-        # rebuild only re-broadcasts tiny pinned blocks. Fingerprinted
-        # plan: 12 -> 6 shuffles, 60 -> 32 nodes at sf0.1 (the hot set
-        # is empty there, so the cap join vanishes outright); pair set
-        # verified byte-identical at sf0.1/sf1/sf3.
+        # unbroadcastable at scale) while the hot set is structurally
+        # bounded at rows/cap keys. ``hot`` is persisted (not
+        # checkpointed) and materialized by the SAME count job that
+        # populates the ``sh`` cache — one construction job total.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_shingle_freq)
             .select("shingle")
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        # Bounded plan-time job over already-pinned blocks (same class
-        # as the eager checkpoint itself). Pick the join strategy
-        # deliberately: skip the join when no shingle exceeds the cap
-        # (the common case — anti-join against the empty set is the
-        # identity), broadcast while the hot set fits (a few million
-        # keys ~ low hundreds of MB), and fall back to a shuffled
-        # anti-join only in the pathological every-shingle-hot corpus
-        # where a broadcast would OOM the executors.
+        # Bounded plan-time job (the hot set is ≤ rows/cap keys). Pick
+        # the join strategy deliberately: skip the join when no shingle
+        # exceeds the cap (the common case — anti-join against the
+        # empty set is the identity), broadcast while the hot set fits
+        # (a few million keys ~ low hundreds of MB), and fall back to
+        # a shuffled anti-join only in the pathological
+        # every-shingle-hot corpus where a broadcast would OOM the
+        # executors.
         n_hot = hot.count()
         if n_hot:
             right = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot

@@ -212,14 +212,26 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
     and one Python call PER GROUP — measured ~6 ms of per-group
     overhead at 751 series (the skew bench: 5.8 s, of which the actual
     fold is microseconds). One task now receives a whole partition
-    (many series), sorts it once by (series, time, tie-break), finds
-    group boundaries with one factorize pass, and runs the native fold
-    per slice — 4× end-to-end on the skew bench, bit-identical output
-    (same sort order, same per-series fold, same NaN→null warm-ups).
-    The repartition keys on the ``by`` columns with the session's
-    shuffle-partition setting (scale-adaptive, AQE-coalescible) — the
-    same hash shuffle applyInPandas performed. A single hot series
-    still lands in one task, exactly as before.
+    (many series), finds group boundaries with one factorize pass, and
+    runs the native fold per slice — 4× end-to-end on the skew bench,
+    bit-identical output (same sort order, same per-series fold, same
+    NaN→null warm-ups). The repartition keys on the ``by`` columns
+    with the session's shuffle-partition setting (scale-adaptive,
+    AQE-coalescible) — the same hash shuffle applyInPandas performed.
+    A single hot series still lands in one task, exactly as before.
+
+    r16: the (series, time, tie-break) sort runs JVM-side
+    (``sortWithinPartitions`` — codegen radix sort on the shuffled
+    rows) instead of a pandas mergesort of the whole partition; rows
+    arrive in fold order and Python only concatenates and slices. The
+    r15 pandas sort was the measured single-series regression
+    (ts_ema −16%). Same total order, bit-identical output.
+
+    Memory bound: one task holds its whole hash PARTITION as a single
+    pandas frame (bounded by the AQE advisory partition size), not one
+    group — a skewed series key still lands the entire hot series in
+    one frame, exactly as applyInPandas did. ``out_type`` must be a
+    DoubleType: the fold writes float64 (NaN = warm-up null).
     """
     keep, seen = [], set()
     for c in [*by, time_ns, "ingest_seq", "time", *needed]:
@@ -231,6 +243,9 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
         df.schema.fields + [T.StructField(out_field, out_type, True)]
     )
     by = list(by)
+    # total order: ingest_seq tie-break keeps recursions stable when
+    # two points share a timestamp (same rule as the window family)
+    sort_keys = [time_ns] + (["ingest_seq"] if "ingest_seq" in df.columns else [])
 
     def _apply(batches):
         pdfs = list(batches)
@@ -239,10 +254,6 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         if not len(pdf):
             return
-        # total order: ingest_seq tie-break keeps recursions stable when
-        # two points share a timestamp (same rule as the window family)
-        keys = [time_ns] + (["ingest_seq"] if "ingest_seq" in pdf.columns else [])
-        pdf = pdf.sort_values(by + keys, kind="mergesort").reset_index(drop=True)
         vals = np.full(len(pdf), np.nan)
         if not by:  # ungrouped: one global series (old groupBy() shape)
             codes = np.zeros(len(pdf), dtype=np.int64)
@@ -260,7 +271,11 @@ def _per_series_pandas(df, by, time_ns, out_field, out_type, fn, needed=()):
         yield pdf
 
     parts = [F.col(c) for c in by] or [F.lit(1)]
-    return df.repartition(*parts).mapInPandas(_apply, schema=schema)
+    return (
+        df.repartition(*parts)
+        .sortWithinPartitions(*by, *sort_keys)
+        .mapInPandas(_apply, schema=schema)
+    )
 
 
 def exponential_moving_average(
@@ -619,15 +634,32 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
     emit the in-sample one-step-ahead predictions at each input
     timestamp the recursion predicts (index ≥ 1 non-seasonal, ≥ s
     seasonal), ahead of the n forecast rows.
+
+    r16: partition-batched ``mapInPandas`` over a series-hash
+    repartition (the ``_per_series_pandas`` scaffold shape) instead of
+    ``groupBy().applyInPandas`` — one Arrow exchange and one Python
+    call per PARTITION, not per series, and the frame is pruned to the
+    four columns the recursion reads before the exchange (the old path
+    shipped every input column — including wide payloads like
+    ``props`` — through Arrow both ways). Rows arrive pre-sorted by
+    (series, time, tie-break) via a JVM ``sortWithinPartitions``;
+    per-series forecasts are bit-identical.
     """
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType, True) for c in by]
         + [T.StructField("time_ns", T.LongType()), T.StructField("hw", T.DoubleType())]
     )
+    keep, seen = [], set()
+    for c in [*by, time_ns, "ingest_seq", value]:
+        if c in df.columns and c not in seen:
+            keep.append(c)
+            seen.add(c)
+    df = df.select(*keep)
+    by = list(by)
+    sort_keys = [time_ns] + (["ingest_seq"] if "ingest_seq" in df.columns else [])
 
     def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys_sort = [time_ns] + (["ingest_seq"] if "ingest_seq" in pdf.columns else [])
-        pdf = pdf.sort_values(keys_sort)
+        # rows arrive sorted by (by, time_ns, ingest_seq) — JVM sort
         v = pdf[value].astype(float).to_numpy()
         keys = {c: pdf[c].iloc[0] for c in by}
         m = len(v)
@@ -712,7 +744,38 @@ def holt_winters(df, n, interval_seconds, seasonality=0, value="f_float",
         ]
         return pd.DataFrame(rows)
 
-    return df.groupBy(*by).applyInPandas(_hw, schema=out_schema)
+    out_cols = [*by, "time_ns", "hw"]
+
+    def _apply(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        if not by:
+            codes = np.zeros(len(pdf), dtype=np.int64)
+        elif len(by) == 1:
+            codes, _ = pd.factorize(pdf[by[0]], use_na_sentinel=False)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(pdf[by]), use_na_sentinel=False
+            )
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+        outs = [
+            _hw(pdf.iloc[s:e].reset_index(drop=True))
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = [o for o in outs if len(o)]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    parts = [F.col(c) for c in by] or [F.lit(1)]
+    return (
+        df.repartition(*parts)
+        .sortWithinPartitions(*by, *sort_keys)
+        .mapInPandas(_apply, schema=out_schema)
+    )
 
 
 # ---------------------------------------------------------------- state

@@ -72,9 +72,18 @@ def pandas_fold(
     step: Callable[[dict, dict], dict],
     schema_hint: str | None = None,
 ) -> DataFrame:
-    """General fold via ``applyInPandas``: rows of each group are
-    sorted by ``order`` and folded sequentially through ``step(acc,
-    row_dict) -> new_acc``. One output row per group."""
+    """General fold: rows of each group are sorted by ``order`` and
+    folded sequentially through ``step(acc, row_dict) -> new_acc``.
+    One output row per group.
+
+    r16: partition-batched ``mapInPandas`` over a group-key
+    repartition (the same scaffold shape as the recursive TA family)
+    instead of ``groupBy().applyInPandas`` — one Arrow exchange and
+    one Python call per PARTITION rather than per group, with the
+    (group, order) sort run JVM-side. Same shuffle, same per-group
+    fold, same output rows.
+    """
+    import numpy as np
     import pandas as pd
 
     by = list(by)
@@ -89,11 +98,15 @@ def pandas_fold(
         )
         schema_hint = ", ".join(x for x in (fields, acc_fields) if x)
 
+    from pyspark.sql import types as T
+
     ident = dict(identity)
+    # emitted frames are reindexed to the declared schema's field order
+    # (mapInPandas assigns positionally, unlike applyInPandas' by-name)
+    out_cols = [f.name for f in T.StructType.fromDDL(schema_hint)]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        if order:
-            pdf = pdf.sort_values(order, kind="mergesort")
+        # rows arrive pre-sorted by (by, order) — JVM sortWithinPartitions
         acc = dict(ident)
         for row in pdf.itertuples(index=False):
             acc = step(acc, row._asdict())
@@ -101,15 +114,33 @@ def pandas_fold(
         out.update({k: [v] for k, v in acc.items()})
         return pd.DataFrame(out)
 
-    if by:
-        return df.groupBy(*by).applyInPandas(fold, schema=schema_hint)
-    # no group key: single global fold — tiny by construction, but the
-    # single-partition sort is explicit (Flux ungrouped reduce is one table)
-    return (
-        df.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(lambda p: fold(p.drop(columns=["_g"])), schema=schema_hint)
-    )
+    def _apply(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        if not by:
+            codes = np.zeros(len(pdf), dtype=np.int64)
+        elif len(by) == 1:
+            codes, _ = pd.factorize(pdf[by[0]], use_na_sentinel=False)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(pdf[by]), use_na_sentinel=False
+            )
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+        outs = [
+            fold(pdf.iloc[s:e].reset_index(drop=True))
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
+        yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    parts = [F.col(c) for c in by] or [F.lit(1)]
+    out = df.repartition(*parts)
+    if by or order:
+        out = out.sortWithinPartitions(*by, *order)
+    return out.mapInPandas(_apply, schema=schema_hint)
 
 
 # ---------------------------------------------------------------------------
