@@ -80,6 +80,7 @@ _PAIR_BLOCK = 256
 _HOT_BROADCAST_MAX = 4_000_000
 
 
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -111,17 +112,23 @@ def ngram_jaccard_pairs(
     lineage-preserving ``persist(MEMORY_AND_DISK)`` — an executor loss
     recomputes the lost blocks instead of failing the query (the r15
     ``localCheckpoint`` pinned lineage-free blocks: cheaper locally,
-    fatal mid-query at cluster scale).
+    fatal mid-query at cluster scale). A fully lazy variant (no
+    caches, AQE-decided cap join) was measured SLOWER even at sf0.1
+    (4.32 vs 3.34 same-window best) — each consumer branch re-runs the
+    explode and the freq aggregation — so materialization is
+    unconditional.
     """
-    # Cache the shingle frame ONCE: it feeds THREE plan branches (the
-    # frequency cap, the pair lists, the per-doc sizes), and the r14
-    # executed plan recomputed the scan+tokenize+explode for every
-    # branch — 3 corpus passes plus 3 builds of the freq subquery
-    # (ReusedExchange never fired across the AQE-replanned subtrees).
-    # r16: persist(MEMORY_AND_DISK) + ONE count replaces r15's two
-    # eager localCheckpoints + count — same single-materialization
-    # plan shape, minus one full pass over the pinned blocks, minus
-    # two job launches, and the cached blocks keep their lineage.
+    # The shingle frame feeds THREE plan branches (the frequency cap,
+    # the pair lists, the per-doc sizes) and the r14 executed plan
+    # recomputed the scan+tokenize+explode for every branch — 3 corpus
+    # passes plus 3 builds of the freq subquery (ReusedExchange never
+    # fired across the AQE-replanned subtrees). r16:
+    # persist(MEMORY_AND_DISK) + ONE count replaces r15's two eager
+    # localCheckpoints + count — same single-materialization plan
+    # shape, minus one full pass over the pinned blocks, minus two job
+    # launches; the cached blocks keep their lineage, and column
+    # pruning / whole-stage codegen reach the parquet scan again
+    # (localCheckpoint's RDD boundary blocked both).
     sh = _shingled(df, text_col, id_col, n).persist()
     if max_shingle_freq is not None:
         # The cap is an ANTI-join against the HOT set ({shingle:
@@ -133,9 +140,7 @@ def ngram_jaccard_pairs(
         # the join's SMALL side: the <=cap set is nearly the whole
         # shingle dictionary (grows with corpus vocabulary —
         # unbroadcastable at scale) while the hot set is structurally
-        # bounded at rows/cap keys. ``hot`` is persisted (not
-        # checkpointed) and materialized by the SAME count job that
-        # populates the ``sh`` cache — one construction job total.
+        # bounded at rows/cap keys.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
@@ -143,19 +148,23 @@ def ngram_jaccard_pairs(
             .select("shingle")
             .persist()
         )
-        # Bounded plan-time job (the hot set is ≤ rows/cap keys). Pick
-        # the join strategy deliberately: skip the join when no shingle
-        # exceeds the cap (the common case — anti-join against the
-        # empty set is the identity), broadcast while the hot set fits
-        # (a few million keys ~ low hundreds of MB), and fall back to
-        # a shuffled anti-join only in the pathological
-        # every-shingle-hot corpus where a broadcast would OOM the
-        # executors.
+        # Bounded plan-time job (the hot set is ≤ rows/cap keys); the
+        # same job populates the ``sh`` cache. Pick the join strategy
+        # deliberately: skip the join when no shingle exceeds the cap
+        # (the common case — anti-join against the empty set is the
+        # identity), broadcast while the hot set fits (a few million
+        # keys ~ low hundreds of MB), and fall back to a shuffled
+        # anti-join only in the pathological every-shingle-hot corpus
+        # where a broadcast would OOM the executors.
         n_hot = hot.count()
         if n_hot:
             right = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot
             sh = sh.join(right, "shingle", "left_anti")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    # the per-doc size table feeds BOTH pair-side joins (a and b) and
+    # AQE's per-subtree replanning defeats ReusedExchange (the r14
+    # lesson) — without the cache the corpus-sized aggregation runs
+    # twice. One row per doc, MEMORY_AND_DISK, lineage kept.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")).persist()
     # pair generation WITHOUT a two-sided self-join: group each shingle's
     # doc ids into one sorted list and explode the (a < b) combinations
     # JVM-side. Same pair stream as a self-join, one fewer full shuffle

@@ -667,16 +667,24 @@ def dsir_importance(
     )
     from pyspark.sql import Window as W
 
-    # Explicit (vacuously-true) null guard: the broadcast join below
-    # infers isnotnull(bucket) and pushes it below the aggregate on one
-    # branch only, which de-canonicalizes the two doc_bucket subtrees
-    # and defeats ReuseExchange — the corpus-sized explode+md5+partial
-    # aggregate would run TWICE. With the filter present on both
-    # branches the shuffle is computed once and reused (verified:
-    # ReusedExchange in the executed plan).
-    grams = grams.filter(F.col("bucket").isNotNull())
-    doc_bucket = grams.groupBy(id_col, "_is_target", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # The compact per-(doc, bucket) aggregate feeds TWO consumers (the
+    # bucket weight table and the final per-doc sum). r15 shared the
+    # corpus-sized explode between them via ReuseExchange, propped up
+    # by a vacuously-true isnotnull(bucket) filter that kept both
+    # subtrees canonically equal — but that guard made whole-stage
+    # codegen evaluate the md5/conv/pmod chain TWICE per gram row
+    # (once in the Filter, once in the Project; cross-operator CSE
+    # does not fire — verified in the generated code: filter_value_*
+    # and project_value_* both call NumberConverter.convert). r16:
+    # persist the aggregate instead — one corpus pass, ONE hash per
+    # gram row, no guard needed (cache lookup doesn't care about
+    # constraint-inference asymmetry), lineage kept. The cached frame
+    # is post-aggregation (≤ docs × dim rows of 4 narrow columns) —
+    # far smaller than the gram stream it replaces.
+    doc_bucket = (
+        grams.groupBy(id_col, "_is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     counts = doc_bucket.groupBy("bucket").agg(
         F.sum("n").alias("cr"),
@@ -906,37 +914,31 @@ def logreg_quality_train(
 
     w = [0.0, 0.0, 0.0, 0.0]  # alpha, stop, distinct, bias
     rows = []
-    # Weights enter each pass as a 1-row BROADCAST frame, not plan
-    # literals (r10): literal weights change every iteration, so every
-    # pass paid a fresh Catalyst plan + whole-stage codegen JIT (~1 s
-    # each — over half the query's wall time at bench scale). With
-    # parameter columns the generated code is byte-identical across
-    # passes and the codegen cache hits; the per-pass cost is one
-    # 1-row broadcast. Arithmetic is unchanged (same IEEE operand
-    # values, same expression tree), so the chained-CTE oracle replay
-    # stays bit-exact.
-    from pyspark.sql import types as T
-
-    spark_w = df.sparkSession
-    wschema = T.StructType.fromDDL(
-        "_pw1 double, _pw2 double, _pw3 double, _pw4 double"
-    )
+    # Weights enter each pass as ONE ArrayType literal (r16). The r10
+    # scalar-literal form recompiled whole-stage codegen every pass
+    # (distinct doubles inlined into the generated source, ~1 s JIT
+    # each); the r11 fix routed weights through a 1-row broadcast
+    # frame, which kept the codegen cache warm but paid a
+    # BroadcastExchange + BroadcastNestedLoopJoin per pass. A
+    # non-primitive literal gets emitted through the codegen
+    # `references` array — the generated source is byte-identical
+    # across passes (cache hits) while the VALUES ride outside the
+    # source, so the pass is a bare aggregate over the cached feature
+    # frame: no broadcast, no join, ~10 jobs per train instead of 15
+    # (measured 3.5-3.9 s → 0.9-1.5 s warm, weights bit-identical —
+    # same IEEE operand values in the same order, so the chained-CTE
+    # oracle replay stays bit-exact).
     for t in range(1, iters + 1):
-        # plain local-list createDataFrame → LocalRelation: the
-        # broadcast materializes driver-side with ZERO tasks (r11;
-        # the previous parallelize(…, 1) made every pass pay one extra
-        # single-task broadcast job before the aggregate job)
-        wdf = spark_w.createDataFrame([tuple(w)], wschema)
-        it_frame = feats.crossJoin(F.broadcast(wdf))
+        warr = F.lit(w)
         z = (
-            F.col("_pw1") * F.col("_x1")
-            + F.col("_pw2") * F.col("_x2")
-            + F.col("_pw3") * F.col("_x3")
-            + F.col("_pw4")
+            warr[0] * F.col("_x1")
+            + warr[1] * F.col("_x2")
+            + warr[2] * F.col("_x3")
+            + warr[3]
         )
         p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), 0.25 * z + 0.5))
         err = p - F.col("_y")
-        agg = it_frame.agg(
+        agg = feats.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_q(err * F.col("_x1"))).cast("double").alias("g1"),
             F.sum(_q(err * F.col("_x2"))).cast("double").alias("g2"),

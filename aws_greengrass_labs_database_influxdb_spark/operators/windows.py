@@ -713,19 +713,20 @@ def interpolate_linear(
     )
     v, t = F.col(value), F.col(time_ns)
     obs_t = F.when(v.isNotNull(), t)
-    # materialize the four bracket columns ONCE: referencing the raw
-    # window expressions from the lerp CASE made Catalyst extract a
-    # fresh window expression per reference — the r15 plan ran TEN
-    # running-last() accumulators (7 asc + 3 desc) where four suffice
-    # (r16; same IEEE values, the lerp arithmetic is untouched)
-    bracketed = (
-        unioned.withColumn("_pv", F.last(v, ignorenulls=True).over(wp))
-        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(wp))
-        .withColumn("_nv", F.last(v, ignorenulls=True).over(wn))
-        .withColumn("_nt", F.last(obs_t, ignorenulls=True).over(wn))
-    )
-    prev_v, prev_t = F.col("_pv"), F.col("_pt")
-    next_v, next_t = F.col("_nv"), F.col("_nt")
+    # NOTE (r16, measured and left as-is): referencing the raw window
+    # expressions from the lerp CASE makes Catalyst extract TEN
+    # running-last() accumulators (7 asc + 3 desc) where four would
+    # suffice — but the four-bracket-column rewrite (materialize
+    # _pv/_pt/_nv/_nt once, reference as columns) measured ~15% SLOWER
+    # in a same-session interleaved A/B (best 0.59 vs 0.73 s at sf0.1,
+    # 3 of 4 rounds, rows identical): the extra projections and the
+    # wider rows carried between the two window sorts cost more than
+    # the redundant accumulators, each of which only tracks one
+    # last-seen value.
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.last(v, ignorenulls=True).over(wn)
+    next_t = F.last(obs_t, ignorenulls=True).over(wn)
     lerp = (
         F.when(v.isNotNull(), v)
         .when(prev_t == t, prev_v)  # exact hit: grid row takes the real value
@@ -735,10 +736,10 @@ def interpolate_linear(
         )
     )
     return (
-        bracketed.withColumn(value, lerp)
+        unioned.withColumn(value, lerp)
         .filter(F.col("_grid") == 1)
         .filter(F.col(value).isNotNull())
-        .drop("_grid", "_pv", "_pt", "_nv", "_nt")
+        .drop("_grid")
         .withColumn("time", F.timestamp_micros(ns_to_us(F.col(time_ns))))
     )
 

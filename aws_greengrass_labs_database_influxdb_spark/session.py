@@ -60,6 +60,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # r16: skip PySpark's per-Column-call origin capture. With the
+        # default (true), EVERY wrapped Column operation pays a Python
+        # stack walk plus THREE extra py4j round trips (conf.get +
+        # PySparkCurrentOrigin.set/clear, ~0.2 ms each here) purely to
+        # enrich error messages with the user-code line; measured
+        # 10.5 s → 8.6 s of DataFrame-construction time across the
+        # bench's 39 construct-timed queries (both A/B orders). Driver-
+        # side and master-independent — not a local-mode tune. Flip to
+        # true (extra_conf) when debugging a query's error context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
