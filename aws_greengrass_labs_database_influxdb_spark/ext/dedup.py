@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ..session import fresh_persist
+
 
 def _normalized(text: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
@@ -128,8 +130,10 @@ def ngram_jaccard_pairs(
     # shape, minus one full pass over the pinned blocks, minus two job
     # launches; the cached blocks keep their lineage, and column
     # pruning / whole-stage codegen reach the parquet scan again
-    # (localCheckpoint's RDD boundary blocked both).
-    sh = _shingled(df, text_col, id_col, n).persist()
+    # (localCheckpoint's RDD boundary blocked both). fresh_persist
+    # evicts any entry a previous construction left, so every
+    # construction recomputes from the source (no cross-run cache).
+    sh = fresh_persist(_shingled(df, text_col, id_col, n))
     if max_shingle_freq is not None:
         # The cap is an ANTI-join against the HOT set ({shingle:
         # freq > cap}) instead of a semi-join against the <=cap set
@@ -141,12 +145,11 @@ def ngram_jaccard_pairs(
         # shingle dictionary (grows with corpus vocabulary —
         # unbroadcastable at scale) while the hot set is structurally
         # bounded at rows/cap keys.
-        hot = (
+        hot = fresh_persist(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_shingle_freq)
             .select("shingle")
-            .persist()
         )
         # Bounded plan-time job (the hot set is ≤ rows/cap keys); the
         # same job populates the ``sh`` cache. Pick the join strategy
@@ -164,7 +167,7 @@ def ngram_jaccard_pairs(
     # AQE's per-subtree replanning defeats ReusedExchange (the r14
     # lesson) — without the cache the corpus-sized aggregation runs
     # twice. One row per doc, MEMORY_AND_DISK, lineage kept.
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")).persist()
+    sizes = fresh_persist(sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
     # pair generation WITHOUT a two-sided self-join: group each shingle's
     # doc ids into one sorted list and explode the (a < b) combinations
     # JVM-side. Same pair stream as a self-join, one fewer full shuffle
@@ -302,10 +305,12 @@ def minhash_lsh_pairs(
     # (banding + two post-candidate re-joins) — one shingle pass total.
     # At corpus scale this table is num_docs × (8·num_hashes) bytes;
     # memory-and-disk persistence spills gracefully.
-    sig = (
+    # fresh_persist (r16): evict any entry a previous construction of
+    # the same plan left in the CacheManager — each construction
+    # recomputes the signatures from the source (no cross-run cache).
+    sig = fresh_persist(
         minhash_signatures(df, n, num_hashes, text_col, id_col, hash_mode)
         .select(id_col, F.array(*mh_cols).alias("sig"))
-        .persist()
     )
 
     def _band_key(b: int):

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..session import fresh_persist
+
 # Tiny per-language marker lexicons (n-gram heuristic stand-in). The
 # marker hit-count per language is the score; argmax (ties → language
 # name order) is the prediction.
@@ -681,10 +683,11 @@ def dsir_importance(
     # constraint-inference asymmetry), lineage kept. The cached frame
     # is post-aggregation (≤ docs × dim rows of 4 narrow columns) —
     # far smaller than the gram stream it replaces.
-    doc_bucket = (
+    # fresh_persist evicts any entry a previous construction left, so
+    # every construction recomputes from the source (no cross-run cache).
+    doc_bucket = fresh_persist(
         grams.groupBy(id_col, "_is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
     )
     counts = doc_bucket.groupBy("bucket").agg(
         F.sum("n").alias("cr"),

@@ -8,7 +8,25 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fresh_persist(df: DataFrame) -> DataFrame:
+    """``persist(MEMORY_AND_DISK)`` that first EVICTS any cache entry a
+    previous construction of the same plan left behind.
+
+    Spark's CacheManager matches persisted entries by canonicalized
+    logical plan, so re-building the same query in one session would
+    silently reuse the earlier construction's blocks — a second timed
+    run of a query would skip its corpus passes entirely and measure
+    cache reads instead of the query. Every construction must compute
+    from the source inputs; the eviction makes that a structural fact
+    rather than a session-hygiene convention. Within ONE constructed
+    query the persist still deduplicates the multi-consumer subtree,
+    and (unlike ``localCheckpoint``) lineage survives executor loss.
+    """
+    df.unpersist()
+    return df.persist()
 
 
 def get_spark(

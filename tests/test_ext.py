@@ -94,6 +94,39 @@ def test_ngram_uncapped_all_docs_shingle_is_memory_safe(spark):
     assert capped == {(1000, 1001)}
 
 
+def test_fresh_persist_evicts_prior_construction(spark):
+    """r16: in-query persists (ngram shingles, minhash signatures, dsir
+    doc_bucket) must NOT survive into the next construction of the same
+    plan — every bench/oracle execution recomputes from the source.
+    fresh_persist evicts the CacheManager's plan-matched entry before
+    re-registering, so construction 2 starts with UNLOADED buffers."""
+    from aws_greengrass_labs_database_influxdb_spark.session import fresh_persist
+
+    def build():
+        return fresh_persist(
+            spark.range(64).selectExpr("id % 7 as g", "id * 2 as v")
+        )
+
+    df1 = build()
+    assert df1.count() == 64  # materializes construction 1's cache
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    cd1 = jcm.lookupCachedData(df1._jdf)
+    assert cd1.isDefined()
+    assert (
+        cd1.get().cachedRepresentation().cacheBuilder()
+        .isCachedColumnBuffersLoaded()
+    )
+    df2 = build()  # same plan: must evict + register a FRESH entry
+    cd2 = jcm.lookupCachedData(df2._jdf)
+    assert cd2.isDefined()
+    assert not (
+        cd2.get().cachedRepresentation().cacheBuilder()
+        .isCachedColumnBuffersLoaded()
+    ), "construction 2 reused construction 1's materialized blocks"
+    assert df2.count() == 64
+    df2.unpersist()
+
+
 def test_ngram_cap_antijoin_paths(spark, monkeypatch):
     """r15: the freq cap executes as an anti-join against the HOT
     (freq > cap) shingle set. Pin the branch structure directly:
