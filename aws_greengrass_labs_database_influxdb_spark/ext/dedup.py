@@ -69,12 +69,6 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return base.select("_id", F.explode(ngrams).alias("shingle"))
 
 
-# block size for the two-level pair explode below: per-row pair arrays
-# are bounded by _PAIR_BLOCK² structs (~65k ≈ a few MB) independent of
-# shingle frequency — the structural memory bound that replaced the
-# max_shingle_freq-as-memory-knob behavior (SCALE.md §dedup)
-_PAIR_BLOCK = 256
-
 # broadcast ceiling for the stop-shingle (freq > cap) anti-join side:
 # ~4M shingle strings is low hundreds of MB framed — comfortably inside
 # executor memory, far under the 8 GB broadcast cap. Above it the
@@ -100,9 +94,10 @@ def ngram_jaccard_pairs(
     quadratic hot key (10⁶ docs sharing it → 10¹² join rows). Dropping
     it loses nothing: a shingle in >1000 docs carries ~zero Jaccard
     signal for any pair. Pass ``None`` for the exact-oracle semantics —
-    memory-safe at any skew since the r6 block pair explode (per-row
-    memory is O(block²), not O(freq²)); the cap remains the *CPU/pair-
-    count* bound (a freq-f shingle still emits C(f,2) pairs).
+    memory-safe at any skew (the r16 self-join STREAMS each shingle's
+    pair block: the sort-merge group buffer spills to disk, no O(freq²)
+    row is ever materialized); the cap remains the *CPU/pair-count*
+    bound (a freq-f shingle still emits C(f,2) pairs).
 
     Input contract: ``id_col`` must be unique per input row — shingle
     frequencies and per-doc sizes count (id, shingle) pairs directly
@@ -120,11 +115,11 @@ def ngram_jaccard_pairs(
     explode and the freq aggregation — so materialization is
     unconditional.
     """
-    # The shingle frame feeds THREE plan branches (the frequency cap,
-    # the pair lists, the per-doc sizes) and the r14 executed plan
-    # recomputed the scan+tokenize+explode for every branch — 3 corpus
-    # passes plus 3 builds of the freq subquery (ReusedExchange never
-    # fired across the AQE-replanned subtrees). r16:
+    # The shingle frame feeds FOUR plan branches (the frequency cap,
+    # both self-join pair sides, the per-doc sizes) and the r14
+    # executed plan recomputed the scan+tokenize+explode per branch —
+    # multiple corpus passes plus repeated builds of the freq subquery
+    # (ReusedExchange never fired across AQE-replanned subtrees). r16:
     # persist(MEMORY_AND_DISK) + ONE count replaces r15's two eager
     # localCheckpoints + count — same single-materialization plan
     # shape, minus one full pass over the pinned blocks, minus two job
@@ -145,7 +140,14 @@ def ngram_jaccard_pairs(
         # shingle dictionary (grows with corpus vocabulary —
         # unbroadcastable at scale) while the hot set is structurally
         # bounded at rows/cap keys.
-        hot = fresh_persist(
+        # NOT persisted (r16): caching a post-shuffle aggregate builds
+        # its InMemoryRelation without AQE partition coalescing — the
+        # count job ran all 8×CPU initial partitions as near-empty
+        # tasks (measured: persisting hot+sizes cost ~0.8 s per run at
+        # sf0.1). The hot set is consumed at most twice (the count
+        # below + the anti-join when non-empty), and the second use
+        # re-aggregates from the already-cached ``sh`` blocks.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_shingle_freq)
@@ -163,53 +165,34 @@ def ngram_jaccard_pairs(
         if n_hot:
             right = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot
             sh = sh.join(right, "shingle", "left_anti")
-    # the per-doc size table feeds BOTH pair-side joins (a and b) and
-    # AQE's per-subtree replanning defeats ReusedExchange (the r14
-    # lesson) — without the cache the corpus-sized aggregation runs
-    # twice. One row per doc, MEMORY_AND_DISK, lineage kept.
-    sizes = fresh_persist(sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
-    # pair generation WITHOUT a two-sided self-join: group each shingle's
-    # doc ids into one sorted list and explode the (a < b) combinations
-    # JVM-side. Same pair stream as a self-join, one fewer full shuffle
-    # of the shingle set.
-    lists = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-    # Two-level BLOCK pair generation (r5 verdict: the single-expr
-    # combination explode materialized C(freq,2) structs in ONE row —
-    # measured OOM at freq≥5000). Slice the sorted id list into fixed
-    # _PAIR_BLOCK-sized blocks, explode one row per (block_i, block_j≥i)
-    # pair, then explode the ≤block² combinations within that row:
-    # per-row memory is O(block²) structs REGARDLESS of shingle
-    # frequency, so cap=None is memory-safe on any skew. The pair
-    # stream is identical: blocks partition a sorted list, so
-    # cross-block pairs are already a<b ordered and within-block pairs
-    # use the triangular slice.
-    blocked = lists.select(
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(_ids) / {_PAIR_BLOCK}.0) as int) - 1), "
-            f"k -> slice(_ids, k * {_PAIR_BLOCK} + 1, {_PAIR_BLOCK}))"
-        ).alias("_blk")
-    )
-    left = blocked.select("_blk", F.posexplode("_blk").alias("_i", "_ba"))
-    right = left.select(
-        "_ba",
-        F.explode(
-            F.expr(
-                "transform(slice(_blk, _i + 1, size(_blk) - _i), "
-                "(by, j) -> struct(by AS bb, j = 0 AS same))"
-            )
-        ).alias("_p"),
-    )
-    pair_expr = F.expr(
-        "CASE WHEN _p.same THEN "
-        "flatten(transform(_ba, (x, i) -> "
-        "transform(slice(_ba, i + 2, size(_ba) - i - 1), "
-        "y -> struct(x AS a, y AS b)))) "
-        "ELSE flatten(transform(_ba, x -> "
-        "transform(_p.bb, y -> struct(x AS a, y AS b)))) END"
-    )
+    # the per-doc size table is NOT persisted (r16): caching a
+    # post-shuffle aggregate builds without AQE partition coalescing
+    # (near-empty 8×CPU-task stages, measured ~0.8 s/run at sf0.1 for
+    # hot+sizes together) — recomputing the one-row-per-doc aggregate
+    # from the cached ``sh`` blocks for each pair-side join is cheaper.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    # Pair generation as a SELF-EQUI-JOIN on the cached shingle frame
+    # (r16). History: r5 replaced the naive self-join with a two-level
+    # block explode (collect_list per shingle, O(block²) per-row
+    # combination arrays) to bound per-row memory. But the nested
+    # higher-order transforms are CodegenFallback — every emitted pair
+    # passed through interpreted expression eval, which dominated the
+    # whole query (noop-isolated: the pair stage was ~2.6 s of the
+    # 3.4 s total at sf0.1). The equi-join emits the SAME C(freq,2)
+    # a<b pair stream per shingle through whole-stage-codegen'd join
+    # machinery, STREAMING: the sort-merge group buffer spills to disk
+    # (ExternalAppendOnlyUnsafeRowArray), so no O(freq²) — nor even
+    # O(freq) — row is materialized; memory safety at any skew is
+    # preserved (pinned by the uncapped all-docs-shingle test). Same
+    # shuffle bytes as collect_list (both exchange the full (shingle,
+    # id) stream; the join does it twice, the second read from cache).
+    # Measured interleaved same-window: 3.32 vs 4.46 s best-of-4, pair
+    # set byte-identical.
+    xa = sh.select("shingle", F.col("_id").alias("a"))
+    xb = sh.select("shingle", F.col("_id").alias("b"))
     common = (
-        right.select(F.explode(pair_expr).alias("p"))
-        .select("p.a", "p.b")
+        xa.join(xb, "shingle")
+        .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -64,15 +64,14 @@ def test_ngram_skew_guard_prunes_stop_shingles(spark):
 
 
 def test_ngram_uncapped_all_docs_shingle_is_memory_safe(spark):
-    """r5 verdict item 2: cap=None on a corpus where EVERY doc shares a
-    shingle must stay memory-bounded (two-level block pair explode —
-    per-row O(block²), not C(freq,2) in one array row) AND produce the
-    exact pair stream: with ndocs > _PAIR_BLOCK the hot shingle spans
-    several blocks, exercising within-block, cross-block, and the
-    (a<b) ordering guarantee at once."""
-    from aws_greengrass_labs_database_influxdb_spark.ext.dedup import _PAIR_BLOCK
-
-    ndocs = _PAIR_BLOCK + 40  # > 1 block → cross-block pairs exist
+    """r5 verdict item 2 (mechanism updated r16): cap=None on a corpus
+    where EVERY doc shares a shingle must stay memory-bounded AND
+    produce the exact pair stream. The r16 self-equi-join STREAMS each
+    shingle's C(freq,2) pair block (the sort-merge group buffer spills
+    to disk) — no O(freq²) or O(freq) row is materialized; this test
+    pins the full a<b pair stream over a hot shingle spanning hundreds
+    of docs, which the r5–r15 block explode also had to pass."""
+    ndocs = 256 + 40  # hundreds of docs sharing one hot shingle
     hot = "lorem ipsum dolor"
     rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}")
             for i in range(ndocs)]
