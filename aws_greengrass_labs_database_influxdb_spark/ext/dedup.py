@@ -69,14 +69,6 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return base.select("_id", F.explode(ngrams).alias("shingle"))
 
 
-# broadcast ceiling for the stop-shingle (freq > cap) anti-join side:
-# ~4M shingle strings is low hundreds of MB framed — comfortably inside
-# executor memory, far under the 8 GB broadcast cap. Above it the
-# anti-join falls back to a shuffled join rather than risk an OOM.
-_HOT_BROADCAST_MAX = 4_000_000
-
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -154,17 +146,19 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         # Bounded plan-time job (the hot set is ≤ rows/cap keys); the
-        # same job populates the ``sh`` cache. Pick the join strategy
-        # deliberately: skip the join when no shingle exceeds the cap
-        # (the common case — anti-join against the empty set is the
-        # identity), broadcast while the hot set fits (a few million
-        # keys ~ low hundreds of MB), and fall back to a shuffled
-        # anti-join only in the pathological every-shingle-hot corpus
-        # where a broadcast would OOM the executors.
+        # same job populates the ``sh`` cache. Skip the join when no
+        # shingle exceeds the cap (the common case — anti-join against
+        # the empty set is the identity). When non-empty, the join
+        # strategy is AQE's: it sees the hot side's RUNTIME bytes and
+        # broadcasts iff it fits under autoBroadcastJoinThreshold,
+        # shuffling otherwise (r16, ADVICE r15: the old forced
+        # F.broadcast under a 4M-ROW cap misjudged long-shingle corpora
+        # — the driver collects the broadcast side, and JVM string
+        # overhead is 2–3× the raw bytes; a byte-based runtime decision
+        # cannot).
         n_hot = hot.count()
         if n_hot:
-            right = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot
-            sh = sh.join(right, "shingle", "left_anti")
+            sh = sh.join(hot, "shingle", "left_anti")
     # the per-doc size table is NOT persisted (r16): caching a
     # post-shuffle aggregate builds without AQE partition coalescing
     # (near-empty 8×CPU-task stages, measured ~0.8 s/run at sf0.1 for

@@ -126,14 +126,15 @@ def test_fresh_persist_evicts_prior_construction(spark):
     df2.unpersist()
 
 
-def test_ngram_cap_antijoin_paths(spark, monkeypatch):
+def test_ngram_cap_antijoin_paths(spark):
     """r15: the freq cap executes as an anti-join against the HOT
     (freq > cap) shingle set. Pin the branch structure directly:
     (a) empty hot set → the join is SKIPPED and the capped output is
     identical to the uncapped one (anti-join against ∅ is the
-    identity); (b) forcing the shuffled fallback (hot set "too big to
-    broadcast") must produce the same pairs as the broadcast path."""
-    import aws_greengrass_labs_database_influxdb_spark.ext.dedup as dd
+    identity); (b) forcing the shuffled fallback (r16: the strategy is
+    AQE's byte-based runtime decision — force it by zeroing the
+    broadcast threshold) must produce the same pairs as the broadcast
+    path."""
 
     rows = [(100, "lorem ipsum shared tail of nearly identical text"),
             (101, "lorem ipsum shared tail of nearly identical text"),
@@ -153,9 +154,13 @@ def test_ngram_cap_antijoin_paths(spark, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     bcast = {(r.a, r.b) for r in ngram_jaccard_pairs(
         df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
-    monkeypatch.setattr(dd, "_HOT_BROADCAST_MAX", 0)
-    shuffled = {(r.a, r.b) for r in ngram_jaccard_pairs(
-        df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = {(r.a, r.b) for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.1, max_shingle_freq=10).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert bcast == shuffled == {(100, 101)}
 
 
