@@ -236,6 +236,10 @@ def minhash_signatures(
     a single shuffle, all JVM-side (both hash modes are Column exprs).
     ``xxhash64`` (default) hashes per (shingle, seed); ``md5`` is the
     engine-portable affine scheme above.
+
+    Input contract (shared with :func:`ngram_jaccard_pairs`):
+    ``id_col`` must be unique per input row — duplicate ids would
+    merge two documents' shingle sets into one signature.
     """
     sh = _shingled(df, text_col, id_col, n)
     if hash_mode == "xxhash64":
